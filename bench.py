@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized through the noop sink so the full plan executes
+(project pruning can't skip work), measured after a session warm-up query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from columbiaimagesearch_spark import registry  # noqa: E402
+from columbiaimagesearch_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "s3_range_scan",
+    "j1_keys_to_rows",
+    "j2_explode_join",
+    "j4_ranked_metadata_join",
+    "a2_cell_histogram",
+    "a7_update_batching",
+    "t1_distance_topk",
+    "t4_per_group_topk",
+    "w_tumbling_event_agg",
+    "st1_count_batch_assembly",
+    "text_token_stats",
+    "text_fingerprint",
+    "dedup_exact_groups",
+    "dedup_simhash",
+    "dedup_minhash_lsh_pairs",
+    "ann_cosine_topk",
+    "ann_cosine_topk_pandas",
+    "emb_near_dup_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.all_specs()
+
+    # warm-up: JVM + parquet footer reads, excluded from timings
+    specs["a8_distinct"].builder(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        df = specs[name].builder(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

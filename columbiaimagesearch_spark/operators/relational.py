@@ -1,0 +1,842 @@
+"""Relational operator core — SURVEY §2.1-§2.7 rebuilt as DataFrame programs.
+
+The reference hand-codes every access path against HBase
+(``cufacesearch/cufacesearch/indexer/hbase_indexer_minimal.py``): range scans
+with resume cursors, batched multi-gets, client-side filters, anti-join dedup,
+top-k by distance. Here each becomes a declarative DataFrame query so Catalyst
+supplies pushdown, pruning, join selection and AQE. Citations to the
+reference's equivalent hand-rolled operator are on each builder.
+
+Scale notes (100 TB): every query below is shuffle-minimal by construction —
+point-lookup joins broadcast the small side (J1/S5/J6), aggregations are
+partial-agg friendly (no distinct-heavy fan-in except where semantically
+required), top-k uses TakeOrderedAndProject / windowed rank with a
+partition-local pre-prune, and all scans project + filter at the source so
+the parquet reader sees PushedFilters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship relational aggregate (scan + filter + agg; F1, A-family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    survey_ops=("F1", "A2", "S3"),
+    doc="TPC-H Q1-shaped scan+filter+aggregate over lineitem; the canonical "
+    "columnar-scan benchmark query (projection pruning + partial aggregation).",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       ROUND(SUM(l_quantity), 4)                                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4)                                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+       ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+       COUNT(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans (S3-S5): range scan, cursor scan, batched multi-get
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s3_range_scan",
+    survey_ops=("S3", "F1"),
+    doc="Sorted-key range scan with column projection — the Spark rendering of "
+    "the HBase scan-from-row_start (hbase_indexer_minimal.py:331-368). "
+    "Predicate + projection reach the parquet reader (PushedFilters).",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus,
+       ROUND(o_totalprice, 4)            AS total_price,
+       CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
+FROM orders
+WHERE o_orderkey >= 200 AND o_orderkey < 1200
+""",
+)
+def s3_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .where((F.col("o_orderkey") >= 200) & (F.col("o_orderkey") < 1200))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 4).alias("total_price"),
+            F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        )
+    )
+
+
+@register(
+    "s4_cursor_scan",
+    survey_ops=("S4", "F1"),
+    doc="Resume-cursor scan: updates-from-date prefix scan with in-flight "
+    "substring filter (hbase_indexer_minimal.py:370-421). Key >= cursor, "
+    "LIKE filter, deterministic order + limit.",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1999-06-01 00:00:00'
+  AND o_orderpriority LIKE '%URGENT%'
+ORDER BY o_orderkey
+LIMIT 200
+""",
+)
+def s4_cursor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1999-06-01 00:00:00").cast("timestamp"))
+            & F.col("o_orderpriority").like("%URGENT%")
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+_MULTIGET_KEYS = [3, 57, 111, 212, 313, 414, 515, 616, 717, 818, 919, 1020, 1121, 1222, 1323, 1424]
+
+
+@register(
+    "s5_multiget",
+    survey_ops=("S5", "J1", "F1"),
+    doc="Batched multi-get: a key list resolved via broadcast semi-join "
+    "(hbase_indexer_minimal.py:682-741 does chunked point-gets of 100). At "
+    "scale the key list is a broadcast hash semi-join — no shuffle of the "
+    "big side.",
+    oracle=f"""
+SELECT c_custkey, c_name, c_mktsegment, ROUND(c_acctbal, 4) AS acctbal
+FROM customer
+WHERE c_custkey IN ({", ".join(str(k) for k in _MULTIGET_KEYS)})
+""",
+)
+def s5_multiget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = spark.createDataFrame([(k,) for k in _MULTIGET_KEYS], "c_custkey bigint")
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(keys), "c_custkey", "left_semi")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.round("c_acctbal", 4).alias("acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters (F2-F10 analogues on the synthetic schema)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_predicate_bundle",
+    survey_ops=("F2", "F3", "F4"),
+    doc="Prefix / skip-list / whitelist predicates: content-type startswith "
+    "(kafka_image_downloader.py:38-51), format NOT IN skip-list (:57-58), "
+    "extension whitelist (local_images_pusher.py:66) — rendered on `part`.",
+    oracle="""
+SELECT p_partkey, p_name, p_brand, p_type, p_size
+FROM part
+WHERE p_type NOT IN ('PROMO', 'ECONOMY')
+  AND p_brand IN ('Brand#12', 'Brand#14', 'Brand#19', 'Brand#23')
+  AND p_size BETWEEN 10 AND 40
+""",
+)
+def f_predicate_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .where(
+            ~F.col("p_type").isin("PROMO", "ECONOMY")
+            & F.col("p_brand").isin("Brand#12", "Brand#14", "Brand#19", "Brand#23")
+            & F.col("p_size").between(10, 40)
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "f10_stale_or_future_skip",
+    survey_ops=("F10", "F6", "C9"),
+    doc="Date-guard predicates: skip future-dated poison rows "
+    "(searcher_lopqhbase.py:573-598; year 9999 sentinel) and select "
+    "stale-claim rows older than a threshold (extraction_processor.py:264-293).",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM events
+WHERE EXTRACT(year FROM ts) <= 2024
+  AND ts < TIMESTAMP '2024-01-08 00:00:00'
+  AND event_type IN ('error', 'signup')
+""",
+)
+def f10_stale_or_future_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .where(
+            (F.year("ts") <= 2024)
+            & (F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
+            & F.col("event_type").isin("error", "signup")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_keys_to_rows",
+    survey_ops=("J1", "S5"),
+    doc="keys->rows equi join with aggregation: sha1 list -> image metadata "
+    "(hbase_indexer_minimal.py:743-776). Broadcast the key side; the fact "
+    "side never shuffles.",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS order_count,
+       ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 4) AS total_spent
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey < 200
+GROUP BY c.c_custkey, c.c_name
+""",
+)
+def j1_keys_to_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        F.broadcast(cust)
+        .join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "j2_explode_join",
+    survey_ops=("J2", "A8"),
+    doc="update->features explode+join: explode list_sha1s and join features "
+    "(searcher_lopqhbase.py:713-738). Rendered as collect_set -> explode -> "
+    "join part, aggregated per brand.",
+    oracle="""
+SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) lp
+JOIN part p ON p.p_partkey = lp.l_partkey
+GROUP BY p.p_brand
+""",
+)
+def j2_explode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    # Model the update ledger: per "update" (order), the claimed id list, then
+    # explode it back out and join to the dimension — like exploding
+    # updates.sha1s and joining features.
+    batched = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("partkeys"))
+    exploded = batched.select("l_orderkey", F.explode("partkeys").alias("l_partkey"))
+    return (
+        exploded.join(F.broadcast(part), exploded.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "j3_anti_join_dedup",
+    survey_ops=("J3", "F7"),
+    doc="Dedup anti-join: incoming keys minus already-processed rows "
+    "(extraction_checker.py:225-258 get_unprocessed_rows). Customers with no "
+    "orders = unclaimed keys.",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+)
+""",
+)
+def j3_anti_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    return cust.join(
+        recent, cust.c_custkey == recent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "j4_ranked_metadata_join",
+    survey_ops=("J4", "T1"),
+    doc="Ranked-result -> metadata ordered left join with miss fallback "
+    "(searcher_lopqhbase.py:915-947: ranked sha1s joined to URL rows, "
+    "tuple-fallback on miss, order preserved via rank column).",
+    oracle="""
+WITH ranked AS (
+  SELECT l_partkey, l_extendedprice,
+         ROW_NUMBER() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+  FROM lineitem
+)
+SELECT r.rank,
+       r.l_partkey,
+       ROUND(r.l_extendedprice, 4) AS price,
+       COALESCE(p.p_name, 'missing:' || CAST(r.l_partkey AS VARCHAR)) AS part_name
+FROM ranked r
+LEFT JOIN part p ON p.p_partkey = r.l_partkey
+WHERE r.rank <= 100
+""",
+)
+def j4_ranked_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    w = Window.orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    ranked = (
+        li.select("l_partkey", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 100)
+        .drop("l_orderkey", "l_linenumber")
+    )
+    return (
+        ranked.join(F.broadcast(part), ranked.l_partkey == part.p_partkey, "left")
+        .select(
+            "rank",
+            "l_partkey",
+            F.round("l_extendedprice", 4).alias("price"),
+            F.coalesce(
+                F.col("p_name"), F.concat(F.lit("missing:"), F.col("l_partkey").cast("string"))
+            ).alias("part_name"),
+        )
+    )
+
+
+@register(
+    "j6_cell_semi_join",
+    survey_ops=("J6", "A2"),
+    doc="Index-probe semi join: candidate cells select code buckets "
+    "(lopq/lopq/search.py:125-135 + get_cell). Broadcast the tiny cell list; "
+    "on a cell-partitioned codes table this prunes file groups entirely.",
+    oracle="""
+SELECT l_suppkey AS cell, CAST(COUNT(*) AS BIGINT) AS bucket_size,
+       ROUND(SUM(l_quantity), 4) AS total_qty
+FROM lineitem
+WHERE l_suppkey IN (1, 2, 3, 5, 8, 13, 21, 34)
+GROUP BY l_suppkey
+""",
+)
+def j6_cell_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cells = spark.createDataFrame([(c,) for c in [1, 2, 3, 5, 8, 13, 21, 34]], "l_suppkey bigint")
+    return (
+        li.join(F.broadcast(cells), "l_suppkey", "left_semi")
+        .groupBy(F.col("l_suppkey").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("bucket_size"),
+            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "j7_incremental_add_anti",
+    survey_ops=("J7", "ST4"),
+    doc="Index-add dedup: skip (cell,id) pairs already present "
+    "(lopq/lopq/search.py:340-364). New batch anti-joined against the "
+    "existing index before append.",
+    oracle="""
+SELECT n.o_orderkey, n.o_custkey, ROUND(n.o_totalprice, 4) AS total_price
+FROM orders n
+WHERE n.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+  AND NOT EXISTS (
+    SELECT 1 FROM orders e
+    WHERE e.o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
+      AND e.o_custkey = n.o_custkey
+  )
+""",
+)
+def j7_incremental_add_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("2001-01-01 00:00:00").cast("timestamp")
+    new_batch = orders.where(F.col("o_orderdate") >= cutoff)
+    existing = orders.where(F.col("o_orderdate") < cutoff).select("o_custkey").distinct()
+    return new_batch.join(existing, "o_custkey", "left_anti").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("total_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A2, A7, A8, A9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a2_cell_histogram",
+    survey_ops=("A2", "A1"),
+    doc="Cell-population histogram (lopq/lopq/eval.py:66-74) — groupBy+count; "
+    "map-side partial aggregation, one shuffle of (key, count).",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def a2_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "a7_update_batching",
+    survey_ops=("A7", "C6"),
+    doc="Update batching: accumulate ids per group, emit ordered id list "
+    "(extraction_checker.py:281-454 batches sha1s into updates; "
+    "comma-joined list_sha1s per hbase_indexer_minimal.py:40-48).",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS batch_size,
+       array_to_string(list_sort(list(event_id)), ',') AS id_list
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+)
+def a7_update_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("batch_size"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("event_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("id_list"),
+        )
+    )
+
+
+@register(
+    "a8_distinct",
+    survey_ops=("A8",),
+    doc="Distinct/dedup over keys (set() over sha1 lists, "
+    "extraction_checker.py:312-316) — dropDuplicates, partial-agg shuffle.",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def a8_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "a9_completeness_check",
+    survey_ops=("A9", "F5"),
+    doc="Per-update completeness: #produced vs #expected decides recompute "
+    "(searcher_lopqhbase.py:710-728; hbase_indexer_minimal.py:541-571).",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT l.l_linenumber) AS BIGINT) AS n_distinct_lines,
+       (COUNT(l.l_orderkey) = 0) AS is_empty
+FROM orders o
+LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey < 1000
+GROUP BY o.o_orderkey
+""",
+)
+def a9_completeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy(orders.o_orderkey)
+        .agg(
+            F.count(li.l_orderkey).alias("n_lines"),
+            F.countDistinct(li.l_linenumber).alias("n_distinct_lines"),
+            (F.count(li.l_orderkey) == 0).alias("is_empty"),
+        )
+    )
+
+
+@register(
+    "a_rollup_analytics",
+    survey_ops=("A-gap",),
+    doc="Grouping-sets surface the reference lacks (SURVEY §2.4 gap): rollup "
+    "over (segment, nation) with grouping id — adopted Spark built-in.",
+    oracle="""
+SELECT c_mktsegment, c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(c_acctbal), 4) AS total_bal
+FROM customer
+GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+""",
+)
+def a_rollup_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .rollup("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k / windows (T1-T5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t1_distance_topk",
+    survey_ops=("T1", "T6"),
+    doc="Global sort+limit (search.py:206-215 sorts candidates by distance, "
+    "cuts to limit). Spark plans TakeOrderedAndProject: per-partition top-k, "
+    "then a k-row merge on the driver — no full sort at scale.",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey, ROUND(l_extendedprice, 4) AS price
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 50
+""",
+)
+def t1_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.round("l_extendedprice", 4).alias("price"),
+        )
+        .orderBy(F.col("price").desc(), "l_orderkey", "l_linenumber")
+        .limit(50)
+    )
+
+
+@register(
+    "t4_per_group_topk",
+    survey_ops=("T4", "J5"),
+    doc="Per-query rerank top-k: row_number over (partition by query order by "
+    "distance) (searcher_lopqhbase.py:900-912 re-sort after exact rerank).",
+    oracle="""
+SELECT * FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         ROUND(l_extendedprice, 4) AS price,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+  FROM lineitem
+) WHERE rnk <= 3
+""",
+)
+def t4_per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 4).alias("price"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "t2_quota_accumulation",
+    survey_ops=("T2", "T3"),
+    doc="Multi-sequence quota cutoff: visit cells in distance order until the "
+    "running item count reaches quota (search.py:110-135). Rendered as a "
+    "running-sum window with cutoff.",
+    oracle="""
+WITH cells AS (
+  SELECT l_suppkey AS cell, CAST(COUNT(*) AS BIGINT) AS cell_count
+  FROM lineitem GROUP BY l_suppkey
+), cum AS (
+  SELECT cell, cell_count,
+         CAST(SUM(cell_count) OVER (
+           ORDER BY cell_count DESC, cell
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+  FROM cells
+)
+SELECT cell, cell_count, running
+FROM cum
+WHERE running - cell_count < 10000
+""",
+)
+def t2_quota_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(F.col("l_suppkey").alias("cell")).agg(
+        F.count(F.lit(1)).alias("cell_count")
+    )
+    w = (
+        Window.orderBy(F.col("cell_count").desc(), F.col("cell"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn("running", F.sum("cell_count").over(w))
+        .where(F.col("running") - F.col("cell_count") < 10000)
+    )
+
+
+@register(
+    "t5_ranked_output_assembly",
+    survey_ops=("T5", "A7"),
+    doc="Ranked output assembly: per query, ordered array of results "
+    "(output_mapping.py:78-230 builds nested ordered dicts). Window rank -> "
+    "collect_list(struct) -> array_sort -> string.",
+    oracle="""
+WITH ranked AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+  FROM lineitem
+)
+SELECT l_suppkey AS qid,
+       array_to_string(
+         list_sort(list(CAST(rnk AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR) || '.' ||
+                        CAST(l_linenumber AS VARCHAR))),
+         ';') AS result_list
+FROM ranked
+WHERE rnk <= 5
+GROUP BY l_suppkey
+""",
+)
+def t5_ranked_output_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    ranked = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+    )
+    entry = F.concat_ws(
+        "",
+        F.col("rnk").cast("string"),
+        F.lit(":"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("."),
+        F.col("l_linenumber").cast("string"),
+    )
+    return (
+        ranked.select(F.col("l_suppkey").alias("qid"), entry.alias("entry"))
+        .groupBy("qid")
+        .agg(F.concat_ws(";", F.sort_array(F.collect_list("entry"))).alias("result_list"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops (§2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setops_union_except",
+    survey_ops=("SET",),
+    doc="Union + except over key slices (code-file chaining search.py:245-263; "
+    "unprocessed = checked − found, extraction_checker.py:256).",
+    oracle="""
+SELECT o_orderkey, o_orderstatus FROM (
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 500
+  UNION
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey BETWEEN 400 AND 700
+  EXCEPT
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey BETWEEN 450 AND 480
+)
+""",
+)
+def setops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    a = orders.where(F.col("o_orderkey") < 500)
+    b = orders.where(F.col("o_orderkey").between(400, 700))
+    c = orders.where(F.col("o_orderkey").between(450, 480))
+    # (a UNION b) EXCEPT c — subtract() is EXCEPT DISTINCT, matching the SQL.
+    return a.unionByName(b).distinct().subtract(c)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function layer (C1-C10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c_scalar_keys",
+    survey_ops=("C1", "C2", "C6", "C9"),
+    doc="Key building / codec layer: update_id grammar with zero-padded seq "
+    "(hbase_indexer_minimal.py:595-617), md5 content hash (imgio.py:23-39 "
+    "uses sha1; DuckDB lacks sha1 so parity uses md5 — Spark side also "
+    "exposes sha1 in functions.scalar), base64 round-trip (featsio.py:4-11).",
+    oracle="""
+SELECT c_custkey,
+       'index_update_' || lower(c_mktsegment) || '_2024-01-15_' ||
+         lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') AS update_id,
+       md5(c_name) AS name_md5,
+       to_base64(CAST(c_name AS BLOB)) AS name_b64,
+       upper(c_mktsegment) AS segment_uc,
+       substr(c_name, 1, 8) AS name_prefix
+FROM customer
+WHERE c_custkey < 500
+""",
+)
+def c_scalar_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 500)
+        .select(
+            "c_custkey",
+            F.concat(
+                F.lit("index_update_"),
+                F.lower("c_mktsegment"),
+                F.lit("_2024-01-15_"),
+                F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+            ).alias("update_id"),
+            F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+            F.base64(F.col("c_name").cast("binary")).alias("name_b64"),
+            F.upper("c_mktsegment").alias("segment_uc"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+        )
+    )
+
+
+@register(
+    "c7_cell_id_roundtrip",
+    survey_ops=("C7", "C5"),
+    doc="cell-id <-> coarse-pair codec (model.py:706-710: cell = c1*V + c2; "
+    "inverse via div/mod) plus bbox-ish string pack/unpack (detector/utils.py).",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       (l_suppkey * 256 + l_linenumber) AS cell,
+       CAST(FLOOR((l_suppkey * 256 + l_linenumber) / 256) AS BIGINT) AS coarse1,
+       CAST((l_suppkey * 256 + l_linenumber) % 256 AS BIGINT) AS coarse2,
+       CAST(l_partkey AS VARCHAR) || '_' || CAST(l_suppkey AS VARCHAR) AS packed_key,
+       CAST(string_split(CAST(l_partkey AS VARCHAR) || '_' || CAST(l_suppkey AS VARCHAR), '_')[1] AS BIGINT) AS unpacked_first
+FROM lineitem
+WHERE l_orderkey < 300
+""",
+)
+def c7_cell_id_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = F.col("l_suppkey") * 256 + F.col("l_linenumber")
+    packed = F.concat_ws("_", F.col("l_partkey").cast("string"), F.col("l_suppkey").cast("string"))
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 300)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            cell.alias("cell"),
+            F.floor(cell / 256).cast("bigint").alias("coarse1"),
+            (cell % 256).cast("bigint").alias("coarse2"),
+            packed.alias("packed_key"),
+            F.split(packed, "_").getItem(0).cast("bigint").alias("unpacked_first"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowed aggregation (§2.9 gap adopted: tumbling windows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_tumbling_event_agg",
+    survey_ops=("ST-gap", "A6", "C9"),
+    doc="Event-time tumbling-window aggregation over the events stream table "
+    "(batch rendering; streaming twin in streaming/ingest.py uses the same "
+    "plan with a watermark).",
+    oracle="""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS total_value,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def w_tumbling_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )

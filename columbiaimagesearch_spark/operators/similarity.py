@@ -1,0 +1,215 @@
+"""Embedding similarity search over the ``embeddings`` table.
+
+This is the Spark rendering of the reference's core query — ANN over
+L2-normalized feature vectors with exact re-ranking
+(``searcher/searcher_lopqhbase.py:783-1067``). Three tiers:
+
+1. ``ann_cosine_topk`` — brute-force cosine top-k, pure built-ins
+   (``zip_with`` + ``aggregate``), the correctness baseline (= the
+   reference's exact rerank / ``lopq/lopq/eval.py:7-38`` ground truth).
+2. ``ann_cosine_topk_pandas`` — same semantics via an Arrow-vectorized
+   pandas UDF doing a single numpy matmul per batch (the fast exact path;
+   queries broadcast, candidates never shuffled).
+3. IVF/LOPQ-bucketed search lives in ``..lopq`` — the 100 TB path where only
+   (cell, id, code) pairs shuffle, never vectors.
+
+``emb_near_dup_pairs`` is the embedding-cosine near-duplicate filter
+(reference near-dup threshold semantics, ``generic_searcher.py:43-45``,
+applied pairwise label-blocked).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+TOP_K = 10
+N_QUERIES = 8  # vec_id < 8 are the fixture query vectors
+NEAR_DUP_COS = 0.40  # synthetic embeddings: max off-diagonal cosine ~0.51
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+_COS_SQL = (
+    "list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])) * "
+    "     list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))"
+)
+
+
+@register(
+    "emb_l2_norms",
+    survey_ops=("C3", "C4"),
+    doc="L2 norm / normalization contract of the featurizer layer "
+    "(featsio.py:13-22: features are stored L2-normalized float32).",
+    oracle="""
+SELECT vec_id, label,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       ROUND(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
+FROM embeddings
+""",
+)
+def emb_l2_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.sqrt(_dot(v, v)), 4).alias("l2_norm"),
+    )
+
+
+_ANN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+),
+scored AS (
+  SELECT q.qid, c.vec_id, c.label,
+         list_inner_product(q.qv, c.cv)
+           / sqrt(list_inner_product(q.qv, q.qv) * list_inner_product(c.cv, c.cv))
+           AS cos_sim
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT qid, vec_id, label, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT qid, rank, vec_id, label, ROUND(cos_sim, 4) AS cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    survey_ops=("V12", "T1", "T4", "J5"),
+    doc="Brute-force cosine top-k (exact kNN ground truth, eval.py:7-38 + "
+    "exact rerank V13). Queries broadcast; candidates scanned once; "
+    "per-query windowed rank — no candidate shuffle.",
+    oracle=_ANN_ORACLE,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    c = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("cv")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "qid", "vec_id", "label", _cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "vec_id", "label", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+@register(
+    "ann_cosine_topk_pandas",
+    survey_ops=("V12", "V13", "V14"),
+    doc="Same exact top-k via an Arrow-vectorized pandas UDF: one numpy "
+    "matmul per batch against the broadcast query matrix (the "
+    "predict_batch/mapInPandas idiom used for all §2.8 numerics). Must "
+    "match the JVM-side plan bit-for-bit after rounding.",
+    oracle=_ANN_ORACLE,
+)
+def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qmat_n = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    sc = spark.sparkContext
+    b_q = sc.broadcast((qids, qmat_n))
+
+    def score_batches(it):
+        bqids, bq = b_q.value
+        for pdf in it:
+            cmat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cmat_n = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = bq @ cmat_n.T  # (n_q, batch)
+            n_q, n_c = sims.shape
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(bqids, n_c),
+                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), n_q),
+                    "label": np.tile(pdf["label"].to_numpy(), n_q),
+                    "cos_sim": sims.ravel(),
+                }
+            )
+
+    scored = emb.select("vec_id", "label", "embedding").mapInPandas(
+        score_batches, "qid bigint, vec_id bigint, label int, cos_sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "vec_id", "label", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+@register(
+    "emb_near_dup_pairs",
+    survey_ops=("F9", "DEDUP-embedding"),
+    doc="Embedding-cosine near-duplicate pairs, label-blocked (the near-dup "
+    "distance filter generic_searcher.py:43-45 applied pairwise; blocking "
+    "key stands in for the coarse cell at scale).",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       ROUND({_COS_SQL.format(a="a.v", b="b.v")}, 4) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a="a.v", b="b.v")} >= {NEAR_DUP_COS}
+""",
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("v").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("v").alias("vb")
+    )
+    cos = _cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .where(cos >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b", "label", F.round(cos, 4).alias("cos_sim"))
+    )

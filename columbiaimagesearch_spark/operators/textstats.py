@@ -1,0 +1,192 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Part of the LLM-training-data surface layered on the reference's
+featurize-operator contract (SURVEY §7.0): language-ID, quality scoring,
+token counting, and document fingerprinting — all JVM-side built-ins
+(split / transform / aggregate / regexp), no Python UDFs in the hot path,
+so they whole-stage-codegen and scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+# Marker stopword sets for the language-ID heuristic (classic stopword-hit
+# n-gram heuristic; on real corpora these dominate quickly).
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "und", "die", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "de", "la", "y", "que"),
+}
+
+
+def _tok(col):
+    return F.split(col, " ")
+
+
+@register(
+    "text_token_stats",
+    survey_ops=("TXT-tokens", "C6"),
+    doc="Token counting: whitespace tokens + BPE-ish regex word/number/symbol "
+    "pieces + char length; all codegen'd string ops.",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_pieces,
+       CAST(length(text) AS BIGINT) AS n_chars_computed,
+       n_chars AS n_chars_declared
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tok(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("bigint")
+        .alias("n_pieces"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        F.col("n_chars").alias("n_chars_declared"),
+    )
+
+
+@register(
+    "text_quality_score",
+    survey_ops=("TXT-quality",),
+    doc="Quality scoring: length/space/alpha ratios and mean token length — "
+    "the cheap heuristics used to pre-filter web text before training.",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       ROUND(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS space_ratio,
+       ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS alpha_ratio,
+       ROUND(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS mean_token_len,
+       (length(text) BETWEEN 50 AND 10000
+        AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / length(text) > 0.5) AS passes_filter
+FROM documents
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(_tok(F.col("text")))
+    n_spaces = F.length(F.regexp_replace("text", "[^ ]", ""))
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    alpha_ratio = n_alpha.cast("double") / n_chars
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(n_spaces.cast("double") / n_chars, 4).alias("space_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens, 4
+        ).alias("mean_token_len"),
+        (n_chars.between(50, 10000) & (alpha_ratio > 0.5)).alias("passes_filter"),
+    )
+
+
+def _marker_count_sql(lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in _LANG_MARKERS[lang])
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), t -> t IN ({toks}))) AS BIGINT)"
+    )
+
+
+@register(
+    "text_langid",
+    survey_ops=("TXT-langid",),
+    doc="Language-ID: stopword-marker n-gram heuristic + CJK charset check; "
+    "argmax with deterministic tie-breaks, compared against the labeled lang.",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_marker_count_sql("en")} AS s_en,
+         {_marker_count_sql("de")} AS s_de,
+         {_marker_count_sql("fr")} AS s_fr,
+         {_marker_count_sql("es")} AS s_es,
+         CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS BIGINT) AS s_zh
+  FROM documents
+)
+SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh,
+       CASE WHEN s_zh > 0 THEN 'zh'
+            WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM scored
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok(F.col("text"))
+
+    def marker_count(lang: str):
+        markers = list(_LANG_MARKERS[lang])
+        return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("bigint")
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        marker_count("en").alias("s_en"),
+        marker_count("de").alias("s_de"),
+        marker_count("fr").alias("s_fr"),
+        marker_count("es").alias("s_es"),
+        F.length(F.regexp_replace("text", "[^一-鿿]", ""))
+        .cast("bigint")
+        .alias("s_zh"),
+    )
+    best = F.greatest("s_en", "s_de", "s_fr", "s_es")
+    pred = (
+        F.when(F.col("s_zh") > 0, "zh")
+        .when(best == 0, "und")
+        .when(F.col("s_en") >= F.greatest("s_de", "s_fr", "s_es"), "en")
+        .when(F.col("s_de") >= F.greatest("s_fr", "s_es"), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+@register(
+    "text_fingerprint",
+    survey_ops=("TXT-fingerprint", "C1"),
+    doc="Document fingerprinting: whole-doc content hash (the sha1-identity "
+    "idiom of imgio.py:23-39, md5 for DuckDB parity) plus a winnowing-style "
+    "min-hash over character 8-grams (rolling-window fingerprint).",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS content_md5,
+       CASE WHEN length(text) >= 8 THEN
+         list_aggregate(
+           [md5(substr(text, i, 8)) for i in generate_series(1, length(text) - 7)],
+           'min')
+       ELSE md5(text) END AS window_fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 7),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(8))),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+        F.when(F.length("text") >= 8, F.array_min(grams))
+        .otherwise(F.md5(F.col("text").cast("binary")))
+        .alias("window_fingerprint"),
+    )

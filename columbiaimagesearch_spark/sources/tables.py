@@ -1,0 +1,59 @@
+"""Parquet table loaders for the driver's synthetic tables (TESTDATA.md).
+
+Spark-first notes: ``spark.read.parquet`` gives us columnar scans with
+predicate pushdown + column pruning for free; every query in the operator
+registry selects only what it needs so Catalyst prunes the ReadSchema.
+At 100 TB these tables would be partitioned (orders/lineitem by date,
+codes by cell) — the loaders keep that switch behind one function.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver may hand us a session we didn't build: pin the SQL confs our
+    # queries' semantics depend on (all runtime-settable). UTC keeps
+    # date_format/timestamp-literal comparisons aligned with the (naive)
+    # DuckDB oracle regardless of ambient timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which the Spark parquet
+        # reader rejects; read nanos as LONG and rebuild a proper timestamp
+        # (integer nanos -> micros, no float in the path).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so ``spark.sql`` works directly."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
