@@ -25,11 +25,12 @@ from columbiaimagesearch_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: brute-force cosine top-k
-    similarity search over the embeddings table (the engine's core query —
-    the reference's search_from_feats exact path)."""
+    """Flagship query on /root/testdata/sf0.001: the full LOPQ ANN pipeline —
+    train fixture model, encode embeddings to a codes table, multisequence
+    cell probe, ADC ranking, exact rerank (the reference's
+    search_from_feats path end-to-end, SURVEY §7.1 step 4)."""
     specs = registry.all_specs()
-    return specs["ann_cosine_topk"].builder(spark, "/root/testdata/sf0.001")
+    return specs["lopq_search_rerank"].builder(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,169 @@
+"""LOPQ multi-index search: multisequence cell traversal + ADC ranking.
+
+The reference's query path (``lopq/lopq/search.py``): the *multi-sequence*
+algorithm (Babenko & Lempitsky multi-index; :13-82) enumerates cells of the
+V x V product grid in increasing d1(q,c1)+d2(q,c2) until a candidate quota
+is met (:110-135), then computes asymmetric (ADC) distances from per-cell
+lookup tables (:137-177) and sorts (:206-215). Optional exact re-ranking of
+the top candidates against stored features (``searcher_lopqhbase.py:862-912``).
+
+Spark rendering:
+- cell enumeration + quota cutoff are per-query driver math over the tiny
+  (V^2) cell-count histogram (V <= 4096 => trivial);
+- the probe is a semi-join of the codes table against the visited-cells
+  list (broadcast; prunes partitions when codes are cell-partitioned);
+- ADC distance is one Arrow pandas pass: per (query, cell) LUTs are small
+  (M x K floats), computed driver-side, broadcast, gathered vectorized;
+- top-k is a per-query window; exact rerank joins back to the vector table
+  for only ``rerank_nb`` rows per query (vectors never shuffle in bulk).
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .model import LOPQModel
+
+
+def multisequence_cells(
+    d1: np.ndarray, d2: np.ndarray, cell_counts: dict[int, int], quota: int
+) -> list[int]:
+    """Cells of the product grid in increasing d1[i]+d2[j], traversed with a
+    heap (multi-sequence algorithm), stopping once the cumulative indexed
+    population reaches ``quota``. Returns visited cell ids (including empty
+    cells visited on the way).
+    """
+    V = len(d1)
+    o1 = np.argsort(d1, kind="stable")
+    o2 = np.argsort(d2, kind="stable")
+    heap: list[tuple[float, int, int]] = [(float(d1[o1[0]] + d2[o2[0]]), 0, 0)]
+    seen = {(0, 0)}
+    visited: list[int] = []
+    got = 0
+    while heap and got < quota:
+        _, i, j = heapq.heappop(heap)
+        cell = int(o1[i]) * V + int(o2[j])
+        visited.append(cell)
+        got += cell_counts.get(cell, 0)
+        if i + 1 < V and (i + 1, j) not in seen and (j == 0 or (i + 1, j - 1) in seen):
+            heapq.heappush(heap, (float(d1[o1[i + 1]] + d2[o2[j]]), i + 1, j))
+            seen.add((i + 1, j))
+        if j + 1 < V and (i, j + 1) not in seen and (i == 0 or (i - 1, j + 1) in seen):
+            heapq.heappush(heap, (float(d1[o1[i]] + d2[o2[j + 1]]), i, j + 1))
+            seen.add((i, j + 1))
+    return visited
+
+
+def _cell_counts(codes: DataFrame) -> dict[int, int]:
+    return {
+        int(r["cell"]): int(r["n"])
+        for r in codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def search(
+    spark: SparkSession,
+    codes: DataFrame,
+    model: LOPQModel,
+    queries: list[tuple[int, np.ndarray]],
+    quota: int = 1000,
+    k: int = 10,
+    vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_nb: int = 0,
+) -> DataFrame:
+    """ANN search for a batch of queries against a LOPQ codes DataFrame.
+
+    Returns (qid, rank, id, adc_dist[, exact_dist]) with rank 1..k per qid.
+    With ``rerank_nb`` > 0 and ``vectors`` given, the top ``rerank_nb`` ADC
+    candidates per query are re-ranked by exact squared L2 distance
+    (reference rerank semantics, searcher_lopqhbase.py:862-912).
+    """
+    counts = _cell_counts(codes)
+    probe_rows = []  # (qid, cell)
+    luts: dict[tuple[int, int], np.ndarray] = {}
+    qvecs: dict[int, np.ndarray] = {}
+    for qid, q in queries:
+        q = np.asarray(q, dtype=np.float64)
+        qvecs[qid] = q
+        d1, d2 = model.coarse_distances(q)
+        for cell in multisequence_cells(d1, d2, counts, quota):
+            if counts.get(cell, 0):
+                probe_rows.append((qid, cell))
+                luts[(qid, cell)] = model.adc_lut(q, cell)
+
+    if not probe_rows:
+        empty = "qid bigint, rank int, id bigint, adc_dist double"
+        return spark.createDataFrame([], empty)
+
+    b_luts = spark.sparkContext.broadcast(luts)
+    probe = spark.createDataFrame(probe_rows, "qid bigint, cell int")
+    # semi-join probe: only visited cells' codes flow into scoring; with a
+    # cell-partitioned codes table this is partition pruning, not a scan.
+    cand = codes.join(F.broadcast(probe), "cell")
+
+    def adc_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lut_map = b_luts.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            fine = np.array(list(pdf["fine"]), dtype=np.int64)  # (n, M)
+            dists = np.empty(len(pdf))
+            keys = list(zip(pdf["qid"].to_numpy(), pdf["cell"].to_numpy()))
+            m_idx = np.arange(fine.shape[1])
+            for row, key in enumerate(keys):
+                dists[row] = lut_map[key][m_idx, fine[row]].sum()
+            yield pd.DataFrame(
+                {"qid": pdf["qid"], "id": pdf["id"], "adc_dist": dists}
+            )
+
+    scored = cand.mapInPandas(adc_score, "qid bigint, id bigint, adc_dist double")
+
+    w = Window.partitionBy("qid").orderBy(F.col("adc_dist"), F.col("id"))
+    top = scored.withColumn("rank", F.row_number().over(w))
+
+    if rerank_nb and vectors is not None:
+        b_q = spark.sparkContext.broadcast(qvecs)
+        shortlist = top.where(F.col("rank") <= int(rerank_nb)).drop("rank")
+        joined = shortlist.join(
+            vectors.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("_vec")
+            ),
+            "id",
+        )
+
+        def exact_dist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qmap = b_q.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(list(pdf["_vec"]), dtype=np.float64)
+                Q = np.array([qmap[int(q)] for q in pdf["qid"]], dtype=np.float64)
+                d = ((X - Q) ** 2).sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "qid": pdf["qid"],
+                        "id": pdf["id"],
+                        "adc_dist": pdf["adc_dist"],
+                        "exact_dist": d,
+                    }
+                )
+
+        rer = joined.mapInPandas(
+            exact_dist, "qid bigint, id bigint, adc_dist double, exact_dist double"
+        )
+        w2 = Window.partitionBy("qid").orderBy(F.col("exact_dist"), F.col("id"))
+        return (
+            rer.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("qid", "rank", "id", "adc_dist", "exact_dist")
+        )
+
+    return top.where(F.col("rank") <= k).select("qid", "rank", "id", "adc_dist")

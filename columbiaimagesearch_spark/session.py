@@ -16,8 +16,36 @@ conf here is chosen to also be the right default on a 1000-executor cluster:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+_SHIPPED: set[int] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship this package to the Python workers of ``spark``.
+
+    The driver may import us by path from any cwd; executor Python workers
+    unpickle our pandas-UDF closures *by reference* and need the package
+    importable. ``addPyFile`` with a zip of the package makes that true for
+    any session (local or cluster) without touching PYTHONPATH.
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zpath = os.path.join(tempfile.gettempdir(), "columbiaimagesearch_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            z.write(p, f"{pkg_dir.name}/{p.relative_to(pkg_dir)}")
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:  # noqa: BLE001 — already registered on this context
+        pass
+    _SHIPPED.add(key)
 
 
 def get_spark(

@@ -31,9 +31,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver may hand us a session we didn't build: pin the SQL confs our
-    # queries' semantics depend on (all runtime-settable). UTC keeps
-    # date_format/timestamp-literal comparisons aligned with the (naive)
-    # DuckDB oracle regardless of ambient timezone.
+    # queries' semantics depend on (all runtime-settable) and ship the
+    # package to its Python workers. UTC keeps date_format/timestamp-literal
+    # comparisons aligned with the (naive) DuckDB oracle regardless of
+    # ambient timezone.
+    from ..session import ensure_shipped
+
+    ensure_shipped(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS) which the Spark parquet

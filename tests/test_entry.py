@@ -19,7 +19,7 @@ def test_entry_runs_and_is_stable(spark):
     df = mod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert df.columns == ["qid", "rank", "vec_id", "label", "cos_sim"]
+    assert df.columns == ["qid", "rank", "id", "adc_dist", "exact_dist"]
     # deterministic: rerun yields identical results
     again = mod.entry(spark).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -1,0 +1,179 @@
+"""Numeric-oracle tests for the LOPQ pipeline (FIXTURES.md §B4/B5 contract).
+
+The pure-numpy LOPQModel is the oracle; Spark-side encode/search must agree
+with it, and retrieval quality must clear fixed floors vs brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from columbiaimagesearch_spark.lopq import queries as lq
+from columbiaimagesearch_spark.lopq.encode import encode_dataframe
+from columbiaimagesearch_spark.lopq.eval import brute_force_topk, recall_at_k
+from columbiaimagesearch_spark.lopq.model import LOPQModel, eigenvalue_allocation, kmeans
+from columbiaimagesearch_spark.lopq.search import multisequence_cells, search
+from columbiaimagesearch_spark.sources import load_table
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark):
+    rows = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, X
+
+
+@pytest.fixture(scope="module")
+def model(emb_np):
+    _, X = emb_np
+    return LOPQModel.fit(X, **lq.FIXTURE_PARAMS)
+
+
+def test_kmeans_deterministic():
+    rng = np.random.RandomState(0)
+    X = rng.randn(300, 8)
+    c1, a1 = kmeans(X, 7, seed=42)
+    c2, a2 = kmeans(X, 7, seed=42)
+    assert np.array_equal(c1, c2) and np.array_equal(a1, a2)
+    # every cluster non-empty
+    assert len(np.unique(a1)) == 7
+
+
+def test_eigenvalue_allocation_balances():
+    eigvals = np.array([100.0, 50.0, 10.0, 5.0, 2.0, 1.0, 0.5, 0.1])
+    perm = eigenvalue_allocation(eigvals, 2)
+    assert sorted(perm) == list(range(8))
+    b1, b2 = np.log(eigvals[perm[:4]]).sum(), np.log(eigvals[perm[4:]]).sum()
+    # balanced log-variance: buckets within a reasonable gap
+    assert abs(b1 - b2) < np.log(eigvals).std() * 4
+
+
+def test_rotations_are_orthonormal(model):
+    for h in range(2):
+        for v in range(model.V):
+            R = model.Rs[h, v]
+            assert np.allclose(R @ R.T, np.eye(model.half), atol=1e-8)
+
+
+def test_encode_roundtrip_reduces_error(model, emb_np):
+    _, X = emb_np
+    coarse, fine = model.encode(X)
+    X_hat = model.reconstruct(coarse, fine)
+    err = np.linalg.norm(X - X_hat, axis=1)
+    base = np.linalg.norm(X, axis=1)
+    # quantization must recover most of the signal
+    assert (err / base).mean() < 0.7
+    # re-encoding the reconstruction is stable (eval.py:77-89 pattern)
+    c2, f2 = model.encode(X_hat)
+    agree = (c2 == coarse).all(axis=1).mean()
+    assert agree > 0.95
+
+
+def test_spark_encode_matches_numpy(spark, model, emb_np):
+    ids, X = emb_np
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {
+        int(r["id"]): (r["c1"], r["c2"], r["cell"], tuple(r["fine"]))
+        for r in encode_dataframe(spark, emb, model).collect()
+    }
+    coarse, fine = model.encode(X)
+    cells = model.cell_id(coarse)
+    for i, vid in enumerate(ids):
+        c1, c2, cell, f = got[int(vid)]
+        assert (c1, c2) == (coarse[i, 0], coarse[i, 1])
+        assert cell == cells[i]
+        assert f == tuple(fine[i])
+
+
+def test_multisequence_visits_in_distance_order(model, emb_np):
+    _, X = emb_np
+    d1, d2 = model.coarse_distances(X[0])
+    counts = {c: 1 for c in range(model.V * model.V)}
+    visited = multisequence_cells(d1, d2, counts, quota=model.V * model.V)
+    assert sorted(visited) == list(range(model.V * model.V))  # full traversal
+    dists = [d1[c // model.V] + d2[c % model.V] for c in visited]
+    assert all(dists[i] <= dists[i + 1] + 1e-9 for i in range(len(dists) - 1))
+
+
+def test_search_recall_floor(spark, model, emb_np):
+    ids, X = emb_np
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    codes = encode_dataframe(spark, emb, model)
+    queries = [(int(ids[i]), X[i]) for i in range(8)]
+    truth = {
+        int(ids[i]): t
+        for i, t in enumerate(brute_force_topk(X[:8], X, ids, 10))
+    }
+    # ADC-only tier (no rerank): coarse but must beat the floor
+    res = search(spark, codes, model, queries, quota=200, k=10)
+    retrieved: dict[int, list[int]] = {}
+    for r in res.orderBy("qid", "rank").collect():
+        retrieved.setdefault(r["qid"], []).append(r["id"])
+    rec_adc = recall_at_k(retrieved, truth, 10)
+    assert rec_adc >= 0.3, f"ADC recall@10 {rec_adc} below floor"
+    # production tier: quota=300 + exact rerank of top-100 (reference
+    # default path, searcher_lopqhbase.py:862-912)
+    res = search(
+        spark, codes, model, queries, quota=300, k=10,
+        vectors=emb, rerank_nb=100,
+    )
+    retrieved = {}
+    for r in res.orderBy("qid", "rank").collect():
+        retrieved.setdefault(r["qid"], []).append(r["id"])
+    rec_rr = recall_at_k(retrieved, truth, 10)
+    assert rec_rr >= 0.75, f"reranked recall@10 {rec_rr} below floor"
+    assert rec_rr > rec_adc
+
+
+def test_search_exact_parity_at_full_quota(spark, model, emb_np):
+    """quota=ALL + rerank ALL candidates => top-k must equal brute force."""
+    ids, X = emb_np
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    codes = encode_dataframe(spark, emb, model)
+    queries = [(int(ids[i]), X[i]) for i in range(4)]
+    n = len(ids)
+    res = search(
+        spark, codes, model, queries,
+        quota=n, k=10, vectors=emb, rerank_nb=n,
+    )
+    retrieved: dict[int, list[int]] = {}
+    for r in res.orderBy("qid", "rank").collect():
+        retrieved.setdefault(r["qid"], []).append(r["id"])
+    truth = {
+        int(ids[i]): t for i, t in enumerate(brute_force_topk(X[:4], X, ids, 10))
+    }
+    assert retrieved == truth
+
+
+def test_registry_lopq_queries_run(spark):
+    from columbiaimagesearch_spark import registry
+
+    specs = registry.all_specs()
+    for name in (
+        "lopq_encode_codes",
+        "lopq_cell_histogram",
+        "lopq_search_topk",
+        "lopq_search_rerank",
+    ):
+        df = specs[name].builder(spark, SF_SMOKE)
+        assert df.count() > 0, name
+
+
+def test_cell_histogram_total(spark):
+    from columbiaimagesearch_spark import registry
+
+    specs = registry.all_specs()
+    hist = specs["lopq_cell_histogram"].builder(spark, SF_SMOKE)
+    total = hist.agg(F.sum("n")).collect()[0][0]
+    n_emb = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert total == n_emb
