@@ -1,0 +1,249 @@
+"""Multimodal binary columns: image header sniffing, decode plumbing, and
+the extraction operator family (SURVEY §2.8 V14-V17, §2.7 C8).
+
+Images/audio/video are opaque BINARY columns with typed metadata. The
+pieces that need no external libraries are real (header sniffing parses
+JPEG/PNG/GIF bytes exactly like the reference's ``imgio/imgio.py:42-111``);
+pixel decoding is STUBBED (no imaging libs in this container) behind
+``decode_image`` raising NotImplementedError, with a clearly-marked
+deterministic fake (``fake_decode``) driving the real Spark plumbing —
+schema, Arrow batching, partitioning — which is what actually matters for
+the 100 TB design: per-executor model singletons, batch-sized Arrow
+transfer, failure tolerance per row (``extractor/generic_extractor.py:109-127``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# C8 — image header sniff (format/width/height from bytes), pure Python
+# ---------------------------------------------------------------------------
+
+
+def sniff_image_header(data: bytes) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) from raw image bytes; (None, None, None) when
+    unrecognized. Mirrors the reference's sniffing (imgio.py:42-111) for
+    JPEG / PNG / GIF, fresh implementation from the format specs."""
+    if data is None or len(data) < 10:
+        return None, None, None
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+        w, h = struct.unpack(">II", data[16:24])
+        return "PNG", int(w), int(h)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return "GIF", int(w), int(h)
+    if data[:2] == b"\xff\xd8":  # JPEG SOI; walk segments to a SOF marker
+        i = 2
+        n = len(data)
+        while i + 9 < n:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                return "JPEG", int(w), int(h)
+            i += 2 + seg_len
+        return "JPEG", None, None
+    return None, None, None
+
+
+IMG_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def with_image_info(df: DataFrame, binary_col: str = "content") -> DataFrame:
+    """Append an ``img_info`` struct sniffed from a binary column (the
+    binaryFile-source companion, S7: spark.read.format('binaryFile'))."""
+
+    @F.pandas_udf(IMG_INFO_SCHEMA)
+    def sniff(content: pd.Series) -> pd.DataFrame:
+        rows = [sniff_image_header(b) for b in content]
+        return pd.DataFrame(rows, columns=["format", "width", "height"])
+
+    return df.withColumn("img_info", sniff(F.col(binary_col)))
+
+
+# ---------------------------------------------------------------------------
+# Decode boundary: STUB + deterministic fake
+# ---------------------------------------------------------------------------
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode image bytes to an HxWx3 uint8 array.
+
+    STUB: pixel decoding requires an imaging library not present in this
+    container. The Spark plumbing around it (schemas, batching, failure
+    markers) is real and tested with ``fake_decode``.
+    """
+    raise NotImplementedError(
+        "image decoding requires an imaging library (PIL/opencv); "
+        "use fake_decode for deterministic tests"
+    )
+
+
+def fake_decode(data: bytes, width: int = 8, height: int = 8) -> np.ndarray:
+    """Deterministic stand-in decoder: bytes -> seeded uint8 HxWx3 array."""
+    seed = int.from_bytes(hashlib.sha1(data or b"").digest()[:4], "big")
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# V14-V16 — deterministic toy detector / featurizers (contract-faithful)
+# ---------------------------------------------------------------------------
+
+FULL_IMAGE_DIM = 32  # fixture tier of the 4096-d sentibank contract
+FACE_DIM = 16  # fixture tier of the 128-d dlib contract
+
+
+def _seeded_unit_vector(key: bytes, dim: int) -> np.ndarray:
+    """L2-normalized float32 vector derived deterministically from bytes —
+    the featurizer output contract (featsio.py:13-22: L2-normed, fixed dim,
+    typed)."""
+    seed = int.from_bytes(hashlib.sha1(key).digest()[:4], "big")
+    v = np.random.RandomState(seed).randn(dim)
+    v = v / np.linalg.norm(v)
+    return v.astype(np.float32)
+
+
+def toy_full_image_featurizer(data: bytes) -> np.ndarray:
+    """V14 contract twin: whole image -> FULL_IMAGE_DIM float32 unit vector."""
+    return _seeded_unit_vector(b"full:" + (data or b""), FULL_IMAGE_DIM)
+
+
+def toy_face_detector(data: bytes) -> list[tuple[int, int, int, int, float]]:
+    """V15 contract twin: image -> 0..2 (left, top, right, bottom, score)
+    boxes, deterministic in the content bytes."""
+    digest = hashlib.sha1(b"det:" + (data or b"")).digest()
+    n_faces = digest[0] % 3
+    out = []
+    for i in range(n_faces):
+        left = digest[1 + 4 * i] % 100
+        top = digest[2 + 4 * i] % 100
+        out.append(
+            (
+                left,
+                top,
+                left + 1 + digest[3 + 4 * i] % 50,
+                top + 1 + digest[4 + 4 * i] % 50,
+                round(digest[5 + 4 * i] / 255 * 3, 4),
+            )
+        )
+    return out
+
+
+def toy_face_featurizer(data: bytes, bbox: tuple[int, int, int, int]) -> np.ndarray:
+    """V16 contract twin: (image, bbox) -> FACE_DIM float32 unit vector."""
+    key = b"face:" + (data or b"") + (",".join(map(str, bbox))).encode()
+    return _seeded_unit_vector(key, FACE_DIM)
+
+
+# ---------------------------------------------------------------------------
+# V17 — extraction composition as one mapInPandas stage
+# ---------------------------------------------------------------------------
+
+FEATURES_SCHEMA = (
+    "sha1 string, extr_type string, "
+    "bbox struct<left:int,top:int,right:int,bottom:int,score:double>, "
+    "feature array<float>, processed tinyint, failed tinyint"
+)
+
+
+def run_extraction(
+    images: DataFrame,
+    content_col: str = "content",
+    sha1_col: str = "sha1",
+    mode: str = "full_image",
+    fail_on: frozenset[str] = frozenset(),
+) -> DataFrame:
+    """images(+bytes) -> features rows, one mapInPandas stage (V17:
+    detector? -> per-detection featurize -> typed normalized keyed output
+    with processed/failed markers, generic_extractor.py:221-255). Per-row
+    failure tolerance: an exception marks failed=1 and the stage continues
+    (:109-127). ``fail_on`` injects failures for tests.
+
+    Scale shape: one Arrow batch in, one out; models would be per-executor
+    singletons (initialized lazily inside the generator); no shuffle — the
+    stage is a narrow map over however many input splits the source has.
+    """
+    extr_type = (
+        "toy_feat_full_image" if mode == "full_image" else "toy_feat_dlib_face"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for sha1, data in zip(pdf[sha1_col], pdf[content_col]):
+                data = bytes(data) if data is not None else b""
+                try:
+                    if sha1 in fail_on:
+                        raise ValueError("injected failure")
+                    if mode == "full_image":
+                        vec = toy_full_image_featurizer(data)
+                        out.append(
+                            {
+                                "sha1": sha1,
+                                "extr_type": extr_type,
+                                "bbox": None,
+                                "feature": vec.tolist(),
+                                "processed": 1,
+                                "failed": 0,
+                            }
+                        )
+                    else:
+                        for left, top, right, bottom, score in toy_face_detector(data):
+                            vec = toy_face_featurizer(data, (left, top, right, bottom))
+                            out.append(
+                                {
+                                    "sha1": sha1,
+                                    "extr_type": extr_type,
+                                    "bbox": {
+                                        "left": left,
+                                        "top": top,
+                                        "right": right,
+                                        "bottom": bottom,
+                                        "score": score,
+                                    },
+                                    "feature": vec.tolist(),
+                                    "processed": 1,
+                                    "failed": 0,
+                                }
+                            )
+                except Exception:  # noqa: BLE001 — per-row tolerance by design
+                    out.append(
+                        {
+                            "sha1": sha1,
+                            "extr_type": extr_type,
+                            "bbox": None,
+                            "feature": None,
+                            "processed": 0,
+                            "failed": 1,
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "sha1", "extr_type", "bbox", "feature", "processed", "failed",
+                ],
+            )
+
+    return images.select(sha1_col, content_col).mapInPandas(extract, FEATURES_SCHEMA)

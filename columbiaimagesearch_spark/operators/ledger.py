@@ -18,6 +18,78 @@ from ..sources import load_table
 
 BATCH_SIZE = 50  # ids per update batch (reference: 1000, hbase_indexer_minimal.py:36)
 
+STALE_SECONDS = 3600  # reference TIME_ELAPSED_FAILED (extraction_processor.py:25)
+
+
+# ---------------------------------------------------------------------------
+# Domain ledger predicates/joins over the B1-B3 fixture schemas
+# (images / features / updates DataFrames — see sources/fixtures.py)
+# ---------------------------------------------------------------------------
+
+
+def unprocessed_updates(updates: DataFrame) -> DataFrame:
+    """F5: update rows never marked processed
+    (hbase_indexer_minimal.py:463-478)."""
+    return updates.where(F.col("processed").isNull())
+
+
+def claimable_updates(updates: DataFrame, now) -> DataFrame:
+    """F6: unprocessed AND (never started OR stale-started > 1 h) — the
+    restartable-work predicate (extraction_processor.py:264-293)."""
+    now_lit = F.lit(now).cast("timestamp")
+    stale = F.col("started").isNull() | (
+        (now_lit.cast("long") - F.col("started").cast("long")) > STALE_SECONDS
+    )
+    return updates.where(F.col("processed").isNull() & stale)
+
+
+def missing_extractions(
+    images: DataFrame, features: DataFrame, extr_type: str, skip_failed: bool = False
+) -> DataFrame:
+    """F7: images with no extraction of ``extr_type`` — anti-join; with
+    ``skip_failed`` a failed attempt counts as done
+    (hbase_indexer_minimal.py:833-852)."""
+    done = features.where(F.col("extr_type") == extr_type)
+    if skip_failed:
+        done = done.where((F.col("processed") == 1) | (F.col("failed") == 1))
+    else:
+        done = done.where(F.col("processed") == 1)
+    return images.join(done.select("sha1").distinct(), "sha1", "left_anti")
+
+
+def update_features(updates: DataFrame, features: DataFrame, extr_type: str) -> DataFrame:
+    """J2: explode an update's claimed sha1 list and join its features
+    (searcher_lopqhbase.py:713-738)."""
+    exploded = updates.where(F.col("extr_type") == extr_type).select(
+        "update_id", F.explode("sha1s").alias("sha1")
+    )
+    # drop the features-side update_id: the claiming update's id is
+    # authoritative for the joined rows
+    return exploded.join(
+        features.where(F.col("extr_type") == extr_type).drop("update_id"),
+        ["sha1"],
+        "inner",
+    )
+
+
+def update_completeness(updates: DataFrame, features: DataFrame) -> DataFrame:
+    """A9: per update, expected ids vs produced feature rows -> complete flag
+    (#produced < #expected => recompute; searcher_lopqhbase.py:710-728)."""
+    expected = updates.select(
+        "update_id", F.size("sha1s").alias("n_expected"), "completed"
+    )
+    produced = (
+        updates.select("update_id", F.explode("sha1s").alias("sha1"))
+        .join(features.where(F.col("processed") == 1), ["update_id", "sha1"])
+        .groupBy("update_id")
+        .agg(F.countDistinct("sha1").alias("n_produced"))
+    )
+    return (
+        expected.join(produced, "update_id", "left")
+        .na.fill({"n_produced": 0})
+        .withColumn("all_extracted", F.col("n_produced") >= F.col("n_expected"))
+    )
+
 
 @register(
     "st1_count_batch_assembly",

@@ -1,0 +1,235 @@
+"""Structured Streaming ingestion — the reference's checker pipeline rebuilt.
+
+Reference flow (SURVEY §3.2): Kafka image messages ``{sha1, s3_url,
+img_info}`` -> normalize/dedup -> anti-check against already-stored rows ->
+cut update batches at 1000 ids OR 600 s -> write image rows + update-ledger
+rows (``updater/extraction_checker.py:281-454``).
+
+Spark rendering:
+- source: ``readStream.format("json")`` over a drop directory (S7 twin of
+  the Kafka source S1 — swap ``format("kafka")`` + ``from_json(value)`` on a
+  cluster; offset/sequence checkpointing ST3 is ``checkpointLocation``);
+- validation + normalization: explicit schema, malformed rows quarantined
+  (``_corrupt_record``), sha1 uppercased (C1 discipline);
+- in-stream dedup ST4: ``dropDuplicates(["sha1"])`` per micro-batch plus
+  terminal anti-join against the images table (J3) — duplicate suppression
+  across restarts without the reference's marker-column races (ST2);
+- count-or-time batching ST1: ``foreachBatch`` + a driver-held carry buffer:
+  ids accumulate until ``batch_size`` is reached OR ``max_delay`` elapsed
+  since the oldest carried id; update ids are minted with the C6 grammar
+  with a per-(type, date) running sequence. Exactly the reference's
+  semantics, minus its clock races — state is re-derivable from the ledger.
+
+At 100 TB: the same plan with a Kafka source; the anti-join is
+stream-static against a bucketed images table (broadcast of the *batch*
+side); ledger writes append parquet partitioned by date.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_MSG_SCHEMA = T.StructType(
+    [
+        T.StructField("sha1", T.StringType()),
+        T.StructField("s3_url", T.StringType()),
+        T.StructField(
+            "img_info",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                ]
+            ),
+        ),
+        T.StructField("list_sha1s", T.ArrayType(T.StringType())),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+DEFAULT_BATCH_SIZE = 1000  # reference: hbase_indexer_minimal.py:36
+DEFAULT_MAX_DELAY_S = 600.0  # reference: extraction_checker.py:24
+
+
+def read_message_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-drop JSON message stream with explicit schema + corrupt capture."""
+    return (
+        spark.readStream.schema(IMAGE_MSG_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+
+
+def normalize_messages(stream: DataFrame) -> DataFrame:
+    """Valid messages -> one row per sha1 (single or list messages), sha1
+    uppercased, dupes within the frame dropped (ST4 first tier)."""
+    valid = stream.where(F.col("_corrupt_record").isNull())
+    singles = valid.where(F.col("sha1").isNotNull()).select(
+        F.upper("sha1").alias("sha1"), "s3_url", "img_info"
+    )
+    lists = (
+        valid.where(F.col("list_sha1s").isNotNull())
+        .select(F.explode("list_sha1s").alias("sha1"))
+        .select(
+            F.upper("sha1").alias("sha1"),
+            F.lit(None).cast("string").alias("s3_url"),
+            F.lit(None).cast(IMAGE_MSG_SCHEMA["img_info"].dataType).alias("img_info"),
+        )
+    )
+    return singles.unionByName(lists).dropDuplicates(["sha1"])
+
+
+@dataclass
+class CountOrTimeBatcher:
+    """ST1 state: carry ids until batch_size reached OR max_delay elapsed.
+
+    ``pending`` carries (sha1, s3_url) tuples between micro-batches;
+    ``first_seen`` is the wall-clock arrival of the oldest pending id.
+    Re-derivable from the ledger on restart (exactly-once comes from the
+    checkpoint + idempotent append; no marker-column races, ST2).
+    """
+
+    batch_size: int = DEFAULT_BATCH_SIZE
+    max_delay_s: float = DEFAULT_MAX_DELAY_S
+    clock: object = time.monotonic
+    pending: list[tuple] = field(default_factory=list)
+    first_seen: float | None = None
+    seqs: dict[str, int] = field(default_factory=dict)
+
+    def add(self, rows: list[tuple]) -> list[list[tuple]]:
+        """Feed new rows; return zero or more full update batches to emit."""
+        out: list[list[tuple]] = []
+        if rows and self.first_seen is None:
+            self.first_seen = self.clock()
+        self.pending.extend(rows)
+        while len(self.pending) >= self.batch_size:
+            out.append(self.pending[: self.batch_size])
+            self.pending = self.pending[self.batch_size :]
+            self.first_seen = self.clock() if self.pending else None
+        if (
+            self.pending
+            and self.first_seen is not None
+            and self.clock() - self.first_seen >= self.max_delay_s
+        ):
+            out.append(self.pending)
+            self.pending = []
+            self.first_seen = None
+        return out
+
+    def flush(self) -> list[list[tuple]]:
+        if not self.pending:
+            return []
+        out = [self.pending]
+        self.pending = []
+        self.first_seen = None
+        return out
+
+    def mint(self, extr_type: str, date_str: str) -> str:
+        key = f"{extr_type}_{date_str}"
+        seq = self.seqs.get(key, 0)
+        self.seqs[key] = seq + 1
+        return f"index_update_{extr_type}_{date_str}_{seq:03d}"
+
+
+class IngestLedger:
+    """foreachBatch sink: claim-check anti-join + batch cut + ledger append.
+
+    Writes two parquet tables under ``ledger_dir``:
+    - ``images/``  (sha1, s3_url, update_id)           — claimed rows (J3-deduped)
+    - ``updates/`` (update_id, extr_type, sha1s, created, batch_size)
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        ledger_dir: str,
+        extr_type: str = "toy_feat_full_image",
+        batch_size: int = DEFAULT_BATCH_SIZE,
+        max_delay_s: float = DEFAULT_MAX_DELAY_S,
+        clock=time.monotonic,
+        date_str: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.ledger_dir = ledger_dir
+        self.extr_type = extr_type
+        self.batcher = CountOrTimeBatcher(
+            batch_size=batch_size, max_delay_s=max_delay_s, clock=clock
+        )
+        self.date_str = date_str or time.strftime("%Y-%m-%d")
+        self.images_dir = os.path.join(ledger_dir, "images")
+        self.updates_dir = os.path.join(ledger_dir, "updates")
+
+    # -- claim check (J3 stream-static anti-join) --------------------------
+    def _unclaimed(self, batch_df: DataFrame) -> DataFrame:
+        if os.path.isdir(self.images_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(self.images_dir)
+        ):
+            existing = self.spark.read.parquet(self.images_dir).select("sha1")
+            return batch_df.join(existing, "sha1", "left_anti")
+        return batch_df
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        rows = [
+            (r["sha1"], r["s3_url"])
+            for r in self._unclaimed(batch_df)
+            .select("sha1", "s3_url")
+            .orderBy("sha1")
+            .collect()
+        ]
+        self._emit(self.batcher.add(rows))
+
+    def finalize(self) -> None:
+        """Emit the trailing partial batch (max-delay expiry at shutdown)."""
+        self._emit(self.batcher.flush())
+
+    def _emit(self, batches: list[list[tuple]]) -> None:
+        for batch in batches:
+            if not batch:
+                continue
+            update_id = self.batcher.mint(self.extr_type, self.date_str)
+            img_rows = [(sha1, url, update_id) for sha1, url in batch]
+            self.spark.createDataFrame(
+                img_rows, "sha1 string, s3_url string, update_id string"
+            ).write.mode("append").parquet(self.images_dir)
+            self.spark.createDataFrame(
+                [
+                    (
+                        update_id,
+                        self.extr_type,
+                        [sha1 for sha1, _ in batch],
+                        len(batch),
+                    )
+                ],
+                "update_id string, extr_type string, sha1s array<string>, batch_size int",
+            ).withColumn("created", F.current_timestamp()).write.mode(
+                "append"
+            ).parquet(self.updates_dir)
+
+
+def run_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    **ledger_kwargs,
+) -> IngestLedger:
+    """Drain ``src_dir`` (availableNow) through the full ingest pipeline."""
+    ledger = IngestLedger(spark, ledger_dir, **ledger_kwargs)
+    stream = normalize_messages(read_message_stream(spark, src_dir))
+    q = (
+        stream.writeStream.foreachBatch(ledger.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ledger

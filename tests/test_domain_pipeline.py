@@ -1,0 +1,199 @@
+"""Domain-model tests: B1-B3 fixtures, ledger predicates (F5-F7/J2/A9),
+multimodal header sniffing (C8), and the extraction operator (V14-V17).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from columbiaimagesearch_spark.multimodal.images import (
+    decode_image,
+    fake_decode,
+    run_extraction,
+    sniff_image_header,
+    toy_face_detector,
+    toy_full_image_featurizer,
+    with_image_info,
+)
+from columbiaimagesearch_spark.operators import ledger
+from columbiaimagesearch_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def domain(spark):
+    fx = fixtures.generate(n_images=200)
+    dfs = fx.to_spark(spark)
+    for df in dfs.values():
+        df.cache().count()
+    return fx, dfs
+
+
+# ---------------------------------------------------------------------------
+# Ledger predicates
+# ---------------------------------------------------------------------------
+
+
+def test_f5_unprocessed_updates(domain):
+    fx, dfs = domain
+    got = {r["update_id"] for r in ledger.unprocessed_updates(dfs["updates"]).collect()}
+    expected = set(fx.updates[fx.updates.processed.isna()].update_id)
+    assert got == expected and len(got) == 3  # two created-only + one stale-started
+
+
+def test_f6_claimable_updates(domain):
+    fx, dfs = domain
+    # "now" long after every started ts: all 3 unprocessed rows are claimable
+    got = {
+        r["update_id"]
+        for r in ledger.claimable_updates(dfs["updates"], "2024-06-01 00:00:00").collect()
+    }
+    expected = set(fx.updates[fx.updates.processed.isna()].update_id)
+    assert got == expected
+    # "now" 30 min after the stale row's started ts: stale row NOT claimable
+    stale_row = fx.updates[
+        fx.updates.processed.isna() & fx.updates.started.notna()
+    ].iloc[0]
+    now_early = stale_row.started + np.timedelta64(30, "m")
+    got_early = {
+        r["update_id"]
+        for r in ledger.claimable_updates(dfs["updates"], str(now_early)).collect()
+    }
+    assert stale_row.update_id not in got_early
+    assert len(got_early) == 2
+
+
+def test_f7_missing_extractions(domain):
+    fx, dfs = domain
+    missing = ledger.missing_extractions(
+        dfs["images"], dfs["features"], "toy_feat_full_image"
+    )
+    ok_shas = set(
+        fx.features[
+            (fx.features.extr_type == "toy_feat_full_image")
+            & (fx.features.processed == 1)
+        ].sha1
+    )
+    expected = set(fx.images.sha1) - ok_shas
+    assert {r["sha1"] for r in missing.select("sha1").collect()} == expected
+    # skip_failed treats failed rows as done => fewer missing
+    missing_sf = ledger.missing_extractions(
+        dfs["images"], dfs["features"], "toy_feat_full_image", skip_failed=True
+    )
+    assert missing_sf.count() <= missing.count()
+
+
+def test_j2_update_features_join(domain):
+    fx, dfs = domain
+    joined = ledger.update_features(dfs["updates"], dfs["features"], "toy_feat_dlib_face")
+    assert joined.count() > 0
+    # spot-check one update's row count matches pandas
+    uid = joined.select("update_id").first()["update_id"]
+    upd = fx.updates[fx.updates.update_id == uid].iloc[0]
+    feats = fx.features[
+        (fx.features.update_id.isin(fx.updates.update_id))
+        & (fx.features.extr_type == "toy_feat_dlib_face")
+        & (fx.features.sha1.isin(upd.sha1s))
+    ]
+    got = joined.where(F.col("update_id") == uid).count()
+    assert got == len(feats)
+
+
+def test_a9_completeness(domain):
+    fx, dfs = domain
+    comp = ledger.update_completeness(dfs["updates"], dfs["features"]).collect()
+    by_id = {r["update_id"]: r for r in comp}
+    # the processed-but-incomplete update (ui==15) must show a shortfall
+    incomplete = [
+        r
+        for r in comp
+        if not r["all_extracted"] and r["n_produced"] > 0
+    ]
+    assert incomplete, "expected at least one processed-but-incomplete update"
+    # fully processed updates marked completed must be all_extracted unless
+    # failure rows ate some of the batch — cross-check counts vs pandas
+    for uid, row in by_id.items():
+        claimed = fx.updates[fx.updates.update_id == uid].iloc[0].sha1s
+        produced = fx.features[
+            (fx.features.update_id == uid) & (fx.features.processed == 1)
+        ].sha1.nunique()
+        assert row["n_expected"] == len(claimed)
+        assert row["n_produced"] == produced
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: C8 sniffing + V17 extraction
+# ---------------------------------------------------------------------------
+
+
+def test_sniff_headers_roundtrip():
+    for fmt in ("PNG", "GIF", "JPEG"):
+        data = fixtures.fake_image_bytes(fmt, 640, 480, b"payload")
+        got = sniff_image_header(data)
+        assert got == (fmt, 640, 480), (fmt, got)
+    assert sniff_image_header(b"<svg>...") == (None, None, None)
+    assert sniff_image_header(None) == (None, None, None)
+    assert sniff_image_header(b"\xff\xd8\x00") == (None, None, None)
+
+
+def test_with_image_info_matches_declared(domain, spark):
+    fx, dfs = domain
+    sniffed = with_image_info(dfs["images"]).select(
+        "sha1", "format", "width", "height", "img_info.*"
+    )
+    rows = sniffed.collect()
+    for r in rows:
+        if r["format"] == "SVG":
+            assert r["img_info.format"] if False else r[4] is None  # sniffed format col
+        else:
+            assert r[4] == r["format"]
+            assert (r[5], r[6]) == (r["width"], r["height"])
+
+
+def test_decode_is_stubbed_and_fake_is_deterministic():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    a = fake_decode(b"abc", 4, 4)
+    b = fake_decode(b"abc", 4, 4)
+    assert np.array_equal(a, b) and a.shape == (4, 4, 3)
+
+
+def test_extraction_full_image(domain):
+    fx, dfs = domain
+    feats = run_extraction(dfs["images"], mode="full_image")
+    rows = feats.collect()
+    assert len(rows) == len(fx.images)
+    for r in rows[:20]:
+        assert r["extr_type"] == "toy_feat_full_image"
+        assert r["processed"] == 1 and r["failed"] == 0
+        v = np.array(r["feature"], dtype=np.float64)
+        assert len(v) == 32 and abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # deterministic: same content -> same vector as the local featurizer
+    img0 = fx.images.iloc[0]
+    local = toy_full_image_featurizer(bytes(img0.content))
+    got = next(r for r in rows if r["sha1"] == img0.sha1)
+    assert np.allclose(np.array(got["feature"]), local, atol=1e-6)
+
+
+def test_extraction_failure_tolerance(domain):
+    fx, dfs = domain
+    victims = frozenset(fx.images.sha1.iloc[:5])
+    feats = run_extraction(dfs["images"], mode="full_image", fail_on=victims)
+    failed = {r["sha1"] for r in feats.where(F.col("failed") == 1).collect()}
+    assert failed == set(victims)
+    ok = feats.where(F.col("failed") == 0)
+    assert ok.count() == len(fx.images) - 5
+
+
+def test_extraction_faces(domain):
+    fx, dfs = domain
+    feats = run_extraction(dfs["images"], mode="face")
+    rows = feats.where(F.col("failed") == 0).collect()
+    # detector yields 0-2 boxes per image; every emitted row has a bbox
+    assert all(r["bbox"] is not None for r in rows)
+    assert all(len(r["feature"]) == 16 for r in rows)
+    img0 = fx.images.iloc[0]
+    n_local = len(toy_face_detector(bytes(img0.content)))
+    n_spark = sum(1 for r in rows if r["sha1"] == img0.sha1)
+    assert n_spark == n_local
