@@ -1,0 +1,147 @@
+"""IVF (inverted-file) approximate nearest neighbor over embeddings.
+
+The mid-tier of the engine's similarity ladder (SURVEY §7.0):
+
+  brute force (exact baseline)  ->  IVF (coarse cells + exact within cell)
+                                ->  LOPQ (cells + quantized codes, ..lopq)
+
+IVF here = single coarse k-means codebook; vectors are bucketed by nearest
+centroid into an inverted file (the ``cell`` column); a query probes its
+``nprobe`` nearest cells and ranks *exactly* within them. This is the
+100 TB sweet spot when vectors still fit the probe budget: the index build
+is one mapInPandas assign pass, the probe is a broadcast semi-join that
+prunes to nprobe/k of the data, and ranking shuffles only (qid, id, dist).
+
+Training follows the same bounded-driver-sample architecture as LOPQ
+(reference trains on a subsample too, conf nb_train).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..lopq.model import kmeans
+from ..registry import register
+from ..sources import load_table
+
+N_CELLS = 16
+N_PROBE = 6  # probes 6/16 cells; recall@10 ~0.74 on the weakly-clustered fixture
+TOP_K = 10
+N_QUERIES = 8
+
+_CENTROID_CACHE: dict[tuple[str, int], np.ndarray] = {}
+
+
+def train_centroids(
+    spark: SparkSession, sf_dir: str, k: int = N_CELLS, sample_limit: int = 20000
+) -> np.ndarray:
+    key = (sf_dir, k)
+    if key not in _CENTROID_CACHE:
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(sample_limit)
+            .collect()
+        )
+        X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        _CENTROID_CACHE[key], _ = kmeans(X, k, seed=42)
+    return _CENTROID_CACHE[key]
+
+
+def build_index(
+    spark: SparkSession, sf_dir: str, centroids: np.ndarray
+) -> DataFrame:
+    """Inverted file: (id, cell, embedding). At scale this is written once,
+    partitioned by cell, so probes prune partitions."""
+    b_c = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b_c.value
+        c_sq = (C**2).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            d = (X**2).sum(1)[:, None] - 2 * X @ C.T + c_sq[None, :]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["vec_id"].to_numpy(),
+                    "cell": d.argmin(axis=1).astype(np.int32),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(assign, "id bigint, cell int, embedding array<float>")
+    )
+
+
+def ivf_search(
+    spark: SparkSession,
+    index: DataFrame,
+    centroids: np.ndarray,
+    queries: list[tuple[int, np.ndarray]],
+    nprobe: int = N_PROBE,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Probe nprobe cells per query; exact squared-L2 rank within them."""
+    probe_rows = []
+    qmap: dict[int, np.ndarray] = {}
+    for qid, q in queries:
+        q = np.asarray(q, dtype=np.float64)
+        qmap[qid] = q
+        d = ((centroids - q) ** 2).sum(axis=1)
+        for cell in np.argsort(d, kind="stable")[:nprobe]:
+            probe_rows.append((qid, int(cell)))
+    probe = spark.createDataFrame(probe_rows, "qid bigint, cell int")
+    cand = index.join(F.broadcast(probe), "cell")
+    b_q = spark.sparkContext.broadcast(qmap)
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm = b_q.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Q = np.array([qm[int(q)] for q in pdf["qid"]], dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"],
+                    "id": pdf["id"],
+                    "dist": ((X - Q) ** 2).sum(axis=1),
+                }
+            )
+
+    scored = cand.mapInPandas(exact, "qid bigint, id bigint, dist double")
+    w = Window.partitionBy("qid").orderBy(F.col("dist"), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "id", F.round("dist", 4).alias("dist"))
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    survey_ops=("V8", "J6", "T1", "V12"),
+    doc=f"IVF ANN: {N_CELLS}-cell inverted file (driver-sample k-means, "
+    f"mapInPandas assign), probe {N_PROBE} nearest cells per query, exact "
+    "rank within. Rows-only driver check; recall floor vs brute force in "
+    "tests/test_similarity_quality.py.",
+    oracle=None,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    centroids = train_centroids(spark, sf_dir)
+    index = build_index(spark, sf_dir, centroids)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    queries = [(int(r["vec_id"]), np.array(r["embedding"])) for r in q_rows]
+    return ivf_search(spark, index, centroids, queries)

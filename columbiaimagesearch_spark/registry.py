@@ -62,6 +62,7 @@ def register(
 def all_specs() -> dict[str, QuerySpec]:
     """Import all operator modules (side-effect: registration) and return specs."""
     from .operators import (  # noqa: F401
+        ann_ivf,
         dedup,
         ledger,
         relational,

@@ -1,0 +1,94 @@
+"""Physical-plan regression tests — the 100 TB contract of SURVEY §4.
+
+Each assertion encodes a property that is invisible at test scale but
+decides throughput at cluster scale: pushdown, pruning, broadcast join
+selection, top-k physicalization, partial aggregation, codegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from columbiaimagesearch_spark import registry
+from columbiaimagesearch_spark.plans import explain
+from columbiaimagesearch_spark.sources import load_table
+
+from conftest import SF_SMOKE
+
+SPECS = registry.all_specs()
+
+
+def _q(spark, name):
+    return SPECS[name].builder(spark, SF_SMOKE)
+
+
+def test_range_scan_pushdown_and_pruning(spark):
+    df = _q(spark, "s3_range_scan")
+    explain.assert_pushed_filter(df, "o_orderkey")
+    table_cols = set(load_table(spark, SF_SMOKE, "orders").columns)
+    explain.assert_read_schema_only(
+        df, table_cols, {"o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"}
+    )
+    explain.assert_whole_stage_codegen(df)
+
+
+def test_q1_partial_agg_and_pushdown(spark):
+    df = _q(spark, "q1_pricing_summary")
+    explain.assert_pushed_filter(df, "l_shipdate")
+    explain.assert_partial_aggregation(df)
+    explain.assert_whole_stage_codegen(df)
+    table_cols = set(load_table(spark, SF_SMOKE, "lineitem").columns)
+    explain.assert_read_schema_only(
+        df,
+        table_cols,
+        {
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        },
+    )
+
+
+def test_multiget_broadcasts(spark):
+    explain.assert_broadcast_join(_q(spark, "s5_multiget"))
+
+
+def test_keys_join_broadcasts(spark):
+    explain.assert_broadcast_join(_q(spark, "j1_keys_to_rows"))
+
+
+def test_cell_semi_join_broadcasts(spark):
+    explain.assert_broadcast_join(_q(spark, "j6_cell_semi_join"))
+
+
+def test_anti_join_no_cartesian(spark):
+    df = _q(spark, "j3_anti_join_dedup")
+    explain.assert_no_cartesian(df)
+    plan = explain.formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+
+
+def test_global_topk_uses_take_ordered(spark):
+    explain.assert_top_k_plan(_q(spark, "t1_distance_topk"))
+
+
+def test_cursor_scan_topk_take_ordered(spark):
+    # orderBy + limit after filter: must not be a global sort
+    explain.assert_top_k_plan(_q(spark, "s4_cursor_scan"))
+
+
+def test_histogram_partial_agg(spark):
+    df = _q(spark, "a2_cell_histogram")
+    explain.assert_partial_aggregation(df)
+
+
+def test_lopq_probe_broadcasts(spark):
+    # the codes-table probe must broadcast the (qid, cell) list
+    explain.assert_broadcast_join(_q(spark, "lopq_search_topk"))
+
+
+def test_ivf_probe_broadcasts(spark):
+    explain.assert_broadcast_join(_q(spark, "ann_ivf_topk"))
+
+
+def test_minhash_no_cartesian(spark):
+    explain.assert_no_cartesian(_q(spark, "dedup_minhash_lsh_pairs"))

@@ -1,0 +1,75 @@
+"""Quality floors for the approximate similarity tiers (IVF) vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from columbiaimagesearch_spark.lopq.eval import brute_force_topk, recall_at_k
+from columbiaimagesearch_spark.operators import ann_ivf
+from columbiaimagesearch_spark.sources import load_table
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark):
+    rows = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, X
+
+
+def test_ivf_index_partitions_all_rows(spark, emb_np):
+    ids, X = emb_np
+    centroids = ann_ivf.train_centroids(spark, SF_SMOKE)
+    index = ann_ivf.build_index(spark, SF_SMOKE, centroids)
+    assert index.count() == len(ids)
+    cells = index.groupBy("cell").count().collect()
+    assert 1 <= len(cells) <= ann_ivf.N_CELLS
+    # spark assignment == numpy assignment
+    d = (X**2).sum(1)[:, None] - 2 * X @ centroids.T + (centroids**2).sum(1)[None, :]
+    expected = {int(i): int(c) for i, c in zip(ids, d.argmin(axis=1))}
+    got = {int(r["id"]): int(r["cell"]) for r in index.collect()}
+    assert got == expected
+
+
+def test_ivf_recall_floor(spark, emb_np):
+    ids, X = emb_np
+    centroids = ann_ivf.train_centroids(spark, SF_SMOKE)
+    index = ann_ivf.build_index(spark, SF_SMOKE, centroids)
+    queries = [(int(ids[i]), X[i]) for i in range(8)]
+    res = ann_ivf.ivf_search(spark, index, centroids, queries, nprobe=6, k=10)
+    retrieved: dict[int, list[int]] = {}
+    for r in res.orderBy("qid", "rank").collect():
+        retrieved.setdefault(r["qid"], []).append(r["id"])
+    truth = {int(ids[i]): t for i, t in enumerate(brute_force_topk(X[:8], X, ids, 10))}
+    rec = recall_at_k(retrieved, truth, 10)
+    assert rec >= 0.6, f"IVF recall@10 {rec} below floor"
+    # probing ALL cells must recover brute force exactly
+    res_all = ann_ivf.ivf_search(
+        spark, index, centroids, queries, nprobe=ann_ivf.N_CELLS, k=10
+    )
+    retrieved_all: dict[int, list[int]] = {}
+    for r in res_all.orderBy("qid", "rank").collect():
+        retrieved_all.setdefault(r["qid"], []).append(r["id"])
+    assert retrieved_all == truth
+
+
+def test_ivf_registry_entry(spark):
+    from columbiaimagesearch_spark import registry
+
+    df = registry.all_specs()["ann_ivf_topk"].builder(spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) == 8 * 10
+    assert df.columns == ["qid", "rank", "id", "dist"]
+    # rank-1 is the query itself at distance 0
+    for r in rows:
+        if r["rank"] == 1:
+            assert r["id"] == r["qid"] and r["dist"] == 0.0
