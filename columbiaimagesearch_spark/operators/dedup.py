@@ -15,9 +15,12 @@ small-N oracle baseline for validating the LSH path. Hash/band computation is
 all JVM built-ins (md5 / transform / aggregate); shuffles carry
 (bucket_key, doc_id) pairs — bytes, not documents.
 
-Cross-engine determinism trick: MinHash uses ``min(md5(seed || ':' ||
-shingle))`` per seed — md5 is identical in Spark and DuckDB, so the oracle
-reproduces signatures exactly (no engine-specific hash functions).
+Cross-engine determinism trick: each shingle is hashed ONCE with md5
+(identical in Spark and DuckDB; top 60 bits as a bigint), then the
+N_MINHASH "permutations" are universal hashes ``(a_i*h + b_i) mod P``
+(P = 2^31-1; products stay under 2^62, no overflow in either engine) — so
+the oracle reproduces signatures exactly while the expensive digest runs
+once per shingle, not once per (shingle, seed).
 """
 
 from __future__ import annotations
@@ -39,18 +42,10 @@ BAND_ROWS = N_MINHASH // N_BANDS  # r = 3
 JACCARD_THRESHOLD = 0.5
 NGRAM_PAIR_THRESHOLD = 0.2
 
-
-_SHINGLES_EXPR = """
-array_distinct(transform(
-  sequence(1, size(split(text, ' ')) - 1),
-  i -> concat_ws(' ', element_at(split(text, ' '), i),
-                 element_at(split(text, ' '), i + 1))))
-"""
-
-
-def _shingles(_col=None):
-    """Distinct word-bigram shingles of the ``text`` column (array<string>)."""
-    return F.expr(_SHINGLES_EXPR)
+# Universal-hash permutation family for MinHash: h_i(x) = (A[i]*x + B[i]) % P.
+MERSENNE_P = 2147483647  # 2^31 - 1
+MH_A = [(2654435761 * (i + 1)) % MERSENNE_P for i in range(N_MINHASH)]
+MH_B = [(40503 * (i + 7)) % MERSENNE_P for i in range(N_MINHASH)]
 
 
 _SHINGLES_SQL = """
@@ -60,8 +55,26 @@ list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 
 
 
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles): distinct word-bigram shingles per document.
+
+    The token array is materialized through a ``Generate`` node (explode of a
+    one-element array): a plain ``split(...).alias("ws")`` projection gets
+    inlined by Catalyst's project-collapse into every HOF lambda element
+    downstream — i.e. the full split re-runs per shingle, O(tokens^2) per
+    doc. Generate output is a real attribute, so the split runs once per doc
+    and the shingle lambda only does element_at lookups.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    words = docs.select(
+        "doc_id", F.explode(F.array(F.split("text", " "))).alias("ws")
+    )
+    shingle = F.array_distinct(
+        F.transform(
+            F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+            lambda w, i: F.concat(w, F.lit(" "), F.element_at(F.col("ws"), i + 2)),
+        )
+    )
+    return words.select("doc_id", shingle.alias("shingles"))
 
 
 # ---------------------------------------------------------------------------
@@ -137,55 +150,82 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def minhash_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band_key) rows: md5-minhash signatures banded for LSH.
+_A_ARR = ",".join(str(a) for a in MH_A)
+_B_ARR = ",".join(str(b) for b in MH_B)
 
-    Deliberately explode-based rather than nested array HOFs: Catalyst's
-    project-collapse inlines a shingle expression into every one of the
-    N_MINHASH lambda bodies (24x recompute), whereas this form computes each
-    (doc, shingle, seed) hash exactly once, whole-stage-codegen'd, and
-    shuffles only (doc_id, seed, min_hash) — the formulation that survives
-    100 TB (the oracle SQL keeps the list-comprehension form; results are
-    identical).
+# sig[i] = min over shingle-hashes h of (A[i]*h + B[i]) % P. The inner
+# transform runs over ``hs`` — a *materialized aggregation output*, not a
+# projection alias — so Catalyst's project-collapse cannot inline the md5
+# work into the 24 lambda bodies (each digest runs exactly once upstream).
+_SIG_EXPR = (
+    f"transform(sequence(0, {N_MINHASH - 1}), i -> array_min(transform(hs, "
+    f"h -> (element_at(array({_A_ARR}), i + 1) * h "
+    f"+ element_at(array({_B_ARR}), i + 1)) % {MERSENNE_P})))"
+)
+
+_BAND_EXPR = (
+    f"transform(sequence(0, {N_BANDS - 1}), b -> concat_ws('-', "
+    + ", ".join(
+        ["cast(b as string)"]
+        + [f"element_at(sig, {BAND_ROWS} * b + {r + 1})" for r in range(BAND_ROWS)]
+    )
+    + "))"
+)
+
+
+def hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs): the doc's distinct shingle set as 31-bit hashes.
+
+    One md5 per (doc, shingle) — top 60 bits as bigint, reduced mod P. All
+    downstream minhash/LSH/verify math runs on these int sets: signatures
+    are permutations of hs, and the verify Jaccard intersects hs directly
+    (identical arithmetic in the DuckDB oracle; a mod-2^31 collision would
+    have to occur within one doc's ~50 shingles to shift a value, and would
+    shift it identically in both engines). Persisted: the LSH query's
+    self-join + verify reference this branch four times, and Spark's cache
+    manager dedupes by canonicalized plan — at scale this is the
+    'write the shingle-hash table once' step, shuffling hashes, not text.
     """
     flat = shingled_docs(spark, sf_dir).select(
         "doc_id", F.explode("shingles").alias("s")
     )
-    hashed = flat.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed"),
-        "s",
-    ).select(
-        "doc_id",
-        "seed",
-        F.md5(
-            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("s")).cast("binary")
-        ).alias("h"),
-    )
-    minh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
     return (
-        minh.withColumn("band", F.floor(F.col("seed") / BAND_ROWS))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat(
-                F.col("band").cast("string"),
-                F.lit("|"),
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s.getField("mh"),
-                    ),
-                ),
-            ).alias("band_key")
+        flat.select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 15), 16, 10)
+                .cast("bigint")
+                % MERSENNE_P
+            ).alias("h"),
         )
-        .select("doc_id", "band_key")
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+        .persist()
     )
 
+
+def minhash_band_keys(
+    spark: SparkSession, sf_dir: str, hashed: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, band_key) rows: minhash signatures banded for LSH.
+
+    The N_MINHASH permutations are pure int arithmetic over the per-doc
+    hash array; band keys concatenate BAND_ROWS signature slots."""
+    if hashed is None:
+        hashed = hashed_shingle_sets(spark, sf_dir)
+    sigs = hashed.select("doc_id", F.expr(_SIG_EXPR).alias("sig"))
+    return sigs.select("doc_id", F.explode(F.expr(_BAND_EXPR)).alias("band_key"))
+
+
+_HS_SQL = (
+    f"list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) "
+    f"% {MERSENNE_P})"
+)
 
 _SIG_SQL = f"""
-[list_aggregate(list_transform(shingles,
-                               s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')
+[list_aggregate(list_transform(hs, h -> (([{_A_ARR}])[i + 1] * h
+                                         + ([{_B_ARR}])[i + 1]) % {MERSENNE_P}),
+                'min')
  for i in generate_series(0, {N_MINHASH - 1})]
 """
 
@@ -193,21 +233,27 @@ _SIG_SQL = f"""
 @register(
     "dedup_minhash_lsh_pairs",
     survey_ops=("DEDUP-minhash", "J7", "A8"),
-    doc=f"MinHash+LSH near-dup pairs: {N_MINHASH} md5-minhashes, {N_BANDS} "
-    f"bands x {BAND_ROWS} rows; candidates = docs sharing any band bucket; "
-    f"verified with exact shingle Jaccard >= {JACCARD_THRESHOLD}. Only "
-    "bucket collisions are ever paired — the 100 TB-safe dedup plan.",
+    doc=f"MinHash+LSH near-dup pairs: one md5 per shingle + {N_MINHASH} "
+    f"universal-hash permutations, {N_BANDS} bands x {BAND_ROWS} rows; "
+    f"candidates = docs sharing any band bucket; verified with exact shingle "
+    f"Jaccard >= {JACCARD_THRESHOLD}. Only bucket collisions are ever "
+    "paired — the 100 TB-safe dedup plan.",
     oracle=f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
 ),
+hh AS (
+  SELECT doc_id, list_distinct({_HS_SQL}) AS hs FROM sh
+),
 sigs AS (
-  SELECT doc_id, shingles, {_SIG_SQL} AS sig FROM sh
+  SELECT doc_id, {_SIG_SQL} AS sig FROM hh
 ),
 bands AS (
   SELECT doc_id,
-         unnest([CAST(b AS VARCHAR) || '|' || sig[3 * b + 1] || sig[3 * b + 2]
-                   || sig[3 * b + 3]
+         unnest([CAST(b AS VARCHAR) || '-'
+                   || CAST(sig[{BAND_ROWS} * b + 1] AS VARCHAR) || '-'
+                   || CAST(sig[{BAND_ROWS} * b + 2] AS VARCHAR) || '-'
+                   || CAST(sig[{BAND_ROWS} * b + 3] AS VARCHAR)
                  for b in generate_series(0, {N_BANDS - 1})]) AS band_key
   FROM sigs
 ),
@@ -217,11 +263,11 @@ cands AS (
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b,
-         CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) AS inter,
-         CAST(len(x.shingles) + len(y.shingles) AS DOUBLE) AS sz
+         CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS inter,
+         CAST(len(x.hs) + len(y.hs) AS DOUBLE) AS sz
   FROM cands c
-  JOIN sh x ON x.doc_id = c.doc_a
-  JOIN sh y ON y.doc_id = c.doc_b
+  JOIN hh x ON x.doc_id = c.doc_a
+  JOIN hh y ON y.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, ROUND(inter / (sz - inter), 4) AS jaccard
 FROM verified
@@ -229,7 +275,8 @@ WHERE inter / (sz - inter) >= {JACCARD_THRESHOLD}
 """,
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = minhash_band_keys(spark, sf_dir)
+    hashed = hashed_shingle_sets(spark, sf_dir)
+    bands = minhash_band_keys(spark, sf_dir, hashed)
     cands = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_key"])
@@ -237,17 +284,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = shingled_docs(spark, sf_dir)
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    x = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    y = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     verified = (
         cands.join(x, "doc_a")
         .join(y, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double").alias("inter"),
-            (F.size("sh_a") + F.size("sh_b")).cast("double").alias("sz"),
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("double").alias("inter"),
+            (F.size("hs_a") + F.size("hs_b")).cast("double").alias("sz"),
         )
     )
     jac = F.col("inter") / (F.col("sz") - F.col("inter"))

@@ -198,6 +198,16 @@ WHERE {_COS_SQL.format(a="a.v", b="b.v")} >= {NEAR_DUP_COS}
 """,
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.array(list(va), dtype=np.float64)
+        B = np.array(list(vb), dtype=np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
+        return pd.Series(num / den)
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -207,9 +217,12 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("v").alias("vb")
     )
-    cos = _cosine(F.col("va"), F.col("vb"))
+    # Arrow-vectorized scoring: Catalyst extracts the UDF into one
+    # ArrowEvalPython node, so the cosine is computed once per pair (the HOF
+    # form was interpreted AND re-evaluated for filter + project).
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .where(cos >= NEAR_DUP_COS)
-        .select("vec_a", "vec_b", "label", F.round(cos, 4).alias("cos_sim"))
+        .withColumn("cos_sim", pair_cosine("va", "vb"))
+        .where(F.col("cos_sim") >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b", "label", F.round("cos_sim", 4).alias("cos_sim"))
     )
