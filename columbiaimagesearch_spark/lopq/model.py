@@ -140,7 +140,13 @@ class LOPQModel:
         projected = np.empty((2, n, half))
         for h in range(2):
             Xh = X[:, h * half : (h + 1) * half]
-            C, assign = kmeans(Xh, V, seed=seed + h, n_iter=n_iter)
+            C, _ = kmeans(Xh, V, seed=seed + h, n_iter=n_iter)
+            # re-assign against the FINAL codebook (the reference uses
+            # KMeans.predict after fit, model.py:290-318) — also what the
+            # distributed trainer computes, so residual stats agree even
+            # when Lloyd hasn't fully converged within n_iter.
+            d = (Xh**2).sum(1)[:, None] - 2 * Xh @ C.T + (C**2).sum(1)[None, :]
+            assign = d.argmin(axis=1)
             Cs[h] = C
             resid = Xh - C[assign]
             for v in range(V):

@@ -104,6 +104,113 @@ def lopq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a5_recall_stats",
+    survey_ops=("A5", "V12", "T1"),
+    doc="Retrieval-quality harness (lopq/lopq/eval.py:92-142 get_recall): "
+    "recall@{1,5,10} of the LOPQ searcher vs the exact brute-force ground "
+    "truth (eval.py:7-38), computed as Spark joins/aggregations: truth = "
+    "distributed exact top-k; hits = per-threshold (qid,id) join; recall = "
+    "hits/(n_queries*k). Rows-only (depends on trained fixture model).",
+    oracle=None,
+)
+def a5_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import Window
+
+    model = fixture_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    queries = [(int(r["vec_id"]), np.array(r["embedding"])) for r in q_rows]
+    approx = search(
+        spark, codes_df(spark, sf_dir), model, queries, quota=QUOTA, k=TOP_K
+    ).select("qid", "rank", "id")
+
+    # exact ground truth, distributed: one Arrow pass scores every vector
+    # against the broadcast query matrix, then a windowed top-k.
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = np.array([q[1] for q in queries], dtype=np.float64)
+    b_q = spark.sparkContext.broadcast((qids, qmat))
+
+    def score(batches):
+        bq_ids, bq = b_q.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            d = ((X[None, :, :] - bq[:, None, :]) ** 2).sum(axis=2)
+            n_q, n_c = d.shape
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(bq_ids, n_c),
+                    "id": np.tile(pdf["vec_id"].to_numpy(), n_q),
+                    "dist": d.ravel(),
+                }
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, "qid bigint, id bigint, dist double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist"), F.col("id"))
+    truth = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "id")
+    )
+
+    out = None
+    for k in (1, 5, TOP_K):
+        hits = (
+            approx.where(F.col("rank") <= k)
+            .join(truth.where(F.col("rank") <= k).select("qid", "id"), ["qid", "id"])
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(
+                F.lit(k).alias("k"),
+                F.lit(len(queries)).alias("n_queries"),
+                "hits",
+                F.round(F.col("hits") / (len(queries) * k), 4).alias("recall"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
+@register(
+    "a3_residual_moments",
+    survey_ops=("A3", "V3", "A4"),
+    doc="Distributed per-cluster residual moment accumulators (n, Σr, Σrrᵀ) "
+    "for the first vector half against the fixture coarse codebook — the "
+    "aggregation that feeds local-rotation training (reference "
+    "model.py:109-157) at full-corpus scale: per-partition Arrow partials, "
+    "per-cluster merge, V-row collect. Rows-only (depends on trained "
+    "centroids); numeric parity in tests/test_train_spark.py.",
+    oracle=None,
+)
+def a3_residual_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .train_spark import cluster_moments
+
+    model = fixture_model(spark, sf_dir)
+    vec_df = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id as id", "cast(embedding as array<double>) as v"
+    )
+    stats = cluster_moments(
+        vec_df, model.Cs[0], 0, model.half, with_outer=True, subtract_center=True
+    )
+    rows = [
+        (
+            int(c),
+            int(n),
+            round(float(np.linalg.norm(s)), 4),
+            round(float(np.trace(op)), 4),
+        )
+        for c, (n, s, op) in sorted(stats.items())
+    ]
+    return spark.createDataFrame(
+        rows, "cluster int, n bigint, resid_sum_norm double, cov_trace double"
+    )
+
+
+@register(
     "lopq_search_rerank",
     survey_ops=("J5", "V13", "T4", "V10"),
     doc=f"LOPQ search + exact rerank: top-{RERANK_NB} ADC candidates per "

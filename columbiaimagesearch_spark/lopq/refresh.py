@@ -1,0 +1,74 @@
+"""Incremental index refresh (ST6) — the serving-index update loop.
+
+Reference: the searcher polls the updates ledger and adds codes for updates
+not yet indexed, caching per-update code files and skipping already-indexed
+suffixes (``searcher_lopqhbase.py:632-770 load_codes``, per-update caches
+``:482-524 compute_codes``; the API refreshes >= hourly, ``api/api.py:26,
+340-366``).
+
+Spark rendering: the codes table is parquet **partitioned by update_id** —
+refresh = encode ONLY the vectors of unindexed updates (ledger anti-join on
+partition values) and append their partitions. Idempotent by construction
+(a re-run finds the update already present and writes nothing — no poison
+dates or marker races, ST2), and the serving snapshot is just the latest
+read of the table. At 100 TB the per-update partitions additionally carry
+the cell column so the probe semi-join still prunes row groups.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .encode import encode_dataframe
+from .model import LOPQModel
+
+
+def indexed_update_ids(spark: SparkSession, codes_dir: str) -> set[str]:
+    """Partition values already present in the codes table (cheap: partition
+    discovery only, no row reads)."""
+    if not os.path.isdir(codes_dir):
+        return set()
+    return {
+        d.split("=", 1)[1]
+        for d in os.listdir(codes_dir)
+        if d.startswith("update_id=")
+    }
+
+
+def refresh_codes(
+    spark: SparkSession,
+    codes_dir: str,
+    features: DataFrame,
+    model: LOPQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[str]:
+    """Encode + append codes for every update in ``features`` (columns
+    ``id_col``, ``vec_col``, ``update_id``) not yet in the index. Returns the
+    update_ids added. Write mode is per-partition append, so concurrent
+    refreshes of disjoint updates don't conflict."""
+    done = indexed_update_ids(spark, codes_dir)
+    todo = features
+    if done:
+        done_df = spark.createDataFrame([(u,) for u in sorted(done)], "update_id string")
+        todo = features.join(F.broadcast(done_df), "update_id", "left_anti")
+    new_ids = [r["update_id"] for r in todo.select("update_id").distinct().collect()]
+    if not new_ids:
+        return []
+    codes = encode_dataframe(
+        spark, todo.select(id_col, vec_col, "update_id"), model,
+        id_col=id_col, vec_col=vec_col,
+    )
+    # re-attach update_id: encode keeps (id -> codes); join back on id
+    keyed = todo.select(F.col(id_col).alias("id"), "update_id")
+    out = codes.join(keyed, "id")
+    out.write.mode("append").partitionBy("update_id").parquet(codes_dir)
+    return sorted(new_ids)
+
+
+def serving_snapshot(spark: SparkSession, codes_dir: str) -> DataFrame:
+    """Latest queryable view of the codes table (cell, id, c1, c2, fine)."""
+    return spark.read.parquet(codes_dir)

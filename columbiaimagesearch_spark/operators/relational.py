@@ -728,6 +728,159 @@ def setops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).distinct().subtract(c)
 
 
+@register(
+    "setops_intersect",
+    survey_ops=("SET",),
+    doc="Intersect over key slices (implicit intersection of dedup checks, "
+    "search.py:345-364: incoming ids ∩ already-indexed ids).",
+    oracle="""
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 600
+INTERSECT
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey BETWEEN 300 AND 900
+""",
+)
+def setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    a = orders.where(F.col("o_orderkey") < 600)
+    b = orders.where(F.col("o_orderkey").between(300, 900))
+    return a.intersect(b)
+
+
+@register(
+    "j8_posexplode_align",
+    survey_ops=("J8",),
+    doc="obj_pos alignment join (kafka_image_downloader.py:53-63: downloaded "
+    "info re-attached to CDR objects[obj_pos]): per-order ordered id array "
+    "posexploded and joined back positionally to the line rows.",
+    oracle="""
+WITH msgs AS (
+  SELECT l_orderkey,
+         list(l_partkey ORDER BY l_linenumber, l_partkey) AS parts
+  FROM lineitem WHERE l_orderkey % 5 = 0 GROUP BY l_orderkey
+),
+ex AS (
+  SELECT l_orderkey,
+         unnest(parts) AS partkey,
+         unnest(generate_series(0, len(parts) - 1)) AS obj_pos
+  FROM msgs
+)
+SELECT ex.l_orderkey, CAST(ex.obj_pos AS INT) AS obj_pos, ex.partkey,
+       ROUND(l.l_quantity, 4) AS quantity
+FROM ex JOIN lineitem l
+  ON l.l_orderkey = ex.l_orderkey AND l.l_linenumber = ex.obj_pos + 1
+""",
+)
+def j8_posexplode_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    msgs = (
+        li.where(F.col("l_orderkey") % 5 == 0)
+        .groupBy("l_orderkey")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+                lambda s: s.getField("l_partkey"),
+            ).alias("parts")
+        )
+    )
+    ex = msgs.select(
+        "l_orderkey", F.posexplode("parts").alias("obj_pos", "partkey")
+    )
+    lines = li.select(
+        F.col("l_orderkey").alias("lk"), "l_linenumber", "l_quantity"
+    )
+    return (
+        ex.join(
+            lines,
+            (F.col("l_orderkey") == F.col("lk"))
+            & (F.col("l_linenumber") == F.col("obj_pos") + 1),
+        )
+        .select(
+            "l_orderkey",
+            "obj_pos",
+            "partkey",
+            F.round("l_quantity", 4).alias("quantity"),
+        )
+    )
+
+
+@register(
+    "f11_url_cleanup",
+    survey_ops=("F11", "F2", "F12"),
+    doc="URL-list cleanup (api/api.py:387-408: comma-joined URL strings "
+    "re-split on 'http' boundaries, data: URIs dropped F12, scheme filter "
+    "F2): synthesized comma-joined lists over documents, exploded to one "
+    "clean URL per row.",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         'http://img.example/' || CAST(doc_id AS VARCHAR) || '.jpg,'
+           || 'https://cdn.example/' || source || '/' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 3 = 0 THEN ',data:image/png;base64xx' ELSE '' END
+           AS url_blob
+  FROM documents WHERE doc_id < 300
+),
+ex AS (
+  SELECT doc_id, unnest(string_split(url_blob, ',')) AS url FROM raw
+)
+SELECT doc_id, url
+FROM ex
+WHERE url LIKE 'http%' AND url NOT LIKE 'data:%'
+""",
+)
+def f11_url_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("http://img.example/"),
+                F.col("doc_id").cast("string"),
+                F.lit(".jpg,https://cdn.example/"),
+                F.col("source"),
+                F.lit("/"),
+                F.col("doc_id").cast("string"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(",data:image/png;base64xx"))
+                .otherwise(F.lit("")),
+            ).alias("url_blob"),
+        )
+    )
+    return (
+        raw.select("doc_id", F.explode(F.split("url_blob", ",")).alias("url"))
+        .where(F.col("url").startswith("http") & ~F.col("url").startswith("data:"))
+    )
+
+
+@register(
+    "c10_json_extract",
+    survey_ops=("C10",),
+    doc="JSON message codec (msg dumps/loads, extraction_checker.py:160-163; "
+    "from_json/get_json_object over the events props payload).",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(json_object('id', event_id, 'type', event_type) AS VARCHAR) AS msg
+FROM events
+WHERE event_id < 500
+""",
+)
+def c10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            F.to_json(
+                F.struct(
+                    F.col("event_id").alias("id"), F.col("event_type").alias("type")
+                )
+            ).alias("msg"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar function layer (C1-C10)
 # ---------------------------------------------------------------------------
@@ -838,5 +991,92 @@ def w_tumbling_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),
             F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "w_sliding_event_agg",
+    survey_ops=("ST-gap", "A6"),
+    doc="Sliding-window aggregation (1 h window, 30 min slide) via "
+    "F.window — each event lands in exactly two windows; the oracle "
+    "enumerates both aligned starts per event.",
+    oracle="""
+WITH ex AS (
+  SELECT event_type, value,
+         unnest([CAST(floor(epoch(ts)) AS BIGINT) // 1800 * 1800,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 1800 * 1800 - 1800]) AS window_start
+  FROM events
+)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM ex GROUP BY window_start, event_type
+""",
+)
+def w_sliding_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "w_session_event_agg",
+    survey_ops=("ST-gap",),
+    doc="Session windows (10 min inactivity gap) per user via "
+    "F.session_window; the oracle is the gaps-and-islands rendering (new "
+    "session when ts >= prev + gap, matching Spark's merge rule).",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+i AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM i GROUP BY user_id, sid
+""",
+)
+def w_session_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.session_window("ts", "10 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n",
+            "total_value",
         )
     )

@@ -1,0 +1,88 @@
+"""Round-trip tests: S12 TSV features, S14 xvecs, model Parquet store (S8)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from columbiaimagesearch_spark.lopq.model import LOPQModel
+from columbiaimagesearch_spark.lopq.store import load_model, save_model
+from columbiaimagesearch_spark.sources import load_table
+from columbiaimagesearch_spark.sources.formats import (
+    read_feats_tsv,
+    read_xvecs,
+    write_feats_tsv,
+    write_xvecs,
+)
+
+from conftest import SF_SMOKE
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def feats_df(spark):
+    """Engine-schema features derived from the embeddings fixture."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").where(F.col("vec_id") < 50)
+    return emb.select(
+        F.upper(F.md5(F.col("vec_id").cast("string").cast("binary"))).alias("sha1"),
+        F.concat(F.lit("http://img/"), F.col("vec_id").cast("string")).alias("url"),
+        F.concat(F.lit("/imgs/"), F.col("vec_id").cast("string")).alias("img_path"),
+        F.struct(
+            F.lit(0).alias("left"),
+            F.lit(0).alias("top"),
+            (F.col("vec_id") % 100 + 1).cast("int").alias("right"),
+            (F.col("vec_id") % 80 + 1).cast("int").alias("bottom"),
+        ).alias("bbox"),
+        F.slice(F.col("embedding"), 1, DIM).cast("array<float>").alias("feature"),
+    )
+
+
+def test_feats_tsv_roundtrip(spark, tmp_path_factory, feats_df):
+    path = str(tmp_path_factory.mktemp("tsv") / "feats")
+    write_feats_tsv(feats_df, path, DIM)
+    back = read_feats_tsv(spark, path, DIM)
+    orig = {r["sha1"]: r for r in feats_df.collect()}
+    got = {r["sha1"]: r for r in back.collect()}
+    assert set(got) == set(orig)
+    for sha1, r in got.items():
+        o = orig[sha1]
+        assert r["url"] == o["url"] and r["img_path"] == o["img_path"]
+        assert r["bbox"] == o["bbox"]
+        np.testing.assert_allclose(r["feature"], o["feature"], rtol=1e-6)
+
+
+def test_xvecs_roundtrip(spark, tmp_path_factory):
+    rng = np.random.RandomState(11)
+    X = rng.randn(37, 8).astype(np.float32)
+    d = tmp_path_factory.mktemp("xvecs")
+    write_xvecs(X, str(d / "a.fvecs"), "fvecs")
+    back = read_xvecs(spark, str(d / "*.fvecs"), "fvecs").orderBy("row_id").collect()
+    assert len(back) == 37
+    Y = np.array([r["vec"] for r in back], dtype=np.float32)
+    np.testing.assert_array_equal(X, Y)
+
+    I = rng.randint(0, 1000, size=(9, 5)).astype(np.int32)
+    write_xvecs(I, str(d / "b.ivecs"), "ivecs")
+    iback = read_xvecs(spark, str(d / "*.ivecs"), "ivecs").orderBy("row_id").collect()
+    J = np.array([r["vec"] for r in iback], dtype=np.int32)
+    np.testing.assert_array_equal(I, J)
+
+
+def test_model_store_roundtrip(spark, tmp_path_factory):
+    rng = np.random.RandomState(5)
+    X = rng.randn(300, 16)
+    model = LOPQModel.fit(X, V=4, M=4, K=8, seed=1, n_iter=5)
+    path = str(tmp_path_factory.mktemp("model") / "lopq_model")
+    save_model(spark, model, path)
+    back = load_model(spark, path)
+    assert (back.V, back.M, back.K, back.D) == (model.V, model.M, model.K, model.D)
+    np.testing.assert_array_equal(back.Cs, model.Cs)
+    np.testing.assert_array_equal(back.Rs, model.Rs)
+    np.testing.assert_array_equal(back.mus, model.mus)
+    np.testing.assert_array_equal(back.subs, model.subs)
+    # the loaded model encodes identically
+    c1, f1 = model.encode(X[:20])
+    c2, f2 = back.encode(X[:20])
+    assert np.array_equal(c1, c2) and np.array_equal(f1, f2)
