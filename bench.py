@@ -43,6 +43,12 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_cosine_topk_pandas",
     "emb_near_dup_pairs",
+    "j8_posexplode_align",
+    "w_sliding_event_agg",
+    "w_session_event_agg",
+    "lopq_encode_codes",
+    "lopq_search_topk",
+    "ann_ivf_topk",
 ]
 
 
@@ -60,6 +66,13 @@ def main() -> None:
     spark.range(256, numPartitions=int(spark.sparkContext.defaultParallelism)).mapInPandas(
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
+    # train the fixture models once (cached per sf_dir): bench times the
+    # distributed encode/search queries, not the bounded-sample model fit
+    from columbiaimagesearch_spark.lopq.queries import fixture_model  # noqa: E402
+    from columbiaimagesearch_spark.operators.ann_ivf import train_centroids  # noqa: E402
+
+    fixture_model(spark, sf_dir)
+    train_centroids(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

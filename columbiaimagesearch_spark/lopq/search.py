@@ -86,6 +86,11 @@ def search(
     candidates per query are re-ranked by exact squared L2 distance
     (reference rerank semantics, searcher_lopqhbase.py:862-912).
     """
+    # the codes relation is referenced by cell-counts, the probe join, and
+    # (with rerank) the shortlist — persist so encode runs once; at scale
+    # `codes` is a materialized cell-partitioned table and this is a no-op
+    # cache of parquet scans.
+    codes = codes.persist()
     counts = _cell_counts(codes)
     probe_rows = []  # (qid, cell)
     luts: dict[tuple[int, int], np.ndarray] = {}

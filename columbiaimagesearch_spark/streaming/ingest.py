@@ -69,6 +69,58 @@ def read_message_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
+def read_kafka_message_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S1 production form: Kafka topic -> the same message relation as the
+    file-drop source, so every downstream stage is source-agnostic.
+
+    Replaces the reference's consumer-group/SSL/manual-commit plumbing
+    (``ingester/generic_kafka_processor.py:200-268``,
+    ``kafka_ingester.py:197-251``) — offsets live in the query's
+    ``checkpointLocation`` (ST3). Requires the spark-sql-kafka package on
+    the cluster classpath; not exercised in local tests (no broker), but the
+    returned plan is identical shape to ``read_message_stream``'s.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), IMAGE_MSG_SCHEMA).alias("m"),
+        F.col("value").cast("string").alias("_raw"),
+    )
+    return parsed.select(
+        "m.sha1",
+        "m.s3_url",
+        "m.img_info",
+        "m.list_sha1s",
+        # PERMISSIVE-equivalent corrupt capture: null struct -> raw payload
+        F.when(F.col("m").isNull(), F.col("_raw"))
+        .otherwise(F.lit(None))
+        .alias("_corrupt_record"),
+    )
+
+
+def observe_messages(stream: DataFrame, name: str = "ingest_metrics") -> DataFrame:
+    """A6 stream throughput counters (generic_kafka_processor.py:120-187's
+    processed/skipped counters) as Spark observed metrics — surfaced per
+    micro-batch in StreamingQueryProgress.observedMetrics[name]."""
+    return stream.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col("_corrupt_record")).alias("n_corrupt"),
+        F.count(F.col("sha1")).alias("n_single"),
+        F.count(F.col("list_sha1s")).alias("n_list"),
+    )
+
+
 def normalize_messages(stream: DataFrame) -> DataFrame:
     """Valid messages -> one row per sha1 (single or list messages), sha1
     uppercased, dupes within the frame dropped (ST4 first tier)."""
@@ -224,7 +276,8 @@ def run_ingest(
 ) -> IngestLedger:
     """Drain ``src_dir`` (availableNow) through the full ingest pipeline."""
     ledger = IngestLedger(spark, ledger_dir, **ledger_kwargs)
-    stream = normalize_messages(read_message_stream(spark, src_dir))
+    raw = observe_messages(read_message_stream(spark, src_dir))
+    stream = normalize_messages(raw)
     q = (
         stream.writeStream.foreachBatch(ledger.process_batch)
         .option("checkpointLocation", checkpoint_dir)
@@ -232,4 +285,5 @@ def run_ingest(
         .start()
     )
     q.awaitTermination()
+    ledger.last_query = q  # observed A6 metrics: q.recentProgress[*].observedMetrics
     return ledger
