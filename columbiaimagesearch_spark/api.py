@@ -1,0 +1,91 @@
+"""Query facade — the REST surface's semantics as one callable.
+
+Mirrors the reference's search entry path: ``search_from_feats``
+(``searcher/searcher_lopqhbase.py:783-1067``) with options {max_returned,
+near_dup / near_dup_th, rerank} and ``DictOutput.format_output``'s nested
+ranked structure (``searcher/output_mapping.py:78-230``) — minus the HTTP
+plumbing (Flask/gunicorn workers are out of scope per SURVEY §7.3; any HTTP
+layer calls this).
+
+Two execution tiers, same answers:
+- batch: the distributed DataFrame pipeline (this module) — throughput path;
+- serving: ``lopq.serving.ServingSearcher`` over the same codes table —
+  the <1 s latency path (equality is asserted in tests/test_serving_layout).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .lopq.queries import QUOTA, codes_df, fixture_model
+from .lopq.search import search
+from .sources import load_table
+
+DEFAULT_MAX_RETURNED = 10
+DEFAULT_NEAR_DUP_TH = 0.8  # reference default, generic_searcher.py:43-45
+
+
+def similarity_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vectors: list[tuple[int, np.ndarray]],
+    max_returned: int = DEFAULT_MAX_RETURNED,
+    near_dup: bool = False,
+    near_dup_th: float = DEFAULT_NEAR_DUP_TH,
+    rerank: bool = True,
+) -> dict[str, Any]:
+    """Ranked similar items per query with metadata, as the nested output
+    structure of the reference API.
+
+    quota follows the reference: min(1000 * max_returned, 10000)
+    (searcher_lopqhbase.py:838)."""
+    model = fixture_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    quota = min(1000 * max_returned, 10000, QUOTA * max(1, max_returned // 10))
+    res = search(
+        spark,
+        codes_df(spark, sf_dir),
+        model,
+        query_vectors,
+        quota=quota,
+        k=max_returned,
+        vectors=emb if rerank else None,
+        rerank_nb=4 * max_returned if rerank else 0,
+    )
+    dist_col = "exact_dist" if rerank else "adc_dist"
+    if near_dup:
+        # F9: near-dup filter keeps dist <= threshold
+        res = res.where(F.col(dist_col) <= float(near_dup_th))
+    # J4: ranked ids -> metadata, order preserved via the rank key
+    meta = emb.select(F.col("vec_id").alias("id"), "label")
+    rows = (
+        res.join(meta, "id", "left")
+        .select("qid", "rank", "id", "label", F.col(dist_col).alias("dist"))
+        .orderBy("qid", "rank")
+        .collect()
+    )
+    out: dict[str, Any] = {"search_mode": "rerank" if rerank else "adc", "queries": []}
+    by_qid: dict[int, list] = {}
+    for r in rows:
+        by_qid.setdefault(int(r["qid"]), []).append(r)
+    for qid, _ in query_vectors:
+        items = by_qid.get(int(qid), [])
+        out["queries"].append(
+            {
+                "query_id": int(qid),
+                "number_similar": len(items),
+                "similar_items": {
+                    "ids": [int(r["id"]) for r in items],
+                    "labels": [
+                        (int(r["label"]) if r["label"] is not None else None)
+                        for r in items
+                    ],
+                    "distances": [round(float(r["dist"]), 6) for r in items],
+                },
+            }
+        )
+    return out

@@ -1,0 +1,99 @@
+"""Low-latency serving searcher — the <1 s path that bypasses job launch.
+
+The reference serves queries from an in-process index: dict/LMDB map of
+cell -> [(id, fine codes)] probed by the multisequence generator
+(``lopq/lopq/search.py:310-382`` LOPQSearcher — the semantic model here),
+because a full scan per query can't hit the sub-second API budget
+(README.md:13).
+
+Engine rendering (SURVEY §4 custom item 4): the SAME cell-partitioned codes
+table that batch search probes is loaded once into an in-memory dict
+(cell -> contiguous numpy id/fine arrays); per-query work is then pure
+numpy: multisequence cell ordering, ADC LUT gather, argpartition top-k.
+Batch (Spark) and serving answers are identical by construction — the tests
+assert result equality query-for-query. At scale each serving replica loads
+only its model + the codes table (codes are ~M bytes/vector, so 100 M
+vectors x M=8 ≈ 1.6 GB — the reference's LMDB sizing envelope)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from .model import LOPQModel
+from .search import multisequence_cells
+
+
+class ServingSearcher:
+    """In-memory cell-bucketed ANN searcher over a LOPQ codes table."""
+
+    def __init__(self, model: LOPQModel) -> None:
+        self.model = model
+        self._cells: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    # -- index build/refresh ------------------------------------------------
+    def load_codes(self, codes: DataFrame) -> "ServingSearcher":
+        """One collect of (cell, id, fine) — the serving twin of ST6: call
+        again with the refreshed snapshot to pick up new updates."""
+        rows = codes.select("cell", "id", "fine").collect()
+        by_cell: dict[int, list] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), []).append(
+                (int(r["id"]), r["fine"])
+            )
+        self._cells = {
+            c: (
+                np.array([i for i, _ in items], dtype=np.int64),
+                np.array([f for _, f in items], dtype=np.int64),
+            )
+            for c, items in by_cell.items()
+        }
+        return self
+
+    def add_codes(self, codes: DataFrame) -> "ServingSearcher":
+        """Incremental add with (cell, id) dedup (J7 semantics,
+        search.py:340-364)."""
+        for r in codes.select("cell", "id", "fine").collect():
+            c = int(r["cell"])
+            ids, fines = self._cells.get(
+                c, (np.empty(0, dtype=np.int64), np.empty((0, self.model.M), dtype=np.int64))
+            )
+            if int(r["id"]) in ids:
+                continue
+            self._cells[c] = (
+                np.append(ids, int(r["id"])),
+                np.vstack([fines, np.asarray(r["fine"], dtype=np.int64)]),
+            )
+        return self
+
+    @property
+    def n_items(self) -> int:
+        return sum(len(ids) for ids, _ in self._cells.values())
+
+    # -- query --------------------------------------------------------------
+    def search(
+        self, q: np.ndarray, quota: int = 1000, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """[(id, adc_dist)] of the top-k — identical ordering to the
+        distributed ``search.search`` (ADC dist asc, id asc tiebreak)."""
+        q = np.asarray(q, dtype=np.float64)
+        model = self.model
+        counts = {c: len(ids) for c, (ids, _) in self._cells.items()}
+        d1, d2 = model.coarse_distances(q)
+        all_ids: list[np.ndarray] = []
+        all_dists: list[np.ndarray] = []
+        m_idx = np.arange(model.M)
+        for cell in multisequence_cells(d1, d2, counts, quota):
+            entry = self._cells.get(cell)
+            if entry is None:
+                continue
+            ids, fines = entry
+            lut = model.adc_lut(q, cell)
+            all_ids.append(ids)
+            all_dists.append(lut[m_idx, fines].sum(axis=1))
+        if not all_ids:
+            return []
+        ids = np.concatenate(all_ids)
+        dists = np.concatenate(all_dists)
+        order = np.lexsort((ids, dists))[:k]
+        return [(int(ids[i]), float(dists[i])) for i in order]

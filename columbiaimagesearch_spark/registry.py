@@ -67,6 +67,7 @@ def all_specs() -> dict[str, QuerySpec]:
         ledger,
         relational,
         similarity,
+        skew,
         textstats,
     )
     from .lopq import queries as lopq_queries  # noqa: F401

@@ -1,0 +1,58 @@
+"""API facade: nested ranked output, rerank + near-dup options."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from columbiaimagesearch_spark.api import similarity_search
+from columbiaimagesearch_spark.sources import load_table
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def queries_np(spark):
+    rows = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .where(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [(int(r["vec_id"]), np.array(r["embedding"])) for r in rows]
+
+
+def test_output_structure_and_order(spark, queries_np):
+    out = similarity_search(spark, SF_SMOKE, queries_np, max_returned=5)
+    assert out["search_mode"] == "rerank"
+    assert [q["query_id"] for q in out["queries"]] == [0, 1, 2]
+    for q in out["queries"]:
+        si = q["similar_items"]
+        assert q["number_similar"] == len(si["ids"]) == 5
+        # exact rerank: the query vector itself ranks first at distance 0
+        assert si["ids"][0] == q["query_id"]
+        assert si["distances"][0] == pytest.approx(0.0)
+        assert si["distances"] == sorted(si["distances"])
+
+
+def test_near_dup_filter_tightens(spark, queries_np):
+    loose = similarity_search(spark, SF_SMOKE, queries_np, max_returned=8)
+    tight = similarity_search(
+        spark, SF_SMOKE, queries_np, max_returned=8,
+        near_dup=True, near_dup_th=1e-6,
+    )
+    for lq, tq in zip(loose["queries"], tight["queries"]):
+        assert tq["number_similar"] <= lq["number_similar"]
+        # with an epsilon threshold only the query itself survives
+        assert tq["similar_items"]["ids"] == [tq["query_id"]]
+
+
+def test_adc_mode_runs_without_vectors(spark, queries_np):
+    out = similarity_search(spark, SF_SMOKE, queries_np, max_returned=4, rerank=False)
+    assert out["search_mode"] == "adc"
+    for q in out["queries"]:
+        assert q["number_similar"] == 4
+        assert q["similar_items"]["distances"] == sorted(
+            q["similar_items"]["distances"]
+        )

@@ -1,0 +1,124 @@
+"""Property-based invariants (hypothesis) for the numeric core — no Spark
+session needed, so these run in milliseconds and fuzz the driver-side math
+that every distributed pass mirrors."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from columbiaimagesearch_spark.lopq.model import (
+    LOPQModel,
+    eigenvalue_allocation,
+    kmeans,
+)
+from columbiaimagesearch_spark.operators.dedup import MERSENNE_P, MH_A, MH_B, N_MINHASH
+
+
+# -- C7: cell-id codec -------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=4096),
+    st.data(),
+)
+@settings(max_examples=50, deadline=None)
+def test_cell_id_roundtrip(V, data):
+    c1 = data.draw(st.integers(min_value=0, max_value=V - 1))
+    c2 = data.draw(st.integers(min_value=0, max_value=V - 1))
+    cell = c1 * V + c2
+    assert (cell // V, cell % V) == (c1, c2)
+    assert 0 <= cell < V * V
+
+
+# -- V2: eigenvalue allocation ----------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=50, deadline=None)
+def test_eigenvalue_allocation_is_balanced_permutation(n_buckets, per_bucket, rnd):
+    dim = n_buckets * per_bucket
+    eigvals = np.array([rnd.uniform(1e-6, 1e3) for _ in range(dim)])
+    perm = eigenvalue_allocation(eigvals, n_buckets)
+    # a true permutation
+    assert sorted(perm.tolist()) == list(range(dim))
+    # buckets have equal cardinality by construction
+    buckets = np.array_split(perm, n_buckets)
+    assert all(len(b) == per_bucket for b in buckets)
+
+
+# -- V1: k-means invariants ---------------------------------------------------
+
+
+@given(st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=15, deadline=None)
+def test_kmeans_deterministic_and_wellformed(seed):
+    rng = np.random.RandomState(123)
+    X = rng.randn(60, 6)
+    C1, a1 = kmeans(X, 4, seed=seed, n_iter=10)
+    C2, a2 = kmeans(X, 4, seed=seed, n_iter=10)
+    np.testing.assert_array_equal(C1, C2)
+    np.testing.assert_array_equal(a1, a2)
+    assert C1.shape == (4, 6)
+    assert set(np.unique(a1)) <= set(range(4))
+    # every point is assigned to its nearest returned center
+    d = ((X[:, None, :] - C1[None, :, :]) ** 2).sum(axis=2)
+    np.testing.assert_array_equal(d.argmin(axis=1), a1)
+
+
+# -- MinHash permutation family ----------------------------------------------
+
+
+def _signature(hashes: list[int]) -> list[int]:
+    return [
+        min((MH_A[i] * h + MH_B[i]) % MERSENNE_P for h in hashes)
+        for i in range(N_MINHASH)
+    ]
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=MERSENNE_P - 1),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=50, deadline=None)
+def test_minhash_signature_is_set_invariant(hashes, rnd):
+    sig = _signature(hashes)
+    shuffled = list(hashes)
+    rnd.shuffle(shuffled)
+    assert _signature(shuffled) == sig  # order-free
+    assert _signature(hashes + [hashes[0]]) == sig  # multiplicity-free
+    assert all(0 <= s < MERSENNE_P for s in sig)
+    # adding an element can only lower (or keep) each signature slot —
+    # the monotonicity that makes minhash an unbiased Jaccard sketch
+    bigger = _signature(hashes + [(hashes[-1] + 1) % MERSENNE_P])
+    assert all(b <= s for b, s in zip(bigger, sig))
+
+
+# -- V9/V11: encode/decode shape + boundedness --------------------------------
+
+
+@given(st.integers(min_value=0, max_value=1000))
+@settings(max_examples=10, deadline=None)
+def test_encode_reconstruct_bounded(seed):
+    rng = np.random.RandomState(seed)
+    X = rng.randn(80, 8)
+    model = LOPQModel.fit(X, V=2, M=2, K=4, seed=seed, n_iter=5)
+    coarse, fine = model.encode(X)
+    assert coarse.shape == (80, 2) and fine.shape == (80, 2)
+    assert coarse.min() >= 0 and coarse.max() < 2
+    assert fine.min() >= 0 and fine.max() < 4
+    recon = model.reconstruct(coarse, fine)
+    # quantization reduces error vs the crudest baseline (global mean)
+    err = ((X - recon) ** 2).sum()
+    base = ((X - X.mean(axis=0)) ** 2).sum()
+    assert err <= base

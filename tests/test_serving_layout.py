@@ -1,0 +1,108 @@
+"""Serving searcher == distributed search; cell layout actually prunes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from columbiaimagesearch_spark.lopq import layout
+from columbiaimagesearch_spark.lopq.queries import (
+    QUOTA,
+    TOP_K,
+    codes_df,
+    fixture_model,
+)
+from columbiaimagesearch_spark.lopq.search import search
+from columbiaimagesearch_spark.lopq.serving import ServingSearcher
+from columbiaimagesearch_spark.sources import load_table
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    return fixture_model(spark, SF_SMOKE)
+
+
+@pytest.fixture(scope="module")
+def codes(spark):
+    return codes_df(spark, SF_SMOKE).persist()
+
+
+@pytest.fixture(scope="module")
+def queries_np(spark):
+    rows = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [(int(r["vec_id"]), np.array(r["embedding"])) for r in rows]
+
+
+def test_serving_matches_distributed_search(spark, model, codes, queries_np):
+    serving = ServingSearcher(model).load_codes(codes)
+    assert serving.n_items == codes.count()
+    dist = search(spark, codes, model, queries_np, quota=QUOTA, k=TOP_K)
+    by_qid: dict[int, list] = {}
+    for r in dist.orderBy("qid", "rank").collect():
+        by_qid.setdefault(int(r["qid"]), []).append(
+            (int(r["id"]), round(float(r["adc_dist"]), 9))
+        )
+    for qid, q in queries_np:
+        got = [(i, round(d, 9)) for i, d in serving.search(q, quota=QUOTA, k=TOP_K)]
+        assert got == by_qid[qid], f"serving != distributed for qid={qid}"
+
+
+def test_serving_incremental_add_dedups(spark, model, codes):
+    first = codes.where(F.col("id") < 250)
+    rest = codes.where(F.col("id") >= 250)
+    s = ServingSearcher(model).load_codes(first)
+    n1 = s.n_items
+    s.add_codes(rest)
+    assert s.n_items == codes.count()
+    # re-adding existing codes is a no-op (J7 dedup semantics)
+    s.add_codes(first.limit(50))
+    assert s.n_items == codes.count()
+    assert n1 < s.n_items
+
+
+def test_cell_partitioned_layout_prunes(spark, codes, tmp_path):
+    path = str(tmp_path / "codes_by_cell")
+    layout.write_codes_partitioned(codes, path)
+    table = layout.read_codes(spark, path)
+    assert table.count() == codes.count()
+
+    cells = [int(r["cell"]) for r in codes.select("cell").distinct().limit(3).collect()]
+    probed = layout.probe_cells(table, cells)
+    # the scan must carry the IN-list as a PARTITION filter (directory
+    # pruning), not a post-scan data filter
+    from columbiaimagesearch_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(probed)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, f"no PartitionFilters in plan:\n{plan}"
+    assert any("cell" in ln and "IN" in ln for ln in pf), pf
+    # and the probe answers match an unpartitioned filter
+    expect = sorted(
+        (int(r["id"]), int(r["cell"]))
+        for r in codes.where(F.col("cell").isin(cells)).select("id", "cell").collect()
+    )
+    got = sorted((int(r["id"]), int(r["cell"])) for r in probed.select("id", "cell").collect())
+    assert got == expect
+
+
+def test_bucketed_layout_roundtrip(spark, codes, tmp_path):
+    path = str(tmp_path / "codes_bucketed")
+    layout.write_codes_partitioned(codes, path, bucket_cells=8)
+    table = layout.read_codes(spark, path)
+    assert table.count() == codes.count()
+    cells = [int(r["cell"]) for r in codes.select("cell").distinct().limit(2).collect()]
+    probed = layout.probe_cells(table, cells, bucket_cells=8)
+    from columbiaimagesearch_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(probed)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("cell_bucket" in ln and "IN" in ln for ln in pf), pf
+    assert probed.count() == codes.where(F.col("cell").isin(cells)).count()
