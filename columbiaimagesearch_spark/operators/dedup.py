@@ -25,7 +25,7 @@ once per shingle, not once per (shingle, seed).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -230,16 +230,10 @@ _SIG_SQL = f"""
 """
 
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    survey_ops=("DEDUP-minhash", "J7", "A8"),
-    doc=f"MinHash+LSH near-dup pairs: one md5 per shingle + {N_MINHASH} "
-    f"universal-hash permutations, {N_BANDS} bands x {BAND_ROWS} rows; "
-    f"candidates = docs sharing any band bucket; verified with exact shingle "
-    f"Jaccard >= {JACCARD_THRESHOLD}. Only bucket collisions are ever "
-    "paired — the 100 TB-safe dedup plan.",
-    oracle=f"""
-WITH sh AS (
+# CTE chain from raw documents to verified near-dup pairs — shared by the
+# pair query's oracle and the connected-components oracle (which wraps it in
+# a recursive CTE).
+_PAIRS_CTES_SQL = f"""sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
 ),
 hh AS (
@@ -269,6 +263,19 @@ verified AS (
   JOIN hh x ON x.doc_id = c.doc_a
   JOIN hh y ON y.doc_id = c.doc_b
 )
+"""
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    survey_ops=("DEDUP-minhash", "J7", "A8"),
+    doc=f"MinHash+LSH near-dup pairs: one md5 per shingle + {N_MINHASH} "
+    f"universal-hash permutations, {N_BANDS} bands x {BAND_ROWS} rows; "
+    f"candidates = docs sharing any band bucket; verified with exact shingle "
+    f"Jaccard >= {JACCARD_THRESHOLD}. Only bucket collisions are ever "
+    "paired — the 100 TB-safe dedup plan.",
+    oracle=f"""
+WITH {_PAIRS_CTES_SQL}
 SELECT doc_a, doc_b, ROUND(inter / (sz - inter), 4) AS jaccard
 FROM verified
 WHERE inter / (sz - inter) >= {JACCARD_THRESHOLD}
@@ -299,6 +306,98 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("inter") / (F.col("sz") - F.col("inter"))
     return verified.where(jac >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components: pairs -> canonical cluster per doc
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(doc_id, component): min-doc_id label propagation to fixpoint.
+
+    The canonicalization step after pair generation: every doc gets the
+    smallest doc_id reachable through the near-dup graph (singletons map to
+    themselves). Iterative stream of joins — each round propagates labels
+    one hop; near-dup clusters have tiny diameters, so convergence is a few
+    rounds regardless of corpus size. Per-round shuffle carries (edge
+    endpoints, label) only. Deterministic: min is order-free."""
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    ).persist()
+    labels = nodes.select(
+        F.col("doc_id"), F.col("doc_id").alias("component")
+    ).persist()
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component").alias("neighbor_min"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("neighbor_min", F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+@register(
+    "dedup_components",
+    survey_ops=("DEDUP-components", "A8", "J7"),
+    doc="Near-dup canonicalization: connected components over the verified "
+    "MinHash-LSH pair graph via iterative min-label propagation (few rounds "
+    "— cluster diameters are tiny); every doc maps to the smallest doc_id "
+    "in its cluster, singletons to themselves. Oracle: recursive-CTE "
+    "transitive closure over the same pairs.",
+    oracle=f"""
+WITH RECURSIVE {_PAIRS_CTES_SQL},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified
+  WHERE inter / (sz - inter) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+cc AS (
+  SELECT doc_id AS doc, doc_id AS root FROM documents
+  UNION
+  SELECT e.dst AS doc, cc.root
+  FROM cc JOIN edges e ON e.src = cc.doc
+)
+SELECT doc AS doc_id, CAST(MIN(root) AS BIGINT) AS component,
+       CAST(COUNT(*) OVER (PARTITION BY MIN(root)) AS BIGINT) AS cluster_size
+FROM cc GROUP BY doc
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(docs, pairs)
+    w_size = F.count(F.lit(1)).over(Window.partitionBy("component"))
+    return labels.select(
+        "doc_id", "component", w_size.cast("bigint").alias("cluster_size")
     )
 
 

@@ -45,9 +45,9 @@ SELECT l_returnflag,
        ROUND(SUM(l_extendedprice), 4)                                   AS sum_base_price,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
        ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-       ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-       ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+       ROUND(AVG(l_quantity) + 1e-9, 4)                                 AS avg_qty,
+       ROUND(AVG(l_extendedprice) + 1e-9, 4)                            AS avg_price,
+       ROUND(AVG(l_discount) + 1e-9, 4)                                 AS avg_disc,
        COUNT(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -66,9 +66,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
             F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
             F.round(F.sum(charge), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.avg("l_quantity") + F.lit(1e-9), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice") + F.lit(1e-9), 4).alias("avg_price"),
+            F.round(F.avg("l_discount") + F.lit(1e-9), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -729,6 +729,115 @@ def setops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q3_shipping_priority",
+    survey_ops=("J1", "A2", "T1", "F1"),
+    doc="TPC-H Q3-shaped 3-way join (customer ⋈ orders ⋈ lineitem) with "
+    "selective filters, revenue aggregation, top-10 — the canonical "
+    "join-order + partial-agg + TakeOrderedAndProject plan.",
+    oracle="""
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS order_epoch
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.select("c_custkey")
+        .join(o.select("o_custkey", "o_orderkey", "o_orderdate"),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            li.select("l_orderkey", "l_extendedprice", "l_discount"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    survey_ops=("J1", "A2", "F1"),
+    doc="TPC-H Q5-shaped 6-way join: region/nation dims broadcast, fact "
+    "joins shuffle on keys, revenue per nation — the multi-dim star-join "
+    "plan whose small sides must all be BroadcastHashJoins.",
+    oracle="""
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN supplier s ON s.s_nationkey = n.n_nationkey
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+GROUP BY n.n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.select("l_suppkey", "l_orderkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(
+            s.select("s_suppkey", "s_nationkey")
+            .join(
+                F.broadcast(
+                    n.select("n_nationkey", "n_name", "n_regionkey").join(
+                        F.broadcast(r.select("r_regionkey")),
+                        F.col("n_regionkey") == F.col("r_regionkey"),
+                    )
+                ),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+        ), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            c.select("c_custkey", "c_nationkey"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
     "setops_intersect",
     survey_ops=("SET",),
     doc="Intersect over key slices (implicit intersection of dedup checks, "
@@ -975,7 +1084,7 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(value), 4) AS total_value,
-       ROUND(AVG(value), 4) AS avg_value
+       ROUND(AVG(value) + 1e-9, 4) AS avg_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -990,7 +1099,7 @@ def w_tumbling_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.avg("value") + F.lit(1e-9), 4).alias("avg_value"),
         )
     )
 

@@ -66,11 +66,11 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        ROUND(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
-             / length(text), 4) AS space_ratio,
+             / length(text) + 1e-9, 4) AS space_ratio,
        ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-             / length(text), 4) AS alpha_ratio,
+             / length(text) + 1e-9, 4) AS alpha_ratio,
        ROUND(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
-             / len(string_split(text, ' ')), 4) AS mean_token_len,
+             / len(string_split(text, ' ')) + 1e-9, 4) AS mean_token_len,
        (length(text) BETWEEN 50 AND 10000
         AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
             / length(text) > 0.5) AS passes_filter
@@ -88,10 +88,12 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_chars.cast("bigint").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_tokens"),
-        F.round(n_spaces.cast("double") / n_chars, 4).alias("space_ratio"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(n_spaces.cast("double") / n_chars + F.lit(1e-9), 4).alias("space_ratio"),
+        F.round(alpha_ratio + F.lit(1e-9), 4).alias("alpha_ratio"),
         F.round(
-            F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens, 4
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens
+            + F.lit(1e-9),
+            4,
         ).alias("mean_token_len"),
         (n_chars.between(50, 10000) & (alpha_ratio > 0.5)).alias("passes_filter"),
     )

@@ -92,3 +92,22 @@ def test_ivf_probe_broadcasts(spark):
 
 def test_minhash_no_cartesian(spark):
     explain.assert_no_cartesian(_q(spark, "dedup_minhash_lsh_pairs"))
+
+
+def test_q3_topk_and_pushdown(spark):
+    df = _q(spark, "q3_shipping_priority")
+    explain.assert_top_k_plan(df)
+    explain.assert_pushed_filter(df, "c_mktsegment")
+    explain.assert_pushed_filter(df, "l_shipdate")
+
+
+def test_q5_star_join_broadcasts_dims(spark):
+    plan = explain.formatted_plan(_q(spark, "q5_local_supplier_volume"))
+    # supplier⋈nation⋈region collapse into broadcast builds; no dim shuffle
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_agg_two_phase(spark):
+    df = _q(spark, "a_salted_hot_key_agg")
+    explain.assert_partial_aggregation(df)

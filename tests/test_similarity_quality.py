@@ -73,3 +73,18 @@ def test_ivf_registry_entry(spark):
     for r in rows:
         if r["rank"] == 1:
             assert r["id"] == r["qid"] and r["dist"] == 0.0
+
+
+def test_connected_components_hand_graph(spark):
+    from columbiaimagesearch_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+    # components: {0,1,2,3} via chain, {5,6} pair, singletons 4,7,8,9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (0, 1), (5, 6)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
