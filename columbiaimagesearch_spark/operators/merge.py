@@ -1,0 +1,97 @@
+"""MERGE/upsert semantics — the reference's batch put rebuilt declaratively.
+
+The reference's HBase ``batch_put`` upserts dict-of-rows into the images and
+updates tables (``indexer/hbase_indexer_minimal.py:621-680``): an existing
+row key is overwritten, a new key is inserted — exactly SQL MERGE's
+``WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT``. Without a Delta
+runtime the same semantics compose from two primitives:
+
+    merged = target ANTI-JOIN source (on keys)  UNION ALL  source
+
+- anti-join drops every target row the source supersedes (matched → update);
+- the union appends the full source (updates + brand-new keys alike).
+
+At 100 TB this is the classic copy-on-write MERGE: the anti-join broadcasts
+the (small) source batch against the (huge) bucketed target, so only the
+partitions containing matched keys rewrite; the shuffle carries source keys
+only. Idempotent by construction — replaying the same source batch yields
+the same table (the reference needs marker-column timestamps for that,
+ST2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+# Insert keys are offset far past any real orderkey so update and insert
+# populations can't collide.
+INSERT_KEY_OFFSET = 100_000_000
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE source INTO target ON keys: matched rows take the source
+    version, unmatched source rows are inserted. Column sets must match."""
+    kept = target.join(F.broadcast(source.select(*keys)), keys, "left_anti")
+    return kept.unionByName(source)
+
+
+@register(
+    "s6_merge_upsert",
+    survey_ops=("S6", "ST2", "J3"),
+    doc="Batch upsert (hbase_indexer_minimal.py:621-680) as declarative "
+    "MERGE: source = 1-in-7 orders repriced (matched→update) plus 1-in-11 "
+    "cloned under offset keys (not-matched→insert); merged = target "
+    "anti-join source keys ∪ source. Verified via per-status counts, "
+    "distinct-key counts, and price sums — a dropped update, duplicated "
+    "key, or missed insert shifts at least one cell.",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+upd AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000 AS o_totalprice
+  FROM t WHERE o_orderkey % 7 = 0
+),
+ins AS (
+  SELECT o_orderkey + {INSERT_KEY_OFFSET} AS o_orderkey,
+         'N' AS o_orderstatus, 1.0 AS o_totalprice
+  FROM t WHERE o_orderkey % 11 = 0
+),
+src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+merged AS (
+  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       ROUND(SUM(o_totalprice), 4) AS total_price
+FROM merged
+GROUP BY o_orderstatus
+""",
+)
+def s6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = target.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    ins = target.where(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + INSERT_KEY_OFFSET).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    merged = merge_upsert(target, upd.unionByName(ins), ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )

@@ -65,6 +65,7 @@ def all_specs() -> dict[str, QuerySpec]:
         ann_ivf,
         dedup,
         ledger,
+        merge,
         relational,
         similarity,
         skew,
