@@ -71,7 +71,12 @@ def kmeans(
                 # deterministic reseed: farthest point from its center
                 far = d.min(axis=1).argmax()
                 centers[c] = X[far]
-    return centers, assign
+    # final re-assignment against the returned centers (predict-after-fit,
+    # reference model.py fit idiom): when the loop exhausts n_iter without
+    # converging, the last center update would otherwise leave assignments
+    # that aren't argmin of the centers we return. No-op once converged.
+    d = (X**2).sum(1)[:, None] - 2 * X @ centers.T + (centers**2).sum(1)[None, :]
+    return centers, d.argmin(axis=1)
 
 
 def eigenvalue_allocation(eigvals: np.ndarray, n_buckets: int) -> np.ndarray:

@@ -430,6 +430,11 @@ FROM bits GROUP BY doc_id
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shuffle, no row blowup: per-token rows carry one 60-bit hash; the
+    # 60 per-bit majority votes are 60 independent SUM aggregates over bit
+    # extractions of that hash (all JVM-side, codegen'd, partial+final).
+    # The naive form — explode 60 (doc, bit) rows per token and aggregate
+    # twice — shuffles 60x the rows for identical results.
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     h = tok.select(
@@ -438,26 +443,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hv"),
     )
-    bits = (
-        h.select("doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("i"))
-        .select("doc_id", "i", F.expr("(shiftright(hv, i) & 1) * 2 - 1").alias("delta"))
-        .groupBy("doc_id", "i")
-        .agg(
-            F.when(F.sum("delta") > 0, F.lit("1")).otherwise(F.lit("0")).alias("b")
-        )
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"(shiftright(hv, {i}) & 1) * 2 - 1")).alias(f"v{i}")
+            for i in range(60)
+        ]
     )
+    bit = [
+        F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(60)
+    ]
     # assemble MSB-first bit string
-    return (
-        bits.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.reverse(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "b"))),
-                        lambda s: s.getField("b"),
-                    )
-                ),
-            ).alias("simhash_bits")
-        )
+    return votes.select(
+        "doc_id", F.concat(*reversed(bit)).alias("simhash_bits")
     )
