@@ -111,3 +111,18 @@ def test_q5_star_join_broadcasts_dims(spark):
 def test_salted_agg_two_phase(spark):
     df = _q(spark, "a_salted_hot_key_agg")
     explain.assert_partial_aggregation(df)
+
+
+def test_merge_upsert_broadcasts_source_keys(spark):
+    plan = explain.formatted_plan(_q(spark, "s6_merge_upsert"))
+    # MERGE's matched-row elimination must be a broadcast anti-join of the
+    # small source-key set — at 100 TB the bucketed target must not shuffle
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_simhash_single_aggregation(spark):
+    plan = explain.formatted_plan(_q(spark, "dedup_simhash"))
+    # one partial+final agg pair over per-token rows; the (doc, bit) explode
+    # form would show a second Exchange and a 60x Generate blowup
+    assert plan.count("+- Exchange") == 1, plan  # tree section: one shuffle
+    explain.assert_partial_aggregation(_q(spark, "dedup_simhash"))
