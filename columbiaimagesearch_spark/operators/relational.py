@@ -838,6 +838,50 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q18_large_volume_customer",
+    survey_ops=("J1", "A2", "T1", "SET"),
+    doc="TPC-H Q18-shaped query: orders whose total lineitem quantity "
+    "exceeds a HAVING threshold (aggregate-then-semi-join — the aggregate "
+    "runs BEFORE the join so only qualifying keys broadcast), joined back "
+    "to customer/orders, top-20 by quantity. The group-filter-rejoin plan "
+    "every 'find heavy hitters then enrich' pipeline uses.",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey,
+       ROUND(SUM(l.l_quantity), 4) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 250
+)
+GROUP BY c.c_custkey, o.o_orderkey
+ORDER BY total_qty DESC, o.o_orderkey
+LIMIT 20
+""",
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(heavy), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
     "setops_intersect",
     survey_ops=("SET",),
     doc="Intersect over key slices (implicit intersection of dedup checks, "

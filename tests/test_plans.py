@@ -126,3 +126,13 @@ def test_simhash_single_aggregation(spark):
     # form would show a second Exchange and a 60x Generate blowup
     assert plan.count("+- Exchange") == 1, plan  # tree section: one shuffle
     explain.assert_partial_aggregation(_q(spark, "dedup_simhash"))
+
+
+def test_q18_aggregates_before_semi_join(spark):
+    df = _q(spark, "q18_large_volume_customer")
+    plan = explain.formatted_plan(df)
+    # heavy-key set must be aggregated then broadcast as a semi-join build;
+    # the big lineitem side never shuffles for the qualification step
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
+    explain.assert_top_k_plan(df)
+    explain.assert_partial_aggregation(df)
