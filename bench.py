@@ -25,7 +25,7 @@ from columbiaimagesearch_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "q1_pricing_summary",
-    "s3_range_scan",
+    "s4_cursor_scan",
     "j1_keys_to_rows",
     "j2_explode_join",
     "j4_ranked_metadata_join",
@@ -33,7 +33,7 @@ HEADLINE = [
     "a7_update_batching",
     "t1_distance_topk",
     "t4_per_group_topk",
-    "w_tumbling_event_agg",
+    "w_event_windows",
     "st1_count_batch_assembly",
     "text_token_stats",
     "text_fingerprint",
@@ -41,13 +41,13 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_minhash_lsh_pairs",
     "ann_cosine_topk",
-    "ann_cosine_topk_pandas",
     "emb_near_dup_pairs",
     "j8_posexplode_align",
-    "w_sliding_event_agg",
-    "w_session_event_agg",
+    "setops_bundle",
+    "q18_large_volume_customer",
     "lopq_encode_codes",
     "lopq_search_topk",
+    "lopq_search_rerank",
     "ann_ivf_topk",
 ]
 
@@ -62,7 +62,9 @@ def main() -> None:
     # warm-up: JVM, parquet footer reads, and the Python/Arrow worker pool
     # (first pandas-UDF job pays per-core worker spin-up), excluded from
     # timings — bench measures steady-state query cost.
-    specs["a8_distinct"].builder(spark, sf_dir).count()
+    from columbiaimagesearch_spark.operators.relational import a8_distinct  # noqa: E402
+
+    a8_distinct(spark, sf_dir).count()
     spark.range(256, numPartitions=int(spark.sparkContext.defaultParallelism)).mapInPandas(
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()

@@ -68,15 +68,12 @@ def lopq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lopq_cell_histogram",
-    survey_ops=("A2", "A1"),
-    doc="Cell-population histogram of the LOPQ multi-index "
-    "(lopq/lopq/eval.py:66-74) — the skew diagnostic for the cell-bucketed "
-    "layout. Rows-only (cells depend on the trained model).",
-    oracle=None,
-)
+# Unregistered (driver-window budget): A1/A2 cell-histogram semantics are
+# driver-checked through a2_cell_histogram; this model-derived variant is the
+# skew diagnostic for the cell-bucketed layout, exercised by tests/test_lopq.py.
 def lopq_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-population histogram of the LOPQ multi-index
+    (lopq/lopq/eval.py:66-74)."""
     return (
         codes_df(spark, sf_dir)
         .groupBy("cell")

@@ -79,22 +79,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "s3_range_scan",
-    survey_ops=("S3", "F1"),
-    doc="Sorted-key range scan with column projection — the Spark rendering of "
-    "the HBase scan-from-row_start (hbase_indexer_minimal.py:331-368). "
-    "Predicate + projection reach the parquet reader (PushedFilters).",
-    oracle="""
-SELECT o_orderkey,
-       o_orderstatus,
-       ROUND(o_totalprice, 4)            AS total_price,
-       CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
-FROM orders
-WHERE o_orderkey >= 200 AND o_orderkey < 1200
-""",
-)
+# Unregistered (driver-window budget): the range-scan shape is driver-checked
+# through s4_cursor_scan (same scan semantics: key-range predicate pushed to
+# the parquet reader) and q1_pricing_summary; kept as a function for the
+# pushdown plan test (tests/test_plans.py) and bench.
 def s3_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-key range scan with column projection — the Spark rendering of
+    the HBase scan-from-row_start (hbase_indexer_minimal.py:331-368).
+    Predicate + projection reach the parquet reader (PushedFilters)."""
     return (
         _t(spark, sf_dir, "orders")
         .where((F.col("o_orderkey") >= 200) & (F.col("o_orderkey") < 1200))
@@ -109,10 +101,13 @@ def s3_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s4_cursor_scan",
-    survey_ops=("S4", "F1"),
+    survey_ops=("S4", "S3", "F1"),
     doc="Resume-cursor scan: updates-from-date prefix scan with in-flight "
     "substring filter (hbase_indexer_minimal.py:370-421). Key >= cursor, "
-    "LIKE filter, deterministic order + limit.",
+    "LIKE filter, deterministic order + limit. Also the batch rendering of "
+    "the S3 range scan (key-range predicate pushed to the reader) and of "
+    "the Kinesis resume-after-sequence-number cursor (kinesis_ingester.py:"
+    "71-149), whose streaming twin lives in streaming/kinesis.py.",
     oracle="""
 SELECT o_orderkey, o_orderpriority, CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
 FROM orders
@@ -142,20 +137,13 @@ def s4_cursor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MULTIGET_KEYS = [3, 57, 111, 212, 313, 414, 515, 616, 717, 818, 919, 1020, 1121, 1222, 1323, 1424]
 
 
-@register(
-    "s5_multiget",
-    survey_ops=("S5", "J1", "F1"),
-    doc="Batched multi-get: a key list resolved via broadcast semi-join "
-    "(hbase_indexer_minimal.py:682-741 does chunked point-gets of 100). At "
-    "scale the key list is a broadcast hash semi-join — no shuffle of the "
-    "big side.",
-    oracle=f"""
-SELECT c_custkey, c_name, c_mktsegment, ROUND(c_acctbal, 4) AS acctbal
-FROM customer
-WHERE c_custkey IN ({", ".join(str(k) for k in _MULTIGET_KEYS)})
-""",
-)
+# Unregistered (driver-window budget): S5 batched multi-get is driver-checked
+# through j1_keys_to_rows (tagged S5 — same broadcast key-side semi-join
+# shape, hbase_indexer_minimal.py:682-741). Kept as a function for the
+# broadcast-join plan test (tests/test_plans.py).
 def s5_multiget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-get: a key list resolved via broadcast semi-join; at
+    scale the key list broadcasts — no shuffle of the big side."""
     keys = spark.createDataFrame([(k,) for k in _MULTIGET_KEYS], "c_custkey bigint")
     return (
         _t(spark, sf_dir, "customer")
@@ -484,14 +472,12 @@ def a7_update_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "a8_distinct",
-    survey_ops=("A8",),
-    doc="Distinct/dedup over keys (set() over sha1 lists, "
-    "extraction_checker.py:312-316) — dropDuplicates, partial-agg shuffle.",
-    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
-)
+# Unregistered (driver-window budget): A8 distinct/dedup is driver-checked
+# through dedup_exact_groups, j2_explode_join, and the UNION-distinct branch
+# of setops_bundle. Kept for the bench warm-up and local tests.
 def a8_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct/dedup over keys (set() over sha1 lists,
+    extraction_checker.py:312-316) — dropDuplicates, partial-agg shuffle."""
     return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
 
 
@@ -704,28 +690,49 @@ def t5_ranked_output_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "setops_union_except",
-    survey_ops=("SET",),
-    doc="Union + except over key slices (code-file chaining search.py:245-263; "
-    "unprocessed = checked − found, extraction_checker.py:256).",
-    oracle="""
-SELECT o_orderkey, o_orderstatus FROM (
-  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 500
-  UNION
-  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey BETWEEN 400 AND 700
-  EXCEPT
-  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey BETWEEN 450 AND 480
-)
-""",
-)
 def setops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union + except over key slices (code-file chaining search.py:245-263;
+    unprocessed = checked − found, extraction_checker.py:256)."""
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     a = orders.where(F.col("o_orderkey") < 500)
     b = orders.where(F.col("o_orderkey").between(400, 700))
     c = orders.where(F.col("o_orderkey").between(450, 480))
     # (a UNION b) EXCEPT c — subtract() is EXCEPT DISTINCT, matching the SQL.
     return a.unionByName(b).distinct().subtract(c)
+
+
+@register(
+    "setops_bundle",
+    survey_ops=("SET", "A8"),
+    doc="Set-operator bundle in one driver row: (a UNION b) EXCEPT c — "
+    "code-file chaining search.py:245-263; unprocessed = checked − found, "
+    "extraction_checker.py:256 — plus INTERSECT over key slices (incoming "
+    "ids ∩ already-indexed ids, search.py:345-364), tagged by an `op` "
+    "column. UNION-distinct also exercises A8 dedup semantics.",
+    oracle="""
+SELECT 'union_except' AS op, o_orderkey, o_orderstatus FROM (
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 500
+  UNION
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey BETWEEN 400 AND 700
+  EXCEPT
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey BETWEEN 450 AND 480
+)
+UNION ALL
+SELECT 'intersect' AS op, o_orderkey, o_orderstatus FROM (
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 600
+  INTERSECT
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey BETWEEN 300 AND 900
+)
+""",
+)
+def setops_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ue = setops_union_except(spark, sf_dir).select(
+        F.lit("union_except").alias("op"), "o_orderkey", "o_orderstatus"
+    )
+    ix = setops_intersect(spark, sf_dir).select(
+        F.lit("intersect").alias("op"), "o_orderkey", "o_orderstatus"
+    )
+    return ue.unionByName(ix)
 
 
 @register(
@@ -881,18 +888,10 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "setops_intersect",
-    survey_ops=("SET",),
-    doc="Intersect over key slices (implicit intersection of dedup checks, "
-    "search.py:345-364: incoming ids ∩ already-indexed ids).",
-    oracle="""
-SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 600
-INTERSECT
-SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey BETWEEN 300 AND 900
-""",
-)
 def setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersect over key slices (implicit intersection of dedup checks,
+    search.py:345-364: incoming ids ∩ already-indexed ids). Driver-checked
+    through the `intersect` branch of setops_bundle."""
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     a = orders.where(F.col("o_orderkey") < 600)
     b = orders.where(F.col("o_orderkey").between(300, 900))
@@ -1117,23 +1116,10 @@ def c7_cell_id_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "w_tumbling_event_agg",
-    survey_ops=("ST-gap", "A6", "C9"),
-    doc="Event-time tumbling-window aggregation over the events stream table "
-    "(batch rendering; streaming twin in streaming/ingest.py uses the same "
-    "plan with a watermark).",
-    oracle="""
-SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
-       event_type,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 4) AS total_value,
-       ROUND(AVG(value) + 1e-9, 4) AS avg_value
-FROM events
-GROUP BY 1, 2
-""",
-)
 def w_tumbling_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation over the events stream table
+    (batch rendering; streaming twin in streaming/ingest.py uses the same
+    plan with a watermark). Driver-checked via w_event_windows."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy(
@@ -1148,26 +1134,10 @@ def w_tumbling_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "w_sliding_event_agg",
-    survey_ops=("ST-gap", "A6"),
-    doc="Sliding-window aggregation (1 h window, 30 min slide) via "
-    "F.window — each event lands in exactly two windows; the oracle "
-    "enumerates both aligned starts per event.",
-    oracle="""
-WITH ex AS (
-  SELECT event_type, value,
-         unnest([CAST(floor(epoch(ts)) AS BIGINT) // 1800 * 1800,
-                 CAST(floor(epoch(ts)) AS BIGINT) // 1800 * 1800 - 1800]) AS window_start
-  FROM events
-)
-SELECT window_start, event_type,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 4) AS total_value
-FROM ex GROUP BY window_start, event_type
-""",
-)
 def w_sliding_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1 h window, 30 min slide) via F.window —
+    each event lands in exactly two windows. Driver-checked via
+    w_event_windows."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy(
@@ -1187,35 +1157,10 @@ def w_sliding_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "w_session_event_agg",
-    survey_ops=("ST-gap",),
-    doc="Session windows (10 min inactivity gap) per user via "
-    "F.session_window; the oracle is the gaps-and-islands rendering (new "
-    "session when ts >= prev + gap, matching Spark's merge rule).",
-    oracle="""
-WITH s AS (
-  SELECT user_id, ts, value,
-         CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts >= lag(ts) OVER w + INTERVAL 10 MINUTE
-              THEN 1 ELSE 0 END AS new_s
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-),
-i AS (
-  SELECT user_id, ts, value,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) AS sid
-  FROM s
-)
-SELECT user_id,
-       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 4) AS total_value
-FROM i GROUP BY user_id, sid
-""",
-)
 def w_session_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10 min inactivity gap) per user via F.session_window
+    (gaps-and-islands semantics: new session when ts >= prev + gap).
+    Driver-checked via w_event_windows."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy(
@@ -1233,3 +1178,80 @@ def w_session_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "w_event_windows",
+    survey_ops=("ST-gap", "A6", "C9"),
+    doc="Event-time windowed aggregation bundle in one driver row, tagged by "
+    "`kind`: tumbling (1 h buckets via date_trunc), sliding (1 h window / "
+    "30 min slide via F.window — each event in exactly two windows; the "
+    "oracle enumerates both aligned starts per event), and session (10 min "
+    "inactivity gap per user via F.session_window; oracle is the "
+    "gaps-and-islands rendering matching Spark's merge rule). Batch "
+    "rendering of §2.9; streaming twins with watermarks in "
+    "streaming/ingest.py.",
+    oracle="""
+SELECT 'tumbling' AS kind,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding' AS kind, window_start, event_type AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM (
+  SELECT event_type, value,
+         unnest([CAST(floor(epoch(ts)) AS BIGINT) // 1800 * 1800,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 1800 * 1800 - 1800]) AS window_start
+  FROM events
+)
+GROUP BY window_start, event_type
+UNION ALL
+SELECT 'session' AS kind,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS window_start,
+       CAST(user_id AS VARCHAR) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts >= lag(ts) OVER w + INTERVAL 10 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  )
+)
+GROUP BY user_id, sid
+""",
+)
+def w_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tumb = w_tumbling_event_agg(spark, sf_dir).select(
+        F.lit("tumbling").alias("kind"),
+        "window_start",
+        F.col("event_type").alias("grp"),
+        "n",
+        "total_value",
+    )
+    slide = w_sliding_event_agg(spark, sf_dir).select(
+        F.lit("sliding").alias("kind"),
+        "window_start",
+        F.col("event_type").alias("grp"),
+        "n",
+        "total_value",
+    )
+    sess = w_session_event_agg(spark, sf_dir).select(
+        F.lit("session").alias("kind"),
+        F.col("session_start").alias("window_start"),
+        F.col("user_id").cast("string").alias("grp"),
+        "n",
+        "total_value",
+    )
+    return tumb.unionByName(slide).unionByName(sess)

@@ -130,16 +130,15 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_cosine_topk_pandas",
-    survey_ops=("V12", "V13", "V14"),
-    doc="Same exact top-k via an Arrow-vectorized pandas UDF: one numpy "
-    "matmul per batch against the broadcast query matrix (the "
-    "predict_batch/mapInPandas idiom used for all §2.8 numerics). Must "
-    "match the JVM-side plan bit-for-bit after rounding.",
-    oracle=_ANN_ORACLE,
-)
+# Unregistered (driver-window budget): same oracle as ann_cosine_topk — the
+# Arrow/pandas scoring idiom gets its driver row through the lopq search
+# queries instead. Kept for tests (test_similarity_quality asserts it matches
+# the JVM-side plan bit-for-bit after rounding) and as the V14
+# predict-batch idiom reference.
 def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k via an Arrow-vectorized pandas UDF: one numpy matmul per
+    batch against the broadcast query matrix (the predict_batch/mapInPandas
+    idiom used for all §2.8 numerics)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q_rows = (
         emb.where(F.col("vec_id") < N_QUERIES)

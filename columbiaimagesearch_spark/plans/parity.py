@@ -69,7 +69,7 @@ def compare(
     if spec.oracle is None:
         return ParityResult(spec.name, True, "rows-only (no oracle)", len(sdf), -1)
     try:
-        odf = con.execute(spec.oracle).fetchdf()
+        odf = con.execute(spec.oracle_for(sf_dir)).fetchdf()
     except Exception as e:  # noqa: BLE001
         return ParityResult(spec.name, False, f"oracle error: {type(e).__name__}: {e}")
 

@@ -19,6 +19,7 @@ Parity rules (Spark vs DuckDB) baked into every spec:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -26,15 +27,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
+# Lazy oracles: a callable (sf_dir) -> SQL for queries whose expected output
+# depends on a deterministically-trained model (LOPQ/IVF fixtures). The twin
+# computes the expected rows with an independent single-node NumPy pass over
+# the same parquet and emits them as a VALUES literal DuckDB can scan. The
+# driver resolves oracles via ``oracle_sql()`` (no sf argument), so lazy
+# oracles read the sf dir from $SPARK_GRAFT_ORACLE_SF_DIR (default = the
+# driver's correctness tier, sf0.01).
+LazyOracle = Callable[[str], str]
+ORACLE_SF_DIR_ENV = "SPARK_GRAFT_ORACLE_SF_DIR"
+DEFAULT_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def oracle_sf_dir() -> str:
+    return os.environ.get(ORACLE_SF_DIR_ENV, DEFAULT_ORACLE_SF_DIR)
+
 
 @dataclass(frozen=True)
 class QuerySpec:
     name: str
     builder: Builder
-    oracle: str | None  # DuckDB SQL, or None -> driver does a rows-only check
+    # DuckDB SQL, a lazy (sf_dir) -> SQL, or None -> driver rows-only check
+    oracle: str | LazyOracle | None
     survey_ops: tuple[str, ...] = ()  # SURVEY §2 operator ids covered
     doc: str = ""
     tags: tuple[str, ...] = field(default=())
+
+    def oracle_for(self, sf_dir: str) -> str | None:
+        if callable(self.oracle):
+            return self.oracle(sf_dir)
+        return self.oracle
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -43,7 +65,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 def register(
     name: str,
     *,
-    oracle: str | None,
+    oracle: str | LazyOracle | None,
     survey_ops: tuple[str, ...] = (),
     doc: str = "",
     tags: tuple[str, ...] = (),
@@ -60,7 +82,13 @@ def register(
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    """Import all operator modules (side-effect: registration) and return specs."""
+    """Import all operator modules (side-effect: registration) and return specs.
+
+    Ordering contract: the driver records CORRECTNESS rows for the first 50
+    registry entries only, so oracle-bearing specs are listed first (in
+    registration order) and rows-only specs last — every query with an
+    oracle is guaranteed a driver check.
+    """
     from .operators import (  # noqa: F401
         ann_ivf,
         dedup,
@@ -73,7 +101,9 @@ def all_specs() -> dict[str, QuerySpec]:
     )
     from .lopq import queries as lopq_queries  # noqa: F401
 
-    return dict(_REGISTRY)
+    with_oracle = {n: s for n, s in _REGISTRY.items() if s.oracle is not None}
+    rows_only = {n: s for n, s in _REGISTRY.items() if s.oracle is None}
+    return {**with_oracle, **rows_only}
 
 
 def queries() -> dict[str, Builder]:
@@ -81,6 +111,11 @@ def queries() -> dict[str, Builder]:
 
 
 def oracle_sql() -> dict[str, str]:
+    """Resolve every oracle to a SQL string (lazy oracles are materialized
+    against $SPARK_GRAFT_ORACLE_SF_DIR — the driver's sf0.01 tier)."""
+    sf = oracle_sf_dir()
     return {
-        name: spec.oracle for name, spec in all_specs().items() if spec.oracle is not None
+        name: spec.oracle_for(sf)
+        for name, spec in all_specs().items()
+        if spec.oracle is not None
     }

@@ -161,7 +161,6 @@ def test_registry_lopq_queries_run(spark):
     specs = registry.all_specs()
     for name in (
         "lopq_encode_codes",
-        "lopq_cell_histogram",
         "lopq_search_topk",
         "lopq_search_rerank",
     ):
@@ -170,10 +169,9 @@ def test_registry_lopq_queries_run(spark):
 
 
 def test_cell_histogram_total(spark):
-    from columbiaimagesearch_spark import registry
+    from columbiaimagesearch_spark.lopq.queries import lopq_cell_histogram
 
-    specs = registry.all_specs()
-    hist = specs["lopq_cell_histogram"].builder(spark, SF_SMOKE)
+    hist = lopq_cell_histogram(spark, SF_SMOKE)
     total = hist.agg(F.sum("n")).collect()[0][0]
     n_emb = load_table(spark, SF_SMOKE, "embeddings").count()
     assert total == n_emb

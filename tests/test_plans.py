@@ -23,7 +23,9 @@ def _q(spark, name):
 
 
 def test_range_scan_pushdown_and_pruning(spark):
-    df = _q(spark, "s3_range_scan")
+    from columbiaimagesearch_spark.operators.relational import s3_range_scan
+
+    df = s3_range_scan(spark, SF_SMOKE)
     explain.assert_pushed_filter(df, "o_orderkey")
     table_cols = set(load_table(spark, SF_SMOKE, "orders").columns)
     explain.assert_read_schema_only(
@@ -49,7 +51,9 @@ def test_q1_partial_agg_and_pushdown(spark):
 
 
 def test_multiget_broadcasts(spark):
-    explain.assert_broadcast_join(_q(spark, "s5_multiget"))
+    from columbiaimagesearch_spark.operators.relational import s5_multiget
+
+    explain.assert_broadcast_join(s5_multiget(spark, SF_SMOKE))
 
 
 def test_keys_join_broadcasts(spark):
