@@ -16,15 +16,18 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
+from . import twin
 from .encode import encode_dataframe
 from .model import LOPQModel
 from .search import search
 
-FIXTURE_PARAMS = {"V": 8, "M": 8, "K": 32, "seed": 42}
-N_QUERIES = 8
-QUOTA = 300
-TOP_K = 10
-RERANK_NB = 100
+# fixture constants shared with the NumPy oracle twin (lopq/twin.py) so the
+# Spark builders and their VALUES oracles can never drift apart
+FIXTURE_PARAMS = twin.FIXTURE_PARAMS
+N_QUERIES = twin.N_QUERIES
+QUOTA = twin.QUOTA
+TOP_K = twin.TOP_K
+RERANK_NB = twin.RERANK_NB
 
 _MODEL_CACHE: dict[str, LOPQModel] = {}
 
@@ -40,7 +43,7 @@ def fixture_model(spark: SparkSession, sf_dir: str) -> LOPQModel:
             load_table(spark, sf_dir, "embeddings")
             .select("vec_id", "embedding")
             .orderBy("vec_id")
-            .limit(20000)
+            .limit(twin.SAMPLE_LIMIT)
             .collect()
         )
         X = np.array([r["embedding"] for r in rows], dtype=np.float64)
@@ -58,9 +61,10 @@ def codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ops=("V4", "V8", "V9"),
     doc="LOPQ encode: embeddings -> (id, c1, c2, cell, fine) codes table via "
     "one mapInPandas pass with broadcast model (replaces the reference's "
-    "compute_codes_parallel process pool, utils.py:134-218). Rows-only "
-    "driver check; numeric parity in tests/test_lopq.py.",
-    oracle=None,
+    "compute_codes_parallel process pool, utils.py:134-218). Oracle: "
+    "single-node NumPy twin (lopq/twin.py) as a VALUES literal; numeric "
+    "parity also in tests/test_lopq.py.",
+    oracle=twin.lopq_encode_codes_sql,
 )
 def lopq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes_df(spark, sf_dir).select(
@@ -86,9 +90,10 @@ def lopq_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ops=("T2", "T3", "J6", "V10", "T1"),
     doc=f"LOPQ ANN search: multisequence cell traversal to quota={QUOTA}, "
     "broadcast semi-join probe of the codes table, ADC LUT distances "
-    f"(pandas pass), top-{TOP_K} per query. Rows-only; recall floor vs "
-    "brute force asserted in tests/test_lopq.py.",
-    oracle=None,
+    f"(vectorized gather pandas pass), top-{TOP_K} per query. Oracle: "
+    "NumPy twin (lopq/twin.py) — bitwise-identical adc_dist via the shared "
+    "adc_batch_dists kernel; recall floor vs brute force in tests/test_lopq.py.",
+    oracle=twin.lopq_search_topk_sql,
 )
 def lopq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = fixture_model(spark, sf_dir)
@@ -107,8 +112,9 @@ def lopq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recall@{1,5,10} of the LOPQ searcher vs the exact brute-force ground "
     "truth (eval.py:7-38), computed as Spark joins/aggregations: truth = "
     "distributed exact top-k; hits = per-threshold (qid,id) join; recall = "
-    "hits/(n_queries*k). Rows-only (depends on trained fixture model).",
-    oracle=None,
+    "hits/(n_queries*k). Oracle: NumPy twin (lopq/twin.py) — integer hit "
+    "counts + raw IEEE division, exact under the driver hash.",
+    oracle=twin.a5_recall_stats_sql,
 )
 def a5_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -165,7 +171,9 @@ def a5_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(k).alias("k"),
                 F.lit(len(queries)).alias("n_queries"),
                 "hits",
-                F.round(F.col("hits") / (len(queries) * k), 4).alias("recall"),
+                # raw IEEE division (no round): bitwise-reproducible by the
+                # NumPy oracle twin, so the driver hash can check it exactly
+                (F.col("hits") / F.lit(float(len(queries) * k))).alias("recall"),
             )
         )
         out = hits if out is None else out.unionByName(hits)
@@ -179,9 +187,10 @@ def a5_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "for the first vector half against the fixture coarse codebook — the "
     "aggregation that feeds local-rotation training (reference "
     "model.py:109-157) at full-corpus scale: per-partition Arrow partials, "
-    "per-cluster merge, V-row collect. Rows-only (depends on trained "
-    "centroids); numeric parity in tests/test_train_spark.py.",
-    oracle=None,
+    "per-cluster merge, V-row collect. Oracle: NumPy twin (lopq/twin.py); "
+    "both sides round to 4 decimals (partition-order float sums); numeric "
+    "parity also in tests/test_train_spark.py.",
+    oracle=twin.a3_residual_moments_sql,
 )
 def a3_residual_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .train_spark import cluster_moments
@@ -212,9 +221,10 @@ def a3_residual_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ops=("J5", "V13", "T4", "V10"),
     doc=f"LOPQ search + exact rerank: top-{RERANK_NB} ADC candidates per "
     "query re-ranked by exact squared L2 against the vector table "
-    "(searcher_lopqhbase.py:862-912 rerank path). Rows-only; exactness "
-    "asserted in tests/test_lopq.py.",
-    oracle=None,
+    "(searcher_lopqhbase.py:862-912 rerank path). Oracle: NumPy twin "
+    "(lopq/twin.py) — elementwise exact_dist is batch-shape independent, "
+    "so raw doubles hash-match; exactness also in tests/test_lopq.py.",
+    oracle=twin.lopq_search_rerank_sql,
 )
 def lopq_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = fixture_model(spark, sf_dir)

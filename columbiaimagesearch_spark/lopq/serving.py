@@ -20,14 +20,14 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 
-from .model import LOPQModel
-from .search import multisequence_cells
+from .model import LOPQModel, LOPQModelPCA
+from .search import adc_batch_dists, multisequence_cells
 
 
 class ServingSearcher:
     """In-memory cell-bucketed ANN searcher over a LOPQ codes table."""
 
-    def __init__(self, model: LOPQModel) -> None:
+    def __init__(self, model: LOPQModel | LOPQModelPCA) -> None:
         self.model = model
         self._cells: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -75,14 +75,18 @@ class ServingSearcher:
         self, q: np.ndarray, quota: int = 1000, k: int = 10
     ) -> list[tuple[int, float]]:
         """[(id, adc_dist)] of the top-k — identical ordering to the
-        distributed ``search.search`` (ADC dist asc, id asc tiebreak)."""
+        distributed ``search.search`` (ADC dist asc, id asc tiebreak).
+        A :class:`LOPQModelPCA` projects the original-space query here,
+        mirroring the distributed path."""
         q = np.asarray(q, dtype=np.float64)
         model = self.model
+        if isinstance(model, LOPQModelPCA):
+            q = model.project_queries(q)[0]
+            model = model.lopq
         counts = {c: len(ids) for c, (ids, _) in self._cells.items()}
         d1, d2 = model.coarse_distances(q)
         all_ids: list[np.ndarray] = []
         all_dists: list[np.ndarray] = []
-        m_idx = np.arange(model.M)
         for cell in multisequence_cells(d1, d2, counts, quota):
             entry = self._cells.get(cell)
             if entry is None:
@@ -90,7 +94,7 @@ class ServingSearcher:
             ids, fines = entry
             lut = model.adc_lut(q, cell)
             all_ids.append(ids)
-            all_dists.append(lut[m_idx, fines].sum(axis=1))
+            all_dists.append(adc_batch_dists(lut, fines))
         if not all_ids:
             return []
         ids = np.concatenate(all_ids)

@@ -1,0 +1,299 @@
+"""Single-node NumPy oracle twin for the model-dependent registry queries.
+
+The LOPQ/IVF queries are not SQL-expressible (their expected output depends
+on a deterministically-trained model), so their DuckDB oracles cannot be
+static SQL over the base tables. Instead, this module recomputes each
+query's expected rows with an independent single-node pass — pyarrow
+parquet read + the same pure-NumPy kernels the distributed path broadcasts
+(``model.py`` / ``search.py``) — and emits them as a ``VALUES`` literal for
+DuckDB. The driver then hash-compares the distributed Spark result against
+the single-node twin: what is being verified is the distributed plumbing
+(mapInPandas batching, broadcast probe joins, window ranking, partial
+aggregation), exactly the "driver fit ≡ distributed fit" parity the local
+tests assert, made driver-visible (VERDICT r1 next-step #9).
+
+Float discipline (why the hash can match exactly): every float emitted here
+is computed by a kernel whose result is bitwise identical regardless of
+Arrow batch slicing — elementwise ops, ``np.einsum`` residual projection,
+and the shared ``adc_batch_dists`` gather (verified batch-shape-independent;
+BLAS ``@`` matmul is NOT, so matmul only feeds integer ``argmin`` codes
+where a ~1e-14 ulp wobble cannot flip well-separated assignments). Sums
+whose accumulation order is partition-dependent (a3 moments) are rounded to
+4 decimals on both sides before comparison.
+
+Oracles resolve lazily: ``registry.QuerySpec.oracle`` holds the
+``(sf_dir) -> SQL`` callables defined here; the driver materializes them via
+``oracle_sql()`` against $SPARK_GRAFT_ORACLE_SF_DIR (its sf0.01 tier).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from .model import LOPQModel
+from .search import adc_batch_dists, multisequence_cells
+
+# Fixture constants — single source of truth, imported by lopq/queries.py
+# and operators/ann_ivf.py so the Spark builders and this twin can never
+# drift apart.
+FIXTURE_PARAMS = {"V": 8, "M": 8, "K": 32, "seed": 42}
+N_QUERIES = 8
+QUOTA = 300
+TOP_K = 10
+RERANK_NB = 100
+SAMPLE_LIMIT = 20000
+IVF_CELLS = 16
+IVF_PROBE = 6
+
+_STATE: dict[str, dict[str, Any]] = {}
+
+
+def _state(sf_dir: str) -> dict[str, Any]:
+    """Per-sf-dir cache: corpus, fixture model, codes, IVF centroids."""
+    if sf_dir not in _STATE:
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, X = ids[order], X[order]
+        # fixture model: same bounded ordered sample as queries.fixture_model
+        model = LOPQModel.fit(X[:SAMPLE_LIMIT], **FIXTURE_PARAMS)
+        coarse, fine = model.encode(X)
+        cells = model.cell_id(coarse)
+        _STATE[sf_dir] = {
+            "ids": ids,
+            "X": X,
+            "model": model,
+            "coarse": coarse,
+            "fine": fine,
+            "cells": cells,
+        }
+    return _STATE[sf_dir]
+
+
+def _values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
+    """Render rows as `SELECT * FROM (VALUES ...) t(...)` with every value
+    explicitly CAST so DuckDB's column types match the Spark schema."""
+
+    def lit(v: Any, typ: str) -> str:
+        if typ == "VARCHAR":
+            escaped = str(v).replace("'", "''")
+            return f"CAST('{escaped}' AS VARCHAR)"
+        if typ == "DOUBLE":
+            # quote the literal: DuckDB parses a bare numeric literal as
+            # DECIMAL first (which drops the last ulp of a 17-digit value);
+            # the string -> DOUBLE cast is a correctly-rounded strtod, so
+            # repr()'s shortest round-trip decimal comes back bitwise equal
+            return f"CAST('{v!r}' AS DOUBLE)"
+        return f"CAST({v!r} AS {typ})"
+
+    body = ",\n".join(
+        "(" + ", ".join(lit(v, t) for v, (_, t) in zip(row, cols)) + ")"
+        for row in rows
+    )
+    names = ", ".join(name for name, _ in cols)
+    return f"SELECT * FROM (VALUES\n{body}\n) AS t({names})"
+
+
+def _queries_of(st: dict[str, Any]) -> tuple[np.ndarray, np.ndarray]:
+    qmask = st["ids"] < N_QUERIES
+    return st["ids"][qmask], st["X"][qmask]
+
+
+def _search_rows(
+    st: dict[str, Any], rerank_nb: int = 0
+) -> list[tuple]:
+    """Twin of search.search over the fixture codes: multisequence probe,
+    shared ADC gather kernel, (dist, id) lexsort top-k; optional exact
+    rerank. Bitwise-identical values to the distributed pass."""
+    model: LOPQModel = st["model"]
+    ids, X, cells, fine = st["ids"], st["X"], st["cells"], st["fine"]
+    counts: dict[int, int] = {
+        int(c): int(n) for c, n in zip(*np.unique(cells, return_counts=True))
+    }
+    qids, Q = _queries_of(st)
+    out: list[tuple] = []
+    for qid, q in zip(qids, Q):
+        d1, d2 = model.coarse_distances(q)
+        c_ids: list[np.ndarray] = []
+        c_dists: list[np.ndarray] = []
+        for cell in multisequence_cells(d1, d2, counts, QUOTA):
+            if not counts.get(cell, 0):
+                continue
+            mask = cells == cell
+            lut = model.adc_lut(q, cell)
+            c_ids.append(ids[mask])
+            c_dists.append(adc_batch_dists(lut, fine[mask]))
+        cand_ids = np.concatenate(c_ids)
+        cand_dists = np.concatenate(c_dists)
+        if rerank_nb:
+            keep = np.lexsort((cand_ids, cand_dists))[:rerank_nb]
+            short_ids, short_adc = cand_ids[keep], cand_dists[keep]
+            pos = np.searchsorted(ids, short_ids)
+            exact = ((X[pos] - q) ** 2).sum(axis=1)
+            top = np.lexsort((short_ids, exact))[:TOP_K]
+            out.extend(
+                (int(qid), r + 1, int(short_ids[i]), float(short_adc[i]), float(exact[i]))
+                for r, i in enumerate(top)
+            )
+        else:
+            top = np.lexsort((cand_ids, cand_dists))[:TOP_K]
+            out.extend(
+                (int(qid), r + 1, int(cand_ids[i]), float(cand_dists[i]))
+                for r, i in enumerate(top)
+            )
+    return out
+
+
+# -- per-query oracle generators (sf_dir -> SQL) ----------------------------
+
+
+def lopq_encode_codes_sql(sf_dir: str) -> str:
+    st = _state(sf_dir)
+    rows = [
+        (
+            int(i),
+            int(c[0]),
+            int(c[1]),
+            int(cell),
+            ",".join(str(int(x)) for x in f),
+        )
+        for i, c, cell, f in zip(st["ids"], st["coarse"], st["cells"], st["fine"])
+    ]
+    return _values_sql(
+        rows,
+        [
+            ("id", "BIGINT"),
+            ("c1", "INTEGER"),
+            ("c2", "INTEGER"),
+            ("cell", "INTEGER"),
+            ("fine_csv", "VARCHAR"),
+        ],
+    )
+
+
+def lopq_search_topk_sql(sf_dir: str) -> str:
+    rows = _search_rows(_state(sf_dir))
+    return _values_sql(
+        rows,
+        [
+            ("qid", "BIGINT"),
+            ("rank", "INTEGER"),
+            ("id", "BIGINT"),
+            ("adc_dist", "DOUBLE"),
+        ],
+    )
+
+
+def lopq_search_rerank_sql(sf_dir: str) -> str:
+    rows = _search_rows(_state(sf_dir), rerank_nb=RERANK_NB)
+    return _values_sql(
+        rows,
+        [
+            ("qid", "BIGINT"),
+            ("rank", "INTEGER"),
+            ("id", "BIGINT"),
+            ("adc_dist", "DOUBLE"),
+            ("exact_dist", "DOUBLE"),
+        ],
+    )
+
+
+def a5_recall_stats_sql(sf_dir: str) -> str:
+    st = _state(sf_dir)
+    ids, X = st["ids"], st["X"]
+    qids, Q = _queries_of(st)
+    approx = {}  # qid -> ranked id list
+    for qid, rank, vid, _ in _search_rows(st):
+        approx.setdefault(qid, []).append(vid)
+    truth = {}
+    for qid, q in zip(qids, Q):
+        d = ((X - q) ** 2).sum(axis=1)
+        top = np.lexsort((ids, d))[:TOP_K]
+        truth[int(qid)] = [int(ids[i]) for i in top]
+    rows = []
+    nq = len(qids)
+    for k in (1, 5, TOP_K):
+        hits = sum(
+            len(set(approx[q][:k]) & set(truth[q][:k])) for q in truth
+        )
+        rows.append((k, nq, hits, hits / float(nq * k)))
+    return _values_sql(
+        rows,
+        [
+            ("k", "INTEGER"),
+            ("n_queries", "INTEGER"),
+            ("hits", "BIGINT"),
+            ("recall", "DOUBLE"),
+        ],
+    )
+
+
+def a3_residual_moments_sql(sf_dir: str) -> str:
+    st = _state(sf_dir)
+    model: LOPQModel = st["model"]
+    X = st["X"][:, : model.half]
+    C = model.Cs[0]
+    d = (X**2).sum(1)[:, None] - 2 * X @ C.T + (C**2).sum(1)[None, :]
+    assign = d.argmin(axis=1)
+    rows = []
+    for c in range(model.V):
+        mask = assign == c
+        if not mask.any():
+            continue
+        resid = X[mask] - C[c]
+        s = resid.sum(axis=0)
+        op = resid.T @ resid
+        rows.append(
+            (
+                int(c),
+                int(mask.sum()),
+                round(float(np.linalg.norm(s)), 4),
+                round(float(np.trace(op)), 4),
+            )
+        )
+    return _values_sql(
+        rows,
+        [
+            ("cluster", "INTEGER"),
+            ("n", "BIGINT"),
+            ("resid_sum_norm", "DOUBLE"),
+            ("cov_trace", "DOUBLE"),
+        ],
+    )
+
+
+def ann_ivf_topk_sql(sf_dir: str) -> str:
+    from .model import kmeans  # IVF coarse codebook shares the kmeans kernel
+
+    st = _state(sf_dir)
+    ids, X = st["ids"], st["X"]
+    centroids, _ = kmeans(X[:SAMPLE_LIMIT], IVF_CELLS, seed=42)
+    d = (X**2).sum(1)[:, None] - 2 * X @ centroids.T + (centroids**2).sum(1)[None, :]
+    cells = d.argmin(axis=1)
+    qids, Q = _queries_of(st)
+    rows = []
+    for qid, q in zip(qids, Q):
+        dq = ((centroids - q) ** 2).sum(axis=1)
+        probe = np.argsort(dq, kind="stable")[:IVF_PROBE]
+        mask = np.isin(cells, probe)
+        cand_ids = ids[mask]
+        dist = ((X[mask] - q) ** 2).sum(axis=1)
+        top = np.lexsort((cand_ids, dist))[:TOP_K]
+        rows.extend(
+            (int(qid), r + 1, int(cand_ids[i]), float(dist[i]))
+            for r, i in enumerate(top)
+        )
+    return _values_sql(
+        rows,
+        [
+            ("qid", "BIGINT"),
+            ("rank", "INTEGER"),
+            ("id", "BIGINT"),
+            ("dist", "DOUBLE"),
+        ],
+    )

@@ -25,14 +25,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..lopq import twin
 from ..lopq.model import kmeans
 from ..registry import register
 from ..sources import load_table
 
-N_CELLS = 16
-N_PROBE = 6  # probes 6/16 cells; recall@10 ~0.74 on the weakly-clustered fixture
-TOP_K = 10
-N_QUERIES = 8
+# shared with the NumPy oracle twin (lopq/twin.py)
+N_CELLS = twin.IVF_CELLS
+N_PROBE = twin.IVF_PROBE  # probes 6/16 cells; recall@10 ~0.74 on the weakly-clustered fixture
+TOP_K = twin.TOP_K
+N_QUERIES = twin.N_QUERIES
 
 _CENTROID_CACHE: dict[tuple[str, int], np.ndarray] = {}
 
@@ -125,7 +127,9 @@ def ivf_search(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("qid", "rank", "id", F.round("dist", 4).alias("dist"))
+        # raw elementwise-computed distance (no round): bitwise-reproducible
+        # by the NumPy oracle twin -> exact driver hash check
+        .select("qid", "rank", "id", "dist")
     )
 
 
@@ -134,9 +138,10 @@ def ivf_search(
     survey_ops=("V8", "J6", "T1", "V12"),
     doc=f"IVF ANN: {N_CELLS}-cell inverted file (driver-sample k-means, "
     f"mapInPandas assign), probe {N_PROBE} nearest cells per query, exact "
-    "rank within. Rows-only driver check; recall floor vs brute force in "
+    "rank within. Oracle: NumPy twin (lopq/twin.py) — elementwise exact "
+    "distances hash exactly; recall floor vs brute force in "
     "tests/test_similarity_quality.py.",
-    oracle=None,
+    oracle=twin.ann_ivf_topk_sql,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = train_centroids(spark, sf_dir)

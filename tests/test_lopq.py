@@ -175,3 +175,62 @@ def test_cell_histogram_total(spark):
     total = hist.agg(F.sum("n")).collect()[0][0]
     n_emb = load_table(spark, SF_SMOKE, "embeddings").count()
     assert total == n_emb
+
+
+def test_pca_model_search_end_to_end(spark, emb_np):
+    """LOPQModelPCA: one model object handed to search()/ServingSearcher with
+    ORIGINAL-space queries (reference search.py:198-200 — the searcher
+    projects when the model is PCA-composed). Full-quota + full-rerank must
+    equal brute force in the projected space; serving must equal the
+    distributed ADC tier query-for-query."""
+    from columbiaimagesearch_spark.lopq.model import LOPQModelPCA
+    from columbiaimagesearch_spark.lopq.serving import ServingSearcher
+    from columbiaimagesearch_spark.lopq.train_spark import pca_project
+
+    ids, X = emb_np
+    n, out_dim = len(ids), X.shape[1] // 2
+    # driver-side PCA fit (bounded-sample architecture, same math as
+    # train_spark.fit_pca_spark: centered covariance -> eigh -> descending
+    # order -> deterministic sign)
+    mu = X.mean(axis=0)
+    c = X - mu
+    cov = c.T @ c / max(n - 1, 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(-eigvals)[:out_dim]
+    P = eigvecs[:, order]
+    flip = np.sign(P[np.abs(P).argmax(axis=0), np.arange(P.shape[1])])
+    flip[flip == 0] = 1.0
+    P = P * flip
+
+    lopq = LOPQModel.fit(
+        LOPQModelPCA(lopq=None, P=P, mu=mu).project_queries(X), V=4, M=8, K=16, seed=42
+    )
+    pca_model = LOPQModelPCA(lopq=lopq, P=P, mu=mu)
+
+    vec_df = load_table(spark, SF_SMOKE, "embeddings").selectExpr(
+        "vec_id as id", "cast(embedding as array<double>) as v"
+    )
+    proj = pca_project(vec_df, P, mu).persist()
+    codes = encode_dataframe(spark, proj, lopq, id_col="id", vec_col="v").persist()
+
+    queries = [(int(ids[i]), X[i]) for i in range(4)]  # ORIGINAL space
+    res = search(
+        spark, codes, pca_model, queries,
+        quota=n, k=10, vectors=proj, id_col="id", vec_col="v", rerank_nb=n,
+    )
+    retrieved: dict[int, list[int]] = {}
+    for r in res.orderBy("qid", "rank").collect():
+        retrieved.setdefault(r["qid"], []).append(r["id"])
+    Yq = pca_model.project_queries(X[:4])
+    Y = pca_model.project_queries(X)
+    truth = {int(ids[i]): t for i, t in enumerate(brute_force_topk(Yq, Y, ids, 10))}
+    assert retrieved == truth
+
+    # serving tier: ADC-only answers equal the distributed ADC tier
+    adc = search(spark, codes, pca_model, queries, quota=n, k=10)
+    adc_ids: dict[int, list[int]] = {}
+    for r in adc.orderBy("qid", "rank").collect():
+        adc_ids.setdefault(r["qid"], []).append(r["id"])
+    srv = ServingSearcher(pca_model).load_codes(codes)
+    for qid, q in queries:
+        assert [i for i, _ in srv.search(q, quota=n, k=10)] == adc_ids[qid]
