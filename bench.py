@@ -6,12 +6,16 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is materialized through the noop sink so the full plan executes
 (project pruning can't skip work), measured after a session warm-up query.
+Machine timing noise here is ±30%+ per single run, so each query runs
+$SPARK_GRAFT_BENCH_N times (default 3) and the reported per-query number is
+the MEDIAN; "value" is the sum of medians and "runs" keeps the raw samples.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -76,13 +80,18 @@ def main() -> None:
     fixture_model(spark, sf_dir)
     train_centroids(spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        start = time.perf_counter()
-        df = specs[name].builder(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    n = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # round-robin the repeats (A B C A B C ...) so a transient machine-load
+    # spike inflates one sample of many queries, not all samples of one
+    for _ in range(n):
+        for name in HEADLINE:
+            start = time.perf_counter()
+            df = specs[name].builder(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            runs[name].append(round(time.perf_counter() - start, 3))
 
+    timings = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -92,6 +101,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "n": n,
+                "runs": runs,
             }
         )
     )

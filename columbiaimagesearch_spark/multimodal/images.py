@@ -158,6 +158,58 @@ def toy_face_featurizer(data: bytes, bbox: tuple[int, int, int, int]) -> np.ndar
 
 
 # ---------------------------------------------------------------------------
+# V14-V16 model seam: per-executor singleton construction
+# ---------------------------------------------------------------------------
+
+
+class ToyExtractionModel:
+    """Default deterministic model honoring the reference featurizer
+    contracts (V14 full-image: fixed-dim L2-normed float32,
+    sbpycaffe_img_featurizer.py:91-154; V15/V16 dlib detect+featurize,
+    dlib_detector.py:22-35 / dlib_featurizer.py:86-105). A real backbone
+    drops in by implementing the same three methods and passing its factory
+    to :func:`run_extraction` — construction cost is paid once per executor
+    worker (see ``_executor_model``)."""
+
+    def __init__(self) -> None:
+        import os
+        import uuid
+
+        # observable singleton identity for the single-init-per-worker test
+        self.instance_id = uuid.uuid4().hex
+        self.worker_pid = os.getpid()
+
+    def featurize_full(self, data: bytes) -> np.ndarray:
+        return toy_full_image_featurizer(data)
+
+    def detect(self, data: bytes) -> list[tuple[int, int, int, int, float]]:
+        return toy_face_detector(data)
+
+    def featurize_face(
+        self, data: bytes, bbox: tuple[int, int, int, int]
+    ) -> np.ndarray:
+        return toy_face_featurizer(data, bbox)
+
+
+# Worker-process-level model cache. mapInPandas generators run inside
+# long-lived Python workers (spark.python.worker.reuse=true by default), so
+# a module-level dict keyed by the factory's qualified name gives the
+# reference's construct-once-per-process behavior (the caffe net / dlib
+# model load that sbpycaffe_img_featurizer.py pays in __init__) without
+# re-initializing per task or per batch.
+_MODEL_SINGLETONS: dict[str, object] = {}
+
+
+def _executor_model(factory) -> object:
+    key = f"{getattr(factory, '__module__', '?')}.{getattr(factory, '__qualname__', repr(factory))}"
+    model = _MODEL_SINGLETONS.get(key)
+    if model is None:
+        model = factory()
+        _MODEL_SINGLETONS[key] = model
+    return model
+
+
+# ---------------------------------------------------------------------------
 # V17 — extraction composition as one mapInPandas stage
 # ---------------------------------------------------------------------------
 
@@ -167,6 +219,8 @@ FEATURES_SCHEMA = (
     "feature array<float>, processed tinyint, failed tinyint"
 )
 
+PROVENANCE_SCHEMA = FEATURES_SCHEMA + ", worker_pid bigint, model_id string"
+
 
 def run_extraction(
     images: DataFrame,
@@ -174,6 +228,8 @@ def run_extraction(
     sha1_col: str = "sha1",
     mode: str = "full_image",
     fail_on: frozenset[str] = frozenset(),
+    model_factory=ToyExtractionModel,
+    with_provenance: bool = False,
 ) -> DataFrame:
     """images(+bytes) -> features rows, one mapInPandas stage (V17:
     detector? -> per-detection featurize -> typed normalized keyed output
@@ -181,15 +237,30 @@ def run_extraction(
     failure tolerance: an exception marks failed=1 and the stage continues
     (:109-127). ``fail_on`` injects failures for tests.
 
-    Scale shape: one Arrow batch in, one out; models would be per-executor
-    singletons (initialized lazily inside the generator); no shuffle — the
-    stage is a narrow map over however many input splits the source has.
+    ``model_factory`` is the V14-V16 integration seam: it is called AT MOST
+    ONCE PER EXECUTOR WORKER (lazily, inside the generator, cached in
+    ``_MODEL_SINGLETONS``) — the predict_batch_udf idiom, so a real
+    DNN/dlib backbone's load cost amortizes over every batch the worker
+    processes. ``with_provenance`` appends (worker_pid, model_id) columns so
+    tests can prove the single-init property.
+
+    Scale shape: one Arrow batch in, one out; no shuffle — the stage is a
+    narrow map over however many input splits the source has.
     """
     extr_type = (
         "toy_feat_full_image" if mode == "full_image" else "toy_feat_dlib_face"
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _executor_model(model_factory)
+        prov = (
+            {
+                "worker_pid": getattr(model, "worker_pid", 0),
+                "model_id": getattr(model, "instance_id", ""),
+            }
+            if with_provenance
+            else {}
+        )
         for pdf in batches:
             out: list[dict] = []
             for sha1, data in zip(pdf[sha1_col], pdf[content_col]):
@@ -198,7 +269,7 @@ def run_extraction(
                     if sha1 in fail_on:
                         raise ValueError("injected failure")
                     if mode == "full_image":
-                        vec = toy_full_image_featurizer(data)
+                        vec = model.featurize_full(data)
                         out.append(
                             {
                                 "sha1": sha1,
@@ -207,11 +278,14 @@ def run_extraction(
                                 "feature": vec.tolist(),
                                 "processed": 1,
                                 "failed": 0,
+                                **prov,
                             }
                         )
                     else:
-                        for left, top, right, bottom, score in toy_face_detector(data):
-                            vec = toy_face_featurizer(data, (left, top, right, bottom))
+                        for left, top, right, bottom, score in model.detect(data):
+                            vec = model.featurize_face(
+                                data, (left, top, right, bottom)
+                            )
                             out.append(
                                 {
                                     "sha1": sha1,
@@ -226,6 +300,7 @@ def run_extraction(
                                     "feature": vec.tolist(),
                                     "processed": 1,
                                     "failed": 0,
+                                    **prov,
                                 }
                             )
                 except Exception:  # noqa: BLE001 — per-row tolerance by design
@@ -237,13 +312,13 @@ def run_extraction(
                             "feature": None,
                             "processed": 0,
                             "failed": 1,
+                            **prov,
                         }
                     )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "sha1", "extr_type", "bbox", "feature", "processed", "failed",
-                ],
-            )
+            cols = ["sha1", "extr_type", "bbox", "feature", "processed", "failed"]
+            if with_provenance:
+                cols += ["worker_pid", "model_id"]
+            yield pd.DataFrame(out, columns=cols)
 
-    return images.select(sha1_col, content_col).mapInPandas(extract, FEATURES_SCHEMA)
+    schema = PROVENANCE_SCHEMA if with_provenance else FEATURES_SCHEMA
+    return images.select(sha1_col, content_col).mapInPandas(extract, schema)

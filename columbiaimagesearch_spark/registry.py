@@ -91,6 +91,7 @@ def all_specs() -> dict[str, QuerySpec]:
     """
     from .operators import (  # noqa: F401
         ann_ivf,
+        compat,
         dedup,
         ledger,
         merge,

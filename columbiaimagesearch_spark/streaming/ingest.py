@@ -14,11 +14,18 @@ Spark rendering:
 - in-stream dedup ST4: ``dropDuplicates(["sha1"])`` per micro-batch plus
   terminal anti-join against the images table (J3) — duplicate suppression
   across restarts without the reference's marker-column races (ST2);
-- count-or-time batching ST1: ``foreachBatch`` + a driver-held carry buffer:
-  ids accumulate until ``batch_size`` is reached OR ``max_delay`` elapsed
-  since the oldest carried id; update ids are minted with the C6 grammar
-  with a per-(type, date) running sequence. Exactly the reference's
-  semantics, minus its clock races — state is re-derivable from the ledger.
+- count-or-time batching ST1 — two renderings:
+  * PRIMARY (scale path): ``run_ingest_stateful`` routes the stream through
+    the executor-side ``applyInPandasWithState`` batcher
+    (``streaming/stateful.py``) — pending ids live in state-store
+    partitions keyed by ``extr_type``, checkpointed with the query; the
+    ``foreachBatch`` sink only ever sees *emitted* update batches, so no
+    id list ever accumulates on the driver.
+  * FIXTURE (semantic model): ``run_ingest`` keeps the reference-shaped
+    driver-held carry buffer (``CountOrTimeBatcher`` inside
+    ``foreachBatch``) — useful for unit-level reasoning about cut logic
+    and for the deterministic ``finalize()`` flush in tests; state is
+    bounded by ``batch_size`` but it is NOT the 100 TB path.
 
 At 100 TB: the same plan with a Kafka source; the anti-join is
 stream-static against a bucketed images table (broadcast of the *batch*
@@ -267,6 +274,100 @@ class IngestLedger:
             ).parquet(self.updates_dir)
 
 
+class StatefulLedgerSink:
+    """foreachBatch sink for the executor-side batcher's OUTPUT stream.
+
+    Unlike :class:`IngestLedger` this never buffers ids: its input rows are
+    already-cut update batches ``(extr_type, update_id, sha1s, s3_urls,
+    batch_size, reason)`` — O(updates) rows per trigger, each bounded by
+    ``batch_size`` — and it just appends them to the two ledger tables
+    (``updates/`` verbatim; ``images/`` via an arrays_zip explode). All
+    writes are distributed; the driver handles only query lifecycle.
+    """
+
+    def __init__(self, spark: SparkSession, ledger_dir: str) -> None:
+        self.spark = spark
+        self.ledger_dir = ledger_dir
+        self.images_dir = os.path.join(ledger_dir, "images")
+        self.updates_dir = os.path.join(ledger_dir, "updates")
+
+    def process_batch(self, bdf: DataFrame, batch_id: int) -> None:
+        bdf = bdf.persist()
+        try:
+            bdf.select(
+                "update_id", "extr_type", "sha1s", "batch_size"
+            ).withColumn("created", F.current_timestamp()).write.mode(
+                "append"
+            ).parquet(self.updates_dir)
+            bdf.select(
+                "update_id",
+                F.explode(F.arrays_zip("sha1s", "s3_urls")).alias("z"),
+            ).select(
+                F.col("z.sha1s").alias("sha1"),
+                F.col("z.s3_urls").alias("s3_url"),
+                "update_id",
+            ).write.mode("append").parquet(self.images_dir)
+        finally:
+            bdf.unpersist()
+
+
+def run_ingest_stateful(
+    spark: SparkSession,
+    src_dir: str,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    extr_type: str = "toy_feat_full_image",
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    max_delay_ms: int = int(DEFAULT_MAX_DELAY_S * 1000),
+    date_str: str | None = None,
+) -> StatefulLedgerSink:
+    """PRIMARY ST1 path: drain ``src_dir`` (availableNow) with the batching
+    state in the state store (``streaming/stateful.py``), not on the driver.
+
+    Stages: file/Kafka source -> observe (A6) -> normalize + stateful
+    dropDuplicates (ST4, survives restarts via the checkpoint) ->
+    stream-static anti-join against the already-claimed images table (J3
+    claim check; the static side is re-read per run, so across-run dedup
+    holds even with a fresh checkpoint) -> applyInPandasWithState
+    count-or-time batcher (ST1/ST2/ST3) -> :class:`StatefulLedgerSink`.
+
+    A trailing partial batch stays in the state store and is emitted by a
+    later run's count cut or deadline-in-state expiry (``first_ms`` +
+    ``max_delay_ms``, checked on the next invocation that sees data for the
+    key) — the reference's max-delay flush, minus its requirement that the
+    process stay alive. ``NoTimeout`` is deliberate: state-store timers
+    keep re-arming micro-batches and an ``availableNow`` drain would never
+    terminate; a long-running deployment that wants no-input flushes passes
+    ``ProcessingTimeTimeout`` to :func:`batch_updates_stateful` directly.
+    """
+    from .stateful import batch_updates_stateful
+
+    sink = StatefulLedgerSink(spark, ledger_dir)
+    raw = observe_messages(read_message_stream(spark, src_dir))
+    stream = normalize_messages(raw)
+    if os.path.isdir(sink.images_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(sink.images_dir)
+    ):
+        claimed = spark.read.parquet(sink.images_dir).select("sha1")
+        stream = stream.join(claimed, "sha1", "left_anti")
+    typed = stream.select(F.lit(extr_type).alias("extr_type"), "sha1", "s3_url")
+    batches = batch_updates_stateful(
+        typed,
+        date_str or time.strftime("%Y-%m-%d"),
+        batch_size=batch_size,
+        max_delay_ms=max_delay_ms,
+    )
+    q = (
+        batches.writeStream.foreachBatch(sink.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink.last_query = q
+    return sink
+
+
 def run_ingest(
     spark: SparkSession,
     src_dir: str,
@@ -274,7 +375,8 @@ def run_ingest(
     checkpoint_dir: str,
     **ledger_kwargs,
 ) -> IngestLedger:
-    """Drain ``src_dir`` (availableNow) through the full ingest pipeline."""
+    """Driver-side fixture twin of :func:`run_ingest_stateful` — drain
+    ``src_dir`` (availableNow) with the carry buffer on the driver."""
     ledger = IngestLedger(spark, ledger_dir, **ledger_kwargs)
     raw = observe_messages(read_message_stream(spark, src_dir))
     stream = normalize_messages(raw)

@@ -1,0 +1,201 @@
+"""Kinesis source/sink twins (S2/S10) — file-backed stream emulation.
+
+The reference ships Kinesis as a first-class ingestion path:
+``ingester/kinesis_ingester.py:71-361`` (per-shard iterators resumed from
+the last processed *sequence number*, persisted to a shard-infos JSON file
+after every sweep; skip-already-read on resume; empty-poll backoff) and
+``pusher/kinesis_pusher.py`` (put_records of JSON messages routed to shards
+by partition key). Its own tests run against a local kinesalite endpoint
+(``tests/kinesis/``) — the same idea here, without boto3: the "stream" is a
+directory of per-shard parquet record files with service-assigned monotonic
+sequence numbers, so the cursor/resume/checkpoint SEMANTICS (the part the
+reference's ~290 LoC implement) are exercised for real while the transport
+is a stand-in.
+
+Spark-first rendering:
+- the *pusher* routes records to shards by ``pmod(hash(partition_key))``
+  (the Kinesis partition-key contract) and appends them with per-shard
+  monotonic sequence numbers — one narrow pass + partitioned write, no
+  driver loop over records;
+- the *consumer* is a micro-batch pull: read the records table, prune to
+  ``sequence_number > cursor[shard]`` (partition-pruned scan when the table
+  is partitioned by ``shard_id``, pushed-down range filter on the sequence
+  column — the S4 cursor-scan shape), process, then ``commit()`` the new
+  per-shard high-water marks to the shard-infos JSON. A NEW consumer built
+  on the same shard-infos file resumes AFTER the stored sequence numbers —
+  the reference's restart contract, proven by
+  ``tests/test_kinesis_stream.py``.
+
+At scale the records table is size-bounded by stream retention (Kinesis
+keeps 24 h-7 d), the cursor file is O(shards), and every read is a pruned
+range scan — no state grows with total throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+RECORD_SCHEMA = (
+    "shard_id string, sequence_number bigint, partition_key string, data string"
+)
+
+
+def _records_dir(stream_dir: str) -> str:
+    return os.path.join(stream_dir, "records")
+
+
+def _meta_path(stream_dir: str) -> str:
+    return os.path.join(stream_dir, "stream_meta.json")
+
+
+@dataclass
+class KinesisStreamEmulator:
+    """The 'service': a directory holding shard-partitioned record files and
+    the per-shard next-sequence-number meta (what Kinesis assigns
+    server-side)."""
+
+    stream_dir: str
+    n_shards: int = 2
+
+    def __post_init__(self) -> None:
+        os.makedirs(_records_dir(self.stream_dir), exist_ok=True)
+        if not os.path.isfile(_meta_path(self.stream_dir)):
+            self._write_meta({"n_shards": self.n_shards, "next_seq": {}})
+        else:
+            self.n_shards = int(self._read_meta()["n_shards"])
+
+    def _read_meta(self) -> dict:
+        with open(_meta_path(self.stream_dir)) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = _meta_path(self.stream_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, _meta_path(self.stream_dir))
+
+    # -- S10: producer sink -------------------------------------------------
+    def put_records(self, df: DataFrame, key_col: str, data_col: str) -> int:
+        """Append records routed to shards by partition key (the pusher
+        contract, kinesis_pusher.py: sha1 partition key -> shard): shard =
+        pmod(hash(key), n_shards); per-shard sequence numbers continue from
+        the service meta. Returns the number of records written."""
+        meta = self._read_meta()
+        base = {f"shard-{i:04d}": int(meta["next_seq"].get(f"shard-{i:04d}", 0))
+                for i in range(self.n_shards)}
+        shard = F.concat(
+            F.lit("shard-"),
+            F.lpad(F.pmod(F.xxhash64(F.col(key_col)), self.n_shards).cast("string"), 4, "0"),
+        )
+        w = Window.partitionBy("shard_id").orderBy("partition_key", "data")
+        out = (
+            df.select(
+                shard.alias("shard_id"),
+                F.col(key_col).cast("string").alias("partition_key"),
+                F.col(data_col).cast("string").alias("data"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+        )
+        base_df = F.broadcast(
+            df.sparkSession.createDataFrame(
+                list(base.items()), "shard_id string, base bigint"
+            )
+        )
+        out = (
+            out.join(base_df, "shard_id")
+            .select(
+                "shard_id",
+                (F.col("base") + F.col("rn") - 1).alias("sequence_number"),
+                "partition_key",
+                "data",
+            )
+        )
+        out.write.mode("append").partitionBy("shard_id").parquet(
+            _records_dir(self.stream_dir)
+        )
+        # advance the service-side sequence counters (O(shards) driver work)
+        counts = {
+            r["shard_id"]: int(r["n"])
+            for r in out.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        for sh, n in counts.items():
+            meta["next_seq"][sh] = base[sh] + n
+        self._write_meta(meta)
+        return sum(counts.values())
+
+    def records(self, spark: SparkSession) -> DataFrame:
+        try:
+            return spark.read.schema(RECORD_SCHEMA).parquet(
+                _records_dir(self.stream_dir)
+            )
+        except Exception:  # noqa: BLE001 — empty stream: no files yet
+            return spark.createDataFrame([], RECORD_SCHEMA)
+
+
+@dataclass
+class KinesisConsumerEmulator:
+    """S2 consumer: per-shard sequence-number cursors with the reference's
+    persistence/resume contract (shard-infos JSON written after each sweep;
+    a restarted consumer resumes AFTER the stored sequence numbers)."""
+
+    stream: KinesisStreamEmulator
+    shard_infos_path: str
+    shard_infos: dict[str, dict] = field(default_factory=dict)
+    sleep_count: int = 0  # empty-poll backoff counter (ST7 twin)
+
+    def __post_init__(self) -> None:
+        # reference init_consumer: reload latest processed sqn from disk
+        if os.path.isfile(self.shard_infos_path):
+            with open(self.shard_infos_path) as f:
+                self.shard_infos = json.load(f)
+
+    def read_new(self, spark: SparkSession) -> DataFrame:
+        """One sweep: records strictly after each shard's stored cursor
+        (AFTER_SEQUENCE_NUMBER semantics — the reference requests AT_ and
+        then skips the already-read record, kinesis_ingester.py:306-315;
+        net effect is identical). The filter is a pushed-down range
+        predicate per shard — the S4 cursor-scan plan."""
+        recs = self.stream.records(spark)
+        cursors = [
+            (sh, int(info["sqn"])) for sh, info in self.shard_infos.items()
+        ]
+        if not cursors:
+            return recs
+        cur_df = F.broadcast(
+            spark.createDataFrame(cursors, "shard_id string, cursor bigint")
+        )
+        return (
+            recs.join(cur_df, "shard_id", "left")
+            .where(F.col("cursor").isNull() | (F.col("sequence_number") > F.col("cursor")))
+            .drop("cursor")
+        )
+
+    def commit(self, batch: DataFrame) -> None:
+        """Advance cursors to the batch's per-shard max sequence number and
+        persist shard-infos (the per-sweep json.dump,
+        kinesis_ingester.py:344-347). Empty sweep -> backoff counter grows
+        (the reference's sleep_count escalation); any progress resets it."""
+        maxes = {
+            r["shard_id"]: int(r["mx"])
+            for r in batch.groupBy("shard_id")
+            .agg(F.max("sequence_number").alias("mx"))
+            .collect()
+        }
+        if not maxes:
+            self.sleep_count += 1
+        else:
+            self.sleep_count = 0
+        for sh, mx in maxes.items():
+            info = self.shard_infos.setdefault(sh, {"nb_read": 0})
+            info["sqn"] = mx
+            info["nb_read"] = int(info.get("nb_read", 0)) + 1
+        tmp = self.shard_infos_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.shard_infos, f)
+        os.replace(tmp, self.shard_infos_path)

@@ -9,10 +9,26 @@ extraction type's pending ids live in executor state-store partitions,
 checkpointed with the query (ST3) and recovered on restart (ST2). The driver
 never sees ids; state volume per key is bounded by ``batch_size``.
 
-The count cutoff fires inline as rows arrive; the time cutoff uses the
-state-store's ProcessingTimeTimeout rather than the reference's wall-clock
-arithmetic. Batch payloads are sorted in-micro-batch, so emitted batches are
-deterministic given per-trigger contents.
+The count cutoff fires inline as rows arrive. The time cutoff is rendered
+two ways, selected by ``timeout_conf``:
+
+- **deadline-in-state (default, ``NoTimeout``)**: the state tuple carries
+  ``first_ms`` — the processing-time instant the current accumulation
+  began (the reference's ``start_time``, extraction_checker.py:330) — and
+  any invocation that finds ``now - first_ms >= max_delay_ms`` flushes the
+  buffer. This needs no timers, so ``availableNow`` drain runs terminate
+  cleanly (ProcessingTimeTimeout timers keep re-arming empty micro-batches
+  and the query never reaches AvailableNow completion); a pending tail left
+  by one drain run is flushed by the next run that sees data for the key.
+- **timer-driven (``ProcessingTimeTimeout``)**: for long-running
+  ``processingTime``-trigger deployments, the state-store timeout
+  additionally fires the flush with *no* new input — the reference's
+  max-delay branch verbatim.
+
+Batch payloads are sorted in-micro-batch, so emitted batches are
+deterministic given per-trigger contents. ``seq`` lives in state forever
+(never removed) so update-id numbering survives empty buffers and
+restarts.
 """
 
 from __future__ import annotations
@@ -33,32 +49,42 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("extr_type", T.StringType()),
         T.StructField("update_id", T.StringType()),
         T.StructField("sha1s", T.ArrayType(T.StringType())),
+        T.StructField("s3_urls", T.ArrayType(T.StringType())),
         T.StructField("batch_size", T.IntegerType()),
         T.StructField("reason", T.StringType()),
     ]
 )
 
+_PENDING_ITEM = T.StructType(
+    [
+        T.StructField("sha1", T.StringType()),
+        T.StructField("s3_url", T.StringType()),
+    ]
+)
+
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("pending", T.ArrayType(T.StringType())),
+        T.StructField("pending", T.ArrayType(_PENDING_ITEM)),
         T.StructField("seq", T.IntegerType()),
+        T.StructField("first_ms", T.LongType()),
     ]
 )
 
 
 def advance(
-    pending: list[str],
+    pending: list,
     seq: int,
-    new_ids: list[str],
+    new_ids: list,
     batch_size: int,
     timed_out: bool,
-) -> tuple[list[tuple[int, list[str], str]], list[str], int]:
-    """Pure cut logic: returns (emitted [(seq, ids, reason)], pending', seq').
+) -> tuple[list[tuple[int, list, str]], list, int]:
+    """Pure cut logic over opaque items: returns
+    (emitted [(seq, items, reason)], pending', seq').
 
     Count cutoff emits full batches; a timeout flushes whatever remains
     (the reference's max-delay branch, extraction_checker.py:382-390)."""
     pending = pending + new_ids
-    emitted: list[tuple[int, list[str], str]] = []
+    emitted: list[tuple[int, list, str]] = []
     while len(pending) >= batch_size:
         emitted.append((seq, pending[:batch_size], "count"))
         pending = pending[batch_size:]
@@ -74,10 +100,13 @@ def make_batcher_fn(
     extr_date: str,
     batch_size: int = DEFAULT_BATCH_SIZE,
     max_delay_ms: int = DEFAULT_MAX_DELAY_MS,
+    use_timer: bool = False,
 ):
     """Build the applyInPandasWithState function. ``extr_date`` is pinned by
     the caller (the reference mints ids with the checker's start date,
-    extraction_checker.py:199-223) so update ids stay deterministic."""
+    extraction_checker.py:199-223) so update ids stay deterministic.
+    ``use_timer`` must match the query's ``timeoutConf`` — calling
+    ``setTimeoutDuration`` under ``NoTimeout`` raises."""
 
     def fn(
         key: tuple[str],
@@ -85,18 +114,38 @@ def make_batcher_fn(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (extr_type,) = key
-        pending, seq = state.get if state.exists else ([], 0)
-        new_ids: list[str] = []
-        for pdf in pdfs:
-            new_ids.extend(pdf["sha1"].tolist())
-        new_ids.sort()
-        emitted, pending, seq = advance(
-            list(pending), seq, new_ids, batch_size, state.hasTimedOut
+        raw_pending, seq, first_ms = (
+            state.get if state.exists else ([], 0, None)
         )
-        if state.hasTimedOut and not pending:
-            state.remove()
-        else:
-            state.update((pending, seq))
+        # state rows come back as structs; normalize to (sha1, s3_url) tuples
+        pending = [
+            (p["sha1"], p["s3_url"]) if not isinstance(p, tuple) else p
+            for p in raw_pending
+        ]
+        new_items: list[tuple[str, str | None]] = []
+        for pdf in pdfs:
+            urls = (
+                pdf["s3_url"].tolist()
+                if "s3_url" in pdf.columns
+                else [None] * len(pdf)
+            )
+            new_items.extend(zip(pdf["sha1"].tolist(), urls))
+        new_items.sort(key=lambda t: t[0])
+        now_ms = state.getCurrentProcessingTimeMs()
+        timed_out = state.hasTimedOut or (
+            bool(pending)
+            and first_ms is not None
+            and now_ms - first_ms >= max_delay_ms
+        )
+        emitted, pending, seq = advance(
+            pending, seq, new_items, batch_size, timed_out
+        )
+        if not pending:
+            first_ms = None
+        elif emitted or first_ms is None:
+            first_ms = now_ms  # current accumulation (re)started this batch
+        state.update((pending, seq, first_ms))
+        if use_timer and pending:
             state.setTimeoutDuration(max_delay_ms)
         if emitted:
             yield pd.DataFrame(
@@ -106,8 +155,9 @@ def make_batcher_fn(
                         f"index_update_{extr_type}_{extr_date}_{s:03d}"
                         for s, _, _ in emitted
                     ],
-                    "sha1s": [ids for _, ids, _ in emitted],
-                    "batch_size": [len(ids) for _, ids, _ in emitted],
+                    "sha1s": [[s for s, _ in items] for _, items, _ in emitted],
+                    "s3_urls": [[u for _, u in items] for _, items, _ in emitted],
+                    "batch_size": [len(items) for _, items, _ in emitted],
                     "reason": [r for _, _, r in emitted],
                 }
             )
@@ -120,14 +170,21 @@ def batch_updates_stateful(
     extr_date: str,
     batch_size: int = DEFAULT_BATCH_SIZE,
     max_delay_ms: int = DEFAULT_MAX_DELAY_MS,
+    timeout_conf: str = GroupStateTimeout.NoTimeout,
 ) -> DataFrame:
-    """(extr_type, sha1) stream -> update-batch stream, state in the store."""
+    """(extr_type, sha1) stream -> update-batch stream, state in the store.
+
+    Default ``NoTimeout`` relies on the deadline-in-state time cut (safe for
+    ``availableNow`` drains — see module docstring); pass
+    ``GroupStateTimeout.ProcessingTimeTimeout`` for long-running
+    ``processingTime``-trigger deployments to also flush with no input."""
+    use_timer = timeout_conf != GroupStateTimeout.NoTimeout
     return stream.groupBy("extr_type").applyInPandasWithState(
-        make_batcher_fn(extr_date, batch_size, max_delay_ms),
+        make_batcher_fn(extr_date, batch_size, max_delay_ms, use_timer),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout_conf,
     )
 
 
@@ -135,11 +192,17 @@ class _FakeGroupState:
     """Minimal GroupState stand-in for unit-testing ``make_batcher_fn``'s
     state transitions without a streaming query."""
 
-    def __init__(self, value: Any = None, timed_out: bool = False) -> None:
+    def __init__(
+        self, value: Any = None, timed_out: bool = False, now_ms: int = 0
+    ) -> None:
         self._value = value
         self.hasTimedOut = timed_out
         self.removed = False
         self.timeout_ms: int | None = None
+        self.now_ms = now_ms
+
+    def getCurrentProcessingTimeMs(self) -> int:
+        return self.now_ms
 
     @property
     def exists(self) -> bool:

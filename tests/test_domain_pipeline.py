@@ -197,3 +197,60 @@ def test_extraction_faces(domain):
     n_local = len(toy_face_detector(bytes(img0.content)))
     n_spark = sum(1 for r in rows if r["sha1"] == img0.sha1)
     assert n_spark == n_local
+
+
+def test_extraction_model_singleton_per_worker(domain, spark):
+    """The model factory must run AT MOST ONCE PER EXECUTOR WORKER
+    (sbpycaffe contract: the expensive net load happens in __init__, once
+    per process). Run the extraction over many partitions twice in the same
+    session; the provenance columns must show exactly one model instance id
+    per worker pid."""
+    from columbiaimagesearch_spark.multimodal.images import ToyExtractionModel
+
+    _, dfs = domain
+    images = dfs["images"].repartition(8)
+    seen = []
+    for _ in range(2):  # two jobs: worker reuse must also reuse the model
+        feats = run_extraction(
+            images, mode="full_image",
+            model_factory=ToyExtractionModel, with_provenance=True,
+        )
+        seen.extend(
+            (r["worker_pid"], r["model_id"])
+            for r in feats.select("worker_pid", "model_id").collect()
+        )
+    by_pid: dict[int, set[str]] = {}
+    for pid, mid in seen:
+        by_pid.setdefault(pid, set()).add(mid)
+    assert by_pid, "no provenance rows"
+    for pid, mids in by_pid.items():
+        assert len(mids) == 1, f"worker {pid} constructed {len(mids)} models"
+
+
+def test_extraction_custom_factory(domain):
+    """A drop-in backbone: any object with the three model methods works."""
+    from columbiaimagesearch_spark.multimodal.images import FULL_IMAGE_DIM
+
+    class ConstantBackbone:
+        def __init__(self):
+            self.instance_id = "const"
+            self.worker_pid = 0
+
+        def featurize_full(self, data):
+            import numpy as np
+
+            v = np.zeros(FULL_IMAGE_DIM, dtype=np.float32)
+            v[0] = 1.0
+            return v
+
+        def detect(self, data):
+            return []
+
+        def featurize_face(self, data, bbox):
+            raise AssertionError("unused")
+
+    _, dfs = domain
+    feats = run_extraction(
+        dfs["images"], mode="full_image", model_factory=ConstantBackbone
+    ).collect()
+    assert feats and all(r["feature"][0] == 1.0 for r in feats)

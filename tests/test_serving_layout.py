@@ -106,3 +106,26 @@ def test_bucketed_layout_roundtrip(spark, codes, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("cell_bucket" in ln and "IN" in ln for ln in pf), pf
     assert probed.count() == codes.where(F.col("cell").isin(cells)).count()
+
+
+def test_serving_snapshot_budget_enforced(spark, model, codes):
+    """An over-budget codes table must raise BEFORE any collect (driver OOM
+    is never the failure mode); a cell-range shard under the same budget
+    loads fine — the documented scale-out path."""
+    import pytest as _pytest
+
+    n = codes.count()
+    with _pytest.raises(ValueError, match="serving replica budget"):
+        ServingSearcher(model, max_rows=n - 1).load_codes(codes)
+
+    # cell-range sharding: each replica holds a slice under its budget
+    from pyspark.sql import functions as F
+
+    lo_half = codes.where(F.col("cell") < model.V * model.V // 2)
+    shard = ServingSearcher(model, max_rows=n - 1).load_codes(lo_half)
+    assert 0 < shard.n_items < n
+
+    # add_codes shares the budget
+    s = ServingSearcher(model, max_rows=n - 1).load_codes(lo_half)
+    with _pytest.raises(ValueError, match="serving replica budget"):
+        s.add_codes(codes)

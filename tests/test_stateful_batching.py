@@ -36,20 +36,41 @@ def test_advance_no_cut():
 
 
 def test_batcher_fn_state_transitions():
-    fn = make_batcher_fn("2026-01-01", batch_size=3, max_delay_ms=1234)
-    state = _FakeGroupState()
+    fn = make_batcher_fn("2026-01-01", batch_size=3, max_delay_ms=1234, use_timer=True)
+    state = _FakeGroupState(now_ms=50)
     out = list(fn(("t",), iter([pd.DataFrame({"sha1": ["c", "a", "b", "d"]})]), state))
     assert len(out) == 1
     row = out[0].iloc[0]
     assert row["update_id"] == "index_update_t_2026-01-01_000"
     assert row["sha1s"] == ["a", "b", "c"] and row["reason"] == "count"
-    assert state.get == (["d"], 1) and state.timeout_ms == 1234
+    # pending state carries (sha1, s3_url) items since the s3_url passthrough;
+    # first_ms marks when the current accumulation started
+    assert state.get == ([("d", None)], 1, 50) and state.timeout_ms == 1234
 
-    # timeout invocation: no input, flush remainder, state removed
+    # timer-fired invocation: no input, flush remainder; seq survives in state
     state.hasTimedOut = True
     out = list(fn(("t",), iter([]), state))
     assert out[0].iloc[0]["sha1s"] == ["d"] and out[0].iloc[0]["reason"] == "timeout"
-    assert state.removed
+    assert not state.removed and state.get == ([], 2, None)
+
+
+def test_batcher_fn_deadline_in_state_flush():
+    """NoTimeout rendering: a later invocation past first_ms + max_delay
+    flushes the carry even though no timer fired (hasTimedOut stays False)."""
+    fn = make_batcher_fn("2026-01-01", batch_size=100, max_delay_ms=1000)
+    state = _FakeGroupState(now_ms=50)
+    assert list(fn(("t",), iter([pd.DataFrame({"sha1": ["a"]})]), state)) == []
+    assert state.get == ([("a", None)], 0, 50) and state.timeout_ms is None
+
+    state.now_ms = 900  # within deadline: keep accumulating, first_ms kept
+    assert list(fn(("t",), iter([pd.DataFrame({"sha1": ["b"]})]), state)) == []
+    assert state.get == ([("a", None), ("b", None)], 0, 50)
+
+    state.now_ms = 1100  # 1100-50 >= 1000: flush pending + arriving rows
+    out = list(fn(("t",), iter([pd.DataFrame({"sha1": ["c"]})]), state))
+    row = out[0].iloc[0]
+    assert row["sha1s"] == ["a", "b", "c"] and row["reason"] == "timeout"
+    assert state.get == ([], 1, None)
 
 
 def test_stateful_stream_carries_pending(spark, tmp_path):
