@@ -41,6 +41,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from .ingest import IMAGE_MSG_SCHEMA, normalize_messages
+
 RECORD_SCHEMA = (
     "shard_id string, sequence_number bigint, partition_key string, data string"
 )
@@ -199,3 +201,108 @@ class KinesisConsumerEmulator:
         with open(tmp, "w") as f:
             json.dump(self.shard_infos, f)
         os.replace(tmp, self.shard_infos_path)
+
+
+def run_ingest_kinesis(
+    spark: SparkSession,
+    stream: KinesisStreamEmulator,
+    shard_infos_path: str,
+    ledger_dir: str,
+    extr_type: str = "toy_feat_full_image",
+    batch_size: int = 1000,
+    date_str: str = "1970-01-01",
+) -> int:
+    """One S2 ingest sweep end-to-end: Kinesis records -> image-message
+    parse (same relation as the Kafka/file sources, so every downstream
+    stage is source-agnostic) -> ST4 dedup + J3 claim anti-join -> update
+    batches -> ledger append -> cursor commit. Returns rows claimed.
+
+    The reference's kinesis path processes each sweep as it lands
+    (``kinesis_ingester.py:316-347``: get_records, process, dump
+    shard-infos); the time cut of ST1 is therefore the sweep boundary
+    itself — a sweep claims everything it read in ceil(n/batch_size)
+    updates, the last one partial with reason "sweep". Crash ANYWHERE
+    before ``commit()`` redelivers the sweep (at-least-once transport);
+    the claim anti-join then drops every already-claimed sha1, so the
+    ledger converges to exactly-once effects (ST2) — the same
+    claim-idempotency the stateful streaming path gets from its
+    checkpoint, proven by ``tests/test_kinesis_stream.py``.
+
+    Scale shape: the sweep is bounded by Kinesis read limits (10k
+    records/GetRecords, 2 MB/s/shard), so the single-partition
+    ``row_number`` cut ranks a bounded sweep, not the corpus; the claim
+    anti-join broadcasts the sweep side against the big images table; the
+    per-(type, date) update seq comes from one small agg over the updates
+    ledger, not a driver counter.
+    """
+    images_dir = os.path.join(ledger_dir, "images")
+    updates_dir = os.path.join(ledger_dir, "updates")
+    consumer = KinesisConsumerEmulator(stream, shard_infos_path)
+    sweep = consumer.read_new(spark)
+
+    msgs = sweep.select(
+        F.from_json("data", IMAGE_MSG_SCHEMA).alias("m"), "data"
+    ).select(
+        "m.sha1",
+        "m.s3_url",
+        "m.img_info",
+        "m.list_sha1s",
+        F.when(F.col("m").isNull(), F.col("data"))
+        .otherwise(F.lit(None))
+        .alias("_corrupt_record"),
+    )
+    rows = normalize_messages(msgs)
+    if os.path.isdir(images_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(images_dir)
+    ):
+        claimed = spark.read.parquet(images_dir).select("sha1")
+        rows = rows.join(claimed, "sha1", "left_anti")
+
+    seq0 = 0
+    if os.path.isdir(updates_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(updates_dir)
+    ):
+        prefix = f"index_update_{extr_type}_{date_str}_"
+        seq0 = (
+            spark.read.parquet(updates_dir)
+            .where(F.col("update_id").startswith(prefix))
+            .count()
+        )
+
+    rn = F.row_number().over(Window.orderBy("sha1"))
+    cut = rows.select(
+        "sha1", "s3_url", ((rn - 1) / batch_size).cast("int").alias("bno")
+    ).persist()
+    try:
+        n_claimed = cut.count()
+        if n_claimed == 0:
+            consumer.commit(sweep)
+            return 0
+        batches = cut.groupBy("bno").agg(
+            F.sort_array(
+                F.collect_list(F.struct("sha1", "s3_url"))
+            ).alias("items")
+        )
+        updates = batches.select(
+            F.concat(
+                F.lit(f"index_update_{extr_type}_{date_str}_"),
+                F.lpad((F.col("bno") + seq0).cast("string"), 3, "0"),
+            ).alias("update_id"),
+            F.lit(extr_type).alias("extr_type"),
+            F.col("items.sha1").alias("sha1s"),
+            F.size("items").alias("batch_size"),
+            F.current_timestamp().alias("created"),
+        )
+        updates.write.mode("append").parquet(updates_dir)
+        cut.select(
+            "sha1",
+            "s3_url",
+            F.concat(
+                F.lit(f"index_update_{extr_type}_{date_str}_"),
+                F.lpad((F.col("bno") + seq0).cast("string"), 3, "0"),
+            ).alias("update_id"),
+        ).write.mode("append").parquet(images_dir)
+    finally:
+        cut.unpersist()
+    consumer.commit(sweep)
+    return n_claimed

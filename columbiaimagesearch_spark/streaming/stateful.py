@@ -29,6 +29,14 @@ Batch payloads are sorted in-micro-batch, so emitted batches are
 deterministic given per-trigger contents. ``seq`` lives in state forever
 (never removed) so update-id numbering survives empty buffers and
 restarts.
+
+Spark 4's successor API ``transformWithStateInPandas`` (typed
+ValueState/ListState + first-class timers) is the natural next rendering
+of this operator, but its driver-side schema worker imports
+``google.protobuf``, which this environment does not ship — verified by
+spike: query start fails with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
+from ``StateMessage_pb2``. ``applyInPandasWithState`` has no such
+dependency and stays the implementation.
 """
 
 from __future__ import annotations

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from columbiaimagesearch_spark.streaming.kinesis import (
     KinesisConsumerEmulator,
     KinesisStreamEmulator,
+    run_ingest_kinesis,
 )
 
 
@@ -95,3 +96,65 @@ def test_uncommitted_batch_is_redelivered(spark, stream, tmp_path):
     assert b.count() == 10  # read but NOT committed (crash)
     c2 = KinesisConsumerEmulator(stream, infos)
     assert c2.read_new(spark).count() == 10  # redelivered
+
+
+def _img_msgs(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("sha1_"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("key"),
+        F.to_json(
+            F.struct(
+                F.upper(F.concat(F.lit("sha1_"), F.lpad(F.col("id").cast("string"), 4, "0"))).alias("sha1"),
+                F.concat(F.lit("https://img.host/"), F.col("id").cast("string")).alias("s3_url"),
+            )
+        ).alias("data"),
+    )
+
+
+def test_kinesis_ingest_end_to_end(spark, stream, tmp_path):
+    """S2 -> ST4/J3 -> ST1 -> ledger, with the cursor commit LAST: a sweep
+    claims everything it read in ceil(n/batch_size) updates; replaying an
+    already-committed-to-ledger sweep (crash before cursor commit) adds
+    NOTHING — at-least-once transport, exactly-once ledger effects."""
+    import shutil
+
+    infos = str(tmp_path / "shard_infos.json")
+    ledger = str(tmp_path / "ledger")
+    stream.put_records(_img_msgs(spark, 0, 75), "key", "data")
+
+    assert run_ingest_kinesis(
+        spark, stream, infos, ledger, batch_size=30, date_str="2024-03-01"
+    ) == 75
+    updates = spark.read.parquet(f"{ledger}/updates")
+    assert sorted(r["batch_size"] for r in updates.collect()) == [15, 30, 30]
+    images = spark.read.parquet(f"{ledger}/images")
+    assert images.count() == 75 and images.select("sha1").distinct().count() == 75
+
+    # crash-before-commit replay: stash the cursor file, run (advances it),
+    # then restore the stale cursor and run again — the sweep redelivers but
+    # the claim anti-join drops every sha1; ledger unchanged, no new update.
+    stale = str(tmp_path / "stale.json")
+    shutil.copy(infos, stale)
+    stream.put_records(_img_msgs(spark, 50, 100), "key", "data")  # 25 new, 25 dup
+    assert run_ingest_kinesis(
+        spark, stream, infos, ledger, batch_size=30, date_str="2024-03-01"
+    ) == 25
+    assert spark.read.parquet(f"{ledger}/images").count() == 100
+
+    shutil.copy(stale, infos)  # simulate: cursor write never happened
+    assert run_ingest_kinesis(
+        spark, stream, infos, ledger, batch_size=30, date_str="2024-03-01"
+    ) == 0
+    images3 = spark.read.parquet(f"{ledger}/images")
+    assert images3.count() == 100
+    assert images3.select("sha1").distinct().count() == 100
+
+    # update ids are dense across sweeps: 000..003 (75 -> 3 cuts, 25 -> 1)
+    ids = sorted(r["update_id"] for r in spark.read.parquet(f"{ledger}/updates").collect())
+    assert ids == [
+        f"index_update_toy_feat_full_image_2024-03-01_{s:03d}" for s in range(4)
+    ]
+    # every claimed row appears in exactly one update's sha1s
+    ex = spark.read.parquet(f"{ledger}/updates").select(
+        "update_id", F.explode("sha1s").alias("sha1")
+    )
+    assert ex.count() == 100 and ex.select("sha1").distinct().count() == 100
