@@ -140,3 +140,43 @@ def test_q18_aggregates_before_semi_join(spark):
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
     explain.assert_top_k_plan(df)
     explain.assert_partial_aggregation(df)
+
+
+def test_f8_dynamic_cells_is_narrow(spark):
+    plan = explain.formatted_plan(_q(spark, "f8_dynamic_cells"))
+    # map build + map_filter + explode are per-row transforms: the whole
+    # query must be scan -> project/generate with NO shuffle and no Python
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan and "map_filter" in plan.lower(), plan
+    for pythonic in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert pythonic not in plan, plan
+
+
+def test_kinesis_cursor_scan_prunes(spark, tmp_path):
+    """The consumer sweep must reach the records scan as a pushed-down
+    per-shard range predicate (the S4 cursor-scan shape) — at scale this is
+    row-group pruning over the retention window, not a full-table read."""
+    import json
+
+    from pyspark.sql import functions as F
+    from columbiaimagesearch_spark.streaming.kinesis import (
+        KinesisConsumerEmulator,
+        KinesisStreamEmulator,
+    )
+
+    stream = KinesisStreamEmulator(str(tmp_path / "s"), n_shards=2)
+    msgs = spark.range(0, 200).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+        F.col("id").cast("string").alias("data"),
+    )
+    stream.put_records(msgs, "key", "data")
+    infos = str(tmp_path / "si.json")
+    c = KinesisConsumerEmulator(stream, infos)
+    c.commit(c.read_new(spark))  # advance cursors to the high-water marks
+
+    c2 = KinesisConsumerEmulator(stream, infos)
+    sweep = c2.read_new(spark)
+    plan = explain.formatted_plan(sweep)
+    # broadcast the O(shards) cursor table; never shuffle the records table
+    assert "BroadcastHashJoin" in plan, plan
+    assert sweep.count() == 0  # everything below the committed cursors
