@@ -120,7 +120,9 @@ def test_search_recall_floor(spark, model, emb_np):
     for r in res.orderBy("qid", "rank").collect():
         retrieved.setdefault(r["qid"], []).append(r["id"])
     rec_adc = recall_at_k(retrieved, truth, 10)
-    assert rec_adc >= 0.3, f"ADC recall@10 {rec_adc} below floor"
+    # K=256 subquantizers (reference default) measure 0.562 here; the floor
+    # leaves margin but would catch a regression to coarse quantization
+    assert rec_adc >= 0.45, f"ADC recall@10 {rec_adc} below floor"
     # production tier: quota=300 + exact rerank of top-100 (reference
     # default path, searcher_lopqhbase.py:862-912)
     res = search(
@@ -131,7 +133,9 @@ def test_search_recall_floor(spark, model, emb_np):
     for r in res.orderBy("qid", "rank").collect():
         retrieved.setdefault(r["qid"], []).append(r["id"])
     rec_rr = recall_at_k(retrieved, truth, 10)
-    assert rec_rr >= 0.75, f"reranked recall@10 {rec_rr} below floor"
+    # measured 0.8625 at K=256; the remaining misses are quota-bounded
+    # (true neighbors in never-probed cells), not quantization error
+    assert rec_rr >= 0.8, f"reranked recall@10 {rec_rr} below floor"
     assert rec_rr > rec_adc
 
 
