@@ -158,3 +158,27 @@ def test_kinesis_ingest_end_to_end(spark, stream, tmp_path):
         "update_id", F.explode("sha1s").alias("sha1")
     )
     assert ex.count() == 100 and ex.select("sha1").distinct().count() == 100
+
+
+def test_corrupt_records_skip_but_cursor_advances(spark, stream, tmp_path):
+    """A malformed payload must not wedge the shard: the sweep quarantines
+    it (normalize_messages' corrupt-capture path) yet the cursor still
+    advances past its sequence number — the reference's catch-log-continue
+    per record, without the risk of re-reading the poison record forever."""
+    infos = str(tmp_path / "si.json")
+    ledger = str(tmp_path / "ledger")
+    good = _img_msgs(spark, 0, 10)
+    bad = spark.range(1).select(
+        F.lit("poison").alias("key"), F.lit("{not json").alias("data")
+    )
+    stream.put_records(good.unionByName(bad), "key", "data")
+
+    assert run_ingest_kinesis(
+        spark, stream, infos, ledger, batch_size=30, date_str="2024-03-01"
+    ) == 10
+    assert spark.read.parquet(f"{ledger}/images").count() == 10
+
+    # the poison record is consumed: a fresh sweep sees nothing
+    assert run_ingest_kinesis(
+        spark, stream, infos, ledger, batch_size=30, date_str="2024-03-01"
+    ) == 0

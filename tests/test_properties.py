@@ -122,3 +122,47 @@ def test_encode_reconstruct_bounded(seed):
     err = ((X - recon) ** 2).sum()
     base = ((X - X.mean(axis=0)) ** 2).sum()
     assert err <= base
+
+
+# -- ST1: count-or-time cut logic --------------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="ab01", min_size=1, max_size=4), max_size=12),
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=7),
+    st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_advance_partitions_input(feeds, batch_size, data):
+    """Feeding any sequence of micro-batches through advance(): emitted
+    batches + final pending exactly partition the input in arrival order;
+    count cuts are exactly batch_size; only a timeout emits a short batch;
+    seq increments once per emitted batch."""
+    from columbiaimagesearch_spark.streaming.stateful import advance
+
+    pending: list = []
+    seq = 0
+    emitted_all: list = []
+    fed: list = []
+    for feed in feeds:
+        timed_out = data.draw(st.booleans())
+        fed.extend(feed)
+        emitted, pending, seq2 = advance(pending, seq, feed, batch_size, timed_out)
+        for s, items, reason in emitted:
+            assert reason in ("count", "timeout")
+            if reason == "count":
+                assert len(items) == batch_size
+            else:
+                assert 0 < len(items) <= batch_size and timed_out
+            emitted_all.append((s, items))
+        assert seq2 == seq + len(emitted)
+        seq = seq2
+        if timed_out:
+            assert pending == []  # a timeout always drains the buffer
+        assert len(pending) < batch_size
+    flat = [x for _, items in emitted_all for x in items] + list(pending)
+    assert flat == fed  # nothing lost, nothing duplicated, order preserved
+    assert [s for s, _ in emitted_all] == list(range(len(emitted_all)))
