@@ -1,0 +1,103 @@
+"""LLM layout operators (split assignment, sequence packing) — DuckDB
+parity via the same harness as the registered specs, plus the packing
+invariants that the hash can't express on its own."""
+
+from __future__ import annotations
+
+from columbiaimagesearch_spark.operators import packing
+from columbiaimagesearch_spark.plans.explain import assert_broadcast_join, formatted_plan
+from columbiaimagesearch_spark.plans.parity import compare
+from columbiaimagesearch_spark.registry import QuerySpec
+
+from conftest import SF_SMOKE
+
+
+def _spec(name, builder, oracle):
+    return QuerySpec(name=name, builder=builder, oracle=oracle, survey_ops=("LLM-layout",))
+
+
+def test_split_assign_parity(spark, duck_smoke):
+    res = compare(
+        spark,
+        _spec("llm_split_assign", packing.llm_split_assign, packing.SPLIT_ORACLE_SQL),
+        SF_SMOKE,
+        duck_smoke,
+    )
+    assert res.ok, res.detail
+
+
+def test_seq_pack_parity(spark, duck_smoke):
+    res = compare(
+        spark,
+        _spec("llm_seq_pack", packing.llm_seq_pack, packing.PACK_ORACLE_SQL),
+        SF_SMOKE,
+        duck_smoke,
+    )
+    assert res.ok, res.detail
+
+
+def test_split_assign_plan_is_narrow(spark):
+    """The rates dim broadcasts; no shuffle Exchange anywhere — the split
+    assignment is a single narrow pass over the scan at any scale."""
+    df = packing.llm_split_assign(spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_split_fractions_and_independence(spark):
+    pdf = packing.llm_split_assign(spark, SF_SMOKE).toPandas()
+    n = len(pdf)
+    assert n > 0 and pdf["doc_id"].is_unique
+    # 80/10/10 within hash-uniformity tolerance on 500 docs
+    frac_train = (pdf["split"] == "train").mean()
+    assert 0.7 < frac_train < 0.9
+    assert set(pdf["split"]) == {"train", "val", "test"}
+    # stratified keep honors the per-language permille rate directionally
+    en_keep = pdf.loc[pdf["lang"] == "en", "keep"].mean() if (pdf["lang"] == "en").any() else 1.0
+    assert en_keep == 1.0  # en rate is 1000 permille -> always kept
+    # independence: the two bucket columns come from different salts
+    assert (pdf["split_bucket"] != pdf["sample_bucket"]).any()
+
+
+def test_seq_pack_invariants(spark):
+    pdf = packing.llm_seq_pack(spark, SF_SMOKE).toPandas()
+    assert pdf["doc_id"].is_unique  # every doc packed exactly once
+    fills = pdf.groupby(["shard", "bin"])["n_tokens"].agg(["sum", "count"])
+    # a bin exceeds the budget only when it holds a single oversized doc
+    over = fills[fills["sum"] > packing.PACK_BUDGET]
+    assert (over["count"] == 1).all()
+    # bins are contiguous 0..max within each shard
+    for _, g in pdf.groupby("shard"):
+        bins = sorted(g["bin"].unique())
+        assert bins == list(range(len(bins)))
+    # greedy tightness: consecutive bins can't be merged — bin i's fill plus
+    # bin i+1's FIRST doc must overflow the budget (first-fit-in-order)
+    pdf = pdf.sort_values(["shard", "doc_id"])
+    for _, g in pdf.groupby("shard"):
+        sums = g.groupby("bin")["n_tokens"].sum()
+        first = g.groupby("bin")["n_tokens"].first()
+        for b in range(len(sums) - 1):
+            assert sums[b] + first[b + 1] > packing.PACK_BUDGET
+
+
+def test_seq_pack_partitioning_invariance(spark):
+    """Assignments depend on content keys, not physical layout: change the
+    shuffle partitioning under the groupBy and the packing is identical."""
+
+    def run():
+        return (
+            packing.llm_seq_pack(spark, SF_SMOKE)
+            .toPandas()
+            .sort_values(["shard", "doc_id"])
+            .reset_index(drop=True)
+        )
+
+    a = run()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a.equals(b)
