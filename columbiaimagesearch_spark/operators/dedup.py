@@ -54,8 +54,9 @@ list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 
 """
 
 
-def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles): distinct word-bigram shingles per document.
+def shingles_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) from any (doc_id, text, ...) relation: distinct
+    word-bigram shingles per document.
 
     The token array is materialized through a ``Generate`` node (explode of a
     one-element array): a plain ``split(...).alias("ws")`` projection gets
@@ -64,7 +65,6 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc. Generate output is a real attribute, so the split runs once per doc
     and the shingle lambda only does element_at lookups.
     """
-    docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.array(F.split("text", " "))).alias("ws")
     )
@@ -75,6 +75,11 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return words.select("doc_id", shingle.alias("shingles"))
+
+
+def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles) of the documents table — see :func:`shingles_from`."""
+    return shingles_from(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -173,8 +178,9 @@ _BAND_EXPR = (
 )
 
 
-def hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, hs): the doc's distinct shingle set as 31-bit hashes.
+def hashed_from(docs: DataFrame, persist: bool = True) -> DataFrame:
+    """(doc_id, hs) from any (doc_id, text, ...) relation: the doc's
+    distinct shingle set as 31-bit hashes.
 
     One md5 per (doc, shingle) — top 60 bits as bigint, reduced mod P. All
     downstream minhash/LSH/verify math runs on these int sets: signatures
@@ -186,10 +192,8 @@ def hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     manager dedupes by canonicalized plan — at scale this is the
     'write the shingle-hash table once' step, shuffling hashes, not text.
     """
-    flat = shingled_docs(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("s")
-    )
-    return (
+    flat = shingles_from(docs).select("doc_id", F.explode("shingles").alias("s"))
+    out = (
         flat.select(
             "doc_id",
             (
@@ -200,21 +204,31 @@ def hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id")
         .agg(F.collect_set("h").alias("hs"))
-        .persist()
     )
+    return out.persist() if persist else out
+
+
+def hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs) of the documents table — see :func:`hashed_from`."""
+    return hashed_from(load_table(spark, sf_dir, "documents"))
+
+
+def bands_from(hashed: DataFrame) -> DataFrame:
+    """(doc_id, band_key) rows from a (doc_id, hs) relation: minhash
+    signatures banded for LSH. The N_MINHASH permutations are pure int
+    arithmetic over the per-doc hash array; band keys concatenate
+    BAND_ROWS signature slots."""
+    sigs = hashed.select("doc_id", F.expr(_SIG_EXPR).alias("sig"))
+    return sigs.select("doc_id", F.explode(F.expr(_BAND_EXPR)).alias("band_key"))
 
 
 def minhash_band_keys(
     spark: SparkSession, sf_dir: str, hashed: DataFrame | None = None
 ) -> DataFrame:
-    """(doc_id, band_key) rows: minhash signatures banded for LSH.
-
-    The N_MINHASH permutations are pure int arithmetic over the per-doc
-    hash array; band keys concatenate BAND_ROWS signature slots."""
+    """(doc_id, band_key) of the documents table — see :func:`bands_from`."""
     if hashed is None:
         hashed = hashed_shingle_sets(spark, sf_dir)
-    sigs = hashed.select("doc_id", F.expr(_SIG_EXPR).alias("sig"))
-    return sigs.select("doc_id", F.explode(F.expr(_BAND_EXPR)).alias("band_key"))
+    return bands_from(hashed)
 
 
 _HS_SQL = (
@@ -281,16 +295,10 @@ FROM verified
 WHERE inter / (sz - inter) >= {JACCARD_THRESHOLD}
 """,
 )
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hashed = hashed_shingle_sets(spark, sf_dir)
-    bands = minhash_band_keys(spark, sf_dir, hashed)
-    cands = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+def verified_jaccard_pairs(cands: DataFrame, hashed: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate (doc_a, doc_b) pairs
+    against a (doc_id, hs) lookup — the shared verify stage of the batch
+    LSH query and the incremental streaming dedup."""
     x = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     y = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     verified = (
@@ -307,6 +315,19 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.where(jac >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
+
+
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = hashed_shingle_sets(spark, sf_dir)
+    bands = minhash_band_keys(spark, sf_dir, hashed)
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return verified_jaccard_pairs(cands, hashed)
 
 
 # ---------------------------------------------------------------------------

@@ -197,31 +197,34 @@ WHERE {_COS_SQL.format(a="a.v", b="b.v")} >= {NEAR_DUP_COS}
 """,
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
-        A = np.array(list(va), dtype=np.float64)
-        B = np.array(list(vb), dtype=np.float64)
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
-        return pd.Series(num / den)
-
+    # One applyInPandas group per blocking key: each vector is shuffled ONCE
+    # (n rows of 64 doubles), and the block's pairwise cosines come from a
+    # single normalized matmul — vs the pair-join form, which shuffles both
+    # vectors per PAIR (O(n^2/blocks) vector copies) before scoring. Block
+    # size is bounded by the blocking key (the coarse cell at scale), so the
+    # per-group matrix stays small no matter the corpus.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("v").alias("va")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("v").alias("vb")
-    )
-    # Arrow-vectorized scoring: Catalyst extracts the UDF into one
-    # ArrowEvalPython node, so the cosine is computed once per pair (the HOF
-    # form was interpreted AND re-evaluated for filter + project).
-    return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cos_sim", pair_cosine("va", "vb"))
-        .where(F.col("cos_sim") >= NEAR_DUP_COS)
-        .select("vec_a", "vec_b", "label", F.round("cos_sim", 4).alias("cos_sim"))
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.array(list(pdf["v"]), dtype=np.float64)
+        Vn = V / np.sqrt(np.einsum("ij,ij->i", V, V))[:, None]
+        C = Vn @ Vn.T
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        keep = C[ia, ib] >= NEAR_DUP_COS
+        ia, ib = ia[keep], ib[keep]
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia],
+                "vec_b": ids[ib],
+                "label": pdf["label"].to_numpy()[ia],
+                "cos_sim": np.round(C[ia, ib], 4),
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        block_pairs, "vec_a bigint, vec_b bigint, label int, cos_sim double"
     )
