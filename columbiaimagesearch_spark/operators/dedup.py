@@ -280,21 +280,6 @@ verified AS (
 """
 
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    survey_ops=("DEDUP-minhash", "J7", "A8"),
-    doc=f"MinHash+LSH near-dup pairs: one md5 per shingle + {N_MINHASH} "
-    f"universal-hash permutations, {N_BANDS} bands x {BAND_ROWS} rows; "
-    f"candidates = docs sharing any band bucket; verified with exact shingle "
-    f"Jaccard >= {JACCARD_THRESHOLD}. Only bucket collisions are ever "
-    "paired — the 100 TB-safe dedup plan.",
-    oracle=f"""
-WITH {_PAIRS_CTES_SQL}
-SELECT doc_a, doc_b, ROUND(inter / (sz - inter), 4) AS jaccard
-FROM verified
-WHERE inter / (sz - inter) >= {JACCARD_THRESHOLD}
-""",
-)
 def verified_jaccard_pairs(cands: DataFrame, hashed: DataFrame) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate (doc_a, doc_b) pairs
     against a (doc_id, hs) lookup — the shared verify stage of the batch
@@ -317,6 +302,21 @@ def verified_jaccard_pairs(cands: DataFrame, hashed: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_lsh_pairs",
+    survey_ops=("DEDUP-minhash", "J7", "A8"),
+    doc=f"MinHash+LSH near-dup pairs: one md5 per shingle + {N_MINHASH} "
+    f"universal-hash permutations, {N_BANDS} bands x {BAND_ROWS} rows; "
+    f"candidates = docs sharing any band bucket; verified with exact shingle "
+    f"Jaccard >= {JACCARD_THRESHOLD}. Only bucket collisions are ever "
+    "paired — the 100 TB-safe dedup plan.",
+    oracle=f"""
+WITH {_PAIRS_CTES_SQL}
+SELECT doc_a, doc_b, ROUND(inter / (sz - inter), 4) AS jaccard
+FROM verified
+WHERE inter / (sz - inter) >= {JACCARD_THRESHOLD}
+""",
+)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = hashed_shingle_sets(spark, sf_dir)
     bands = minhash_band_keys(spark, sf_dir, hashed)

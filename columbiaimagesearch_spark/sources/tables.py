@@ -40,16 +40,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_shipped(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which the Spark parquet
-        # reader rejects; read nanos as LONG and rebuild a proper timestamp
-        # (integer nanos -> micros, no float in the path).
+        # The driver's events.parquet `ts` physical type has varied across
+        # rounds: TIMESTAMP(NANOS) (which the Spark reader only accepts as
+        # LONG via nanosAsLong) vs TIMESTAMP(MICROS, NTZ). Normalize every
+        # variant to a session-TZ TimestampType (UTC, pinned above) so the
+        # queries and the naive-timestamp DuckDB oracle agree.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # nanos-as-long: integer nanos -> micros, no float in the path
+            return df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        # TIMESTAMP_NTZ (or already TIMESTAMP): NTZ->TZ cast under the UTC
+        # session timezone keeps the wall-clock values bit-identical.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

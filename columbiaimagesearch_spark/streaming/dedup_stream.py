@@ -111,9 +111,16 @@ def dedup_batch_step(spark: SparkSession, docs: DataFrame, state_dir: str) -> in
     all_hashed = fresh.unionByName(state_hashes)
     pairs = dedup.verified_jaccard_pairs(cands, all_hashed)
 
+    # Append ORDER is load-bearing: writing to a path makes Spark re-cache
+    # every cached plan that scans that path (CacheManager.recacheByPath),
+    # so appending `fresh` to the hashes path first would recompute
+    # `bands_fresh` (whose lineage anti-joins against that very path) as
+    # EMPTY before its own write. Hashes — the claim table — must therefore
+    # land last, after every plan derived from the pre-append snapshot has
+    # been written out.
     pairs.write.mode("append").parquet(_state_path(state_dir, "pairs"))
-    fresh.write.mode("append").parquet(_state_path(state_dir, "hashes"))
     bands_fresh.write.mode("append").parquet(_state_path(state_dir, "bands"))
+    fresh.write.mode("append").parquet(_state_path(state_dir, "hashes"))
     bands_fresh.unpersist()
     fresh.unpersist()
     return n_fresh
