@@ -1,0 +1,293 @@
+"""Corpus-hygiene operators for LLM training pipelines: benchmark
+decontamination and intra-document repetition pathology stats, over the
+``documents`` table.
+
+These complete the filter/dedup/layout surface (SURVEY §7.0, packing.py)
+with the two hygiene gates every serious pretraining pipeline runs:
+
+- ``llm_decontaminate``: flag training documents whose word 8-grams
+  overlap an evaluation-benchmark set (train/test contamination — the
+  n-gram-overlap method used by GPT-3/PaLM/Llama data cards). The
+  benchmark side of the join is the *small* side by construction (eval
+  suites are MBs; the corpus is TBs), so the plan broadcasts the distinct
+  benchmark n-gram hashes and the 100 TB side is never shuffled for the
+  join. N-grams travel as 60-bit md5-prefix ints, never strings; the
+  benign false-positive rate of the 60-bit hash is ~2^-60 per pair and is
+  the standard trade for not shipping raw text through a shuffle.
+- ``text_repetition_stats``: per-document duplicate/top n-gram fractions
+  (n = 1, 2, 3) — the Gopher-style repetition signals used to drop
+  boilerplate and degenerate generations. One posexplode + one window by
+  doc_id, then the three gram sizes stack into a single (doc_id, n, gram)
+  relation so every aggregate shares one shuffle chain keyed by doc_id;
+  after the window's hash-partition by doc_id, the downstream groupBys
+  re-use that partitioning (no extra Exchange by doc_id).
+
+Both are deliberately built on posexplode + window ``lead`` rather than
+array HOFs: slicing an array column inside ``transform`` re-evaluates the
+underlying ``split`` per element after Catalyst's projection collapse
+(O(len²) per doc — the known HOF-inlining trap), while the explode form
+is O(len) and its shuffle carries (doc_id, pos, word) rows that partial
+aggregation collapses immediately.
+
+Neither is registered with the driver (the registry is sized to the
+driver's 50-entry CORRECTNESS window); ``tests/test_hygiene.py`` runs the
+same DuckDB parity harness on them locally.
+
+Reference anchor: the reference has no corpus-hygiene stage (it indexes
+images); these extend its ingest-filter family (F2-F4 content filters,
+hbase_indexer_minimal.py) to the text-corpus setting this engine serves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+N_GRAM = 8  # decontamination n-gram width (GPT-3 used 13, Llama 8-10)
+BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 stands in for the eval suite
+MIN_HITS = 3  # distinct overlapping n-grams to call a doc contaminated
+REP_TOP_WORD = 0.30  # top_word_frac above this => repetitive
+REP_DUP_3GRAM = 0.20  # dup_3gram_frac above this => repetitive
+
+
+def _hash60(col) -> F.Column:
+    """Top 60 bits of md5 as BIGINT — the cross-engine hash idiom shared
+    with packing._md5_bucket (DuckDB twin: CAST('0x' || substr(md5(x),1,15)
+    AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+
+def _word_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, w) — one row per word, positions 0-based."""
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+
+
+def ngram_rows(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, ng): every word n-gram of every document, via window
+    ``lead`` over the exploded words (tail positions with fewer than n
+    words produce no row)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w", i).over(w).alias(f"w{i}") for i in range(1, n)]
+    g = _word_rows(docs).select("doc_id", F.col("w").alias("w0"), *leads)
+    parts = [F.col(f"w{i}") for i in range(n)]
+    return g.where(parts[-1].isNotNull()).select(
+        "doc_id", F.concat_ws(" ", *parts).alias("ng")
+    )
+
+
+DECONTAMINATE_ORACLE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+e AS (
+  SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w FROM w
+),
+l AS (
+  SELECT doc_id, w,
+         {", ".join(f"lead(w, {i}) OVER win AS w{i}" for i in range(1, N_GRAM))}
+  FROM e WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+ng AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(w || ' ' ||
+           {" || ' ' || ".join(f"w{i}" for i in range(1, N_GRAM))}), 1, 15)
+           AS BIGINT) AS h
+  FROM l WHERE w{N_GRAM - 1} IS NOT NULL
+),
+bench AS (SELECT DISTINCT h FROM ng WHERE doc_id % {BENCH_MOD} = 0),
+train AS (SELECT doc_id, h FROM ng WHERE doc_id % {BENCH_MOD} <> 0),
+totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams FROM train GROUP BY doc_id
+),
+hits AS (
+  SELECT t.doc_id, CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_hits
+  FROM train t JOIN bench b USING (h) GROUP BY t.doc_id
+)
+SELECT t.doc_id, t.n_ngrams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_ngrams + 1e-9, 4)
+         AS hit_frac,
+       COALESCE(h.n_hits, 0) >= {MIN_HITS} AS contaminated
+FROM totals t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_ngrams, n_hits, hit_frac, contaminated) for every
+    training document with >= N_GRAM words: n_hits counts DISTINCT word
+    8-grams shared with the benchmark set (doc_id % BENCH_MOD == 0 stands
+    in for the eval suite; a real pipeline passes its own benchmark docs).
+
+    Plan: benchmark n-gram hash set is distinct'd then BROADCAST — the
+    corpus side explodes to (doc_id, hash60) ints, joins map-side, and
+    partial-aggregates per doc. The corpus is never shuffled for the join.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_bench = (F.col("doc_id") % BENCH_MOD) == 0
+    bench = (
+        ngram_rows(docs.where(is_bench), N_GRAM)
+        .select(_hash60(F.col("ng")).alias("h"))
+        .distinct()
+    )
+    train = ngram_rows(docs.where(~is_bench), N_GRAM).select(
+        "doc_id", _hash60(F.col("ng")).alias("h")
+    )
+    totals = train.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_ngrams"))
+    hits = (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").cast("bigint").alias("n_hits"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint"))
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_ngrams") + F.lit(1e-9), 4).alias(
+                "hit_frac"
+            ),
+            (F.col("n_hits") >= MIN_HITS).alias("contaminated"),
+        )
+    )
+
+
+REPETITION_ORACLE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+e AS (
+  SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w FROM w
+),
+l AS (
+  SELECT doc_id, w,
+         lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2
+  FROM e WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+g AS (
+  SELECT doc_id, 1 AS n, w AS gram FROM l
+  UNION ALL
+  SELECT doc_id, 2, w || ' ' || w1 FROM l WHERE w1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 3, w || ' ' || w1 || ' ' || w2 FROM l WHERE w2 IS NOT NULL
+),
+c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, n, gram),
+p AS (
+  SELECT doc_id, n, SUM(cnt) AS total, COUNT(*) AS dist, MAX(cnt) AS mx
+  FROM c GROUP BY doc_id, n
+),
+f AS (
+  SELECT doc_id,
+         CAST(MAX(CASE WHEN n = 1 THEN total END) AS BIGINT) AS n_words,
+         ROUND(1.0 - CAST(MAX(CASE WHEN n = 1 THEN dist END) AS DOUBLE)
+               / MAX(CASE WHEN n = 1 THEN total END) + 1e-9, 4) AS dup_word_frac,
+         ROUND(CAST(MAX(CASE WHEN n = 1 THEN mx END) AS DOUBLE)
+               / MAX(CASE WHEN n = 1 THEN total END) + 1e-9, 4) AS top_word_frac,
+         ROUND(1.0 - CAST(MAX(CASE WHEN n = 2 THEN dist END) AS DOUBLE)
+               / MAX(CASE WHEN n = 2 THEN total END) + 1e-9, 4) AS dup_2gram_frac,
+         ROUND(CAST(MAX(CASE WHEN n = 2 THEN mx END) AS DOUBLE)
+               / MAX(CASE WHEN n = 2 THEN total END) + 1e-9, 4) AS top_2gram_frac,
+         ROUND(1.0 - CAST(MAX(CASE WHEN n = 3 THEN dist END) AS DOUBLE)
+               / MAX(CASE WHEN n = 3 THEN total END) + 1e-9, 4) AS dup_3gram_frac,
+         ROUND(CAST(MAX(CASE WHEN n = 3 THEN mx END) AS DOUBLE)
+               / MAX(CASE WHEN n = 3 THEN total END) + 1e-9, 4) AS top_3gram_frac
+  FROM p GROUP BY doc_id
+)
+SELECT *,
+       (top_word_frac > {REP_TOP_WORD} OR dup_3gram_frac > {REP_DUP_3GRAM})
+         AS repetitive
+FROM f
+"""
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition pathology stats over word n-grams
+    (n = 1, 2, 3), for documents with >= 3 words:
+
+    - ``dup_Ngram_frac``: fraction of n-gram *occurrences* that are
+      repeats of an earlier occurrence (1 - distinct/total);
+    - ``top_Ngram_frac``: share of occurrences taken by the single most
+      frequent n-gram;
+    - ``repetitive``: flag from the rounded fractions, so the verdict is
+      engine-portable.
+
+    One explode + one window; the three gram sizes stack into a single
+    (doc_id, n, gram) relation so all counts share one aggregation chain.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    base = _word_rows(docs).select(
+        "doc_id",
+        "w",
+        F.lead("w", 1).over(w).alias("w1"),
+        F.lead("w", 2).over(w).alias("w2"),
+    )
+    grams = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(1).alias("n"), F.col("w").alias("gram")),
+                    F.struct(
+                        F.lit(2).alias("n"),
+                        F.when(
+                            F.col("w1").isNotNull(),
+                            F.concat_ws(" ", F.col("w"), F.col("w1")),
+                        ).alias("gram"),
+                    ),
+                    F.struct(
+                        F.lit(3).alias("n"),
+                        F.when(
+                            F.col("w2").isNotNull(),
+                            F.concat_ws(" ", F.col("w"), F.col("w1"), F.col("w2")),
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+        .where(F.col("gram").isNotNull())
+    )
+    counts = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    per_n = counts.groupBy("doc_id", "n").agg(
+        F.sum("cnt").alias("total"),
+        F.count("*").alias("dist"),
+        F.max("cnt").alias("mx"),
+    )
+
+    def pick(n: int, col: str):
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    def frac_dup(n: int):
+        return F.round(
+            F.lit(1.0) - pick(n, "dist").cast("double") / pick(n, "total") + F.lit(1e-9),
+            4,
+        )
+
+    def frac_top(n: int):
+        return F.round(
+            pick(n, "mx").cast("double") / pick(n, "total") + F.lit(1e-9), 4
+        )
+
+    stats = per_n.groupBy("doc_id").agg(
+        pick(1, "total").cast("bigint").alias("n_words"),
+        frac_dup(1).alias("dup_word_frac"),
+        frac_top(1).alias("top_word_frac"),
+        frac_dup(2).alias("dup_2gram_frac"),
+        frac_top(2).alias("top_2gram_frac"),
+        frac_dup(3).alias("dup_3gram_frac"),
+        frac_top(3).alias("top_3gram_frac"),
+    )
+    return stats.withColumn(
+        "repetitive",
+        (F.col("top_word_frac") > REP_TOP_WORD)
+        | (F.col("dup_3gram_frac") > REP_DUP_3GRAM),
+    )

@@ -1,0 +1,90 @@
+"""Corpus-hygiene operators (benchmark decontamination, repetition stats)
+— DuckDB parity via the registered-spec harness plus the plan/behavior
+properties the hash comparison can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from columbiaimagesearch_spark.operators import hygiene
+from columbiaimagesearch_spark.plans.explain import assert_broadcast_join, formatted_plan
+from columbiaimagesearch_spark.plans.parity import compare
+from columbiaimagesearch_spark.registry import QuerySpec
+
+from conftest import SF_SMOKE
+
+
+def _spec(name, builder, oracle):
+    return QuerySpec(name=name, builder=builder, oracle=oracle, survey_ops=("LLM-hygiene",))
+
+
+def test_decontaminate_parity(spark, duck_smoke):
+    res = compare(
+        spark,
+        _spec("llm_decontaminate", hygiene.llm_decontaminate, hygiene.DECONTAMINATE_ORACLE_SQL),
+        SF_SMOKE,
+        duck_smoke,
+    )
+    assert res.ok, res.detail
+
+
+def test_repetition_parity(spark, duck_smoke):
+    res = compare(
+        spark,
+        _spec(
+            "text_repetition_stats",
+            hygiene.text_repetition_stats,
+            hygiene.REPETITION_ORACLE_SQL,
+        ),
+        SF_SMOKE,
+        duck_smoke,
+    )
+    assert res.ok, res.detail
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    """The benchmark n-gram set must broadcast — the corpus side is never
+    shuffled for the join (no SortMergeJoin anywhere)."""
+    df = hygiene.llm_decontaminate(spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_decontaminate_excludes_benchmark_docs(spark):
+    pdf = hygiene.llm_decontaminate(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0 and pdf["doc_id"].is_unique
+    assert not (pdf["doc_id"] % hygiene.BENCH_MOD == 0).any()
+    assert (pdf["n_hits"] <= pdf["n_ngrams"]).all()
+    assert ((pdf["hit_frac"] >= 0) & (pdf["hit_frac"] <= 1.0001)).all()
+    # flag is a pure function of n_hits
+    assert (pdf["contaminated"] == (pdf["n_hits"] >= hygiene.MIN_HITS)).all()
+
+
+def test_repetition_fractions_are_sane(spark):
+    pdf = hygiene.text_repetition_stats(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0 and pdf["doc_id"].is_unique
+    frac_cols = [c for c in pdf.columns if c.endswith("_frac")]
+    for c in frac_cols:
+        assert ((pdf[c] >= 0) & (pdf[c] <= 1.0001)).all(), c
+    # ~30-word synthetic vocab over 100+-word docs: word repeats dominate
+    assert (pdf["dup_word_frac"] > 0).mean() > 0.9
+    # longer grams repeat no more often than shorter ones (per occurrence)
+    assert (pdf["dup_3gram_frac"] <= pdf["dup_word_frac"] + 1e-9).all()
+
+
+def test_ngram_rows_counts(spark):
+    """Every doc with >= n words yields exactly len(words) - n + 1 rows."""
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    n = hygiene.N_GRAM
+    got = hygiene.ngram_rows(docs, n).groupBy("doc_id").count()
+    want = docs.select(
+        "doc_id", (F.size(F.split(F.col("text"), " ")) - n + 1).alias("want")
+    ).where(F.col("want") > 0)
+    joined = want.join(got, "doc_id", "left").toPandas()
+    assert (joined["count"] == joined["want"]).all()
