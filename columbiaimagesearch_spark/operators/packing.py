@@ -173,3 +173,93 @@ def llm_seq_pack(
     return docs.groupBy("shard").applyInPandas(
         pack, "shard bigint, bin bigint, doc_id bigint, n_tokens bigint"
     )
+
+
+# Domain mixing: temperature-scaled per-source sampling (the PaLM/Llama
+# "alpha-weighted mixture" step). weight_s = n_s^alpha / sum_t n_t^alpha
+# upweights rare sources relative to their natural share; the keep rate
+# converts the weight into a deterministic per-doc decision under a total
+# token/doc budget.
+MIX_ALPHA = 0.5
+MIX_BUDGET_FRAC = 0.5  # target corpus size as a fraction of the input
+
+MIXTURE_ORACLE_SQL = f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS source_docs
+  FROM documents GROUP BY source
+),
+weights AS (
+  SELECT source, source_docs,
+         ROUND(POW(source_docs, {MIX_ALPHA})
+               / SUM(POW(source_docs, {MIX_ALPHA})) OVER () + 1e-12, 4) AS weight,
+         SUM(source_docs) OVER () AS total_docs
+  FROM counts
+),
+rates AS (
+  SELECT source, source_docs, weight,
+         CAST(FLOOR(LEAST(1.0,
+             {MIX_BUDGET_FRAC} * total_docs * weight / source_docs)
+           * 1000 + 1e-9) AS BIGINT) AS rate_permille
+  FROM weights
+)
+SELECT d.doc_id, d.source, r.source_docs, r.weight, r.rate_permille,
+       CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         % 1000 < r.rate_permille AS keep
+FROM documents d JOIN rates r USING (source)
+"""
+
+
+def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, source_docs, weight, rate_permille, keep):
+    temperature-scaled domain mixture — each source's share of the output
+    is proportional to ``source_docs ** MIX_ALPHA`` (alpha < 1 upweights
+    rare domains), realized as a deterministic salted-hash keep decision
+    against a permille rate, capped at 1000 (a source is never
+    oversampled past its full size; replication is a separate layout
+    concern).
+
+    Plan: one partial-agg groupBy(source) builds the S-row dim; the
+    window totals run over those S rows only; the dim broadcasts back and
+    the corpus-side keep decision is a narrow codegen'd pass. The rate is
+    derived from the 4dp-ROUNDED weight with a +1e-9 floor guard so both
+    engines compute identical permilles (same cross-engine float idiom as
+    the registered specs)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("source_docs")
+    )
+    w = Window.partitionBy()
+    pow_docs = F.pow(F.col("source_docs"), F.lit(MIX_ALPHA))
+    rates = (
+        counts.withColumn(
+            "weight", F.round(pow_docs / F.sum(pow_docs).over(w) + F.lit(1e-12), 4)
+        )
+        .withColumn("total_docs", F.sum("source_docs").over(w))
+        .withColumn(
+            "rate_permille",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(MIX_BUDGET_FRAC)
+                    * F.col("total_docs")
+                    * F.col("weight")
+                    / F.col("source_docs"),
+                )
+                * 1000
+                + F.lit(1e-9)
+            ).cast("bigint"),
+        )
+        .drop("total_docs")
+    )
+    return docs.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        "source_docs",
+        "weight",
+        "rate_permille",
+        (_md5_bucket(F.col("doc_id"), "mix:", 1000) < F.col("rate_permille")).alias(
+            "keep"
+        ),
+    )

@@ -101,3 +101,26 @@ def test_seq_pack_partitioning_invariance(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a.equals(b)
+
+
+def test_mixture_sample_parity(spark, duck_smoke):
+    res = compare(
+        spark,
+        _spec("llm_mixture_sample", packing.llm_mixture_sample, packing.MIXTURE_ORACLE_SQL),
+        SF_SMOKE,
+        duck_smoke,
+    )
+    assert res.ok, res.detail
+
+
+def test_mixture_upweights_rare_sources(spark):
+    pdf = packing.llm_mixture_sample(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0 and pdf["doc_id"].is_unique
+    per_src = pdf.drop_duplicates("source").sort_values("source_docs")
+    # alpha < 1: keep rate is non-increasing as the source grows
+    rates = per_src["rate_permille"].tolist()
+    assert all(a >= b for a, b in zip(rates, rates[1:])), rates
+    assert ((pdf["rate_permille"] >= 0) & (pdf["rate_permille"] <= 1000)).all()
+    # realized keep fraction lands near the budget (cap + hash noise allowed)
+    kept = pdf["keep"].mean()
+    assert 0.25 < kept < 0.75, kept
