@@ -1,0 +1,34 @@
+"""Registry wiring invariants — no Spark session needed, so these run in
+milliseconds and catch decorator/refactor mistakes (a misplaced @register
+once pointed a spec at a helper with the wrong signature) before any
+oracle comparison ever runs."""
+
+from __future__ import annotations
+
+import inspect
+
+from columbiaimagesearch_spark.registry import all_specs
+
+DRIVER_WINDOW = 50  # the driver's CORRECTNESS file truncates at 50 entries
+
+
+def test_registry_fits_driver_window():
+    specs = all_specs()
+    assert 0 < len(specs) <= DRIVER_WINDOW, len(specs)
+
+
+def test_every_builder_is_its_spec():
+    for spec in all_specs().values():
+        assert spec.builder.__name__ == spec.name, (
+            f"spec {spec.name!r} registered builder {spec.builder.__name__!r} — "
+            "misplaced @register decorator?"
+        )
+        params = list(inspect.signature(spec.builder).parameters)
+        assert params[:2] == ["spark", "sf_dir"], (spec.name, params)
+
+
+def test_every_spec_has_an_oracle():
+    for spec in all_specs().values():
+        assert spec.oracle is not None, spec.name
+        sql = spec.oracle_for("/root/testdata/sf0.01")
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), spec.name
