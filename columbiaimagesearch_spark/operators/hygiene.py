@@ -116,24 +116,22 @@ FROM totals t LEFT JOIN hits h USING (doc_id)
 """
 
 
-def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_ngrams, n_hits, hit_frac, contaminated) for every
-    training document with >= N_GRAM words: n_hits counts DISTINCT word
-    8-grams shared with the benchmark set (doc_id % BENCH_MOD == 0 stands
-    in for the eval suite; a real pipeline passes its own benchmark docs).
+def decontaminate_from(train_docs: DataFrame, bench_docs: DataFrame) -> DataFrame:
+    """DataFrame-level decontamination: flag rows of ``train_docs`` whose
+    word N_GRAM-grams overlap any document in ``bench_docs`` (both need
+    ``doc_id``/``text`` columns). This is the library entry point — a real
+    pipeline passes its actual eval-benchmark suite as ``bench_docs``.
 
     Plan: benchmark n-gram hash set is distinct'd then BROADCAST — the
     corpus side explodes to (doc_id, hash60) ints, joins map-side, and
     partial-aggregates per doc. The corpus is never shuffled for the join.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    is_bench = (F.col("doc_id") % BENCH_MOD) == 0
     bench = (
-        ngram_rows(docs.where(is_bench), N_GRAM)
+        ngram_rows(bench_docs, N_GRAM)
         .select(_hash60(F.col("ng")).alias("h"))
         .distinct()
     )
-    train = ngram_rows(docs.where(~is_bench), N_GRAM).select(
+    train = ngram_rows(train_docs, N_GRAM).select(
         "doc_id", _hash60(F.col("ng")).alias("h")
     )
     totals = train.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_ngrams"))
@@ -155,6 +153,16 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") >= MIN_HITS).alias("contaminated"),
         )
     )
+
+
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_ngrams, n_hits, hit_frac, contaminated) over the
+    ``documents`` table, with doc_id % BENCH_MOD == 0 standing in for the
+    eval suite — the oracle-checkable rendering of
+    :func:`decontaminate_from`."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_bench = (F.col("doc_id") % BENCH_MOD) == 0
+    return decontaminate_from(docs.where(~is_bench), docs.where(is_bench))
 
 
 REPETITION_ORACLE_SQL = f"""
@@ -220,9 +228,14 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode + one window; the three gram sizes stack into a single
     (doc_id, n, gram) relation so all counts share one aggregation chain.
     """
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.size(F.split(F.col("text"), " ")) >= 3
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats_from(docs)
+
+
+def repetition_stats_from(docs: DataFrame) -> DataFrame:
+    """DataFrame-level repetition stats over any (doc_id, text) relation —
+    documents with fewer than 3 words are dropped (no trigram exists)."""
+    docs = docs.where(F.size(F.split(F.col("text"), " ")) >= 3)
     w = Window.partitionBy("doc_id").orderBy("pos")
     base = _word_rows(docs).select(
         "doc_id",

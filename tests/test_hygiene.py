@@ -88,3 +88,42 @@ def test_ngram_rows_counts(spark):
     ).where(F.col("want") > 0)
     joined = want.join(got, "doc_id", "left").toPandas()
     assert (joined["count"] == joined["want"]).all()
+
+
+def test_decontaminate_from_known_overlap(spark):
+    """A planted 8-gram overlap is found; a disjoint doc is not."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    bench = mk([(100, "q w e r t y u i o p")])
+    train = mk(
+        [
+            (1, "x " * 5 + "q w e r t y u i o p"),  # contains 3 bench 8-grams
+            (2, "a b c d e f g h i j k l"),  # disjoint
+            (3, "q w e r t y u i"),  # exactly one overlapping 8-gram
+        ]
+    )
+    pdf = (
+        hygiene.decontaminate_from(train, bench)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert pdf.loc[1, "n_hits"] == 3 and bool(pdf.loc[1, "contaminated"])
+    assert pdf.loc[2, "n_hits"] == 0 and not pdf.loc[2, "contaminated"]
+    assert pdf.loc[3, "n_hits"] == 1 and not pdf.loc[3, "contaminated"]
+
+
+def test_repetition_stats_from_edge_cases(spark):
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    docs = mk(
+        [
+            (1, "a a a a a a"),  # fully degenerate
+            (2, "a b"),  # too short: dropped
+            (3, "a b c d e f"),  # all distinct
+        ]
+    )
+    pdf = hygiene.repetition_stats_from(docs).toPandas().set_index("doc_id")
+    assert 2 not in pdf.index
+    assert pdf.loc[1, "top_word_frac"] == 1.0 and bool(pdf.loc[1, "repetitive"])
+    assert pdf.loc[1, "dup_3gram_frac"] == 0.75  # 4 trigrams, 1 distinct
+    assert pdf.loc[3, "dup_word_frac"] == 0.0
+    assert not pdf.loc[3, "repetitive"]
