@@ -1,0 +1,95 @@
+"""One-call corpus curation: the LLM training-data pipeline composed.
+
+``curate_docs`` chains the SURVEY §7.0 operator families over any
+(doc_id, text, lang, source) relation:
+
+  near-dup dedup (MinHash-LSH pairs -> connected components, keep the
+  min-doc_id representative) -> benchmark decontamination -> repetition
+  filter -> temperature mixture sampling -> train-split selection ->
+  sequence packing.
+
+Everything is lazy: the result holds the per-stage DataFrames and nothing
+is counted or collected unless the caller asks (``counts()`` is explicitly
+an action — at 100 TB you run the chain as one job and only pay the scans
+you asked for). Every stage's verdict is a deterministic function of
+document *content keys* (salted hashes, never partitioning or row order),
+so the same corpus curates to the same byte-identical output on any
+cluster geometry — the property ``tests/test_llm_pipeline.py`` pins.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators import dedup, hygiene, packing
+
+
+@dataclass
+class CurationResult:
+    """Lazy handles to each stage's survivor set plus the packed output."""
+
+    stages: dict[str, DataFrame] = field(default_factory=dict)
+    survivors: DataFrame | None = None
+    packed: DataFrame | None = None
+
+    def counts(self) -> dict[str, int]:
+        """Materialize per-stage survivor counts (one job per stage)."""
+        return {name: df.count() for name, df in self.stages.items()}
+
+
+def curate_docs(
+    docs: DataFrame,
+    bench_docs: DataFrame | None = None,
+    *,
+    train_split_only: bool = True,
+    pack_budget: int = packing.PACK_BUDGET,
+    pack_shards: int = packing.PACK_SHARDS,
+) -> CurationResult:
+    """Run the full curation chain over ``docs``; ``bench_docs`` (optional)
+    is the eval-benchmark suite to decontaminate against."""
+    res = CurationResult()
+    res.stages["input"] = docs
+
+    # 1. near-dup dedup: drop everything but each cluster's min doc_id
+    pairs = dedup.near_dup_pairs_from(docs)
+    comp = dedup.connected_components(docs.select("doc_id"), pairs)
+    losers = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    docs = docs.join(losers, "doc_id", "left_anti")
+    res.stages["after_dedup"] = docs
+
+    # 2. decontamination (skipped when no benchmark suite is supplied)
+    if bench_docs is not None:
+        verdicts = hygiene.decontaminate_from(docs, bench_docs)
+        dirty = verdicts.where(F.col("contaminated")).select("doc_id")
+        docs = docs.join(dirty, "doc_id", "left_anti")
+    res.stages["after_decontam"] = docs
+
+    # 3. repetition filter
+    rep = hygiene.repetition_stats_from(docs)
+    docs = docs.join(
+        rep.where(F.col("repetitive")).select("doc_id"), "doc_id", "left_anti"
+    )
+    res.stages["after_repetition"] = docs
+
+    # 4./5. mixture keep + split: per-doc content-hash verdicts, joined in
+    # one pass (mixture weights reflect the CURATED per-source counts)
+    mix = packing.mixture_sample_from(docs.select("doc_id", "source")).select(
+        "doc_id", "keep"
+    )
+    split = packing.split_assign_from(docs.select("doc_id", "lang")).select(
+        "doc_id", "split"
+    )
+    docs = docs.join(mix, "doc_id").where(F.col("keep")).drop("keep")
+    docs = docs.join(split, "doc_id")
+    if train_split_only:
+        docs = docs.where(F.col("split") == "train")
+    docs = docs.drop("split")
+    res.stages["after_mix_split"] = docs
+    res.survivors = docs
+
+    # 6. pack the survivors into fixed-budget sequences
+    res.packed = packing.seq_pack_from(docs, pack_budget, pack_shards)
+    return res

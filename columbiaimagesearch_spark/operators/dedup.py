@@ -318,8 +318,16 @@ WHERE inter / (sz - inter) >= {JACCARD_THRESHOLD}
 """,
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hashed = hashed_shingle_sets(spark, sf_dir)
-    bands = minhash_band_keys(spark, sf_dir, hashed)
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs_from(docs)
+
+
+def near_dup_pairs_from(docs: DataFrame) -> DataFrame:
+    """DataFrame-level MinHash+LSH near-dup pairs over any (doc_id, text)
+    relation — the library entry point behind ``dedup_minhash_lsh_pairs``
+    (and the per-batch stage of streaming/dedup_stream.py)."""
+    hashed = hashed_from(docs)
+    bands = bands_from(hashed)
     cands = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_key"])

@@ -77,12 +77,18 @@ LEFT JOIN (VALUES {", ".join(f"('{k}', {v})" for k, v in LANG_RATE_PERMILLE.item
 
 
 def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable rendering of :func:`split_assign_from` over the
+    ``documents`` table."""
+    return split_assign_from(load_table(spark, sf_dir, "documents"))
+
+
+def split_assign_from(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, split, keep): reproducible train/val/test split plus
-    per-language stratified downsampling. Two INDEPENDENT salted hash
-    buckets (split vs sample) so sampling never biases split membership.
-    Narrow plan: one pass, rates dim broadcast, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    rates = spark.createDataFrame(
+    per-language stratified downsampling, over any (doc_id, lang) relation.
+    Two INDEPENDENT salted hash buckets (split vs sample) so sampling never
+    biases split membership. Narrow plan: one pass, rates dim broadcast,
+    no shuffle."""
+    rates = docs.sparkSession.createDataFrame(
         [(k, v) for k, v in LANG_RATE_PERMILLE.items()], "lang string, rate_permille int"
     )
     b = docs.select(
@@ -150,7 +156,15 @@ def llm_seq_pack(
     The per-shard scan is the one genuinely sequential step, so it runs as
     one ``applyInPandas`` group per shard with O(1) carry — the shard
     count, not the corpus, is the parallelism knob."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    return seq_pack_from(load_table(spark, sf_dir, "documents"), budget, shards)
+
+
+def seq_pack_from(
+    docs: DataFrame, budget: int = PACK_BUDGET, shards: int = PACK_SHARDS
+) -> DataFrame:
+    """DataFrame-level sequence packing over any (doc_id, text) relation —
+    see :func:`llm_seq_pack`."""
+    docs = docs.select(
         _md5_bucket(F.col("doc_id"), "shard:", shards).alias("shard"),
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
@@ -224,9 +238,16 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from the 4dp-ROUNDED weight with a +1e-9 floor guard so both
     engines compute identical permilles (same cross-engine float idiom as
     the registered specs)."""
+    return mixture_sample_from(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    )
+
+
+def mixture_sample_from(docs: DataFrame) -> DataFrame:
+    """DataFrame-level mixture sampling over any (doc_id, source) relation
+    — see :func:`llm_mixture_sample`."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     counts = docs.groupBy("source").agg(
         F.count("*").cast("bigint").alias("source_docs")
     )
