@@ -124,3 +124,33 @@ def test_mixture_upweights_rare_sources(spark):
     # realized keep fraction lands near the budget (cap + hash noise allowed)
     kept = pdf["keep"].mean()
     assert 0.25 < kept < 0.75, kept
+
+
+def test_mixture_plan_broadcasts_rates_dim(spark):
+    """The S-row rates dim broadcasts back to the corpus; no sort-merge
+    join and no cartesian anywhere — the corpus-side cost is one narrow
+    pass at any scale."""
+    from columbiaimagesearch_spark.plans.explain import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+        formatted_plan,
+    )
+
+    df = packing.llm_mixture_sample(spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+    assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_seq_pack_plan_shuffles_ints_only(spark):
+    """Packing's one shuffle carries (shard, doc_id, n_tokens) ints — the
+    text column must be pruned before the Exchange (ReadSchema keeps it,
+    since n_tokens derives from it, but no string column crosses the
+    shuffle boundary: the exchange input is the 3-int projection)."""
+    from columbiaimagesearch_spark.plans.explain import formatted_plan
+
+    df = packing.llm_seq_pack(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # the pandas grouped-map is fed by the shard hash partitioning
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan, plan
