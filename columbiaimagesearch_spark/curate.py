@@ -93,3 +93,26 @@ def curate_docs(
     # 6. pack the survivors into fixed-budget sequences
     res.packed = packing.seq_pack_from(docs, pack_budget, pack_shards)
     return res
+
+
+def write_training_shards(
+    result: CurationResult, docs: DataFrame, out_dir: str
+) -> None:
+    """Materialize the curated corpus as training shards: one parquet
+    partition per pack shard, rows sorted by (bin, doc_id) so a reader
+    streams fully-packed sequences in order. The join pulls text back in
+    only at write time — the curation chain itself never shuffles text.
+
+    At 100 TB the shard count is the write-parallelism knob (each shard is
+    one task's sorted output); readers get partition pruning on `shard`
+    for free."""
+    if result.packed is None:
+        raise ValueError("curation result has no packed output")
+    (
+        result.packed.join(docs.select("doc_id", "text"), "doc_id")
+        .repartition("shard")
+        .sortWithinPartitions("bin", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )

@@ -1,0 +1,152 @@
+"""Incremental corpus curation — the streaming twin of
+``curate.curate_docs``.
+
+A 100 TB training corpus is curated continuously: crawl drops arrive and
+must be deduped against everything already ingested AND hygiene-checked,
+without recomputing the corpus. Composition per batch:
+
+  1. claim anti-join against the verdicts state (ST2 idiom — replays are
+     no-ops);
+  2. per-doc hygiene verdicts for the fresh docs only: decontamination
+     against the static benchmark state (eval suites change rarely;
+     re-registering one rewrites that state) and repetition stats —
+     both are pure per-doc content functions, so batch boundaries cannot
+     change them;
+  3. the fresh docs flow through ``dedup_stream.dedup_batch_step`` —
+     near-dup pairs accumulate incrementally (equivalence to the batch
+     LSH is pinned by tests/test_dedup_stream.py);
+  4. verdicts append LAST: every other plan reading the pre-append state
+     snapshot has already been written out (the same recacheByPath
+     ordering rule documented in dedup_stream).
+
+Crash safety: if a batch dies between the dedup-state write and the
+verdicts write, the replay re-claims the docs via the verdicts anti-join,
+the inner dedup step admits zero (hashes already claimed them — no
+duplicate pairs), and the verdicts append completes. State converges.
+
+``curated_docs`` assembles the survivor set at read time: verdicts minus
+contaminated/repetitive minus connected-component dup losers — the same
+set the batch ``curate_docs`` chain produces on the union of all drops
+(per-doc verdicts are content functions; the pair graph is
+batching-invariant), which tests/test_curate_stream.py asserts exactly.
+Mixture/split/packing stay OUT of the stream: they are training-set
+assembly decisions over the curated snapshot, not ingest decisions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import hygiene
+from . import dedup_stream
+
+CURATE_DOC_SCHEMA = "doc_id long, text string, lang string, source string"
+_VERDICT_SCHEMA = (
+    "doc_id long, lang string, source string, contaminated boolean, repetitive boolean"
+)
+_BENCH_SCHEMA = "doc_id long, text string"
+
+
+def _path(state_dir: str, name: str) -> str:
+    return os.path.join(state_dir, name)
+
+
+def _read_state(spark: SparkSession, state_dir: str, name: str, schema: str) -> DataFrame:
+    path = _path(state_dir, name)
+    if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+        spark.catalog.refreshByPath(path)
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def register_benchmark(spark: SparkSession, bench_docs: DataFrame, state_dir: str) -> None:
+    """(Re)write the benchmark suite the stream decontaminates against."""
+    bench_docs.select("doc_id", "text").write.mode("overwrite").parquet(
+        _path(state_dir, "bench")
+    )
+
+
+def read_verdicts(spark: SparkSession, state_dir: str) -> DataFrame:
+    return _read_state(spark, state_dir, "verdicts", _VERDICT_SCHEMA)
+
+
+def curate_batch_step(spark: SparkSession, docs: DataFrame, state_dir: str) -> int:
+    """One incremental step: hygiene-verdict + dedup the fresh docs of
+    ``docs`` against state. Returns the number of fresh docs admitted."""
+    docs = docs.where(F.col("doc_id").isNotNull()).dropDuplicates(["doc_id"])
+    seen = read_verdicts(spark, state_dir)
+    fresh = docs.join(seen, "doc_id", "left_anti").persist()
+    n_fresh = fresh.count()
+    if n_fresh == 0:
+        fresh.unpersist()
+        return 0
+
+    bench = _read_state(spark, state_dir, "bench", _BENCH_SCHEMA)
+    dec = hygiene.decontaminate_from(fresh, bench).select("doc_id", "contaminated")
+    rep = hygiene.repetition_stats_from(fresh).select("doc_id", "repetitive")
+    verdicts = (
+        fresh.select("doc_id", "lang", "source")
+        .join(dec, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+            F.coalesce(F.col("repetitive"), F.lit(False)).alias("repetitive"),
+        )
+        .persist()
+    )
+    verdicts.count()  # materialize before any state path gains files
+
+    dedup_stream.dedup_batch_step(spark, fresh.select("doc_id", "text"), state_dir)
+    # verdicts (this step's claim table) land LAST — see module docstring
+    verdicts.write.mode("append").parquet(_path(state_dir, "verdicts"))
+    verdicts.unpersist()
+    fresh.unpersist()
+    return n_fresh
+
+
+def curated_docs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The curated survivor set as of the current state: every ingested doc
+    minus contaminated/repetitive minus near-dup-cluster losers."""
+    from ..operators import dedup
+
+    verd = read_verdicts(spark, state_dir)
+    pairs = dedup_stream.read_pairs(spark, state_dir)
+    comp = dedup.connected_components(verd.select("doc_id"), pairs)
+    losers = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    return (
+        verd.where(~F.col("contaminated") & ~F.col("repetitive"))
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
+def run_incremental_curation(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``src_dir`` (JSONL doc drops, availableNow) through the
+    incremental curation. Source offsets checkpoint with the query (ST3);
+    the claim anti-join makes redelivered batches no-ops (ST2)."""
+    stream = (
+        spark.readStream.schema(CURATE_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, _bid: curate_batch_step(spark, batch_df, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

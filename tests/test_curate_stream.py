@@ -1,0 +1,98 @@
+"""Incremental streaming curation ≡ batch curation, plus idempotence.
+
+The equivalence contract: streaming the corpus in arbitrary chunks through
+``run_incremental_curation`` must yield EXACTLY the survivor set of the
+batch operators on the full corpus — per-doc hygiene verdicts are content
+functions (batch boundaries can't change them) and the near-dup pair
+graph is batching-invariant (tests/test_dedup_stream.py)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from columbiaimagesearch_spark.operators import dedup, hygiene
+from columbiaimagesearch_spark.sources import load_table
+from columbiaimagesearch_spark.streaming.curate_stream import (
+    curate_batch_step,
+    curated_docs,
+    register_benchmark,
+    run_incremental_curation,
+)
+
+from conftest import SF_SMOKE
+
+
+def _docs(spark):
+    all_docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    bench = all_docs.where(F.col("doc_id") % hygiene.BENCH_MOD == 0)
+    train = all_docs.where(F.col("doc_id") % hygiene.BENCH_MOD != 0)
+    return train, bench
+
+
+def _expected_survivors(train, bench) -> set[int]:
+    pairs = dedup.near_dup_pairs_from(train)
+    comp = dedup.connected_components(train.select("doc_id"), pairs)
+    losers = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    dirty = (
+        hygiene.decontaminate_from(train, bench)
+        .where(F.col("contaminated"))
+        .select("doc_id")
+    )
+    rep = (
+        hygiene.repetition_stats_from(train)
+        .where(F.col("repetitive"))
+        .select("doc_id")
+    )
+    kept = (
+        train.select("doc_id")
+        .join(losers, "doc_id", "left_anti")
+        .join(dirty, "doc_id", "left_anti")
+        .join(rep, "doc_id", "left_anti")
+    )
+    return {int(r["doc_id"]) for r in kept.collect()}
+
+
+def test_streamed_curation_matches_batch(spark, tmp_path):
+    train, bench = _docs(spark)
+    rows = train.collect()
+    d = tmp_path / "drops"
+    d.mkdir()
+    n_chunks = 3
+    for c in range(n_chunks):
+        chunk = [r for i, r in enumerate(rows) if i % n_chunks == c]
+        (d / f"chunk-{c}.jsonl").write_text(
+            "\n".join(
+                json.dumps(
+                    {
+                        "doc_id": r["doc_id"],
+                        "text": r["text"],
+                        "lang": r["lang"],
+                        "source": r["source"],
+                    }
+                )
+                for r in chunk
+            )
+        )
+    state = str(tmp_path / "state")
+    register_benchmark(spark, bench, state)
+    run_incremental_curation(spark, str(d), state, str(tmp_path / "ckpt"))
+
+    streamed = {int(r["doc_id"]) for r in curated_docs(spark, state).collect()}
+    assert streamed == _expected_survivors(train, bench)
+    assert 0 < len(streamed) < train.count()  # something was dropped
+
+
+def test_replayed_curation_batch_is_noop(spark, tmp_path):
+    train, bench = _docs(spark)
+    some = train.limit(80)
+    state = str(tmp_path / "state")
+    register_benchmark(spark, bench, state)
+    assert curate_batch_step(spark, some, state) == 80
+    before = {int(r["doc_id"]) for r in curated_docs(spark, state).collect()}
+    assert curate_batch_step(spark, some, state) == 0
+    after = {int(r["doc_id"]) for r in curated_docs(spark, state).collect()}
+    assert before == after

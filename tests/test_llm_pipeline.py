@@ -69,3 +69,35 @@ def test_curation_without_benchmark_skips_decontam(spark):
     c = res.counts()
     assert c["after_decontam"] == c["after_dedup"]
     assert c["after_mix_split"] > 0
+
+
+def test_training_shards_write_sorted_and_complete(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    res = curate.curate_docs(docs, None, train_split_only=False)
+    out = str(tmp_path / "shards")
+    curate.write_training_shards(res, docs, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == res.packed.count()
+    assert set(back.columns) == {"doc_id", "text", "bin", "n_tokens", "shard"}
+    # within every file, rows are (bin, doc_id)-sorted — a reader streams
+    # packed sequences in order without a shuffle
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    files = list(Path(out).glob("shard=*/*.parquet"))
+    assert files
+    for f in files:
+        pdf = pq.read_table(f).to_pandas()
+        assert (
+            pdf[["bin", "doc_id"]]
+            .reset_index(drop=True)
+            .equals(
+                pdf[["bin", "doc_id"]]
+                .sort_values(["bin", "doc_id"])
+                .reset_index(drop=True)
+            )
+        ), f
