@@ -17,6 +17,9 @@ keeps the raw samples.
 the in-memory ServingSearcher at the production quota envelope — the
 comparison point for the reference's only published latency number
 ("less than a second" serving, BASELINE.md).
+
+"curation" reports wall time + docs/sec of the full batch LLM-curation
+chain (dedup -> hygiene -> mixture -> split -> pack) run as one job.
 """
 
 from __future__ import annotations
@@ -99,6 +102,28 @@ def serving_latency_ms(spark, sf_dir: str, n_queries: int = 32) -> dict:
     }
 
 
+def curation_bench(spark, sf_dir: str) -> dict:
+    """Wall time + throughput of the full batch curation chain (dedup ->
+    hygiene -> mixture -> split -> pack) on the sf documents table — the
+    LLM-pipeline composition measured as one job, not per-operator."""
+    from columbiaimagesearch_spark import curate as curate_mod
+    from columbiaimagesearch_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    res = curate_mod.curate_docs(docs, None, train_split_only=False)
+    res.packed.write.mode("overwrite").format("noop").save()
+    secs = time.perf_counter() - t0
+    return {
+        "seconds": round(secs, 3),
+        "input_docs": n_docs,
+        "docs_per_sec": round(n_docs / secs, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -149,6 +174,7 @@ def main() -> None:
                 "sf": float(sf),
                 "n": n,
                 "serving_ms": serving,
+                "curation": curation_bench(spark, sf_dir),
                 "runs": runs,
             }
         )
