@@ -353,13 +353,26 @@ def connected_components(
     themselves). Iterative stream of joins — each round propagates labels
     one hop; near-dup clusters have tiny diameters, so convergence is a few
     rounds regardless of corpus size. Per-round shuffle carries (edge
-    endpoints, label) only. Deterministic: min is order-free."""
+    endpoints, label) only. Deterministic: min is order-free.
+
+    Only nodes that appear in an edge enter the iteration: the near-dup
+    graph is orders of magnitude smaller than the corpus (most docs are
+    singletons), so every propagation round works on |graph| rows, not
+    |corpus| — the singleton majority joins back as identity labels in one
+    final union."""
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     ).persist()
-    labels = nodes.select(
-        F.col("doc_id"), F.col("doc_id").alias("component")
-    ).persist()
+    in_graph = edges.select(F.col("src").alias("doc_id")).distinct()
+    singletons = nodes.select("doc_id").join(in_graph, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    labels = (
+        nodes.select("doc_id")
+        .join(in_graph, "doc_id", "left_semi")
+        .select(F.col("doc_id"), F.col("doc_id").alias("component"))
+        .persist()
+    )
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges["src"] == labels["doc_id"])
@@ -387,7 +400,7 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    return labels
+    return labels.unionByName(singletons)
 
 
 @register(
