@@ -154,3 +154,32 @@ def test_seq_pack_plan_shuffles_ints_only(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     # the pandas grouped-map is fed by the shard hash partitioning
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan, plan
+
+
+def test_seq_pack_invariants_on_adversarial_lengths(spark):
+    """Greedy first-fit invariants on a synthetic corpus mixing tiny,
+    budget-sized, and oversized docs: bins are contiguous from 0 per shard,
+    multi-doc bins never exceed the budget, oversized docs sit alone, and
+    a doc is only ever in a later bin than the previous doc (order-greedy:
+    no bin reuse after moving on)."""
+    budget = 64
+    rows = []
+    for doc_id in range(200):
+        n = [1, 7, 63, 64, 65, 200, 32, 33][doc_id % 8]
+        rows.append((doc_id, " ".join("w" for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pdf = packing.seq_pack_from(docs, budget=budget, shards=4).toPandas()
+    assert len(pdf) == 200 and pdf["doc_id"].is_unique
+
+    for shard, g in pdf.groupby("shard"):
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        # bins contiguous from 0, non-decreasing in doc order
+        assert g["bin"].iloc[0] == 0
+        assert (g["bin"].diff().dropna() >= 0).all()
+        assert (g["bin"].diff().dropna() <= 1).all()
+        fills = g.groupby("bin")["n_tokens"].agg(["sum", "count"])
+        multi = fills[fills["count"] > 1]
+        assert (multi["sum"] <= budget).all(), (shard, multi)
+        # oversized docs are always alone in their bin
+        oversized_bins = set(g.loc[g["n_tokens"] > budget, "bin"])
+        assert all(fills.loc[b, "count"] == 1 for b in oversized_bins)
