@@ -304,3 +304,64 @@ def repetition_stats_from(docs: DataFrame) -> DataFrame:
         (F.col("top_word_frac") > REP_TOP_WORD)
         | (F.col("dup_3gram_frac") > REP_DUP_3GRAM),
     )
+
+
+BOILERPLATE_MIN_DOCS = 3  # an n-gram in >= this many docs is boilerplate
+BOILERPLATE_N = 4  # shorter than decontam's 8: templates repeat in chunks
+
+BOILERPLATE_ORACLE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+e AS (
+  SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w FROM w
+),
+l AS (
+  SELECT doc_id, w,
+         {", ".join(f"lead(w, {i}) OVER win AS w{i}" for i in range(1, BOILERPLATE_N))}
+  FROM e WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+ng AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || {" || ' ' || ".join(f"w{i}" for i in range(1, BOILERPLATE_N))} AS gram
+  FROM l WHERE w{BOILERPLATE_N - 1} IS NOT NULL
+)
+SELECT gram,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM ng
+GROUP BY gram
+HAVING COUNT(*) >= {BOILERPLATE_MIN_DOCS}
+"""
+
+
+def boilerplate_ngrams_from(docs: DataFrame, n: int = BOILERPLATE_N) -> DataFrame:
+    """(gram, n_docs, first_doc): word n-grams occurring in at least
+    BOILERPLATE_MIN_DOCS distinct documents — the cross-document repeated
+    spans (site headers, license blocks, template text) that substring-level
+    dedup removes from training corpora.
+
+    Per-doc DISTINCT first (dropDuplicates on (doc_id, gram)) so a gram
+    repeated within one doc counts once; then one partial-agg groupBy on
+    the gram. At scale the shuffle carries (gram-hash, doc_id) after
+    map-side dedup — the heavy tail of unique grams partial-aggregates to
+    nothing."""
+    grams = ngram_rows(docs, n).withColumnRenamed("ng", "gram").dropDuplicates(
+        ["doc_id", "gram"]
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+    )
+
+
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable rendering of :func:`boilerplate_ngrams_from` over
+    the ``documents`` table."""
+    return boilerplate_ngrams_from(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )

@@ -127,3 +127,36 @@ def test_repetition_stats_from_edge_cases(spark):
     assert pdf.loc[1, "dup_3gram_frac"] == 0.75  # 4 trigrams, 1 distinct
     assert pdf.loc[3, "dup_word_frac"] == 0.0
     assert not pdf.loc[3, "repetitive"]
+
+
+def test_boilerplate_parity(spark, duck_smoke):
+    res = compare(
+        spark,
+        _spec(
+            "text_boilerplate_ngrams",
+            hygiene.text_boilerplate_ngrams,
+            hygiene.BOILERPLATE_ORACLE_SQL,
+        ),
+        SF_SMOKE,
+        duck_smoke,
+    )
+    assert res.ok, res.detail
+
+
+def test_boilerplate_counts_each_doc_once(spark):
+    """A gram repeated many times inside ONE doc is not boilerplate."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    docs = mk(
+        [
+            (1, "x y z w " * 10),          # same 4-gram 10x in one doc
+            (2, "a b c d q r s t"),
+            (3, "a b c d u v w x"),
+            (4, "a b c d m n o p"),        # "a b c d" spans 3 docs
+        ]
+    )
+    pdf = hygiene.boilerplate_ngrams_from(docs).toPandas()
+    grams = set(pdf["gram"])
+    assert "a b c d" in grams
+    row = pdf.set_index("gram").loc["a b c d"]
+    assert row["n_docs"] == 3 and row["first_doc"] == 2
+    assert not any(g.startswith("x y z") for g in grams)
