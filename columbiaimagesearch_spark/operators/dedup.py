@@ -359,11 +359,23 @@ def connected_components(
     graph is orders of magnitude smaller than the corpus (most docs are
     singletons), so every propagation round works on |graph| rows, not
     |corpus| — the singleton majority joins back as identity labels in one
-    final union."""
+    final union.
+
+    Lineage is truncated per round with ``localCheckpoint`` (see inline
+    comment); on a cluster where executor loss matters, swap it for
+    ``checkpoint()`` with a checkpoint dir — same semantics, fault-tolerant
+    at the cost of an HDFS round-trip per iteration."""
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     ).persist()
-    in_graph = edges.select(F.col("src").alias("doc_id")).distinct()
+    # in_graph feeds the singleton anti-join, which downstream callers
+    # evaluate AFTER this function returns — by then edges is unpersisted,
+    # so without an eager checkpoint every consumer would re-run the whole
+    # pair-generation lineage (the LSH verify) once per action. The id set
+    # is tiny (docs with >= 1 near-dup edge); pin it.
+    in_graph = (
+        edges.select(F.col("src").alias("doc_id")).distinct().localCheckpoint(eager=True)
+    )
     singletons = nodes.select("doc_id").join(in_graph, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("component")
     )
@@ -379,6 +391,13 @@ def connected_components(
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("component").alias("neighbor_min"))
         )
+        # localCheckpoint (eager) TRUNCATES LINEAGE each round — `labels`
+        # feeds both the propagation join and the carry-forward, so without
+        # truncation the logical plan doubles per iteration and a
+        # diameter-d graph builds a 2^d-node tree (the JVM OOMs just
+        # *stringifying* it past d≈15; persist caches data but keeps the
+        # plan). Checkpointing makes every round's plan O(1), which is what
+        # lets a long-chain graph converge at all.
         new_labels = (
             labels.join(prop, "doc_id", "left")
             .select(
@@ -387,7 +406,7 @@ def connected_components(
                     F.col("component"), F.coalesce("neighbor_min", F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
