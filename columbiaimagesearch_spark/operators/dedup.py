@@ -365,6 +365,12 @@ def connected_components(
     comment); on a cluster where executor loss matters, swap it for
     ``checkpoint()`` with a checkpoint dir — same semantics, fault-tolerant
     at the cost of an HDFS round-trip per iteration."""
+    # Materialize pairs ONCE before anything fans out over them: the edge
+    # union references `pairs` in two branches and Spark does not share
+    # subplans across union arms, so a lazy pairs input (the full LSH
+    # verify) would execute twice just to build edges. Checkpointing also
+    # keeps every propagation round's scan against cached rows.
+    pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     ).persist()
