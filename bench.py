@@ -10,8 +10,9 @@ one untimed warm-up pass runs every headline query first (JIT, codegen
 caches, parquet footers, OS page cache — measured 3-5x inflation on the
 first execution of the heavy queries), then each query runs
 $SPARK_GRAFT_BENCH_N timed passes (default 3) round-robin and the reported
-per-query number is the MEDIAN; "value" is the sum of medians and "runs"
-keeps the raw samples.
+per-query number is the MEDIAN; "value" is the sum of medians.  Raw samples
+are written to BENCH_RUNS.json (side file — kept out of the headline JSON
+line so the driver's tail capture never truncates it).
 
 "serving_ms" reports the single-query latency (p50/p99 over 32 queries) of
 the in-memory ServingSearcher at the production quota envelope — the
@@ -64,6 +65,15 @@ HEADLINE = [
     "lopq_search_topk",
     "lopq_search_rerank",
     "ann_ivf_topk",
+    # LLM hygiene/packing family (driver-visible since r3)
+    "llm_decontaminate",
+    "text_repetition_stats",
+    "text_boilerplate_ngrams",
+    "llm_split_assign",
+    "llm_seq_pack",
+    "llm_mixture_sample",
+    # PCA-composed search (V7 driver row since r3)
+    "lopq_pca_search_topk",
 ]
 
 
@@ -124,6 +134,25 @@ def curation_bench(spark, sf_dir: str) -> dict:
     }
 
 
+def train_bench(spark, sf_dir: str) -> dict:
+    """One-shot wall time of the distributed LOPQ fit (fit_spark: full-corpus
+    Lloyd + moment-fed rotations + distributed subquantizers) — the index
+    BUILD cost, reported separately from query wall because training is a
+    batch job, not a repeated query."""
+    from columbiaimagesearch_spark.lopq import twin
+    from columbiaimagesearch_spark.lopq.train_spark import fit_spark
+    from columbiaimagesearch_spark.sources import load_table
+
+    vec_df = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id as id", "cast(embedding as array<double>) as v"
+    )
+    n = vec_df.count()
+    t0 = time.perf_counter()
+    fit_spark(vec_df, init_sample=twin.SAMPLE_LIMIT, **twin.TRAIN_PARAMS)
+    secs = time.perf_counter() - t0
+    return {"fit_spark_seconds": round(secs, 3), "rows": n}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -164,6 +193,14 @@ def main() -> None:
     timings = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
     serving = serving_latency_ms(spark, sf_dir)
+    curation = curation_bench(spark, sf_dir)
+    train = train_bench(spark, sf_dir)
+    # Raw samples go to a side file: keeping them inline made the headline
+    # JSON line long enough that the driver's tail-capture window truncated
+    # its head (BENCH_r02 "parsed": null).  The headline line must be the
+    # LAST stdout line and compact.
+    with open(os.path.join(REPO, "BENCH_RUNS.json"), "w") as fh:
+        json.dump({"sf": float(sf), "n": n, "runs": runs}, fh)
     print(
         json.dumps(
             {
@@ -174,9 +211,10 @@ def main() -> None:
                 "sf": float(sf),
                 "n": n,
                 "serving_ms": serving,
-                "curation": curation_bench(spark, sf_dir),
-                "runs": runs,
-            }
+                "curation": curation,
+                "train": train,
+            },
+            separators=(",", ":"),
         )
     )
 

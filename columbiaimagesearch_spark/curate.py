@@ -8,10 +8,12 @@
   filter -> temperature mixture sampling -> train-split selection ->
   sequence packing.
 
-Everything is lazy: the result holds the per-stage DataFrames and nothing
-is counted or collected unless the caller asks (``counts()`` is explicitly
-an action — at 100 TB you run the chain as one job and only pay the scans
-you asked for). Every stage's verdict is a deterministic function of
+Laziness: downstream stages (decontamination, repetition, mixture, split,
+pack) are lazy DataFrames — but stage 1's ``connected_components`` runs
+its dedup jobs EAGERLY at call time (the iterative label propagation
+checkpoints per round, so LSH pair generation + the component loop execute
+inside ``curate_docs`` itself; see operators/dedup.py). ``counts()`` is an
+explicit extra action per stage. Every stage's verdict is a deterministic function of
 document *content keys* (salted hashes, never partitioning or row order),
 so the same corpus curates to the same byte-identical output on any
 cluster geometry — the property ``tests/test_llm_pipeline.py`` pins.
@@ -53,9 +55,14 @@ def curate_docs(
     res = CurationResult()
     res.stages["input"] = docs
 
-    # 1. near-dup dedup: drop everything but each cluster's min doc_id
-    pairs = dedup.near_dup_pairs_from(docs)
+    # 1. near-dup dedup: drop everything but each cluster's min doc_id.
+    # We own the shingle-hash cache here: connected_components eagerly
+    # checkpoints the pairs, so the hashed relation is consumed by the time
+    # it returns and can be unpersisted (no leaked cache per curate call).
+    hashed = dedup.hashed_from(docs)
+    pairs = dedup.near_dup_pairs_from(docs, hashed=hashed)
     comp = dedup.connected_components(docs.select("doc_id"), pairs)
+    hashed.unpersist()
     losers = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
     docs = docs.join(losers, "doc_id", "left_anti")
     res.stages["after_dedup"] = docs
@@ -105,13 +112,23 @@ def write_training_shards(
 
     At 100 TB the shard count is the write-parallelism knob (each shard is
     one task's sorted output); readers get partition pruning on `shard`
-    for free."""
+    for free.
+
+    The in-partition sort leads with ``shard`` (the partitionBy column):
+    FileFormatWriter demands its output ordered by the partition columns
+    and inserts its OWN sort when the incoming ordering doesn't already
+    satisfy that — and that inserted sort is only by ``shard``, so a
+    (bin, doc_id)-sorted input loses its file ordering once the writer
+    sort spills (stability is not guaranteed at scale). Sorting
+    (shard, bin, doc_id) up front satisfies the writer's requirement, no
+    second sort is inserted, and the per-file (bin, doc_id) order is the
+    sort's own guarantee."""
     if result.packed is None:
         raise ValueError("curation result has no packed output")
     (
         result.packed.join(docs.select("doc_id", "text"), "doc_id")
         .repartition("shard")
-        .sortWithinPartitions("bin", "doc_id")
+        .sortWithinPartitions("shard", "bin", "doc_id")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(out_dir)

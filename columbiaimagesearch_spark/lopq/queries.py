@@ -217,6 +217,82 @@ def a3_residual_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lopq_train_distributed_codes",
+    survey_ops=("V1", "V5", "V6", "A3", "V2"),
+    doc="Distributed LOPQ training parity, driver-visible (VERDICT r2 "
+    "next-step #3): fit_spark (full-corpus Lloyd V1, moment-fed rotations "
+    "V2/V3, distributed subquantizers V5, orchestration V6 — reference "
+    "lopq/lopq/model.py:339-437) trains the model, then the corpus is "
+    "encoded distributed. Oracle: the twin's driver-side LOPQModel.fit on "
+    "the same ordered rows — identical codes while the corpus fits the "
+    "init-sample bound (the exact equivalence tests/test_train_spark.py "
+    "asserts run-stable).",
+    oracle=twin.lopq_train_distributed_codes_sql,
+)
+def lopq_train_distributed_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .train_spark import fit_spark
+
+    vec_df = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id as id", "cast(embedding as array<double>) as v"
+    )
+    model = fit_spark(
+        vec_df, init_sample=twin.SAMPLE_LIMIT, **twin.TRAIN_PARAMS
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return encode_dataframe(spark, emb, model).select(
+        "id", "c1", "c2", "cell",
+        F.concat_ws(",", F.col("fine").cast("array<string>")).alias("fine_csv"),
+    )
+
+
+_PCA_MODEL_CACHE: dict[str, "object"] = {}
+
+
+def pca_fixture_model(spark: SparkSession, sf_dir: str):
+    """Train (once per sf_dir) the PCA-composed fixture: driver-side numpy
+    PCA + LOPQ over the projected space, via the shared pure function
+    twin.fit_pca_lopq on the same ordered rows the twin reads — so builder
+    and oracle hold bitwise-identical models and the driver row verifies
+    the distributed projection/encode/search plumbing."""
+    if sf_dir not in _PCA_MODEL_CACHE:
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(twin.SAMPLE_LIMIT)
+            .collect()
+        )
+        X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        _PCA_MODEL_CACHE[sf_dir] = twin.fit_pca_lopq(X)
+    return _PCA_MODEL_CACHE[sf_dir]
+
+
+@register(
+    "lopq_pca_search_topk",
+    survey_ops=("V7", "A4", "V8", "V10"),
+    doc="PCA-composed LOPQ search (reference LOPQModelPCA; "
+    f"model.py:878-978 apply_PCA+renorm): corpus PCA-projected to "
+    f"{twin.PCA_DIM} dims distributed (train_spark.pca_project mapInPandas), "
+    "encoded, then searched with ORIGINAL-space queries projected inside "
+    "search() (reference search.py:198-200). Output floats are LUT-gather "
+    "sums over integer codes, so batch-shape matmul wobble cannot reach "
+    "the hash. Oracle: NumPy twin over the identical driver-fit model.",
+    oracle=twin.lopq_pca_search_topk_sql,
+)
+def lopq_pca_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .train_spark import pca_project
+
+    pm = pca_fixture_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec_df = emb.selectExpr("vec_id as id", "cast(embedding as array<double>) as v")
+    projected = pca_project(vec_df, pm.P, pm.mu)
+    codes = encode_dataframe(spark, projected, pm.lopq, id_col="id", vec_col="v")
+    q_rows = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    queries = [(int(r["vec_id"]), np.array(r["embedding"])) for r in q_rows]
+    return search(spark, codes, pm, queries, quota=twin.PCA_QUOTA, k=TOP_K)
+
+
+@register(
     "lopq_search_rerank",
     survey_ops=("J5", "V13", "T4", "V10"),
     doc=f"LOPQ search + exact rerank: top-{RERANK_NB} ADC candidates per "

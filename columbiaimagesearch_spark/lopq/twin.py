@@ -34,7 +34,7 @@ from typing import Any
 import numpy as np
 import pyarrow.parquet as pq
 
-from .model import LOPQModel
+from .model import LOPQModel, LOPQModelPCA
 from .search import adc_batch_dists, multisequence_cells
 
 # Fixture constants — single source of truth, imported by lopq/queries.py
@@ -52,6 +52,18 @@ RERANK_NB = 100
 SAMPLE_LIMIT = 20000
 IVF_CELLS = 16
 IVF_PROBE = 6
+
+# Distributed-training parity row (V1/V5/V6): the exact params proven
+# run-stable by tests/test_train_spark.py — with the corpus inside
+# SAMPLE_LIMIT, fit_spark's full-corpus Lloyd sees the same rows as the
+# driver fit, so codes are identical (allclose centroids -> equal argmin).
+TRAIN_PARAMS = {"V": 4, "M": 4, "K": 8, "seed": 7, "n_iter": 8}
+
+# PCA-composed search row (V7): PCA dims + the LOPQ trained over the
+# projected space. out_dim must satisfy the D-split constraints of fit.
+PCA_DIM = 16
+PCA_LOPQ_PARAMS = {"V": 4, "M": 4, "K": 8, "seed": 11, "n_iter": 8}
+PCA_QUOTA = 120
 
 _STATE: dict[str, dict[str, Any]] = {}
 
@@ -101,6 +113,11 @@ def _values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
     )
     names = ", ".join(name for name, _ in cols)
     return f"SELECT * FROM (VALUES\n{body}\n) AS t({names})"
+
+
+# public alias: other operator families (textstats fingerprint) emit their
+# own VALUES oracles through the same renderer
+values_sql = _values_sql
 
 
 def _queries_of(st: dict[str, Any]) -> tuple[np.ndarray, np.ndarray]:
@@ -267,6 +284,140 @@ def a3_residual_moments_sql(sf_dir: str) -> str:
             ("n", "BIGINT"),
             ("resid_sum_norm", "DOUBLE"),
             ("cov_trace", "DOUBLE"),
+        ],
+    )
+
+
+def _codes_rows(ids, coarse, cells, fine) -> list[tuple]:
+    return [
+        (int(i), int(c[0]), int(c[1]), int(cell), ",".join(str(int(x)) for x in f))
+        for i, c, cell, f in zip(ids, coarse, cells, fine)
+    ]
+
+
+_CODES_COLS = [
+    ("id", "BIGINT"),
+    ("c1", "INTEGER"),
+    ("c2", "INTEGER"),
+    ("cell", "INTEGER"),
+    ("fine_csv", "VARCHAR"),
+]
+
+
+def _guard_sample_bound(st: dict[str, Any], what: str) -> None:
+    """The train/PCA twin equivalence (driver fit == distributed fit) holds
+    only while the whole corpus fits in the bounded init sample — true at
+    every correctness tier (<= 2000 rows vs SAMPLE_LIMIT=20000). Past the
+    bound the distributed fit intentionally diverges (full-corpus Lloyd is
+    its whole point) and parity must be asserted statistically
+    (tests/test_train_spark.py), not bitwise."""
+    if len(st["ids"]) > SAMPLE_LIMIT:
+        raise ValueError(
+            f"{what}: corpus has {len(st['ids'])} rows > SAMPLE_LIMIT="
+            f"{SAMPLE_LIMIT}; the bitwise twin oracle is only valid when the "
+            "driver sample covers the corpus — use the statistical parity "
+            "tests at this scale"
+        )
+
+
+def train_model(st: dict[str, Any]) -> LOPQModel:
+    """Driver-side twin of ``train_spark.fit_spark`` under the sample bound:
+    same ordered rows, same seed/params -> identical codes (the exact
+    equivalence tests/test_train_spark.py asserts)."""
+    if "train_model" not in st:
+        _guard_sample_bound(st, "lopq_train_distributed_codes")
+        st["train_model"] = LOPQModel.fit(st["X"][:SAMPLE_LIMIT], **TRAIN_PARAMS)
+    return st["train_model"]
+
+
+def lopq_train_distributed_codes_sql(sf_dir: str) -> str:
+    st = _state(sf_dir)
+    m = train_model(st)
+    coarse, fine = m.encode(st["X"])
+    return _values_sql(
+        _codes_rows(st["ids"], coarse, m.cell_id(coarse), fine), _CODES_COLS
+    )
+
+
+def fit_pca_lopq(X: np.ndarray) -> LOPQModelPCA:
+    """Deterministic driver-side PCA + LOPQ composition (reference
+    LOPQModelPCA; train_pca model.py:242-287 + apply_PCA/renorm idiom
+    :878-978): numpy eigh with the same descending-order / sign convention
+    as ``train_spark.fit_pca_spark``, then ``LOPQModel.fit`` over the
+    projected+renormed vectors. Pure function of X — the Spark builder and
+    this twin call it on the same sorted rows, so both hold the identical
+    model and the oracle verifies only the distributed plumbing."""
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    cov = Xc.T @ Xc / max(len(X) - 1, 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(-eigvals)[:PCA_DIM]
+    P = eigvecs[:, order]
+    flip = np.sign(P[np.abs(P).argmax(axis=0), np.arange(P.shape[1])])
+    flip[flip == 0] = 1.0
+    P = P * flip
+    Y = Xc @ P
+    norms = np.linalg.norm(Y, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Y = Y / norms
+    lopq = LOPQModel.fit(Y[:SAMPLE_LIMIT], **PCA_LOPQ_PARAMS)
+    return LOPQModelPCA(lopq=lopq, P=P, mu=mu)
+
+
+def pca_model(st: dict[str, Any]) -> LOPQModelPCA:
+    if "pca_model" not in st:
+        _guard_sample_bound(st, "lopq_pca_search_topk")
+        st["pca_model"] = fit_pca_lopq(st["X"])
+    return st["pca_model"]
+
+
+def lopq_pca_search_topk_sql(sf_dir: str) -> str:
+    """Twin of the PCA-composed search: project the corpus (full-matrix —
+    feeds only integer argmin codes, so batch-shape matmul wobble cannot
+    leak into the hash), project each QUERY through the same single-row
+    ``project_queries`` call shape the distributed search uses (LUT floats
+    must match bitwise), then the shared multisequence + ADC-gather path."""
+    st = _state(sf_dir)
+    pm = pca_model(st)
+    lopq = pm.lopq
+    Y = (st["X"] - pm.mu) @ pm.P
+    norms = np.linalg.norm(Y, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Y = Y / norms
+    coarse, fine = lopq.encode(Y)
+    cells = lopq.cell_id(coarse)
+    counts: dict[int, int] = {
+        int(c): int(n) for c, n in zip(*np.unique(cells, return_counts=True))
+    }
+    ids = st["ids"]
+    qids, Q_orig = _queries_of(st)
+    rows: list[tuple] = []
+    for qid, q in zip(qids, Q_orig):
+        qp = pm.project_queries(q)[0]  # (1, D) matmul — same shape as search()
+        d1, d2 = lopq.coarse_distances(qp)
+        c_ids: list[np.ndarray] = []
+        c_dists: list[np.ndarray] = []
+        for cell in multisequence_cells(d1, d2, counts, PCA_QUOTA):
+            if not counts.get(cell, 0):
+                continue
+            mask = cells == cell
+            lut = lopq.adc_lut(qp, cell)
+            c_ids.append(ids[mask])
+            c_dists.append(adc_batch_dists(lut, fine[mask]))
+        cand_ids = np.concatenate(c_ids)
+        cand_dists = np.concatenate(c_dists)
+        top = np.lexsort((cand_ids, cand_dists))[:TOP_K]
+        rows.extend(
+            (int(qid), r + 1, int(cand_ids[i]), float(cand_dists[i]))
+            for r, i in enumerate(top)
+        )
+    return _values_sql(
+        rows,
+        [
+            ("qid", "BIGINT"),
+            ("rank", "INTEGER"),
+            ("id", "BIGINT"),
+            ("adc_dist", "DOUBLE"),
         ],
     )
 

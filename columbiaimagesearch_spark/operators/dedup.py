@@ -322,11 +322,19 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_from(docs)
 
 
-def near_dup_pairs_from(docs: DataFrame) -> DataFrame:
+def near_dup_pairs_from(docs: DataFrame, hashed: DataFrame | None = None) -> DataFrame:
     """DataFrame-level MinHash+LSH near-dup pairs over any (doc_id, text)
     relation — the library entry point behind ``dedup_minhash_lsh_pairs``
-    (and the per-batch stage of streaming/dedup_stream.py)."""
-    hashed = hashed_from(docs)
+    (and the per-batch stage of streaming/dedup_stream.py).
+
+    The shingle-hash relation is persisted (four references in the pair
+    plan).  A caller that materializes the pairs eagerly (e.g.
+    ``curate.curate_docs``, whose ``connected_components`` checkpoints
+    them) should build ``hashed_from(docs)`` itself, pass it in, and
+    unpersist it afterwards — otherwise each invocation parks one cached
+    relation until LRU eviction."""
+    if hashed is None:
+        hashed = hashed_from(docs)
     bands = bands_from(hashed)
     cands = (
         bands.alias("a")
@@ -424,6 +432,21 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # A near-dup chain with diameter > max_iter would return split
+        # clusters SILENTLY (duplicate docs surviving dedup) — plausible
+        # after transitive LSH merges at corpus scale. Warn loudly; the
+        # caller should re-run with a larger max_iter (each extra round is
+        # one |graph|-row join, so doubling it is cheap).
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds ({changed} labels still changing): "
+            "components may be split — re-run with a larger max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels.unionByName(singletons)
 

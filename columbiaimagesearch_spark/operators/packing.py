@@ -21,11 +21,10 @@ cluster geometry) reproduces byte-identical assignments:
   shard count scales with the cluster (shuffle carries (shard, doc_id,
   n_tokens) ints only — never text).
 
-Neither is registered with the driver (the registry is sized to the
-driver's 50-entry CORRECTNESS window, all slots holding SURVEY §2
-operators); ``tests/test_packing.py`` runs the SAME DuckDB parity harness
-on them locally — the split op against a plain SQL oracle, the packing op
-against a recursive-CTE twin of the greedy recurrence.
+All three (split, pack, mixture) are registered driver-visible since
+round 3; ``tests/test_packing.py`` runs the SAME DuckDB parity harness
+locally — the split op against a plain SQL oracle, the packing op against
+a recursive-CTE twin of the greedy recurrence.
 """
 
 from __future__ import annotations
@@ -34,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..registry import register
 from ..sources import load_table
 
 # split thresholds over a 0..999 bucket space: 80/10/10
@@ -76,6 +76,16 @@ LEFT JOIN (VALUES {", ".join(f"('{k}', {v})" for k, v in LANG_RATE_PERMILLE.item
 """
 
 
+@register(
+    "llm_split_assign",
+    survey_ops=("LLM-split", "F2"),
+    doc="Reproducible train/val/test split + per-language stratified "
+    "downsampling by two INDEPENDENT salted md5 buckets — a deterministic "
+    "function of content keys, never of partitioning, so a 100 TB rescan "
+    "reproduces byte-identical assignments. One narrow codegen'd pass; "
+    "rates dim broadcast; zero shuffles.",
+    oracle=SPLIT_ORACLE_SQL,
+)
 def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable rendering of :func:`split_assign_from` over the
     ``documents`` table."""
@@ -142,6 +152,17 @@ SELECT shard, bin, doc_id, n_tokens FROM pack
 """
 
 
+@register(
+    "llm_seq_pack",
+    survey_ops=("LLM-pack", "ST1"),
+    doc=f"Greedy first-fit-in-order sequence packing into {PACK_BUDGET}-token "
+    f"bins inside {PACK_SHARDS} hash shards: the per-shard scan is the one "
+    "genuinely sequential step, so it runs as one applyInPandas group per "
+    "shard with O(1) carry — shard count, not corpus size, is the "
+    "parallelism knob; the shuffle carries (shard, doc_id, n_tokens) ints "
+    "only, never text. Oracle: recursive-CTE twin of the greedy recurrence.",
+    oracle=PACK_ORACLE_SQL,
+)
 def llm_seq_pack(
     spark: SparkSession,
     sf_dir: str,
@@ -223,6 +244,17 @@ FROM documents d JOIN rates r USING (source)
 """
 
 
+@register(
+    "llm_mixture_sample",
+    survey_ops=("LLM-mixture", "A2"),
+    doc=f"Temperature-scaled domain mixture (alpha={MIX_ALPHA}): source "
+    "share ∝ source_docs^alpha (upweights rare domains), realized as a "
+    "deterministic salted-hash keep decision. One partial-agg "
+    "groupBy(source) builds the S-row dim; window totals run over those S "
+    "rows only; the dim broadcasts back — corpus-side decision is a "
+    "narrow codegen'd pass.",
+    oracle=MIXTURE_ORACLE_SQL,
+)
 def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, source_docs, weight, rate_permille, keep):
     temperature-scaled domain mixture — each source's share of the output

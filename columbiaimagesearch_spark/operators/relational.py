@@ -101,13 +101,15 @@ def s3_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s4_cursor_scan",
-    survey_ops=("S4", "S3", "F1"),
+    survey_ops=("S4", "S3", "F1", "T6"),
     doc="Resume-cursor scan: updates-from-date prefix scan with in-flight "
     "substring filter (hbase_indexer_minimal.py:370-421). Key >= cursor, "
     "LIKE filter, deterministic order + limit. Also the batch rendering of "
     "the S3 range scan (key-range predicate pushed to the reader) and of "
     "the Kinesis resume-after-sequence-number cursor (kinesis_ingester.py:"
-    "71-149), whose streaming twin lives in streaming/kinesis.py.",
+    "71-149), whose streaming twin lives in streaming/kinesis.py. The "
+    "order+limit plans as TakeOrderedAndProject — the T6 partial top-k "
+    "physicalization (plan-asserted in tests/test_plans.py).",
     oracle="""
 SELECT o_orderkey, o_orderpriority, CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
 FROM orders
@@ -358,6 +360,7 @@ def j4_ranked_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j6_cell_semi_join",
     survey_ops=("J6", "A2"),
+    driver=False,  # J6 driver-green via lopq_search_topk + ann_ivf_topk; A2 via a2_cell_histogram
     doc="Index-probe semi join: candidate cells select code buckets "
     "(lopq/lopq/search.py:125-135 + get_cell). Broadcast the tiny cell list; "
     "on a cell-partitioned codes table this prunes file groups entirely.",
@@ -442,6 +445,7 @@ def a2_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a7_update_batching",
     survey_ops=("A7", "C6"),
+    driver=False,  # A7+C6 driver-green via st1_count_batch_assembly (and C6 via c_scalar_keys)
     doc="Update batching: accumulate ids per group, emit ordered id list "
     "(extraction_checker.py:281-454 batches sha1s into updates; "
     "comma-joined list_sha1s per hbase_indexer_minimal.py:40-48).",
@@ -543,6 +547,7 @@ def a_rollup_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t1_distance_topk",
     survey_ops=("T1", "T6"),
+    driver=False,  # T1 driver-green via j4_ranked_metadata_join + ann_cosine_topk; T6 via s4_cursor_scan
     doc="Global sort+limit (search.py:206-215 sorts candidates by distance, "
     "cuts to limit). Spark plans TakeOrderedAndProject: per-partition top-k, "
     "then a k-row merge on the driver — no full sort at scale.",
@@ -603,6 +608,7 @@ def t4_per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t2_quota_accumulation",
     survey_ops=("T2", "T3"),
+    driver=False,  # T2+T3 driver-green via lopq_search_topk (true heap traversal)
     doc="Multi-sequence quota cutoff: visit cells in distance order until the "
     "running item count reaches quota (search.py:110-135). Rendered as a "
     "running-sum window with cutoff.",
@@ -738,6 +744,7 @@ def setops_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q3_shipping_priority",
     survey_ops=("J1", "A2", "T1", "F1"),
+    driver=False,  # showcase query; every tag driver-green on dedicated rows
     doc="TPC-H Q3-shaped 3-way join (customer ⋈ orders ⋈ lineitem) with "
     "selective filters, revenue aggregation, top-10 — the canonical "
     "join-order + partial-agg + TakeOrderedAndProject plan.",
@@ -791,6 +798,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     survey_ops=("J1", "A2", "F1"),
+    driver=False,  # showcase query; every tag driver-green on dedicated rows
     doc="TPC-H Q5-shaped 6-way join: region/nation dims broadcast, fact "
     "joins shuffle on keys, revenue per nation — the multi-dim star-join "
     "plan whose small sides must all be BroadcastHashJoins.",
@@ -847,6 +855,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_large_volume_customer",
     survey_ops=("J1", "A2", "T1", "SET"),
+    driver=False,  # showcase query; every tag driver-green on dedicated rows
     doc="TPC-H Q18-shaped query: orders whose total lineitem quantity "
     "exceeds a HAVING threshold (aggregate-then-semi-join — the aggregate "
     "runs BEFORE the join so only qualifying keys broadcast), joined back "

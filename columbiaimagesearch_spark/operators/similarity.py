@@ -55,6 +55,7 @@ _COS_SQL = (
 @register(
     "emb_l2_norms",
     survey_ops=("C3", "C4"),
+    driver=False,  # C3/C4 driver-green via emb_near_dup_pairs (normalizes in-kernel)
     doc="L2 norm / normalization contract of the featurizer layer "
     "(featsio.py:13-22: features are stored L2-normalized float32).",
     oracle="""
@@ -182,10 +183,13 @@ def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_near_dup_pairs",
-    survey_ops=("F9", "DEDUP-embedding"),
+    survey_ops=("F9", "DEDUP-embedding", "C3", "C4"),
     doc="Embedding-cosine near-duplicate pairs, label-blocked (the near-dup "
     "distance filter generic_searcher.py:43-45 applied pairwise; blocking "
-    "key stands in for the coarse cell at scale).",
+    "key stands in for the coarse cell at scale). Carries C3/C4: the "
+    "cosine kernel L2-normalizes the float->double-cast embedding block "
+    "in-kernel (featsio.py:13-22 normalization contract; dedicated "
+    "rendering emb_l2_norms is local-parity checked).",
     oracle=f"""
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -23,6 +23,12 @@ Crash safety: if a batch dies between the dedup-state write and the
 verdicts write, the replay re-claims the docs via the verdicts anti-join,
 the inner dedup step admits zero (hashes already claimed them — no
 duplicate pairs), and the verdicts append completes. State converges.
+One narrower window lives INSIDE dedup_batch_step: a crash after its
+pairs append but before its hashes append leaves the batch unclaimed in
+both ledgers, so the replay regenerates and re-appends the same verified
+pairs — duplicate edges in the pairs state (survivor sets are unaffected;
+label propagation is idempotent over repeated edges). ``read_pairs``
+therefore dedupes on (doc_a, doc_b) at read time.
 
 ``curated_docs`` assembles the survivor set at read time: verdicts minus
 contaminated/repetitive minus connected-component dup losers — the same

@@ -61,7 +61,15 @@ def _read_state(spark: SparkSession, state_dir: str, name: str, schema: str) -> 
 
 
 def read_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
-    return _read_state(spark, state_dir, "pairs", _PAIRS_SCHEMA)
+    """Verified near-dup pairs, deduped on (doc_a, doc_b) at read time: a
+    crash between the pairs append and the hashes append leaves the batch
+    unclaimed, so its replay appends the same verified pairs again —
+    duplicate EDGES are the documented crash-replay residue (survivor sets
+    are unaffected either way; min-label propagation is idempotent over
+    repeated edges). Deduping here keeps every consumer's view exact."""
+    return _read_state(spark, state_dir, "pairs", _PAIRS_SCHEMA).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
 
 
 def read_hashes(spark: SparkSession, state_dir: str) -> DataFrame:

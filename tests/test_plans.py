@@ -142,6 +142,18 @@ def test_q18_aggregates_before_semi_join(spark):
     explain.assert_partial_aggregation(df)
 
 
+def test_t4_window_group_limit_pushdown(spark):
+    """Per-group top-k must carry WindowGroupLimit on BOTH sides of the
+    exchange: the map-side partial cuts each partition to k rows per group
+    BEFORE the shuffle, so the exchange moves O(groups x k), not the whole
+    fact table (the property that keeps the rerank re-sort flat at 100 TB;
+    confirmed optimal while investigating the r2 bench wobble)."""
+    df = _q(spark, "t4_per_group_topk")
+    plan = explain.formatted_plan(df)
+    n_wgl = plan.count("WindowGroupLimit")
+    assert n_wgl >= 2, f"expected partial+final WindowGroupLimit, got {n_wgl}:\n{plan}"
+
+
 def test_f8_dynamic_cells_is_narrow(spark):
     plan = explain.formatted_plan(_q(spark, "f8_dynamic_cells"))
     # map build + map_filter + explode are per-row transforms: the whole

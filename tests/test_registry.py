@@ -7,14 +7,24 @@ from __future__ import annotations
 
 import inspect
 
-from columbiaimagesearch_spark.registry import all_specs
+from columbiaimagesearch_spark.registry import all_specs, driver_specs
 
 DRIVER_WINDOW = 50  # the driver's CORRECTNESS file truncates at 50 entries
 
 
 def test_registry_fits_driver_window():
-    specs = all_specs()
+    specs = driver_specs()
     assert 0 < len(specs) <= DRIVER_WINDOW, len(specs)
+
+
+def test_folded_specs_keep_local_oracles():
+    """A spec folded out of the driver window (driver=False) must still be
+    oracle-checked locally — folding trades the driver row, never the
+    verification."""
+    folded = {n: s for n, s in all_specs().items() if not s.driver}
+    assert folded, "expected some folded specs (q3/q5/q18/... )"
+    for name, spec in folded.items():
+        assert spec.oracle is not None, f"{name} folded AND oracle-less"
 
 
 def test_every_builder_is_its_spec():

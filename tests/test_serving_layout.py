@@ -68,6 +68,37 @@ def test_serving_incremental_add_dedups(spark, model, codes):
     assert n1 < s.n_items
 
 
+def test_serving_add_batch_with_internal_dups(spark, model, codes):
+    """A single add batch containing repeated (cell, id) rows must land each
+    id once (first occurrence wins) — the vectorized group-per-cell path."""
+    base = codes.where(F.col("id") < 100)
+    incoming = codes.where(F.col("id") >= 100)
+    s = ServingSearcher(model).load_codes(base)
+    s.add_codes(incoming.unionByName(incoming))  # every row duplicated
+    assert s.n_items == codes.count()
+    # contents equal to a fresh full load, cell by cell
+    full = ServingSearcher(model).load_codes(codes)
+    assert set(s._cells) == set(full._cells)
+    for c in full._cells:
+        ids_a = sorted(s._cells[c][0].tolist())
+        ids_b = sorted(full._cells[c][0].tolist())
+        assert ids_a == ids_b, f"cell {c} id mismatch"
+
+
+def test_cell_counts_histogram_cap(spark, codes, monkeypatch):
+    """An index spread over more occupied cells than the cap must fail
+    loudly with the sharding recipe, not balloon the driver."""
+    from columbiaimagesearch_spark.lopq import search as search_mod
+
+    n_cells = codes.select("cell").distinct().count()
+    monkeypatch.setattr(search_mod, "MAX_OCCUPIED_CELLS", n_cells - 1)
+    with pytest.raises(ValueError, match="occupied cells"):
+        search_mod._cell_counts(codes)
+    monkeypatch.setattr(search_mod, "MAX_OCCUPIED_CELLS", n_cells)
+    counts = search_mod._cell_counts(codes)
+    assert sum(counts.values()) == codes.count()
+
+
 def test_cell_partitioned_layout_prunes(spark, codes, tmp_path):
     path = str(tmp_path / "codes_by_cell")
     layout.write_codes_partitioned(codes, path)
