@@ -51,9 +51,25 @@ def fixture_model(spark: SparkSession, sf_dir: str) -> LOPQModel:
     return _MODEL_CACHE[sf_dir]
 
 
+_CODES_CACHE: dict[str, DataFrame] = {}
+
+
 def codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return encode_dataframe(spark, emb, fixture_model(spark, sf_dir))
+    """The fixture codes relation, built ONCE per sf_dir and persisted.
+
+    Rebuilding per call would broadcast the model and register a fresh
+    cache entry every time (each call's closure is a distinct plan):
+    across a long session those dead broadcasts/cache entries pile up in
+    the block manager until a driver GC lets the ContextCleaner reclaim
+    them — measured as multi-second stalls landing on whichever query runs
+    during cleanup. One shared relation is also the production shape: the
+    codes table is materialized once, probed many times."""
+    if sf_dir not in _CODES_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _CODES_CACHE[sf_dir] = encode_dataframe(
+            spark, emb, fixture_model(spark, sf_dir)
+        ).persist()
+    return _CODES_CACHE[sf_dir]
 
 
 @register(
@@ -267,6 +283,26 @@ def pca_fixture_model(spark: SparkSession, sf_dir: str):
     return _PCA_MODEL_CACHE[sf_dir]
 
 
+_PCA_CODES_CACHE: dict[str, DataFrame] = {}
+
+
+def pca_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-projected codes relation, built once per sf_dir and persisted
+    (same broadcast-hygiene rationale as :func:`codes_df`)."""
+    if sf_dir not in _PCA_CODES_CACHE:
+        from .train_spark import pca_project
+
+        pm = pca_fixture_model(spark, sf_dir)
+        vec_df = load_table(spark, sf_dir, "embeddings").selectExpr(
+            "vec_id as id", "cast(embedding as array<double>) as v"
+        )
+        projected = pca_project(vec_df, pm.P, pm.mu)
+        _PCA_CODES_CACHE[sf_dir] = encode_dataframe(
+            spark, projected, pm.lopq, id_col="id", vec_col="v"
+        ).persist()
+    return _PCA_CODES_CACHE[sf_dir]
+
+
 @register(
     "lopq_pca_search_topk",
     survey_ops=("V7", "A4", "V8", "V10"),
@@ -280,13 +316,9 @@ def pca_fixture_model(spark: SparkSession, sf_dir: str):
     oracle=twin.lopq_pca_search_topk_sql,
 )
 def lopq_pca_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .train_spark import pca_project
-
     pm = pca_fixture_model(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    vec_df = emb.selectExpr("vec_id as id", "cast(embedding as array<double>) as v")
-    projected = pca_project(vec_df, pm.P, pm.mu)
-    codes = encode_dataframe(spark, projected, pm.lopq, id_col="id", vec_col="v")
+    codes = pca_codes_df(spark, sf_dir)
     q_rows = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
     queries = [(int(r["vec_id"]), np.array(r["embedding"])) for r in q_rows]
     return search(spark, codes, pm, queries, quota=twin.PCA_QUOTA, k=TOP_K)

@@ -8,8 +8,8 @@ per-cluster residual moment accumulators that feed local rotations
 (A4 / model.py:242-287), and subquantizer k-means over projected residuals
 (V5) — runs as Spark aggregations over Arrow batches:
 
-  mapInPandas          per-partition partial moments (cluster, n, Σv, Σvvᵀ)
-  groupBy+applyInPandas merge partials per cluster (map-side combine shape)
+  mapInPandas          per-partition partial moments (sl, cluster, n, Σv, Σvvᵀ)
+  groupBy+applyInPandas merge partials per (slice, cluster)
   driver               only V rows of (D/2)² floats: eigh + allocation (V2/V3)
 
 Nothing vector-sized ever shuffles by row: partials are (V × moments) per
@@ -17,6 +17,11 @@ partition regardless of corpus size, which is the property that survives a
 1000-executor 100 TB run. k-means++ init stays on a bounded driver sample
 (init needs sequential dependence; the reference samples for init too), and
 Lloyd refinement — the part that must see the full corpus — is distributed.
+
+Scan amortization: every Lloyd iteration is ONE corpus pass serving all
+still-unconverged codebooks (``lloyd_spark_multi``: both coarse halves
+together; all M subquantizers together), not one pass per codebook — at
+100 TB an iteration costs one read of the corpus whether M is 4 or 16.
 
 Parity: with the same seed, the distributed fit reproduces the driver-side
 ``LOPQModel.fit`` up to float-summation order (tests assert allclose + code
@@ -34,37 +39,44 @@ from pyspark.sql import functions as F
 
 from .model import LOPQModel, _kmeans_pp_init, eigenvalue_allocation
 
-_STATS_SCHEMA = "cluster int, n bigint, s array<double>, op array<double>"
+_STATS_SCHEMA = "sl int, cluster int, n bigint, s array<double>, op array<double>"
+
+# {slice_id: (lo, hi, centers)} — the unit of the multi-slice passes below
+Slices = dict[int, tuple[int, int, np.ndarray]]
 
 
-def _moment_partials(
-    b_centers, lo: int, hi: int, with_outer: bool, center_of=None
-):
-    """mapInPandas fn: per partition, per nearest-centroid cluster of the
-    [lo:hi) slice, emit (cluster, n, Σx, Σxxᵀ·flat). ``center_of`` subtracts
-    the cluster centroid first (residual moments, A3)."""
+def _multi_moment_partials(b_slices, with_outer: bool, subtract_center: bool):
+    """mapInPandas fn: per partition, for EVERY slice in the broadcast dict,
+    per nearest-centroid cluster of that slice's [lo:hi) columns, emit
+    (sl, cluster, n, Σx, Σxxᵀ·flat). One pass over the vectors serves all
+    slices — the row batch is decoded from Arrow once and each slice only
+    views its columns. ``subtract_center`` subtracts the cluster centroid
+    first (residual moments, A3)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        C = b_centers.value
-        c_sq = (C**2).sum(axis=1)
-        acc: dict[int, list] = {}
+        slices = b_slices.value
+        sq = {sl: (C**2).sum(axis=1) for sl, (_, _, C) in slices.items()}
+        acc: dict[tuple[int, int], list] = {}
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.array(list(pdf["v"]), dtype=np.float64)[:, lo:hi]
-            d = (X**2).sum(1)[:, None] - 2 * X @ C.T + c_sq[None, :]
-            assign = d.argmin(axis=1)
-            for c in np.unique(assign):
-                Xc = X[assign == c]
-                if center_of is not None:
-                    Xc = Xc - center_of.value[c]
-                a = acc.setdefault(int(c), [0, 0.0, 0.0])
-                a[0] += Xc.shape[0]
-                a[1] = a[1] + Xc.sum(axis=0)
-                if with_outer:
-                    a[2] = a[2] + Xc.T @ Xc
+            Xf = np.array(list(pdf["v"]), dtype=np.float64)
+            for sl, (lo, hi, C) in slices.items():
+                X = Xf[:, lo:hi]
+                d = (X**2).sum(1)[:, None] - 2 * X @ C.T + sq[sl][None, :]
+                assign = d.argmin(axis=1)
+                for c in np.unique(assign):
+                    Xc = X[assign == c]
+                    if subtract_center:
+                        Xc = Xc - C[c]
+                    a = acc.setdefault((sl, int(c)), [0, 0.0, 0.0])
+                    a[0] += Xc.shape[0]
+                    a[1] = a[1] + Xc.sum(axis=0)
+                    if with_outer:
+                        a[2] = a[2] + Xc.T @ Xc
         rows = {
-            "cluster": list(acc),
+            "sl": [sl for sl, _ in acc],
+            "cluster": [c for _, c in acc],
             "n": [a[0] for a in acc.values()],
             "s": [a[1].tolist() for a in acc.values()],
             "op": [
@@ -81,8 +93,49 @@ def _merge_stats(key, pdfs):
     s = np.sum([np.asarray(x) for x in pdfs["s"]], axis=0)
     op = np.sum([np.asarray(x) for x in pdfs["op"]], axis=0)
     return pd.DataFrame(
-        {"cluster": [key[0]], "n": [n], "s": [s.tolist()], "op": [op.tolist()]}
+        {
+            "sl": [key[0]],
+            "cluster": [key[1]],
+            "n": [n],
+            "s": [s.tolist()],
+            "op": [op.tolist()],
+        }
     )
+
+
+def multi_cluster_moments(
+    vec_df: DataFrame,
+    slices: Slices,
+    with_outer: bool = False,
+    subtract_center: bool = False,
+) -> dict[tuple[int, int], tuple[int, np.ndarray, np.ndarray | None]]:
+    """Distributed per-(slice, cluster) moments in ONE corpus pass:
+    {(sl, cluster): (n, Σx, Σxxᵀ or None)}. This is the training-scan
+    amortizer: fit_spark trains both coarse halves (and all M
+    subquantizers) per Lloyd iteration from a single scan instead of one
+    scan per codebook — at 100 TB the iteration cost is one corpus read
+    regardless of M. The collect is Σ_sl k_sl rows, independent of corpus
+    size."""
+    spark = vec_df.sparkSession
+    b_s = spark.sparkContext.broadcast(slices)
+    partials = vec_df.mapInPandas(
+        _multi_moment_partials(b_s, with_outer, subtract_center),
+        _STATS_SCHEMA,
+    )
+    merged = partials.groupBy("sl", "cluster").applyInPandas(
+        _merge_stats, _STATS_SCHEMA
+    )
+    out: dict[tuple[int, int], tuple[int, np.ndarray, np.ndarray | None]] = {}
+    for r in merged.collect():
+        sl = int(r["sl"])
+        dim = slices[sl][1] - slices[sl][0]
+        op = (
+            np.asarray(r["op"], dtype=np.float64).reshape(dim, dim)
+            if with_outer
+            else None
+        )
+        out[(sl, int(r["cluster"]))] = (int(r["n"]), np.asarray(r["s"]), op)
+    return out
 
 
 def cluster_moments(
@@ -93,27 +146,74 @@ def cluster_moments(
     with_outer: bool = False,
     subtract_center: bool = False,
 ) -> dict[int, tuple[int, np.ndarray, np.ndarray | None]]:
-    """Distributed per-cluster moments of the [lo:hi) vector slice assigned
-    to nearest ``centers``: {cluster: (n, Σx, Σxxᵀ or None)}. The collect is
-    V rows, independent of corpus size."""
-    spark = vec_df.sparkSession
-    b_c = spark.sparkContext.broadcast(centers)
-    b_mu = spark.sparkContext.broadcast(centers) if subtract_center else None
-    partials = vec_df.mapInPandas(
-        _moment_partials(b_c, lo, hi, with_outer, center_of=b_mu),
-        _STATS_SCHEMA,
+    """Single-slice convenience over :func:`multi_cluster_moments`:
+    {cluster: (n, Σx, Σxxᵀ or None)} of the [lo:hi) columns."""
+    stats = multi_cluster_moments(
+        vec_df,
+        {0: (lo, hi, centers)},
+        with_outer=with_outer,
+        subtract_center=subtract_center,
     )
-    merged = partials.groupBy("cluster").applyInPandas(_merge_stats, _STATS_SCHEMA)
-    dim = hi - lo
-    out: dict[int, tuple[int, np.ndarray, np.ndarray | None]] = {}
-    for r in merged.collect():
-        op = (
-            np.asarray(r["op"], dtype=np.float64).reshape(dim, dim)
-            if with_outer
-            else None
+    return {c: v for (_, c), v in stats.items()}
+
+
+def lloyd_spark_multi(
+    vec_df: DataFrame,
+    bounds: list[tuple[int, int]],
+    k: int,
+    seeds: list[int],
+    n_iter: int = 25,
+    init_sample: int = 20000,
+) -> list[np.ndarray]:
+    """Distributed Lloyd k-means over SEVERAL column slices of ``v`` at
+    once — one full-corpus moment pass per iteration serves every
+    still-unconverged slice (the reason fit_spark's iteration cost is one
+    corpus scan, not one per codebook).
+
+    Per slice this computes exactly what a standalone run would: k-means++
+    init on a bounded, deterministic driver sample (first ``init_sample``
+    rows by ``id`` — kmeans++ is index-sensitive, so the sample must be
+    ordered for seed parity); each Lloyd pass assigns against that slice's
+    current centers only. A slice whose update is a fixpoint drops out of
+    later scans — continuing it could not change it. Reaches the same
+    fixpoint as the driver ``model.kmeans`` (same init, same update rule,
+    same deterministic farthest-point reseed for empty clusters)."""
+    sample_df = vec_df.orderBy("id").limit(init_sample)
+    S_full = np.array(
+        [row["v"] for row in sample_df.collect()], dtype=np.float64
+    )
+    if S_full.shape[0] < k:
+        raise ValueError(f"need at least k={k} points, got {S_full.shape[0]}")
+    centers: list[np.ndarray] = []
+    for (lo, hi), seed in zip(bounds, seeds):
+        rng = np.random.RandomState(seed)
+        centers.append(_kmeans_pp_init(S_full[:, lo:hi], k, rng))
+    active = set(range(len(bounds)))
+    for _ in range(n_iter):
+        stats = multi_cluster_moments(
+            vec_df,
+            {i: (bounds[i][0], bounds[i][1], centers[i]) for i in sorted(active)},
+            with_outer=False,
         )
-        out[int(r["cluster"])] = (int(r["n"]), np.asarray(r["s"]), op)
-    return out
+        still = set()
+        for i in sorted(active):
+            lo, hi = bounds[i]
+            new_centers = centers[i].copy()
+            for c in range(k):
+                st = stats.get((i, c))
+                if st is not None and st[0] > 0:
+                    new_centers[c] = st[1] / st[0]
+                else:
+                    # deterministic reseed: globally farthest point from its
+                    # center (rare — its own bounded pass when it happens)
+                    new_centers[c] = _farthest_point(vec_df, centers[i], lo, hi)
+            if not np.allclose(new_centers, centers[i], rtol=0, atol=0):
+                still.add(i)
+            centers[i] = new_centers
+        active = still
+        if not active:
+            break
+    return centers
 
 
 def lloyd_spark(
@@ -125,35 +225,10 @@ def lloyd_spark(
     n_iter: int = 25,
     init_sample: int = 20000,
 ) -> np.ndarray:
-    """Distributed Lloyd k-means over the [lo:hi) slice of ``v``.
-
-    k-means++ init on a bounded, deterministic driver sample (first
-    ``init_sample`` rows by ``id`` — kmeans++ is index-sensitive, so the
-    sample must be ordered for seed parity); every Lloyd pass is a
-    full-corpus distributed moment aggregation. Reaches the same fixpoint as
-    the driver ``model.kmeans`` (same init, same update rule, same
-    deterministic farthest-point reseed for empty clusters)."""
-    sample_df = vec_df.orderBy("id").limit(init_sample)
-    S = np.array(
-        [row["v"] for row in sample_df.collect()], dtype=np.float64
-    )[:, lo:hi]
-    if S.shape[0] < k:
-        raise ValueError(f"need at least k={k} points, got {S.shape[0]}")
-    rng = np.random.RandomState(seed)
-    centers = _kmeans_pp_init(S, k, rng)
-    for _ in range(n_iter):
-        stats = cluster_moments(vec_df, centers, lo, hi, with_outer=False)
-        new_centers = centers.copy()
-        for c in range(k):
-            if c in stats and stats[c][0] > 0:
-                new_centers[c] = stats[c][1] / stats[c][0]
-            else:
-                # deterministic reseed: globally farthest point from its center
-                new_centers[c] = _farthest_point(vec_df, centers, lo, hi)
-        if np.allclose(new_centers, centers, rtol=0, atol=0):
-            break
-        centers = new_centers
-    return centers
+    """Single-slice convenience over :func:`lloyd_spark_multi`."""
+    return lloyd_spark_multi(
+        vec_df, [(lo, hi)], k, [seed], n_iter=n_iter, init_sample=init_sample
+    )[0]
 
 
 def _farthest_point(
@@ -206,19 +281,27 @@ def fit_spark(
     Cs = np.empty((2, V, half))
     Rs = np.empty((2, V, half, half))
     mus = np.empty((2, V, half))
-    for h in range(2):
-        lo, hi = h * half, (h + 1) * half
-        C = lloyd_spark(
-            vec_df, V, seed=seed + h, lo=lo, hi=hi,
+    # both halves' coarse Lloyd share one corpus scan per iteration
+    halves = [(0, half), (half, D)]
+    for h, C in enumerate(
+        lloyd_spark_multi(
+            vec_df, halves, V, [seed, seed + 1],
             n_iter=n_iter, init_sample=init_sample,
         )
+    ):
         Cs[h] = C
-        # A3: distributed residual moments per coarse cluster
-        stats = cluster_moments(
-            vec_df, C, lo, hi, with_outer=True, subtract_center=True
-        )
+    # A3: distributed residual moments per (half, coarse cluster) — one pass
+    stats = multi_cluster_moments(
+        vec_df,
+        {h: (halves[h][0], halves[h][1], Cs[h]) for h in range(2)},
+        with_outer=True,
+        subtract_center=True,
+    )
+    for h in range(2):
         for v in range(V):
-            n, s, op = stats.get(v, (0, np.zeros(half), np.zeros((half, half))))
+            n, s, op = stats.get(
+                (h, v), (0, np.zeros(half), np.zeros((half, half)))
+            )
             if n < half:
                 mus[h, v] = np.zeros(half)
                 Rs[h, v] = np.eye(half)
@@ -252,13 +335,20 @@ def fit_spark(
     proj_df = vec_df.mapInPandas(project, "id bigint, v array<double>").persist()
     sub_dim = D // M
     subs = np.empty((M, K, sub_dim))
+    # all M subquantizers share one projected-corpus scan per iteration
+    # (the old per-m loop scanned the corpus M times per iteration)
+    sub_bounds = []
     for m in range(M):
         h, s = m // spl, m % spl
         lo = h * half + s * sub_dim
-        subs[m] = lloyd_spark(
-            proj_df, K, seed=seed + 100 + m, lo=lo, hi=lo + sub_dim,
+        sub_bounds.append((lo, lo + sub_dim))
+    for m, C in enumerate(
+        lloyd_spark_multi(
+            proj_df, sub_bounds, K, [seed + 100 + m for m in range(M)],
             n_iter=n_iter, init_sample=init_sample,
         )
+    ):
+        subs[m] = C
     proj_df.unpersist()
     vec_df.unpersist()
     return LOPQModel(V=V, M=M, K=K, D=D, Cs=Cs, Rs=Rs, mus=mus, subs=subs)

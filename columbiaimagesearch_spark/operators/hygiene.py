@@ -132,28 +132,31 @@ def decontaminate_from(train_docs: DataFrame, bench_docs: DataFrame) -> DataFram
         ngram_rows(bench_docs, N_GRAM)
         .select(_hash60(F.col("ng")).alias("h"))
         .distinct()
+        .withColumn("is_hit", F.lit(True))
     )
     train = ngram_rows(train_docs, N_GRAM).select(
         "doc_id", _hash60(F.col("ng")).alias("h")
     )
-    totals = train.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_ngrams"))
-    hits = (
-        train.join(F.broadcast(bench), "h")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("h").cast("bigint").alias("n_hits"))
-    )
-    return (
-        totals.join(hits, "doc_id", "left")
-        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint"))
-        .select(
-            "doc_id",
-            "n_ngrams",
-            "n_hits",
-            F.round(F.col("n_hits") / F.col("n_ngrams") + F.lit(1e-9), 4).alias(
-                "hit_frac"
-            ),
-            (F.col("n_hits") >= MIN_HITS).alias("contaminated"),
-        )
+    # ONE pass over the train n-grams: left-join the broadcast (distinct)
+    # bench hashes — no row multiplication — then count totals and distinct
+    # hits in the same aggregation. Splitting totals/hits into two
+    # aggregations would execute the whole explode+window n-gram pipeline
+    # twice (measured ~2x wall on this query). The groupBy(doc_id) reuses
+    # the window's hash-partitioning — no extra Exchange.
+    flagged = train.join(F.broadcast(bench), "h", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_ngrams"),
+        F.countDistinct(F.when(F.col("is_hit"), F.col("h")))
+        .cast("bigint")
+        .alias("n_hits"),
+    ).select(
+        "doc_id",
+        "n_ngrams",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_ngrams") + F.lit(1e-9), 4).alias(
+            "hit_frac"
+        ),
+        (F.col("n_hits") >= MIN_HITS).alias("contaminated"),
     )
 
 
@@ -395,4 +398,102 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ``documents`` table."""
     return boilerplate_ngrams_from(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: redact contact-like spans before training
+# ---------------------------------------------------------------------------
+
+# Redaction patterns. Deliberately simple, high-precision shapes (the same
+# tier as public C4/RefinedWeb-style scrubbing): emails, +d phone runs, and
+# dotted-quad IPs. ORDER MATTERS: emails first (an email contains digits a
+# phone pattern could nibble), then IPs (dotted digits), then phones.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # digit groups REQUIRED after each separator (no optional trailing
+    # `[- ]?\d{0,4}` tail — that shape lets the match swallow a following
+    # space, which leftmost-first Java and leftmost-longest RE2 could
+    # disagree on for other inputs)
+    ("phone", r"\+\d{1,3}(?:[- ]\d{2,4}){2,3}", "<PHONE>"),
+]
+
+
+def scrub_pii_from(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact contact-like spans in ``text_col``: emails, +international
+    phone runs, dotted-quad IPs — each span replaced by a typed placeholder
+    token, with per-doc match counts (n_email / n_ip / n_phone) so a
+    downstream policy can drop PII-dense documents instead of just
+    scrubbing them.
+
+    One narrow codegen'd pass (regexp_count + chained regexp_replace), no
+    shuffle — at 100 TB this is a map-only stage pipelined into the scan.
+    """
+    out = docs
+    scrubbed = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint"),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return out.withColumn("scrubbed", scrubbed)
+
+
+PII_SCRUB_ORACLE_SQL = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555 01' || CAST(doc_id % 100 AS VARCHAR)
+              || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(text,
+         '\+\d{1,3}(?:[- ]\d{2,4}){2,3}')) AS BIGINT) AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+         '\+\d{1,3}(?:[- ]\d{2,4}){2,3}', '<PHONE>', 'g') AS scrubbed
+FROM seeded
+"""
+
+
+@register(
+    "llm_pii_scrub",
+    survey_ops=("LLM-pii", "F11", "C1"),
+    driver=False,  # driver window is at capacity (50); full local parity
+    doc="PII scrubbing: redact emails / +international phones / dotted-quad "
+    "IPs to typed placeholder tokens with per-doc match counts (the "
+    "C4/RefinedWeb-tier scrub a pipeline runs before training). The "
+    "fixture corpus carries no PII, so the query SEEDS deterministic "
+    "contact strings derived from doc_id into each document (same "
+    "derivation in the oracle) — the operator itself is one map-only "
+    "codegen'd pass of regexp_count + chained regexp_replace.",
+    oracle=PII_SCRUB_ORACLE_SQL,
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 01"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    return scrub_pii_from(seeded).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "scrubbed"
     )

@@ -63,6 +63,14 @@ def get_spark(
     shuffle_partitions = int(
         shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     )
+    # One BLAS thread per Python worker: Spark already runs one worker per
+    # task slot, so numpy's default threaded BLAS oversubscribes cores²
+    # (32 workers × 32 OpenBLAS threads here) — measured as 2-6× wobble on
+    # every matmul-bearing Arrow stage. Workers inherit the driver env in
+    # local mode; executorEnv covers cluster mode. setdefault so an
+    # explicit operator override still wins.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -76,6 +84,27 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # ContextCleaner only reclaims dead broadcasts/cached RDDs when a
+        # DRIVER GC runs; with a roomy heap that can be never, so block
+        # manager storage silently fills with dead blocks and long sessions
+        # hit multi-second cleanup stalls mid-query (measured in bench).
+        # A periodic driver System.gc keeps reclamation incremental — cheap
+        # on any driver, local or cluster (default interval is 30min).
+        .config("spark.cleaner.periodicGC.interval", "45s")
+        # ...and make that System.gc a CONCURRENT G1 cycle instead of a
+        # stop-the-world full GC, so periodic cleanup never pauses queries
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent"
+        )
+        .config(
+            "spark.executor.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent"
+        )
+        .config("spark.executorEnv.OMP_NUM_THREADS", os.environ["OMP_NUM_THREADS"])
+        .config(
+            "spark.executorEnv.OPENBLAS_NUM_THREADS",
+            os.environ["OPENBLAS_NUM_THREADS"],
+        )
+        .config("spark.executorEnv.MKL_NUM_THREADS", os.environ["MKL_NUM_THREADS"])
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -160,3 +160,28 @@ def test_boilerplate_counts_each_doc_once(spark):
     row = pdf.set_index("gram").loc["a b c d"]
     assert row["n_docs"] == 3 and row["first_doc"] == 2
     assert not any(g.startswith("x y z") for g in grams)
+
+
+def test_pii_scrub_behavior(spark):
+    """Library-level scrub on hand-built PII: typed placeholders land, counts
+    are per-pattern, clean text is untouched."""
+    rows = [
+        (1, "mail me at alice.smith+x@mail.example.org today"),
+        (2, "call +44 20 7946 0958 or +1 555 0100 now"),
+        (3, "server at 192.168.1.254 then 10.0.0.1"),
+        (4, "no contact info here at all"),
+        (5, "mixed: bob@ex.io and +1 555 0123 from 172.16.254.3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in hygiene.scrub_pii_from(docs).collect()
+    }
+    assert got[1]["n_email"] == 1 and "<EMAIL>" in got[1]["scrubbed"]
+    assert "alice" not in got[1]["scrubbed"]
+    assert got[2]["n_phone"] == 2 and got[2]["scrubbed"].count("<PHONE>") == 2
+    assert got[3]["n_ip"] == 2 and got[3]["scrubbed"].count("<IP>") == 2
+    assert got[4]["scrubbed"] == got[4]["text"]
+    assert (got[5]["n_email"], got[5]["n_ip"], got[5]["n_phone"]) == (1, 1, 1)
+    for tok in ("<EMAIL>", "<IP>", "<PHONE>"):
+        assert tok in got[5]["scrubbed"]
