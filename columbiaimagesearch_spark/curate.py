@@ -47,13 +47,25 @@ def curate_docs(
     bench_docs: DataFrame | None = None,
     *,
     train_split_only: bool = True,
+    scrub_pii: bool = False,
     pack_budget: int = packing.PACK_BUDGET,
     pack_shards: int = packing.PACK_SHARDS,
 ) -> CurationResult:
     """Run the full curation chain over ``docs``; ``bench_docs`` (optional)
-    is the eval-benchmark suite to decontaminate against."""
+    is the eval-benchmark suite to decontaminate against.
+
+    ``scrub_pii=True`` redacts contact-like spans (emails / phones / IPs →
+    typed placeholder tokens) as stage 0, BEFORE dedup/hygiene, so every
+    downstream verdict — shingle hashes, n-gram overlaps, fingerprints —
+    is computed over the text that will actually be trained on."""
     res = CurationResult()
     res.stages["input"] = docs
+    if scrub_pii:
+        scrubbed = hygiene.scrub_pii_from(docs)
+        docs = scrubbed.drop("text", "n_email", "n_ip", "n_phone").withColumnRenamed(
+            "scrubbed", "text"
+        )
+        res.stages["after_pii_scrub"] = docs
 
     # 1. near-dup dedup: drop everything but each cluster's min doc_id.
     # We own the shingle-hash cache here: connected_components eagerly

@@ -101,3 +101,23 @@ def test_training_shards_write_sorted_and_complete(spark, tmp_path):
                 .reset_index(drop=True)
             )
         ), f
+
+
+def test_curation_with_pii_scrub(spark):
+    """scrub_pii=True redacts as stage 0 and the chain still composes; the
+    packed output token counts reflect the SCRUBBED text."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" reach me: someone@example.com")
+        ).alias("text"),
+        "lang",
+        "source",
+    )
+    res = curate.curate_docs(docs, None, train_split_only=False, scrub_pii=True)
+    c = res.counts()
+    assert c["after_pii_scrub"] == c["input"]  # scrub never drops rows
+    assert c["after_mix_split"] > 0
+    leaked = res.survivors.where(F.col("text").contains("example.com")).count()
+    assert leaked == 0
+    assert res.survivors.where(F.col("text").contains("<EMAIL>")).count() > 0
