@@ -1,34 +1,140 @@
-"""Retrieval-quality harness — recall vs exhaustive ground truth.
+"""Distributed renderings of the reference's retrieval-quality harness.
 
-Mirrors the reference's eval semantics (``lopq/lopq/eval.py``): exact
-brute-force neighbors as ground truth (:7-38 ``compute_all_neighbors``),
-recall@R against it (:92-142 ``get_recall``), cell-balance histogram
-(:66-74), and code round-trip (:77-89) — all re-implemented in numpy.
+The reference ships four model-quality diagnostics alongside recall
+(``/root/reference/lopq/lopq/eval.py``); recall@R is already a driver row
+(``a5_recall_stats``), and this module completes the harness with the other
+three as one-pass Spark computations:
+
+- :func:`same_cell_neighbor_rate` — fraction of (point, true-NN) pairs that
+  land in the same coarse cell (reference ``eval.py:50-63``): the coarse
+  quantizer's ceiling on single-cell recall.
+- :func:`reconstruction_code_stability` — fraction of points whose
+  reconstruction re-encodes to the same codes (reference ``eval.py:77-89``):
+  a fixed-point sanity check of encode/decode.
+- :func:`subquantizer_distortion` — mean squared distance of projected
+  residual splits to their assigned subquantizer centroid, per subquantizer
+  (reference ``eval.py:145-161``): the per-subquantizer quantization error
+  that eigenvalue allocation is supposed to balance.
+
+Scale shape: the joins carry (id, cell) ints only; the two model-dependent
+metrics are single ``mapInPandas`` passes with the broadcast model emitting
+O(batches × M) partial rows — nothing vector-sized shuffles, the aggregates
+are partial+final sums.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .model import LOPQModel
 
 
-def brute_force_topk(
-    Q: np.ndarray, X: np.ndarray, ids: np.ndarray, k: int
-) -> list[list[int]]:
-    """Exact squared-L2 top-k ids per query row (ties broken by id)."""
-    Q = np.asarray(Q, dtype=np.float64)
-    X = np.asarray(X, dtype=np.float64)
-    out = []
-    for q in Q:
-        d = ((X - q) ** 2).sum(axis=1)
-        order = np.lexsort((ids, d))[:k]
-        out.append([int(ids[i]) for i in order])
+def same_cell_neighbor_rate(codes: DataFrame, nns: DataFrame) -> float:
+    """Fraction of (id, nn_id) pairs of ``nns`` whose two sides share a
+    coarse cell in the ``codes`` relation (id, cell, ...).
+
+    Two equi-joins on id — the shuffle carries (id, cell) ints; the final
+    aggregate is one partial+final count."""
+    a = codes.select("id", F.col("cell").alias("cell_a"))
+    b = codes.select(F.col("id").alias("nn_id"), F.col("cell").alias("cell_b"))
+    row = (
+        nns.select("id", "nn_id")
+        .join(a, "id")
+        .join(b, "nn_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("cell_a") == F.col("cell_b")).cast("long")).alias("same"),
+        )
+        .collect()[0]
+    )
+    return float(row["same"]) / float(row["n"]) if row["n"] else 0.0
+
+
+def reconstruction_code_stability(
+    vec_df: DataFrame,
+    model: LOPQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Fraction of vectors whose encode → reconstruct → encode round trip
+    reproduces the original (coarse, fine) codes — one Arrow pass with the
+    broadcast model, per-partition (n, same) partials, driver sum."""
+    spark = vec_df.sparkSession
+    b_model = spark.sparkContext.broadcast(model.to_arrays())
+
+    def stability(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = LOPQModel.from_arrays(b_model.value)
+        n = same = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c1, f1 = m.encode(X)
+            R = m.reconstruct(c1, f1)
+            c2, f2 = m.encode(R)
+            ok = (c1 == c2).all(axis=1) & (f1 == f2).all(axis=1)
+            n += len(pdf)
+            same += int(ok.sum())
+        yield pd.DataFrame({"n": [n], "same": [same]})
+
+    row = (
+        vec_df.select(id_col, vec_col)
+        .mapInPandas(stability, "n long, same long")
+        .agg(F.sum("n").alias("n"), F.sum("same").alias("same"))
+        .collect()[0]
+    )
+    return float(row["same"]) / float(row["n"]) if row["n"] else 0.0
+
+
+def subquantizer_distortion(
+    vec_df: DataFrame,
+    model: LOPQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(M,) mean squared quantization error per subquantizer: project every
+    vector's residual, take each split's squared L2 distance to its NEAREST
+    subquantizer centroid, and average over the corpus (reference
+    ``eval.py:145-161`` — there via a full residual recompute per split;
+    here one Arrow pass emitting M partial sums per partition)."""
+    spark = vec_df.sparkSession
+    b_model = spark.sparkContext.broadcast(model.to_arrays())
+
+    def distortion(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = LOPQModel.from_arrays(b_model.value)
+        sd = m.sub_dim
+        sums = np.zeros(m.M)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            P = m.project_residuals(X, m.coarse_assign(X))
+            for sub in range(m.M):
+                h = sub // m.subs_per_half
+                s = sub % m.subs_per_half
+                Pm = P[:, h * m.half + s * sd : h * m.half + (s + 1) * sd]
+                S = m.subs[sub]
+                d = (Pm**2).sum(1)[:, None] - 2 * Pm @ S.T + (S**2).sum(1)[None, :]
+                sums[sub] += d.min(axis=1).sum()
+            n += len(pdf)
+        yield pd.DataFrame(
+            {"m": np.arange(m.M, dtype=np.int64), "n": n, "s": sums}
+        )
+
+    rows = (
+        vec_df.select(id_col, vec_col)
+        .mapInPandas(distortion, "m long, n long, s double")
+        .groupBy("m")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .collect()
+    )
+    out = np.zeros(model.M)
+    for r in rows:
+        out[int(r["m"])] = float(r["s"]) / float(r["n"]) if r["n"] else 0.0
     return out
-
-
-def recall_at_k(retrieved: dict[int, list[int]], truth: dict[int, list[int]], k: int) -> float:
-    """Mean fraction of true top-k found in the retrieved top-k."""
-    vals = []
-    for qid, true_ids in truth.items():
-        got = set(retrieved.get(qid, [])[:k])
-        vals.append(len(got & set(true_ids[:k])) / max(len(true_ids[:k]), 1))
-    return float(np.mean(vals)) if vals else 0.0
