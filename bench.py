@@ -153,6 +153,28 @@ def train_bench(spark, sf_dir: str) -> dict:
     return {"fit_spark_seconds": round(secs, 3), "rows": n}
 
 
+def cpu_calibration_sec() -> float:
+    """Fixed single-thread reference op, timed.
+
+    The host this runs on has measurably variable CPU capacity between
+    rounds (2-3x observed); this constant-work number lets a reader
+    normalize headline walls across rounds instead of mistaking host
+    contention for regressions. Elementwise ufunc work on purpose — numpy
+    never threads ufuncs, whereas a BLAS matmul would silently use however
+    many OpenBLAS threads were configured when numpy loaded (pyspark
+    imports numpy before our session pins the env), making the number
+    contention-noisy."""
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(2_000_000)
+    np.sin(a)  # warm allocator
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(10):
+        acc += float(np.sin(a).sum() + np.sqrt(np.abs(a)).sum())
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -213,6 +235,7 @@ def main() -> None:
                 "serving_ms": serving,
                 "curation": curation,
                 "train": train,
+                "cpu_calib_sec": cpu_calibration_sec(),
             },
             separators=(",", ":"),
         )

@@ -1,9 +1,11 @@
-"""Distributed renderings of the reference's retrieval-quality harness.
+"""Retrieval-quality harness: numpy ground-truth kernels + distributed
+renderings of the reference's model-quality diagnostics.
 
-The reference ships four model-quality diagnostics alongside recall
-(``/root/reference/lopq/lopq/eval.py``); recall@R is already a driver row
-(``a5_recall_stats``), and this module completes the harness with the other
-three as one-pass Spark computations:
+Mirrors the reference's eval semantics (``/root/reference/lopq/lopq/eval.py``):
+exact brute-force neighbors as ground truth (:7-38 ``compute_all_neighbors``)
+and recall@R against it (:92-142 ``get_recall``) as numpy kernels the tests
+and the ``a5_recall_stats`` driver row build on, plus the remaining three
+diagnostics as one-pass Spark computations:
 
 - :func:`same_cell_neighbor_rate` — fraction of (point, true-NN) pairs that
   land in the same coarse cell (reference ``eval.py:50-63``): the coarse
@@ -32,6 +34,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .model import LOPQModel
+
+
+def brute_force_topk(
+    Q: np.ndarray, X: np.ndarray, ids: np.ndarray, k: int
+) -> list[list[int]]:
+    """Exact squared-L2 top-k ids per query row (ties broken by id)."""
+    Q = np.asarray(Q, dtype=np.float64)
+    X = np.asarray(X, dtype=np.float64)
+    out = []
+    for q in Q:
+        d = ((X - q) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))[:k]
+        out.append([int(ids[i]) for i in order])
+    return out
+
+
+def recall_at_k(
+    retrieved: dict[int, list[int]], truth: dict[int, list[int]], k: int
+) -> float:
+    """Mean fraction of true top-k found in the retrieved top-k."""
+    vals = []
+    for qid, true_ids in truth.items():
+        got = set(retrieved.get(qid, [])[:k])
+        vals.append(len(got & set(true_ids[:k])) / max(len(true_ids[:k]), 1))
+    return float(np.mean(vals)) if vals else 0.0
 
 
 def same_cell_neighbor_rate(codes: DataFrame, nns: DataFrame) -> float:

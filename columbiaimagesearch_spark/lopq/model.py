@@ -79,6 +79,33 @@ def kmeans(
     return centers, d.argmin(axis=1)
 
 
+def pca_axes(cov: np.ndarray, out_dim: int) -> np.ndarray:
+    """Top-``out_dim`` principal axes of a covariance matrix, in descending
+    eigenvalue order with a deterministic sign convention (max-|coef|
+    positive). THE single definition of the axis convention — the
+    distributed trainer (``train_spark.fit_pca_spark``) and the oracle twin
+    (``twin.fit_pca_lopq``) both call it, so the bitwise builder/oracle
+    equivalence of the PCA driver row cannot drift between copies."""
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(-eigvals)[:out_dim]
+    P = eigvecs[:, order]
+    flip = np.sign(P[np.abs(P).argmax(axis=0), np.arange(P.shape[1])])
+    flip[flip == 0] = 1.0
+    return P * flip
+
+
+def apply_pca(X: np.ndarray, P: np.ndarray, mu: np.ndarray) -> np.ndarray:
+    """PCA-project + re-L2-normalize (reference apply_PCA + renorm idiom,
+    model.py:878-978): y = (x - mu) @ P, then unit norm (zero-guarded).
+    THE single definition of the projection — the distributed
+    ``pca_project`` pass, ``LOPQModelPCA.project_queries``, and the twin
+    all call it."""
+    Y = (np.atleast_2d(np.asarray(X, dtype=np.float64)) - mu) @ P
+    norms = np.linalg.norm(Y, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return Y / norms
+
+
 def eigenvalue_allocation(eigvals: np.ndarray, n_buckets: int) -> np.ndarray:
     """Permutation balancing log-variance across buckets (OPQ §3.2.4 idiom;
     reference model.py:19-71). Greedy: descending eigenvalues, each into the
@@ -317,8 +344,4 @@ class LOPQModelPCA:
 
     def project_queries(self, Q: np.ndarray) -> np.ndarray:
         """(n, D_in) original-space queries -> (n, out_dim) projected+renormed."""
-        Q = np.atleast_2d(np.asarray(Q, dtype=np.float64))
-        Y = (Q - self.mu) @ self.P
-        norms = np.linalg.norm(Y, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        return Y / norms
+        return apply_pca(Q, self.P, self.mu)

@@ -74,9 +74,12 @@ def multisequence_cells(
 # Collected-histogram cap: the multisequence generator needs the per-cell
 # population map on the driver (the reference's searcher holds the same
 # dict). Occupied cells are bounded by min(index size, V²) — ≤ 16.7 M at
-# production V=4096 — but a pathologically spread index must fail loudly
-# instead of ballooning the driver (VERDICT r2 "wrong" #3).
-MAX_OCCUPIED_CELLS = 2_000_000
+# production V=4096, which must stay a WORKING configuration (a ~17 M-entry
+# int dict is a couple of GB, the reference's own searcher carries the
+# same) — so the cap sits just above that bound and only a genuinely
+# pathological layout (V far beyond production with a scattered index)
+# fails, loudly, instead of ballooning the driver (VERDICT r2 "wrong" #3).
+MAX_OCCUPIED_CELLS = 20_000_000
 
 
 def _cell_counts(codes: DataFrame) -> dict[int, int]:

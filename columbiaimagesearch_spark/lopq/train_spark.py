@@ -37,7 +37,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .model import LOPQModel, _kmeans_pp_init, eigenvalue_allocation
+from .model import (
+    LOPQModel,
+    _kmeans_pp_init,
+    apply_pca,
+    eigenvalue_allocation,
+    pca_axes,
+)
 
 _STATS_SCHEMA = "sl int, cluster int, n bigint, s array<double>, op array<double>"
 
@@ -373,13 +379,9 @@ def fit_pca_spark(
     n, s, op = stats[0]
     mu = s / n
     cov = (op - n * np.outer(mu, mu)) / max(n - 1, 1)
-    eigvals, eigvecs = np.linalg.eigh(cov)
-    # descending eigenvalue order, deterministic sign (max-|coef| positive)
-    order = np.argsort(-eigvals)[:out_dim]
-    P = eigvecs[:, order]
-    flip = np.sign(P[np.abs(P).argmax(axis=0), np.arange(P.shape[1])])
-    flip[flip == 0] = 1.0
-    return P * flip, mu
+    # descending eigenvalue order + deterministic sign: shared kernel
+    # (model.pca_axes) so trainer and oracle twin can never diverge
+    return pca_axes(cov, out_dim), mu
 
 
 def pca_project(vec_df: DataFrame, P: np.ndarray, mu: np.ndarray) -> DataFrame:
@@ -399,11 +401,9 @@ def pca_project(vec_df: DataFrame, P: np.ndarray, mu: np.ndarray) -> DataFrame:
             if not len(pdf):
                 continue
             X = np.array(list(pdf["v"]), dtype=np.float64)
-            Y = (X - mu_) @ P_
-            norms = np.linalg.norm(Y, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
+            Y = apply_pca(X, P_, mu_)  # shared kernel — see model.apply_pca
             out = {c: pdf[c] for c in out_cols}
-            out["v"] = list(Y / norms)
+            out["v"] = list(Y)
             yield pd.DataFrame(out)
 
     return vec_df.mapInPandas(fn, schema)

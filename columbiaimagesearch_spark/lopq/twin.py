@@ -34,7 +34,7 @@ from typing import Any
 import numpy as np
 import pyarrow.parquet as pq
 
-from .model import LOPQModel, LOPQModelPCA
+from .model import LOPQModel, LOPQModelPCA, apply_pca, pca_axes
 from .search import adc_batch_dists, multisequence_cells
 
 # Fixture constants — single source of truth, imported by lopq/queries.py
@@ -342,24 +342,17 @@ def lopq_train_distributed_codes_sql(sf_dir: str) -> str:
 def fit_pca_lopq(X: np.ndarray) -> LOPQModelPCA:
     """Deterministic driver-side PCA + LOPQ composition (reference
     LOPQModelPCA; train_pca model.py:242-287 + apply_PCA/renorm idiom
-    :878-978): numpy eigh with the same descending-order / sign convention
-    as ``train_spark.fit_pca_spark``, then ``LOPQModel.fit`` over the
-    projected+renormed vectors. Pure function of X — the Spark builder and
-    this twin call it on the same sorted rows, so both hold the identical
-    model and the oracle verifies only the distributed plumbing."""
+    :878-978), built on the SHARED kernels ``model.pca_axes`` /
+    ``model.apply_pca`` (the same functions the distributed trainer and
+    projector call — the axis/sign convention and the renorm exist in one
+    place). Pure function of X — the Spark builder and this twin call it
+    on the same sorted rows, so both hold the identical model and the
+    oracle verifies only the distributed plumbing."""
     mu = X.mean(axis=0)
     Xc = X - mu
     cov = Xc.T @ Xc / max(len(X) - 1, 1)
-    eigvals, eigvecs = np.linalg.eigh(cov)
-    order = np.argsort(-eigvals)[:PCA_DIM]
-    P = eigvecs[:, order]
-    flip = np.sign(P[np.abs(P).argmax(axis=0), np.arange(P.shape[1])])
-    flip[flip == 0] = 1.0
-    P = P * flip
-    Y = Xc @ P
-    norms = np.linalg.norm(Y, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    Y = Y / norms
+    P = pca_axes(cov, PCA_DIM)
+    Y = apply_pca(X, P, mu)
     lopq = LOPQModel.fit(Y[:SAMPLE_LIMIT], **PCA_LOPQ_PARAMS)
     return LOPQModelPCA(lopq=lopq, P=P, mu=mu)
 
@@ -380,10 +373,7 @@ def lopq_pca_search_topk_sql(sf_dir: str) -> str:
     st = _state(sf_dir)
     pm = pca_model(st)
     lopq = pm.lopq
-    Y = (st["X"] - pm.mu) @ pm.P
-    norms = np.linalg.norm(Y, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    Y = Y / norms
+    Y = apply_pca(st["X"], pm.P, pm.mu)  # shared kernel — see model.apply_pca
     coarse, fine = lopq.encode(Y)
     cells = lopq.cell_id(coarse)
     counts: dict[int, int] = {

@@ -429,16 +429,22 @@ def scrub_pii_from(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     One narrow codegen'd pass (regexp_count + chained regexp_replace), no
     shuffle — at 100 TB this is a map-only stage pipelined into the scan.
+
+    Each pattern is COUNTED on the text after the previous patterns'
+    replacements, matching what its replace step actually sees — counting
+    everything on the raw text would report phantom matches for spans an
+    earlier pattern already consumed (digits inside an email's local part
+    read as a phone/IP) and the counts would disagree with the placeholders
+    present in ``scrubbed``.
     """
-    out = docs
     scrubbed = F.col(text_col)
+    count_cols = []
     for name, pat, token in PII_PATTERNS:
-        out = out.withColumn(
-            f"n_{name}",
-            F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint"),
+        count_cols.append(
+            F.regexp_count(scrubbed, F.lit(pat)).cast("bigint").alias(f"n_{name}")
         )
         scrubbed = F.regexp_replace(scrubbed, pat, token)
-    return out.withColumn("scrubbed", scrubbed)
+    return docs.select("*", *count_cols, scrubbed.alias("scrubbed"))
 
 
 PII_SCRUB_ORACLE_SQL = r"""
@@ -446,23 +452,29 @@ WITH seeded AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS VARCHAR)
               || '@example.com or +1 555 01' || CAST(doc_id % 100 AS VARCHAR)
-              || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS text
+              || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t0
   FROM documents
+),
+s1 AS (
+  SELECT doc_id, t0,
+         regexp_replace(t0,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM seeded
+),
+s2 AS (
+  SELECT doc_id, t0, t1,
+         regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM s1
 )
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text,
+       CAST(len(regexp_extract_all(t0,
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-       CAST(len(regexp_extract_all(text,
+       CAST(len(regexp_extract_all(t1,
          '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
-       CAST(len(regexp_extract_all(text,
+       CAST(len(regexp_extract_all(t2,
          '\+\d{1,3}(?:[- ]\d{2,4}){2,3}')) AS BIGINT) AS n_phone,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-         '\+\d{1,3}(?:[- ]\d{2,4}){2,3}', '<PHONE>', 'g') AS scrubbed
-FROM seeded
+       regexp_replace(t2, '\+\d{1,3}(?:[- ]\d{2,4}){2,3}', '<PHONE>', 'g') AS scrubbed
+FROM s2
 """
 
 

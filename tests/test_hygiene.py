@@ -185,3 +185,19 @@ def test_pii_scrub_behavior(spark):
     assert (got[5]["n_email"], got[5]["n_ip"], got[5]["n_phone"]) == (1, 1, 1)
     for tok in ("<EMAIL>", "<IP>", "<PHONE>"):
         assert tok in got[5]["scrubbed"]
+
+
+def test_pii_counts_agree_with_scrubbed_text(spark):
+    """Counts are computed on the text each pattern's replace actually sees:
+    a phone- or IP-shaped span INSIDE an email must not be double-counted
+    once the email replacement has consumed it."""
+    rows = [
+        (1, "contact bob+1-234-5678@ex.com today"),  # phone-like local part
+        (2, "mail 1.2.3.4@host.org please"),  # ip-like local part
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in hygiene.scrub_pii_from(docs).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 0
+    assert got[1]["scrubbed"] == "contact <EMAIL> today"
+    assert got[2]["n_email"] == 1 and got[2]["n_ip"] == 0
+    assert got[2]["scrubbed"] == "mail <EMAIL> please"
