@@ -269,10 +269,19 @@ def run_ingest_kinesis(
             .count()
         )
 
-    rn = F.row_number().over(Window.orderBy("sha1"))
-    cut = rows.select(
-        "sha1", "s3_url", ((rn - 1) / batch_size).cast("int").alias("bno")
-    ).persist()
+    # dense batch numbers from the distributed two-phase global index (the
+    # old Window.orderBy("sha1") row_number funneled the sweep through one
+    # partition — bounded here by Kinesis read limits, but this is the
+    # idiom that stays safe if the pattern is copied to an unbounded scan)
+    from ..functions.rank import ordered_global_index
+
+    cut = (
+        ordered_global_index(rows.select("sha1", "s3_url"), "sha1")
+        .select(
+            "sha1", "s3_url", (F.col("gidx") / batch_size).cast("int").alias("bno")
+        )
+        .persist()
+    )
     try:
         n_claimed = cut.count()
         if n_claimed == 0:
