@@ -412,14 +412,29 @@ def lopq_pca_search_topk_sql(sf_dir: str) -> str:
     )
 
 
-def ann_ivf_topk_sql(sf_dir: str) -> str:
-    from .model import kmeans  # IVF coarse codebook shares the kmeans kernel
+def ivf_cells(st: dict[str, Any]) -> tuple[np.ndarray, np.ndarray]:
+    """(centroids, per-vector cell assignment) of the IVF fixture codebook —
+    same kmeans kernel / seed / ordered sample as ann_ivf.train_centroids,
+    cached per sf-dir state; shared by the IVF search oracle and the
+    cluster-balanced sampling oracle."""
+    if "ivf" not in st:
+        from .model import kmeans
 
+        X = st["X"]
+        centroids, _ = kmeans(X[:SAMPLE_LIMIT], IVF_CELLS, seed=42)
+        d = (
+            (X**2).sum(1)[:, None]
+            - 2 * X @ centroids.T
+            + (centroids**2).sum(1)[None, :]
+        )
+        st["ivf"] = (centroids, d.argmin(axis=1))
+    return st["ivf"]
+
+
+def ann_ivf_topk_sql(sf_dir: str) -> str:
     st = _state(sf_dir)
     ids, X = st["ids"], st["X"]
-    centroids, _ = kmeans(X[:SAMPLE_LIMIT], IVF_CELLS, seed=42)
-    d = (X**2).sum(1)[:, None] - 2 * X @ centroids.T + (centroids**2).sum(1)[None, :]
-    cells = d.argmin(axis=1)
+    centroids, cells = ivf_cells(st)
     qids, Q = _queries_of(st)
     rows = []
     for qid, q in zip(qids, Q):
@@ -440,5 +455,51 @@ def ann_ivf_topk_sql(sf_dir: str) -> str:
             ("rank", "INTEGER"),
             ("id", "BIGINT"),
             ("dist", "DOUBLE"),
+        ],
+    )
+
+
+CLUSTER_SAMPLE_QUOTA = 40  # per-cluster keep budget
+
+
+def emb_cluster_sample_sql(sf_dir: str) -> str:
+    """Twin of the cluster-balanced diversification sample: IVF cell per
+    vector (model-dependent — the reason this oracle is a twin), then a
+    deterministic per-cell rank by salted md5 of the id (engine-portable
+    integer arithmetic, computed here with hashlib exactly as Spark's
+    conv(substring(md5(...),1,15),16,10))."""
+    import hashlib
+
+    st = _state(sf_dir)
+    _, cells = ivf_cells(st)
+    ids = st["ids"]
+    hashes = np.array(
+        [
+            int(hashlib.md5(f"div:{int(i)}".encode()).hexdigest()[:15], 16)
+            for i in ids
+        ],
+        dtype=np.int64,
+    )
+    rows = []
+    for cell in np.unique(cells):
+        mask = cells == cell
+        cids, chs = ids[mask], hashes[mask]
+        order = np.lexsort((cids, chs))
+        for r, i in enumerate(order):
+            rows.append(
+                (
+                    int(cids[i]),
+                    int(cell),
+                    r + 1,
+                    bool(r + 1 <= CLUSTER_SAMPLE_QUOTA),
+                )
+            )
+    return _values_sql(
+        rows,
+        [
+            ("vec_id", "BIGINT"),
+            ("cell", "INTEGER"),
+            ("rnk", "INTEGER"),
+            ("keep", "BOOLEAN"),
         ],
     )

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..lopq import twin as twin_mod
 from ..registry import register
 from ..sources import load_table
 
@@ -231,4 +232,45 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return emb.groupBy("label").applyInPandas(
         block_pairs, "vec_a bigint, vec_b bigint, label int, cos_sim double"
+    )
+
+
+@register(
+    "emb_cluster_sample",
+    survey_ops=("LLM-diversify", "V8", "A2"),
+    driver=False,  # driver window is at capacity (50); full local parity
+    doc="Cluster-balanced diversification sample (SemDeDup-style corpus "
+    "diversification): vectors assign to the IVF k-means cells, then each "
+    "cell keeps its quota of members by a deterministic salted-hash rank — "
+    "a content-keyed 'random' sample that equalizes cluster mass instead "
+    "of letting dense regions dominate training. Plan: the cached IVF "
+    "assignment (one Arrow pass) + one per-cell window rank over (hash, "
+    "id) ints; no vectors shuffle. Oracle: NumPy twin (assignment is "
+    "model-dependent; the hash rank is the same md5 integer arithmetic).",
+    oracle=twin_mod.emb_cluster_sample_sql,
+)
+def emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .ann_ivf import cached_index
+
+    index = cached_index(spark, sf_dir).select(
+        F.col("id").alias("vec_id"), "cell"
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("div:"), F.col("vec_id").cast("string")).cast("binary")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    w = Window.partitionBy("cell").orderBy(h.asc(), F.col("vec_id").asc())
+    return (
+        index.withColumn("rnk", F.row_number().over(w))
+        .withColumn("keep", F.col("rnk") <= twin_mod.CLUSTER_SAMPLE_QUOTA)
+        .select("vec_id", "cell", "rnk", "keep")
     )
