@@ -103,15 +103,14 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-@register(
-    "ann_cosine_topk",
-    survey_ops=("V12", "T1", "T4", "J5"),
-    doc="Brute-force cosine top-k (exact kNN ground truth, eval.py:7-38 + "
-    "exact rerank V13). Queries broadcast; candidates scanned once; "
-    "per-query windowed rank — no candidate shuffle.",
-    oracle=_ANN_ORACLE,
-)
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Unregistered diagnostic twin: the same semantics with JVM array HOFs
+# (aggregate/zip_with dot products). HOF lambdas are INTERPRETED per
+# element, so at n_queries x corpus x dim element ops this loses to one
+# Arrow batch matmul by ~5x (the SCALE.md pitfall, re-measured r3: this
+# form was the worst headline query under load) — which is why the
+# REGISTERED builder below is the matmul form and this one exists only for
+# the cross-engine equality test.
+def ann_cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").cast("array<double>").alias("qv")
@@ -132,13 +131,19 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Unregistered (driver-window budget): same oracle as ann_cosine_topk — the
-# Arrow/pandas scoring idiom gets its driver row through the lopq search
-# queries instead. Kept for tests (test_similarity_quality asserts it matches
-# the JVM-side plan bit-for-bit after rounding) and as the V14
-# predict-batch idiom reference.
-def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k via an Arrow-vectorized pandas UDF: one numpy matmul per
+@register(
+    "ann_cosine_topk",
+    survey_ops=("V12", "T1", "T4", "J5"),
+    doc="Brute-force cosine top-k (exact kNN ground truth, eval.py:7-38 + "
+    "exact rerank V13): one Arrow matmul per candidate batch against the "
+    "broadcast normalized query matrix, then a per-query windowed rank — "
+    "candidates scanned once, never shuffled with vectors. The 4dp round "
+    "makes the score engine-portable (DuckDB oracle + the HOF twin agree "
+    "bit-for-bit after rounding, pinned by test).",
+    oracle=_ANN_ORACLE,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k via an Arrow-vectorized pass: one numpy matmul per
     batch against the broadcast query matrix (the predict_batch/mapInPandas
     idiom used for all §2.8 numerics)."""
     emb = load_table(spark, sf_dir, "embeddings")

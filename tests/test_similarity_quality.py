@@ -88,3 +88,20 @@ def test_connected_components_hand_graph(spark):
         for r in connected_components(nodes, pairs).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+
+
+def test_ann_cosine_matmul_matches_hof_form(spark):
+    """The registered Arrow-matmul brute-force top-k and the JVM-HOF twin
+    must agree bit-for-bit after the 4dp round — same ranks, ids, scores."""
+    from columbiaimagesearch_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_cosine_topk_hof,
+    )
+
+    a = sorted(
+        tuple(r) for r in ann_cosine_topk(spark, SF_SMOKE).collect()
+    )
+    b = sorted(
+        tuple(r) for r in ann_cosine_topk_hof(spark, SF_SMOKE).collect()
+    )
+    assert a == b
