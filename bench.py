@@ -199,6 +199,7 @@ def main() -> None:
     fixture_model(spark, sf_dir)
     train_centroids(spark, sf_dir)
 
+    calib_pre = cpu_calibration_sec()
     n = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     # untimed warm-up pass, then round-robin the timed repeats
@@ -235,7 +236,10 @@ def main() -> None:
                 "serving_ms": serving,
                 "curation": curation,
                 "train": train,
-                "cpu_calib_sec": cpu_calibration_sec(),
+                # pre/post bracket the timed section: a large gap between
+                # them means host capacity DRIFTED mid-run and per-query
+                # medians carry environmental noise no code change explains
+                "cpu_calib_sec": {"pre": calib_pre, "post": cpu_calibration_sec()},
             },
             separators=(",", ":"),
         )
