@@ -481,7 +481,6 @@ FROM s2
 @register(
     "llm_pii_scrub",
     survey_ops=("LLM-pii", "F11", "C1"),
-    driver=False,  # driver window is at capacity (50); full local parity
     doc="PII scrubbing: redact emails / +international phones / dotted-quad "
     "IPs to typed placeholder tokens with per-doc match counts (the "
     "C4/RefinedWeb-tier scrub a pipeline runs before training). The "

@@ -288,6 +288,10 @@ def j2_explode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j3_anti_join_dedup",
     survey_ops=("J3", "F7"),
+    # Folded from the 50-slot driver window in round 4: J3 is driver-green via
+    # s6_merge_upsert and F7 via llm_decontaminate; still fully parity-checked
+    # locally (tests/test_oracle_parity.py) and runnable from bench.
+    driver=False,
     doc="Dedup anti-join: incoming keys minus already-processed rows "
     "(extraction_checker.py:225-258 get_unprocessed_rows). Customers with no "
     "orders = unclaimed keys.",
@@ -575,6 +579,10 @@ def t1_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t4_per_group_topk",
     survey_ops=("T4", "J5"),
+    # Folded from the 50-slot driver window in round 4: T4 is driver-green via
+    # lopq_search_rerank and J5 via ann_cosine_topk; still fully parity-checked
+    # locally (tests/test_oracle_parity.py) and runnable from bench.
+    driver=False,
     doc="Per-query rerank top-k: row_number over (partition by query order by "
     "distance) (searcher_lopqhbase.py:900-912 re-sort after exact rerank).",
     oracle="""

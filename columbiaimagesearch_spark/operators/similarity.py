@@ -243,7 +243,6 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_cluster_sample",
     survey_ops=("LLM-diversify", "V8", "A2"),
-    driver=False,  # driver window is at capacity (50); full local parity
     doc="Cluster-balanced diversification sample (SemDeDup-style corpus "
     "diversification): vectors assign to the IVF k-means cells, then each "
     "cell keeps its quota of members by a deterministic salted-hash rank — "
