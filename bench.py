@@ -112,19 +112,37 @@ def serving_latency_ms(spark, sf_dir: str, n_queries: int = 32) -> dict:
     }
 
 
-def curation_bench(spark, sf_dir: str) -> dict:
-    """Wall time + throughput of the full batch curation chain (dedup ->
-    hygiene -> mixture -> split -> pack) on the sf documents table — the
-    LLM-pipeline composition measured as one job, not per-operator."""
+def curation_bench(spark, sf_dir: str, *, full: bool = False) -> dict:
+    """Wall time + throughput of the batch curation chain on the sf
+    documents table — the LLM-pipeline composition measured as one job, not
+    per-operator.
+
+    Two variants: the base chain (dedup -> repetition -> mixture -> split
+    -> pack, comparable round-over-round since r2) and ``full=True``, which
+    additionally exercises the two stages the chain grew in r3 — PII
+    scrubbing as stage 0 and benchmark decontamination (suite = the same
+    doc_id % BENCH_MOD slice llm_decontaminate uses) — so the composed
+    chain a real pipeline would run has its own wall-time signal."""
     from columbiaimagesearch_spark import curate as curate_mod
     from columbiaimagesearch_spark.sources import load_table
+
+    from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
+    bench_docs = None
+    if full:
+        from columbiaimagesearch_spark.operators.hygiene import BENCH_MOD
+
+        is_bench = (F.col("doc_id") % BENCH_MOD) == 0
+        bench_docs = docs.where(is_bench).select("doc_id", "text")
+        docs = docs.where(~is_bench)
     n_docs = docs.count()
     t0 = time.perf_counter()
-    res = curate_mod.curate_docs(docs, None, train_split_only=False)
+    res = curate_mod.curate_docs(
+        docs, bench_docs, train_split_only=False, scrub_pii=full
+    )
     res.packed.write.mode("overwrite").format("noop").save()
     secs = time.perf_counter() - t0
     return {
@@ -213,17 +231,44 @@ def main() -> None:
             if timed:
                 runs[name].append(round(time.perf_counter() - start, 3))
 
+    # calib_post lands IMMEDIATELY after the timed round-robin loop so the
+    # pre/post pair brackets exactly the section the headline number
+    # measures; each extra section below then gets its own trailing sample,
+    # so drift can be localized to the section it happened in instead of
+    # smeared over the whole run (r3's curation 7.3s->34.1s was
+    # unattributable for exactly this reason).
+    calib = {"pre": calib_pre, "post": cpu_calibration_sec()}
     timings = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
     serving = serving_latency_ms(spark, sf_dir)
-    curation = curation_bench(spark, sf_dir)
-    train = train_bench(spark, sf_dir)
+    calib["post_serving"] = cpu_calibration_sec()
+
+    # The wall of a single curation/train run wobbles ±50% on this host at
+    # FLAT cpu calib (JVM GC pauses + IO transients, not CPU contention) —
+    # report the median of n samples, like the query loop, so the
+    # round-over-round number is comparable. Raw samples go to
+    # BENCH_RUNS.json.
+    extras_runs: dict[str, list[dict]] = {}
+
+    def med(key: str, fn, sec_key: str) -> dict:
+        samples = [fn() for _ in range(n)]
+        extras_runs[key] = samples
+        return sorted(samples, key=lambda s: s[sec_key])[len(samples) // 2]
+
+    curation = med("curation", lambda: curation_bench(spark, sf_dir), "seconds")
+    calib["post_curation"] = cpu_calibration_sec()
+    curation_full = med(
+        "curation_full", lambda: curation_bench(spark, sf_dir, full=True), "seconds"
+    )
+    calib["post_curation_full"] = cpu_calibration_sec()
+    train = med("train", lambda: train_bench(spark, sf_dir), "fit_spark_seconds")
+    calib["post_train"] = cpu_calibration_sec()
     # Raw samples go to a side file: keeping them inline made the headline
     # JSON line long enough that the driver's tail-capture window truncated
     # its head (BENCH_r02 "parsed": null).  The headline line must be the
     # LAST stdout line and compact.
     with open(os.path.join(REPO, "BENCH_RUNS.json"), "w") as fh:
-        json.dump({"sf": float(sf), "n": n, "runs": runs}, fh)
+        json.dump({"sf": float(sf), "n": n, "runs": runs, "extras": extras_runs}, fh)
     print(
         json.dumps(
             {
@@ -235,11 +280,20 @@ def main() -> None:
                 "n": n,
                 "serving_ms": serving,
                 "curation": curation,
+                "curation_full": curation_full,
                 "train": train,
-                # pre/post bracket the timed section: a large gap between
-                # them means host capacity DRIFTED mid-run and per-query
-                # medians carry environmental noise no code change explains
-                "cpu_calib_sec": {"pre": calib_pre, "post": cpu_calibration_sec()},
+                # Per-section calibration ladder: pre/post tightly bracket
+                # the timed query loop; each extra section appends its own
+                # trailing sample so mid-run host drift is attributable to
+                # the section it occurred in, not smeared over the run.
+                "cpu_calib_sec": calib,
+                # Self-normalizing headline: total headline seconds per
+                # calibration second (mean of the pre/post bracket).
+                # Round-over-round comparison of THIS number is mechanical
+                # — host-capacity drift cancels out of the ratio.
+                "value_per_calib": round(
+                    total / ((calib["pre"] + calib["post"]) / 2.0), 2
+                ),
             },
             separators=(",", ":"),
         )
