@@ -74,6 +74,8 @@ HEADLINE = [
     "llm_mixture_sample",
     # PCA-composed search (V7 driver row since r3)
     "lopq_pca_search_topk",
+    # model-quality diagnostics (driver row since r4)
+    "lopq_eval_diagnostics",
 ]
 
 

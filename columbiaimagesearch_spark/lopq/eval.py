@@ -61,25 +61,89 @@ def recall_at_k(
     return float(np.mean(vals)) if vals else 0.0
 
 
-def same_cell_neighbor_rate(codes: DataFrame, nns: DataFrame) -> float:
-    """Fraction of (id, nn_id) pairs of ``nns`` whose two sides share a
-    coarse cell in the ``codes`` relation (id, cell, ...).
+def same_cell_neighbor_stats(codes: DataFrame, nns: DataFrame) -> tuple[int, int]:
+    """(n_pairs, n_same): how many (id, nn_id) pairs of ``nns`` have both
+    sides sharing a coarse cell in the ``codes`` relation (id, cell, ...).
 
-    Two equi-joins on id — the shuffle carries (id, cell) ints; the final
+    Two LEFT equi-joins on id — a pair whose either endpoint is missing
+    from ``codes`` counts as NOT-same-cell (it stays in the denominator),
+    matching the reference's all-pairs fraction even when codes covers only
+    a subset of the corpus. The shuffle carries (id, cell) ints; the final
     aggregate is one partial+final count."""
     a = codes.select("id", F.col("cell").alias("cell_a"))
     b = codes.select(F.col("id").alias("nn_id"), F.col("cell").alias("cell_b"))
     row = (
         nns.select("id", "nn_id")
-        .join(a, "id")
-        .join(b, "nn_id")
+        .join(a, "id", "left")
+        .join(b, "nn_id", "left")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("cell_a") == F.col("cell_b")).cast("long")).alias("same"),
+            F.sum(
+                (F.col("cell_a").isNotNull() & (F.col("cell_a") == F.col("cell_b")))
+                .cast("long")
+            ).alias("same"),
         )
         .collect()[0]
     )
-    return float(row["same"]) / float(row["n"]) if row["n"] else 0.0
+    return int(row["n"]), int(row["same"] or 0)
+
+
+def same_cell_neighbor_rate(codes: DataFrame, nns: DataFrame) -> float:
+    """Fraction form of :func:`same_cell_neighbor_stats` (reference
+    ``eval.py:50-63``)."""
+    n, same = same_cell_neighbor_stats(codes, nns)
+    return float(same) / float(n) if n else 0.0
+
+
+def exact_nn_block(
+    ids_all: np.ndarray, X_all: np.ndarray, ids_blk: np.ndarray, X_blk: np.ndarray
+) -> np.ndarray:
+    """For each row of ``X_blk``, the id of its exact nearest neighbor in
+    ``X_all`` EXCLUDING itself, ties broken by smallest id.
+
+    Shared by the distributed ``exact_nn_pairs`` pass and the NumPy oracle
+    twin: the distance kernel is pure elementwise math (no BLAS matmul), so
+    results are bitwise identical regardless of how rows are batched — the
+    property that lets the driver hash-compare the two sides."""
+    d = ((X_blk[:, None, :] - X_all[None, :, :]) ** 2).sum(axis=2)
+    d[ids_blk[:, None] == ids_all[None, :]] = np.inf  # exclude self
+    out = np.empty(len(ids_blk), dtype=np.int64)
+    for i in range(len(ids_blk)):
+        out[i] = ids_all[np.lexsort((ids_all, d[i]))[0]]
+    return out
+
+
+def exact_nn_pairs(
+    vec_df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, nn_id): every vector's exact nearest neighbor (self excluded),
+    computed distributed — the corpus matrix is broadcast and each Arrow
+    batch scores its rows against it via the shared ``exact_nn_block``
+    kernel.
+
+    Scale shape: broadcast-corpus brute force is the small-N oracle tier
+    (reference ``eval.py:7-38`` compute_all_neighbors is the same
+    all-pairs semantics); past broadcast size the blocked block-join of
+    ``operators/similarity.emb_near_dup_pairs`` is the scale path."""
+    spark = vec_df.sparkSession
+    rows = vec_df.select(id_col, vec_col).collect()
+    ids_all = np.array([r[id_col] for r in rows], dtype=np.int64)
+    X_all = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    order = np.argsort(ids_all, kind="stable")
+    b_all = spark.sparkContext.broadcast((ids_all[order], X_all[order]))
+
+    def nn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a_ids, a_X = b_all.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            blk_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            blk_X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            yield pd.DataFrame(
+                {"id": blk_ids, "nn_id": exact_nn_block(a_ids, a_X, blk_ids, blk_X)}
+            )
+
+    return vec_df.select(id_col, vec_col).mapInPandas(nn, "id long, nn_id long")
 
 
 def reconstruction_code_stability(
@@ -91,6 +155,18 @@ def reconstruction_code_stability(
     """Fraction of vectors whose encode → reconstruct → encode round trip
     reproduces the original (coarse, fine) codes — one Arrow pass with the
     broadcast model, per-partition (n, same) partials, driver sum."""
+    n, same = reconstruction_code_stability_stats(vec_df, model, id_col, vec_col)
+    return float(same) / float(n) if n else 0.0
+
+
+def reconstruction_code_stability_stats(
+    vec_df: DataFrame,
+    model: LOPQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, int]:
+    """(n, n_stable) integer form of :func:`reconstruction_code_stability`
+    — exact counts the driver hash can compare without float tolerance."""
     spark = vec_df.sparkSession
     b_model = spark.sparkContext.broadcast(model.to_arrays())
 
@@ -115,7 +191,7 @@ def reconstruction_code_stability(
         .agg(F.sum("n").alias("n"), F.sum("same").alias("same"))
         .collect()[0]
     )
-    return float(row["same"]) / float(row["n"]) if row["n"] else 0.0
+    return int(row["n"] or 0), int(row["same"] or 0)
 
 
 def subquantizer_distortion(
@@ -165,3 +241,18 @@ def subquantizer_distortion(
     for r in rows:
         out[int(r["m"])] = float(r["s"]) / float(r["n"]) if r["n"] else 0.0
     return out
+
+
+def subquantizer_distortion_rows(
+    vec_df: DataFrame,
+    model: LOPQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, float]]:
+    """[(m, n, mean_distortion)] rendering of
+    :func:`subquantizer_distortion` for the driver row — the mean is
+    rounded to 4 decimals (partition-order float sums, same discipline as
+    a3_residual_moments)."""
+    n = vec_df.count()
+    dist = subquantizer_distortion(vec_df, model, id_col, vec_col)
+    return [(m, n, round(float(v), 4)) for m, v in enumerate(dist)]

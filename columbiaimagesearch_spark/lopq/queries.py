@@ -261,6 +261,50 @@ def lopq_train_distributed_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lopq_eval_diagnostics",
+    survey_ops=("A5", "V11", "V8"),
+    doc="The reference's remaining model-quality diagnostics "
+    "(lopq/lopq/eval.py:50-63 same-cell NN rate, :77-89 reconstruction "
+    "code stability, :145-161 per-subquantizer distortion) rendered as one "
+    "hash-checked row set: exact 1-NN pairs computed distributed (shared "
+    "elementwise kernel, bitwise batch-independent), joined to the codes "
+    "relation for the same-cell fraction; encode->reconstruct->encode "
+    "round-trip counts; per-subquantizer mean quantization error (rounded "
+    "4dp — partition-order sums). Oracle: NumPy twin over the identical "
+    "fixture model.",
+    oracle=twin.lopq_eval_diagnostics_sql,
+)
+def lopq_eval_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import eval as lopq_eval
+
+    model = fixture_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    nns = lopq_eval.exact_nn_pairs(emb)
+    n_pairs, n_same = lopq_eval.same_cell_neighbor_stats(
+        codes_df(spark, sf_dir), nns
+    )
+    n_rec, n_stable = lopq_eval.reconstruction_code_stability_stats(emb, model)
+    rows: list[tuple] = [
+        # integer numerator/denominator + raw IEEE division: exact under
+        # the driver hash (same discipline as a5_recall_stats)
+        ("same_cell_nn_rate", -1, n_pairs, n_same / n_pairs if n_pairs else 0.0),
+        (
+            "reconstruction_code_stability",
+            -1,
+            n_rec,
+            n_stable / n_rec if n_rec else 0.0,
+        ),
+    ]
+    rows += [
+        ("subquantizer_distortion", m, n, v)
+        for m, n, v in lopq_eval.subquantizer_distortion_rows(emb, model)
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, m int, n bigint, value double"
+    )
+
+
 _PCA_MODEL_CACHE: dict[str, "object"] = {}
 
 

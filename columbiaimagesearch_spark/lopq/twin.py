@@ -412,6 +412,76 @@ def lopq_pca_search_topk_sql(sf_dir: str) -> str:
     )
 
 
+def lopq_eval_diagnostics_sql(sf_dir: str) -> str:
+    """Twin of the three model-quality diagnostics (reference
+    ``lopq/lopq/eval.py:50-63,77-89,145-161``) over the fixture model:
+
+    - same-cell NN rate: exact 1-NN per corpus vector via the SHARED
+      ``eval.exact_nn_block`` elementwise kernel (bitwise identical to the
+      distributed pass regardless of batching), then integer same-cell
+      counts + raw IEEE division;
+    - reconstruction code stability: encode→reconstruct→encode integer
+      counts (matmul feeds only argmin codes);
+    - per-subquantizer distortion: the same projection/LUT math as the
+      distributed kernel, mean rounded to 4 decimals on both sides
+      (partition-order float sums, a3 discipline)."""
+    from .eval import exact_nn_block
+
+    st = _state(sf_dir)
+    model: LOPQModel = st["model"]
+    ids, X, cells = st["ids"], st["X"], st["cells"]
+
+    # same-cell NN rate (ids are sorted in _state; block through the shared
+    # kernel in bounded chunks to cap the n_blk × n × D elementwise tensor)
+    cell_of = {int(i): int(c) for i, c in zip(ids, cells)}
+    n_pairs = len(ids)
+    n_same = 0
+    for lo in range(0, len(ids), 256):
+        blk = slice(lo, lo + 256)
+        nn_ids = exact_nn_block(ids, X, ids[blk], X[blk])
+        n_same += sum(
+            cell_of[int(i)] == cell_of[int(j)] for i, j in zip(ids[blk], nn_ids)
+        )
+
+    # reconstruction code stability
+    c1, f1 = st["coarse"], st["fine"]
+    R = model.reconstruct(c1, f1)
+    c2, f2 = model.encode(R)
+    stable = int(((c1 == c2).all(axis=1) & (f1 == f2).all(axis=1)).sum())
+    n_rec = len(ids)
+
+    # per-subquantizer distortion — same math as eval.subquantizer_distortion
+    P = model.project_residuals(X, model.coarse_assign(X))
+    sd = model.sub_dim
+    rows: list[tuple] = [
+        ("same_cell_nn_rate", -1, n_pairs, n_same / n_pairs if n_pairs else 0.0),
+        (
+            "reconstruction_code_stability",
+            -1,
+            n_rec,
+            stable / n_rec if n_rec else 0.0,
+        ),
+    ]
+    for sub in range(model.M):
+        h = sub // model.subs_per_half
+        s = sub % model.subs_per_half
+        Pm = P[:, h * model.half + s * sd : h * model.half + (s + 1) * sd]
+        S = model.subs[sub]
+        d = (Pm**2).sum(1)[:, None] - 2 * Pm @ S.T + (S**2).sum(1)[None, :]
+        rows.append(
+            ("subquantizer_distortion", sub, n_rec, round(float(d.min(axis=1).mean()), 4))
+        )
+    return _values_sql(
+        rows,
+        [
+            ("metric", "VARCHAR"),
+            ("m", "INTEGER"),
+            ("n", "BIGINT"),
+            ("value", "DOUBLE"),
+        ],
+    )
+
+
 def ivf_cells(st: dict[str, Any]) -> tuple[np.ndarray, np.ndarray]:
     """(centroids, per-vector cell assignment) of the IVF fixture codebook —
     same kmeans kernel / seed / ordered sample as ann_ivf.train_centroids,

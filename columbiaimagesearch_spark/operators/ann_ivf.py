@@ -151,6 +151,11 @@ def cached_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     survey_ops=("V8", "J6", "T1", "V12"),
+    # Folded from the 50-slot driver window in round 4 to make room for
+    # lopq_eval_diagnostics: every tag is green on other driver rows (V8 via
+    # lopq_encode_codes, J6 via lopq_search_topk, T1/V12 via ann_cosine_topk
+    # and a5_recall_stats). Still locally parity-checked and in bench.
+    driver=False,
     doc=f"IVF ANN: {N_CELLS}-cell inverted file (driver-sample k-means, "
     f"mapInPandas assign), probe {N_PROBE} nearest cells per query, exact "
     "rank within. Oracle: NumPy twin (lopq/twin.py) — elementwise exact "

@@ -41,6 +41,35 @@ def test_same_cell_neighbor_rate(spark, fixture):
     assert 0.0 < got <= 1.0
 
 
+def test_same_cell_rate_counts_uncovered_pairs_as_not_same(spark, fixture):
+    """A pair whose either endpoint is missing from codes stays in the
+    denominator as not-same-cell (codes may cover a subset of the corpus);
+    the inner-join form silently dropped such pairs."""
+    model, emb, ids, X = fixture
+    codes = codes_df(spark, SF_SMOKE)
+    nns = spark.createDataFrame(
+        [(int(ids[0]), int(ids[1])), (int(ids[0]), -12345)], "id long, nn_id long"
+    )
+    n, same = lopq_eval.same_cell_neighbor_stats(codes, nns)
+    assert n == 2  # the uncovered pair is still counted
+    cells = model.cell_id(model.coarse_assign(X[:2]))
+    assert same == int(cells[0] == cells[1])
+
+
+def test_exact_nn_pairs_matches_brute_force(spark, fixture):
+    """The distributed 1-NN pass (shared exact_nn_block kernel) must equal
+    the full-matrix brute force, including (dist, id) tie-breaks."""
+    model, emb, ids, X = fixture
+    got = {
+        r["id"]: r["nn_id"] for r in lopq_eval.exact_nn_pairs(emb).collect()
+    }
+    d = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d, np.inf)
+    for row, i in enumerate(ids):
+        want = int(ids[np.lexsort((ids, d[row]))[0]])
+        assert got[int(i)] == want
+
+
 def test_reconstruction_code_stability(spark, fixture):
     model, emb, ids, X = fixture
     got = lopq_eval.reconstruction_code_stability(emb, model)
