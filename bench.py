@@ -173,6 +173,51 @@ def train_bench(spark, sf_dir: str) -> dict:
     return {"fit_spark_seconds": round(secs, 3), "rows": n}
 
 
+def layout_search_bench(spark, sf_dir: str) -> dict:
+    """The production read path: write the sf codes as the bucketed
+    cell-partitioned layout (untimed, one-off build cost reported
+    separately), then time search_from_layout — probe planned from the
+    histogram sidecar, scan statically pruned to the visited cells'
+    directories + row groups."""
+    import shutil
+    import tempfile
+
+    from columbiaimagesearch_spark.lopq import layout
+    from columbiaimagesearch_spark.lopq.queries import (
+        N_QUERIES, QUOTA, TOP_K, codes_df, fixture_model,
+    )
+    from columbiaimagesearch_spark.sources import load_table
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    model = fixture_model(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="codes_layout_")
+    try:
+        t0 = time.perf_counter()
+        layout.write_codes_partitioned(codes_df(spark, sf_dir), path, bucket_cells=8)
+        write_s = time.perf_counter() - t0
+        q_rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        queries = [(int(r["vec_id"]), np.array(r["embedding"])) for r in q_rows]
+        # warm (scan listing, footers), then timed
+        layout.search_from_layout(
+            spark, path, model, queries, quota=QUOTA, k=TOP_K, bucket_cells=8
+        ).write.mode("overwrite").format("noop").save()
+        t0 = time.perf_counter()
+        layout.search_from_layout(
+            spark, path, model, queries, quota=QUOTA, k=TOP_K, bucket_cells=8
+        ).write.mode("overwrite").format("noop").save()
+        search_s = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return {"write_s": round(write_s, 3), "search_s": round(search_s, 3)}
+
+
 def cpu_calibration_sec() -> float:
     """Fixed single-thread reference op, timed.
 
@@ -265,6 +310,9 @@ def main() -> None:
     calib["post_curation_full"] = cpu_calibration_sec()
     train = med("train", lambda: train_bench(spark, sf_dir), "fit_spark_seconds")
     calib["post_train"] = cpu_calibration_sec()
+    layout_search = med(
+        "layout_search", lambda: layout_search_bench(spark, sf_dir), "search_s"
+    )
     # Raw samples go to a side file: keeping them inline made the headline
     # JSON line long enough that the driver's tail-capture window truncated
     # its head (BENCH_r02 "parsed": null).  The headline line must be the
@@ -284,6 +332,7 @@ def main() -> None:
                 "curation": curation,
                 "curation_full": curation_full,
                 "train": train,
+                "layout_search": layout_search,
                 # Per-section calibration ladder: pre/post tightly bracket
                 # the timed query loop; each extra section appends its own
                 # trailing sample so mid-run host drift is attributable to

@@ -10,36 +10,82 @@ files a filtered scan actually touches. At 4096² cells, partition-per-cell
 over-fragments — production would bucket cells into ~4k directories by
 ``cell % n_buckets`` and keep a row-group sort on cell within each; the
 probe predicate then prunes directories AND row groups. Both layouts share
-this writer's interface."""
+this writer's interface.
+
+The writer also emits a ``_histogram`` sidecar (per-cell populations — a
+V²-bounded tiny table; the ``_`` prefix keeps it out of the data scan's
+file listing). ``search_from_layout`` plans the multisequence probe from
+the sidecar alone, so a search against a 100 TB codes layout reads: one
+tiny histogram + exactly the pruned directories/row-groups of the visited
+cells — never a full scan."""
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+HISTOGRAM_DIR = "_histogram"
+
 
 def write_codes_partitioned(
-    codes: DataFrame, path: str, bucket_cells: int | None = None
+    codes: DataFrame,
+    path: str,
+    bucket_cells: int | None = None,
+    row_group_bytes: int | None = None,
 ) -> None:
-    """Write (id, c1, c2, cell, fine) partitioned for probe pruning.
+    """Write (id, c1, c2, cell, fine) partitioned for probe pruning, plus
+    the ``_histogram`` sidecar (cell, n) the search planner reads.
 
     ``bucket_cells``: optionally fold cells into ``cell_bucket = cell % n``
-    directories (the production layout for large V²)."""
+    directories (the production layout for large V²); rows are sorted by
+    ``cell`` within each bucket file so parquet row-group min/max stats
+    prune inside the directory.
+
+    ``row_group_bytes``: parquet row-group size for the data files — the
+    row-group-pruning granularity knob (smaller groups = finer pruning,
+    more footer overhead; the default engine setting is fine in
+    production, tests shrink it to prove multi-row-group pruning)."""
     if bucket_cells:
-        (
+        # the in-partition sort MUST lead with the partitionBy column:
+        # FileFormatWriter demands its input ordered by the partition
+        # columns and inserts its OWN sort (by cell_bucket alone) when the
+        # incoming ordering doesn't already satisfy that — which would
+        # destroy the cell order inside each file and with it the
+        # row-group min/max prunability (same pitfall documented at
+        # curate.write_training_shards).
+        out = (
             codes.withColumn("cell_bucket", F.col("cell") % bucket_cells)
             .repartition("cell_bucket")
-            .sortWithinPartitions("cell")
-            .write.mode("overwrite")
-            .partitionBy("cell_bucket")
-            .parquet(path)
+            .sortWithinPartitions("cell_bucket", "cell")
         )
+        part_col = "cell_bucket"
     else:
-        codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+        out, part_col = codes, "cell"
+    writer = out.write.mode("overwrite")
+    if row_group_bytes:
+        writer = writer.option("parquet.block.size", str(int(row_group_bytes)))
+    writer.partitionBy(part_col).parquet(path)
+    # per-cell population sidecar: partial+final count agg, V²-bounded rows
+    (
+        codes.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/{HISTOGRAM_DIR}")
+    )
 
 
 def read_codes(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_cell_histogram(spark: SparkSession, path: str) -> dict[int, int]:
+    """The (cell -> n) histogram sidecar written by
+    :func:`write_codes_partitioned` — the search planner's only driver-side
+    input, read without touching the data files."""
+    rows = spark.read.parquet(f"{path}/{HISTOGRAM_DIR}").collect()
+    return {int(r["cell"]): int(r["n"]) for r in rows}
 
 
 def probe_cells(
@@ -48,9 +94,54 @@ def probe_cells(
     """The probe predicate in prunable form: with a cell-partitioned layout
     Catalyst turns the IN-list into partition pruning (asserted in tests);
     with the bucketed layout the derived ``cell_bucket`` IN-list prunes
-    directories and the cell predicate prunes row groups within them."""
+    directories and the cell predicate is pushed to the parquet reader,
+    whose row-group min/max stats (rows are cell-sorted within each bucket
+    file) skip non-matching row groups."""
     cells = [int(c) for c in cells]
     cond = F.col("cell").isin(cells)
     if bucket_cells:
         cond = F.col("cell_bucket").isin(sorted({c % bucket_cells for c in cells})) & cond
     return codes.where(cond)
+
+
+def search_from_layout(
+    spark: SparkSession,
+    path: str,
+    model,
+    queries: list[tuple[int, np.ndarray]],
+    quota: int = 1000,
+    k: int = 10,
+    bucket_cells: int | None = None,
+    vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_nb: int = 0,
+) -> DataFrame:
+    """ANN search against a materialized codes layout — the production read
+    path (reference serving: LMDB prefix-cursor per visited cell,
+    ``lopq/lopq/search.py:472-499``).
+
+    Unlike :func:`search` (which persists an arbitrary codes relation and
+    scans it for the histogram), this plans the probe from the tiny
+    ``_histogram`` sidecar and STATICALLY prunes the data scan to the
+    visited cells via :func:`probe_cells` — with the bucketed layout the
+    plan shows directory pruning on ``cell_bucket`` plus a pushed ``cell``
+    filter that skips row groups, so a quota-bounded query against a
+    100 TB layout reads MB, not TB. Results are identical to
+    :func:`search` on the same codes (tests pin it)."""
+    from .model import LOPQModelPCA
+    from .search import _execute_probe, _plan_probe
+
+    if isinstance(model, LOPQModelPCA):
+        queries = [(qid, model.project_queries(q)[0]) for qid, q in queries]
+        model = model.lopq
+    counts = read_cell_histogram(spark, path)
+    probe_rows, luts, qvecs = _plan_probe(model, queries, counts, quota)
+    codes = read_codes(spark, path)
+    visited = sorted({cell for _, cell in probe_rows})
+    pruned = probe_cells(codes, visited, bucket_cells=bucket_cells)
+    return _execute_probe(
+        spark, pruned, model, probe_rows, luts, qvecs,
+        k=k, vectors=vectors, id_col=id_col, vec_col=vec_col,
+        rerank_nb=rerank_nb,
+    )

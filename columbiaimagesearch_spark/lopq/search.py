@@ -134,7 +134,24 @@ def search(
     # cache of parquet scans.
     codes = codes.persist()
     counts = _cell_counts(codes)
-    probe_rows = []  # (qid, cell)
+    probe_rows, luts, qvecs = _plan_probe(model, queries, counts, quota)
+    return _execute_probe(
+        spark, codes, model, probe_rows, luts, qvecs,
+        k=k, vectors=vectors, id_col=id_col, vec_col=vec_col,
+        rerank_nb=rerank_nb,
+    )
+
+
+def _plan_probe(
+    model: LOPQModel,
+    queries: list[tuple[int, np.ndarray]],
+    counts: dict[int, int],
+    quota: int,
+) -> tuple[list[tuple[int, int]], dict, dict]:
+    """Driver-side probe planning: per query, multisequence-traverse the
+    cell grid to quota and build the (query, cell) ADC LUTs. Pure math over
+    the tiny cell histogram — no cluster work."""
+    probe_rows: list[tuple[int, int]] = []  # (qid, cell)
     luts: dict[tuple[int, int], np.ndarray] = {}
     qvecs: dict[int, np.ndarray] = {}
     for qid, q in queries:
@@ -145,7 +162,27 @@ def search(
             if counts.get(cell, 0):
                 probe_rows.append((qid, cell))
                 luts[(qid, cell)] = model.adc_lut(q, cell)
+    return probe_rows, luts, qvecs
 
+
+def _execute_probe(
+    spark: SparkSession,
+    codes: DataFrame,
+    model: LOPQModel,
+    probe_rows: list[tuple[int, int]],
+    luts: dict,
+    qvecs: dict,
+    *,
+    k: int,
+    vectors: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    rerank_nb: int,
+) -> DataFrame:
+    """Distributed half of the search: broadcast-probe the codes relation,
+    ADC-score in one Arrow pass, per-query window top-k, optional exact
+    rerank. ``codes`` may already be statically pruned to the visited cells
+    (the bucketed-layout path)."""
     if not probe_rows:
         empty = "qid bigint, rank int, id bigint, adc_dist double"
         return spark.createDataFrame([], empty)

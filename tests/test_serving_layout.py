@@ -139,6 +139,87 @@ def test_bucketed_layout_roundtrip(spark, codes, tmp_path):
     assert probed.count() == codes.where(F.col("cell").isin(cells)).count()
 
 
+def test_histogram_sidecar_matches_codes(spark, codes, tmp_path):
+    path = str(tmp_path / "codes_hist")
+    layout.write_codes_partitioned(codes, path, bucket_cells=8)
+    hist = layout.read_cell_histogram(spark, path)
+    want = {
+        int(r["cell"]): int(r["n"])
+        for r in codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert hist == want
+    # the sidecar must be invisible to the data scan
+    assert layout.read_codes(spark, path).count() == codes.count()
+
+
+def test_search_from_bucketed_layout(spark, model, codes, queries_np, tmp_path):
+    """The production read path: search planned from the histogram sidecar
+    against the bucketed layout must (a) return exactly what search() on
+    the raw codes relation returns, and (b) show directory pruning on
+    cell_bucket AND a pushed cell filter in the scan plan."""
+    from columbiaimagesearch_spark.plans.explain import formatted_plan
+
+    path = str(tmp_path / "codes_prod")
+    layout.write_codes_partitioned(codes, path, bucket_cells=8)
+
+    got = layout.search_from_layout(
+        spark, path, model, queries_np, quota=QUOTA, k=TOP_K, bucket_cells=8
+    )
+    want = search(spark, codes, model, queries_np, quota=QUOTA, k=TOP_K)
+    as_rows = lambda df: sorted(  # noqa: E731
+        (int(r["qid"]), int(r["rank"]), int(r["id"]), round(float(r["adc_dist"]), 9))
+        for r in df.collect()
+    )
+    assert as_rows(got) == as_rows(want)
+
+    plan = formatted_plan(got)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("cell_bucket" in ln and "IN" in ln for ln in pf), pf
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("In(cell" in ln for ln in pushed), pushed
+
+
+def test_bucketed_layout_row_group_pruning(spark, codes, tmp_path):
+    """Row-group pruning inside a bucket directory: files are cell-sorted,
+    so with multiple row groups per file the parquet min/max stats let the
+    pushed cell filter skip whole groups. Written with a tiny row-group
+    size to force multi-group files, then proven from the parquet footers:
+    (a) cell stats are monotone across each file's groups (the sort
+    guarantee), (b) a single-cell probe overlaps a strict subset of the
+    groups."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    path = str(tmp_path / "codes_rg")
+    layout.write_codes_partitioned(
+        codes, path, bucket_cells=2, row_group_bytes=1024
+    )
+    files = sorted(Path(path).glob("cell_bucket=*/*.parquet"))
+    assert files
+    multi_group = False
+    total_groups = 0
+    for f in files:
+        md = pq.ParquetFile(str(f)).metadata
+        idx = next(
+            i for i in range(len(md.schema))
+            if md.schema.column(i).name == "cell"
+        )
+        stats = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+        assert all(s is not None and s.has_min_max for s in stats)
+        # monotone: the writer's sortWithinPartitions("cell") guarantee
+        for a, b in zip(stats, stats[1:]):
+            assert a.max <= b.min
+        multi_group = multi_group or md.num_row_groups > 1
+        total_groups += md.num_row_groups
+        # a probe of the first group's min cell can skip every group whose
+        # range excludes it
+        probe_cell = stats[0].min
+        matching = sum(1 for s in stats if s.min <= probe_cell <= s.max)
+        if md.num_row_groups > 1:
+            assert matching < md.num_row_groups
+    assert multi_group, "row_group_bytes failed to force multi-group files"
+
+
 def test_serving_snapshot_budget_enforced(spark, model, codes):
     """An over-budget codes table must raise BEFORE any collect (driver OOM
     is never the failure mode); a cell-range shard under the same budget
