@@ -17,6 +17,14 @@ computes the identical numbering in two distributed phases:
 The result does not depend on where the range bounds fall: the global order
 is fully determined by the (unique) key, offsets come from actual partition
 counts. Shuffle cost: one range exchange of the rows + a P-row aggregate.
+
+Fault-tolerance caveat: the pin uses ``localCheckpoint(eager=True)``, which
+stores blocks on executors WITHOUT lineage — in local mode (this repo's
+test/bench envelope) that is free and safe, but on a real cluster an
+executor loss mid-job makes those blocks unrecoverable and the job fails
+rather than recomputes. For cluster deployments where that matters, swap
+in ``df.checkpoint()`` with ``sc.setCheckpointDir`` on durable storage —
+identical semantics, one HDFS round-trip of extra cost.
 """
 
 from __future__ import annotations

@@ -64,12 +64,16 @@ def codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     them — measured as multi-second stalls landing on whichever query runs
     during cleanup. One shared relation is also the production shape: the
     codes table is materialized once, probed many times."""
-    if sf_dir not in _CODES_CACHE:
-        emb = load_table(spark, sf_dir, "embeddings")
-        _CODES_CACHE[sf_dir] = encode_dataframe(
-            spark, emb, fixture_model(spark, sf_dir)
-        ).persist()
-    return _CODES_CACHE[sf_dir]
+    from ..session import cached_relation
+
+    return cached_relation(
+        _CODES_CACHE,
+        spark,
+        sf_dir,
+        lambda: encode_dataframe(
+            spark, load_table(spark, sf_dir, "embeddings"), fixture_model(spark, sf_dir)
+        ).persist(),
+    )
 
 
 @register(
@@ -333,7 +337,9 @@ _PCA_CODES_CACHE: dict[str, DataFrame] = {}
 def pca_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA-projected codes relation, built once per sf_dir and persisted
     (same broadcast-hygiene rationale as :func:`codes_df`)."""
-    if sf_dir not in _PCA_CODES_CACHE:
+    from ..session import cached_relation
+
+    def build() -> DataFrame:
         from .train_spark import pca_project
 
         pm = pca_fixture_model(spark, sf_dir)
@@ -341,10 +347,11 @@ def pca_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id as id", "cast(embedding as array<double>) as v"
         )
         projected = pca_project(vec_df, pm.P, pm.mu)
-        _PCA_CODES_CACHE[sf_dir] = encode_dataframe(
+        return encode_dataframe(
             spark, projected, pm.lopq, id_col="id", vec_col="v"
         ).persist()
-    return _PCA_CODES_CACHE[sf_dir]
+
+    return cached_relation(_PCA_CODES_CACHE, spark, sf_dir, build)
 
 
 @register(

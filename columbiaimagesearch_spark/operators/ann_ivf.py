@@ -141,11 +141,14 @@ def cached_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     production shape (the index is materialized once, probed many times),
     and it avoids re-broadcasting the centroids per query call (dead
     broadcasts accumulate until a driver GC; see lopq.queries.codes_df)."""
-    if sf_dir not in _INDEX_CACHE:
-        _INDEX_CACHE[sf_dir] = build_index(
-            spark, sf_dir, train_centroids(spark, sf_dir)
-        ).persist()
-    return _INDEX_CACHE[sf_dir]
+    from ..session import cached_relation
+
+    return cached_relation(
+        _INDEX_CACHE,
+        spark,
+        sf_dir,
+        lambda: build_index(spark, sf_dir, train_centroids(spark, sf_dir)).persist(),
+    )
 
 
 @register(

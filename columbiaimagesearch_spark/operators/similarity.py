@@ -4,12 +4,14 @@ This is the Spark rendering of the reference's core query — ANN over
 L2-normalized feature vectors with exact re-ranking
 (``searcher/searcher_lopqhbase.py:783-1067``). Three tiers:
 
-1. ``ann_cosine_topk`` — brute-force cosine top-k, pure built-ins
-   (``zip_with`` + ``aggregate``), the correctness baseline (= the
-   reference's exact rerank / ``lopq/lopq/eval.py:7-38`` ground truth).
-2. ``ann_cosine_topk_pandas`` — same semantics via an Arrow-vectorized
-   pandas UDF doing a single numpy matmul per batch (the fast exact path;
-   queries broadcast, candidates never shuffled).
+1. ``ann_cosine_topk`` — brute-force cosine top-k via an Arrow-vectorized
+   pandas pass doing a single numpy matmul per batch (the fast exact path;
+   queries broadcast, candidates never shuffled) — the REGISTERED form
+   (= the reference's exact rerank / ``lopq/lopq/eval.py:7-38`` ground
+   truth).
+2. ``ann_cosine_topk_hof`` — same semantics in pure built-ins
+   (``zip_with`` + ``aggregate``), the unregistered cross-engine twin kept
+   for the plan-equality property test (tests/test_similarity_quality.py).
 3. IVF/LOPQ-bucketed search lives in ``..lopq`` — the 100 TB path where only
    (cell, id, code) pairs shuffle, never vectors.
 

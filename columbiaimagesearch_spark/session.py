@@ -25,6 +25,28 @@ from pyspark.sql import SparkSession
 _SHIPPED: set[int] = set()
 
 
+def cached_relation(cache: dict, spark: SparkSession, key, build):
+    """Fetch-or-build a session-bound DataFrame from a module-level cache.
+
+    A cache keyed by ``key`` alone holds DataFrames bound to a specific
+    SparkSession: after a session stop/restart in the same process the
+    lookup would hand back a handle on the DEAD session and fail opaquely
+    on first use. A hit therefore also requires the cached DataFrame to
+    belong to the CURRENT, unstopped session; otherwise it is rebuilt (the
+    stale entry's persisted blocks died with its session — nothing to
+    unpersist)."""
+    df = cache.get(key)
+    if (
+        df is not None
+        and df.sparkSession is spark
+        and not spark.sparkContext._jsc.sc().isStopped()
+    ):
+        return df
+    df = build()
+    cache[key] = df
+    return df
+
+
 def ensure_shipped(spark: SparkSession) -> None:
     """Ship this package to the Python workers of ``spark``.
 
