@@ -233,10 +233,11 @@ FROM f
     "text_repetition_stats",
     survey_ops=("LLM-repetition", "A2"),
     doc="Gopher-style per-document repetition stats (dup/top n-gram "
-    "fractions, n=1..3): one posexplode + one window by doc_id, the three "
-    "gram sizes stacked into a single (doc_id, n, gram) relation so every "
-    "aggregate shares one shuffle chain keyed by doc_id — O(len)/doc "
-    "(the O(len²) HOF-inlining pitfall is documented and avoided).",
+    "fractions, n=1..3): a MAP-ONLY Arrow pass — repetition is a per-doc "
+    "property, so each document's n-gram counters are computed inside one "
+    "mapInPandas batch with zero shuffle, pipelined out of the scan "
+    "(replaces the posexplode+window form that shuffled every token "
+    "twice; O(len)/doc either way, but no exchange at 100 TB).",
     oracle=REPETITION_ORACLE_SQL,
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,84 +251,85 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``repetitive``: flag from the rounded fractions, so the verdict is
       engine-portable.
 
-    One explode + one window; the three gram sizes stack into a single
-    (doc_id, n, gram) relation so all counts share one aggregation chain.
+    Map-only: see :func:`repetition_stats_from`.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return repetition_stats_from(docs)
 
 
+def _round_half_up_4(x: float) -> float:
+    """Spark's ROUND(x, 4): BigDecimal(double) — the EXACT binary value —
+    rounded HALF_UP at 4 decimals. Python's ``round`` is HALF_EVEN and
+    would diverge on boundaries; ``decimal.Decimal(float)`` is the same
+    exact-binary-expansion construction as Java's ``new BigDecimal(double)``,
+    so this mirrors the JVM bit-for-bit."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def repetition_stats_from(docs: DataFrame) -> DataFrame:
     """DataFrame-level repetition stats over any (doc_id, text) relation —
-    documents with fewer than 3 words are dropped (no trigram exists)."""
-    docs = docs.where(F.size(F.split(F.col("text"), " ")) >= 3)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    base = _word_rows(docs).select(
-        "doc_id",
-        "w",
-        F.lead("w", 1).over(w).alias("w1"),
-        F.lead("w", 2).over(w).alias("w2"),
-    )
-    grams = (
-        base.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    F.struct(F.lit(1).alias("n"), F.col("w").alias("gram")),
-                    F.struct(
-                        F.lit(2).alias("n"),
-                        F.when(
-                            F.col("w1").isNotNull(),
-                            F.concat_ws(" ", F.col("w"), F.col("w1")),
-                        ).alias("gram"),
-                    ),
-                    F.struct(
-                        F.lit(3).alias("n"),
-                        F.when(
-                            F.col("w2").isNotNull(),
-                            F.concat_ws(" ", F.col("w"), F.col("w1"), F.col("w2")),
-                        ).alias("gram"),
-                    ),
-                )
-            ).alias("t"),
-        )
-        .select("doc_id", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
-        .where(F.col("gram").isNotNull())
-    )
-    counts = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
-    per_n = counts.groupBy("doc_id", "n").agg(
-        F.sum("cnt").alias("total"),
-        F.count("*").alias("dist"),
-        F.max("cnt").alias("mx"),
-    )
+    documents with fewer than 3 words are dropped (no trigram exists).
 
-    def pick(n: int, col: str):
-        return F.max(F.when(F.col("n") == n, F.col(col)))
+    MAP-ONLY plan: one Arrow pass computes each document's n-gram counters
+    independently (repetition is a per-doc property — no cross-doc state),
+    so the stage pipelines straight out of the scan with ZERO shuffle. The
+    earlier posexplode + window + two-groupBy form shuffled every token of
+    the corpus twice to compute the same per-doc counters; at 100 TB that
+    is the difference between a pass and a sort. Fractions reproduce the
+    previous expressions bit-for-bit (same IEEE divisions, same +1e-9
+    nudge, same HALF_UP rounding), so the DuckDB oracle is unchanged."""
+    from collections import Counter
+    from collections.abc import Iterator
 
-    def frac_dup(n: int):
-        return F.round(
-            F.lit(1.0) - pick(n, "dist").cast("double") / pick(n, "total") + F.lit(1e-9),
-            4,
-        )
+    import pandas as pd
 
-    def frac_top(n: int):
-        return F.round(
-            pick(n, "mx").cast("double") / pick(n, "total") + F.lit(1e-9), 4
-        )
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = (text or "").split(" ")
+                if len(words) < 3:
+                    continue
+                row: list = [int(doc_id), len(words)]
+                for n in (1, 2, 3):
+                    grams = Counter(
+                        " ".join(words[i : i + n])
+                        for i in range(len(words) - n + 1)
+                    )
+                    total = len(words) - n + 1
+                    dup = _round_half_up_4(
+                        1.0 - len(grams) / total + 1e-9
+                    )
+                    top = _round_half_up_4(
+                        max(grams.values()) / total + 1e-9
+                    )
+                    row += [dup, top]
+                row.append(row[3] > REP_TOP_WORD or row[6] > REP_DUP_3GRAM)
+                out.append(tuple(row))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_words",
+                    "dup_word_frac", "top_word_frac",
+                    "dup_2gram_frac", "top_2gram_frac",
+                    "dup_3gram_frac", "top_3gram_frac",
+                    "repetitive",
+                ],
+            )
 
-    stats = per_n.groupBy("doc_id").agg(
-        pick(1, "total").cast("bigint").alias("n_words"),
-        frac_dup(1).alias("dup_word_frac"),
-        frac_top(1).alias("top_word_frac"),
-        frac_dup(2).alias("dup_2gram_frac"),
-        frac_top(2).alias("top_2gram_frac"),
-        frac_dup(3).alias("dup_3gram_frac"),
-        frac_top(3).alias("top_3gram_frac"),
-    )
-    return stats.withColumn(
-        "repetitive",
-        (F.col("top_word_frac") > REP_TOP_WORD)
-        | (F.col("dup_3gram_frac") > REP_DUP_3GRAM),
+    return docs.select("doc_id", "text").mapInPandas(
+        stats,
+        "doc_id bigint, n_words bigint, "
+        "dup_word_frac double, top_word_frac double, "
+        "dup_2gram_frac double, top_2gram_frac double, "
+        "dup_3gram_frac double, top_3gram_frac double, "
+        "repetitive boolean",
     )
 
 

@@ -132,6 +132,16 @@ def test_simhash_single_aggregation(spark):
     explain.assert_partial_aggregation(_q(spark, "dedup_simhash"))
 
 
+def test_repetition_stats_is_map_only(spark):
+    plan = explain.formatted_plan(_q(spark, "text_repetition_stats"))
+    # repetition is a per-doc property: the stats must pipeline out of the
+    # scan as one Arrow pass — ANY Exchange here means tokens are being
+    # shuffled to recompute per-doc counters (the pre-r4 posexplode+window
+    # form shuffled every token of the corpus twice)
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
 def test_q18_aggregates_before_semi_join(spark):
     df = _q(spark, "q18_large_volume_customer")
     plan = explain.formatted_plan(df)
