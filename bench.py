@@ -76,6 +76,8 @@ HEADLINE = [
     "lopq_pca_search_topk",
     # model-quality diagnostics (driver row since r4)
     "lopq_eval_diagnostics",
+    # exact-substring duplication tier (r4; folded spec, local parity)
+    "dedup_substring_spans",
 ]
 
 

@@ -547,3 +547,139 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select(
         "doc_id", F.concat(*reversed(bit)).alias("simhash_bits")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring duplication (Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better" — exact-substring tier of the dedup ladder)
+# ---------------------------------------------------------------------------
+
+SUB_L = 6  # duplicated-span gram length (tokens)
+DUP_COVER_FLAG = 0.30  # flag docs with > this fraction of tokens in dup spans
+
+
+_SUB_GRAM_EXPR = f"""
+transform(
+  sequence(0, size(words) - {SUB_L}),
+  i -> struct(
+    i AS pos,
+    CAST(conv(substring(md5(CAST(concat_ws(' ', slice(words, i + 1, {SUB_L}))
+                                 AS BINARY)), 1, 15), 16, 10) AS BIGINT) AS h))
+"""
+
+SUBSTRING_SPANS_ORACLE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+tok AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM w),
+e AS (
+  SELECT doc_id, generate_subscripts(words, 1) AS p, unnest(words) AS wd FROM w
+),
+l AS (
+  SELECT doc_id, p, wd,
+         {", ".join(f"lead(wd, {i}) OVER win AS w{i}" for i in range(1, SUB_L))}
+  FROM e WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+),
+g AS (
+  SELECT doc_id, p - 1 AS pos,
+         CAST('0x' || substr(md5(wd || ' ' ||
+           {" || ' ' || ".join(f"w{i}" for i in range(1, SUB_L))}), 1, 15)
+           AS BIGINT) AS h
+  FROM l WHERE w{SUB_L - 1} IS NOT NULL
+),
+duph AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+starts AS (SELECT doc_id, pos FROM g JOIN duph USING (h)),
+lagged AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM starts
+),
+cov AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_starts,
+         CAST(SUM(LEAST({SUB_L}, pos - COALESCE(prev, pos - {SUB_L})))
+              AS BIGINT) AS dup_cover_tokens
+  FROM lagged GROUP BY doc_id
+),
+f AS (
+  SELECT t.doc_id, t.n_tokens,
+         CAST(COALESCE(c.n_dup_starts, 0) AS BIGINT) AS n_dup_starts,
+         CAST(COALESCE(c.dup_cover_tokens, 0) AS BIGINT) AS dup_cover_tokens,
+         ROUND(CAST(COALESCE(c.dup_cover_tokens, 0) AS DOUBLE) / t.n_tokens
+               + 1e-9, 4) AS dup_cover_frac
+  FROM tok t LEFT JOIN cov c USING (doc_id)
+)
+SELECT *, dup_cover_frac > {DUP_COVER_FLAG} AS flagged FROM f
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    survey_ops=("DEDUP-substring", "A8", "F9"),
+    # The 50-slot driver window is full; local DuckDB parity + bench carry
+    # this spec (DEDUP/A8/F9 are driver-green on the hash/minhash rows).
+    driver=False,
+    doc=f"Exact-substring duplication stats (Lee et al. 2022 exact-substring "
+    f"dedup, the tier between exact-hash and MinHash): every length-{SUB_L} "
+    "token gram is hashed map-side (HOF over the words array — no window "
+    "shuffle); grams occurring >= 2x corpus-wide (within- OR cross-doc) "
+    "mark duplicated spans; per-doc coverage is the union length of the "
+    "[pos, pos+L) intervals via one lag-window over the duplicated STARTS "
+    "only (tiny vs the corpus), never an interval explode. Shuffles carry "
+    "(doc_id, pos, h) ints; text never moves.",
+    oracle=SUBSTRING_SPANS_ORACLE_SQL,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_spans_from(docs)
+
+
+def substring_spans_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_dup_starts, dup_cover_tokens, dup_cover_frac,
+    flagged) over any (doc_id, text) relation.
+
+    Plan shape at 100 TB: gram hashing is a map-only projection out of the
+    scan (array HOF at token granularity); the only corpus-sized shuffle
+    keys (doc_id, pos, h) ints by h for the duplicate-count aggregation
+    (AQE-skew-splittable join, not a window, so one hot gram cannot pin a
+    partition); the coverage window runs over duplicated starts only —
+    a tiny fraction of the corpus for clean data."""
+    words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    tok = words.select(
+        "doc_id", F.size("words").cast("bigint").alias("n_tokens")
+    )
+    grams = (
+        words.where(F.size("words") >= SUB_L)
+        .select("doc_id", F.explode(F.expr(_SUB_GRAM_EXPR)).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    duph = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") >= 2
+    ).select("h")
+    starts = grams.join(duph, "h").select("doc_id", "pos")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    lagged = starts.withColumn("prev", F.lag("pos").over(wd))
+    cov = lagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_starts"),
+        F.sum(
+            F.least(
+                F.lit(SUB_L),
+                F.col("pos") - F.coalesce(F.col("prev"), F.col("pos") - SUB_L),
+            )
+        ).alias("dup_cover_tokens"),
+    )
+    out = tok.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_starts", F.lit(0)).cast("bigint").alias("n_dup_starts"),
+        F.coalesce("dup_cover_tokens", F.lit(0))
+        .cast("bigint")
+        .alias("dup_cover_tokens"),
+        F.round(
+            F.coalesce("dup_cover_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens")
+            + F.lit(1e-9),
+            4,
+        ).alias("dup_cover_frac"),
+    )
+    return out.withColumn("flagged", F.col("dup_cover_frac") > DUP_COVER_FLAG)
