@@ -41,7 +41,7 @@ hbase_indexer_minimal.py) to the text-corpus setting this engine serves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -61,23 +61,31 @@ def _hash60(col) -> F.Column:
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("bigint")
 
 
-def _word_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, w) — one row per word, positions 0-based."""
-    return docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+def ngram_rows(docs: DataFrame, n: int, distinct_per_doc: bool = False) -> DataFrame:
+    """(doc_id, ng): every word n-gram of every document — MAP-ONLY.
+
+    An array HOF builds each doc's grams from its own split words, so the
+    rows pipeline straight out of the scan (docs with fewer than n words
+    produce no row). The earlier window-``lead`` form shuffled AND sorted
+    every token of the corpus by doc_id just to pair adjacent words — a
+    per-doc property never needs an exchange. (Catalyst materializes the
+    split in a Project under the Generate, so the HOF does not re-evaluate
+    it per element — plan-verified; the known project-collapse pitfall
+    applies to expressions inlined into the lambda, not to this shape.)
+
+    ``distinct_per_doc=True`` dedups grams inside the array before the
+    explode (``array_distinct``) — per-doc DISTINCT with zero shuffle, for
+    consumers that count documents rather than occurrences."""
+    expr = (
+        f"transform(sequence(0, size(words) - {n}), "
+        f"i -> concat_ws(' ', slice(words, i + 1, {n})))"
     )
-
-
-def ngram_rows(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, ng): every word n-gram of every document, via window
-    ``lead`` over the exploded words (tail positions with fewer than n
-    words produce no row)."""
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("w", i).over(w).alias(f"w{i}") for i in range(1, n)]
-    g = _word_rows(docs).select("doc_id", F.col("w").alias("w0"), *leads)
-    parts = [F.col(f"w{i}") for i in range(n)]
-    return g.where(parts[-1].isNotNull()).select(
-        "doc_id", F.concat_ws(" ", *parts).alias("ng")
+    if distinct_per_doc:
+        expr = f"array_distinct({expr})"
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+        .where(F.size("words") >= n)
+        .select("doc_id", F.explode(F.expr(expr)).alias("ng"))
     )
 
 
@@ -368,13 +376,13 @@ def boilerplate_ngrams_from(docs: DataFrame, n: int = BOILERPLATE_N) -> DataFram
     spans (site headers, license blocks, template text) that substring-level
     dedup removes from training corpora.
 
-    Per-doc DISTINCT first (dropDuplicates on (doc_id, gram)) so a gram
-    repeated within one doc counts once; then one partial-agg groupBy on
-    the gram. At scale the shuffle carries (gram-hash, doc_id) after
-    map-side dedup — the heavy tail of unique grams partial-aggregates to
-    nothing."""
-    grams = ngram_rows(docs, n).withColumnRenamed("ng", "gram").dropDuplicates(
-        ["doc_id", "gram"]
+    Per-doc DISTINCT happens INSIDE the gram array (``array_distinct``
+    before the explode — zero shuffle) so a gram repeated within one doc
+    counts once; then ONE partial-agg groupBy on the gram is the only
+    exchange in the plan. The heavy tail of unique grams partial-aggregates
+    to nothing map-side."""
+    grams = ngram_rows(docs, n, distinct_per_doc=True).withColumnRenamed(
+        "ng", "gram"
     )
     return (
         grams.groupBy("gram")

@@ -132,6 +132,14 @@ def test_simhash_single_aggregation(spark):
     explain.assert_partial_aggregation(_q(spark, "dedup_simhash"))
 
 
+def test_boilerplate_single_exchange(spark):
+    plan = explain.formatted_plan(_q(spark, "text_boilerplate_ngrams"))
+    # per-doc DISTINCT lives inside the gram array (array_distinct before
+    # the explode), so the ONLY exchange is the final groupBy(gram) — a
+    # second Exchange means a dropDuplicates or window crept back in
+    assert plan.count("+- Exchange") == 1, plan  # tree section: one shuffle
+
+
 def test_repetition_stats_is_map_only(spark):
     plan = explain.formatted_plan(_q(spark, "text_repetition_stats"))
     # repetition is a per-doc property: the stats must pipeline out of the
