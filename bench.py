@@ -92,25 +92,32 @@ def serving_latency_ms(spark, sf_dir: str, n_queries: int = 32) -> dict:
     import numpy as np
     from pyspark.sql import functions as F
 
+    from columbiaimagesearch_spark.lopq.queries import RERANK_NB
+
     model = fixture_model(spark, sf_dir)
-    searcher = ServingSearcher(model).load_codes(codes_df(spark, sf_dir))
+    emb = load_table(spark, sf_dir, "embeddings")
+    searcher = (
+        ServingSearcher(model).load_codes(codes_df(spark, sf_dir)).load_vectors(emb)
+    )
     rows = (
-        load_table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") < n_queries)
-        .select("embedding")
-        .collect()
+        emb.where(F.col("vec_id") < n_queries).select("embedding").collect()
     )
     qs = [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
     searcher.search(qs[0], quota=10_000, k=10)  # warm
-    lat = []
+    lat, lat_rr = [], []
     for q in qs:
         t0 = time.perf_counter()
         searcher.search(q, quota=10_000, k=10)
         lat.append((time.perf_counter() - t0) * 1000.0)
+        t0 = time.perf_counter()
+        searcher.search(q, quota=10_000, k=10, rerank_nb=RERANK_NB)
+        lat_rr.append((time.perf_counter() - t0) * 1000.0)
     lat.sort()
+    lat_rr.sort()
     return {
         "p50": round(statistics.median(lat), 3),
         "p99": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 3),
+        "p50_rerank": round(statistics.median(lat_rr), 3),
         "n_queries": len(qs),
         "index_rows": searcher.n_items,
     }

@@ -115,14 +115,45 @@ class ServingSearcher:
     def n_items(self) -> int:
         return sum(len(ids) for ids, _ in self._cells.values())
 
+    # -- rerank feature store ------------------------------------------------
+    def load_vectors(self, vec_df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> "ServingSearcher":
+        """In-memory id -> vector map for the exact-rerank path (shares the
+        row budget). This is the test/small-replica convenience; in
+        production the reference fetches ONLY the shortlist's features from
+        the feature store per query (searcher_lopqhbase.py:862-886
+        get_features_from_sha1s) — pass that fetch as ``fetch_vectors`` to
+        :meth:`search` instead of resident vectors. For a LOPQModelPCA the
+        vectors must be in the PROJECTED space (same contract as the
+        distributed ``search.search``)."""
+        self._check_budget(vec_df.count(), self.n_items)
+        self._vectors = {
+            int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64)
+            for r in vec_df.select(id_col, vec_col).collect()
+        }
+        return self
+
     # -- query --------------------------------------------------------------
     def search(
-        self, q: np.ndarray, quota: int = 1000, k: int = 10
-    ) -> list[tuple[int, float]]:
-        """[(id, adc_dist)] of the top-k — identical ordering to the
-        distributed ``search.search`` (ADC dist asc, id asc tiebreak).
-        A :class:`LOPQModelPCA` projects the original-space query here,
-        mirroring the distributed path."""
+        self,
+        q: np.ndarray,
+        quota: int = 1000,
+        k: int = 10,
+        rerank_nb: int = 0,
+        fetch_vectors=None,
+    ) -> list[tuple]:
+        """Top-k for one query — identical ordering to the distributed
+        ``search.search`` (ADC dist asc, id asc tiebreak). A
+        :class:`LOPQModelPCA` projects the original-space query here,
+        mirroring the distributed path.
+
+        Without rerank: ``[(id, adc_dist)]``. With ``rerank_nb`` > 0 the
+        top ``rerank_nb`` ADC candidates are re-ranked by exact squared L2
+        (reference rerank semantics, searcher_lopqhbase.py:862-912) and
+        rows are ``[(id, adc_dist, exact_dist)]``; features come from
+        ``fetch_vectors(ids) -> (n, D) array`` (the production shape: only
+        the shortlist's features are ever fetched) or the resident
+        :meth:`load_vectors` map."""
         q = np.asarray(q, dtype=np.float64)
         model = self.model
         if isinstance(model, LOPQModelPCA):
@@ -144,5 +175,23 @@ class ServingSearcher:
             return []
         ids = np.concatenate(all_ids)
         dists = np.concatenate(all_dists)
+        if rerank_nb:
+            keep = np.lexsort((ids, dists))[: int(rerank_nb)]
+            short_ids, short_adc = ids[keep], dists[keep]
+            if fetch_vectors is not None:
+                X = np.asarray(fetch_vectors(short_ids), dtype=np.float64)
+            else:
+                vecs = getattr(self, "_vectors", None)
+                if vecs is None:
+                    raise ValueError(
+                        "rerank_nb > 0 needs fetch_vectors or load_vectors()"
+                    )
+                X = np.stack([vecs[int(i)] for i in short_ids])
+            exact = ((X - q) ** 2).sum(axis=1)
+            top = np.lexsort((short_ids, exact))[:k]
+            return [
+                (int(short_ids[i]), float(short_adc[i]), float(exact[i]))
+                for i in top
+            ]
         order = np.lexsort((ids, dists))[:k]
         return [(int(ids[i]), float(dists[i])) for i in order]

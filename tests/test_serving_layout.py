@@ -55,6 +55,50 @@ def test_serving_matches_distributed_search(spark, model, codes, queries_np):
         assert got == by_qid[qid], f"serving != distributed for qid={qid}"
 
 
+def test_serving_rerank_matches_distributed(spark, model, codes, queries_np):
+    """Serving rerank (ADC shortlist -> exact L2 re-sort) must equal the
+    distributed rerank path row-for-row — both via resident vectors and
+    via the production fetch-callback shape."""
+    from columbiaimagesearch_spark.lopq.queries import RERANK_NB
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    serving = ServingSearcher(model).load_codes(codes).load_vectors(emb)
+    dist = search(
+        spark, codes, model, queries_np, quota=QUOTA, k=TOP_K,
+        vectors=emb, rerank_nb=RERANK_NB,
+    )
+    by_qid: dict[int, list] = {}
+    for r in dist.orderBy("qid", "rank").collect():
+        by_qid.setdefault(int(r["qid"]), []).append(
+            (int(r["id"]), round(float(r["adc_dist"]), 9), round(float(r["exact_dist"]), 9))
+        )
+    rows = emb.select("vec_id", "embedding").collect()
+    vec_map = {int(r["vec_id"]): np.array(r["embedding"]) for r in rows}
+
+    def fetch(ids):
+        return np.stack([vec_map[int(i)] for i in ids])
+
+    for qid, q in queries_np:
+        got_res = [
+            (i, round(a, 9), round(e, 9))
+            for i, a, e in serving.search(q, quota=QUOTA, k=TOP_K, rerank_nb=RERANK_NB)
+        ]
+        assert got_res == by_qid[qid], f"resident-vector rerank != dist for {qid}"
+        got_cb = [
+            (i, round(a, 9), round(e, 9))
+            for i, a, e in serving.search(
+                q, quota=QUOTA, k=TOP_K, rerank_nb=RERANK_NB, fetch_vectors=fetch
+            )
+        ]
+        assert got_cb == by_qid[qid], f"callback rerank != dist for {qid}"
+
+
+def test_serving_rerank_requires_vectors(spark, model, codes, queries_np):
+    s = ServingSearcher(model).load_codes(codes)
+    with pytest.raises(ValueError, match="fetch_vectors or load_vectors"):
+        s.search(queries_np[0][1], quota=QUOTA, k=TOP_K, rerank_nb=10)
+
+
 def test_serving_incremental_add_dedups(spark, model, codes):
     first = codes.where(F.col("id") < 250)
     rest = codes.where(F.col("id") >= 250)
