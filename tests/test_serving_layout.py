@@ -264,6 +264,45 @@ def test_bucketed_layout_row_group_pruning(spark, codes, tmp_path):
     assert multi_group, "row_group_bytes failed to force multi-group files"
 
 
+def test_production_bootstrap_roundtrip(spark, model, codes, queries_np, tmp_path):
+    """The full deploy story: persist the model (parquet artifact) and the
+    codes as the bucketed layout, then bootstrap BOTH read paths from disk
+    in a fresh state — the distributed pruned search and a serving replica
+    — and require row-identical answers to the original in-session search.
+    This is what a real rollout does: train once, write artifacts, serve
+    from artifacts."""
+    from columbiaimagesearch_spark.lopq import store
+
+    mpath, cpath = str(tmp_path / "model_artifact"), str(tmp_path / "codes_prod2")
+    store.save_model(spark, model, mpath)
+    layout.write_codes_partitioned(codes, cpath, bucket_cells=8)
+
+    m2 = store.load_model(spark, mpath)
+    want = {}
+    for r in search(spark, codes, model, queries_np, quota=QUOTA, k=TOP_K).collect():
+        want.setdefault(int(r["qid"]), []).append(
+            (int(r["rank"]), int(r["id"]), round(float(r["adc_dist"]), 9))
+        )
+    # distributed pruned read path from the persisted artifacts
+    got = layout.search_from_layout(
+        spark, cpath, m2, queries_np, quota=QUOTA, k=TOP_K, bucket_cells=8
+    )
+    for r in got.collect():
+        assert (int(r["rank"]), int(r["id"]), round(float(r["adc_dist"]), 9)) in want[
+            int(r["qid"])
+        ]
+    # serving replica bootstrapped from the same layout
+    replica = ServingSearcher(m2).load_codes(
+        layout.read_codes(spark, cpath).select("cell", "id", "fine")
+    )
+    for qid, q in queries_np:
+        got_s = [
+            (rk + 1, i, round(d, 9))
+            for rk, (i, d) in enumerate(replica.search(q, quota=QUOTA, k=TOP_K))
+        ]
+        assert got_s == sorted(want[qid]), f"replica != batch for qid={qid}"
+
+
 def test_serving_snapshot_budget_enforced(spark, model, codes):
     """An over-budget codes table must raise BEFORE any collect (driver OOM
     is never the failure mode); a cell-range shard under the same budget
