@@ -55,3 +55,34 @@ def load_model(spark: SparkSession, path: str) -> LOPQModel:
         mus=assemble("mus", (2, V)),
         subs=assemble("subs", (M,)),
     )
+
+
+def save_model_pca(spark: SparkSession, model, path: str) -> None:
+    """Persist a :class:`~.model.LOPQModelPCA`: the inner LOPQ model under
+    ``<path>/lopq`` (same artifact as :func:`save_model`) and the PCA
+    projection (P one row per input dim, mu one row) under ``<path>/pca``
+    — the reference persists the PCA params alongside the model the same
+    way (storer pickle of (P, mu); model.py:712-820)."""
+    save_model(spark, model.lopq, f"{path}/lopq")
+    P = np.asarray(model.P, dtype=np.float64)
+    mu = np.asarray(model.mu, dtype=np.float64)
+    rows = [("mu", 0, [int(mu.shape[0])], [float(x) for x in mu])]
+    rows += [
+        ("P", i, [int(P.shape[1])], [float(x) for x in P[i]])
+        for i in range(P.shape[0])
+    ]
+    spark.createDataFrame(rows, _SCHEMA).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/pca")
+
+
+def load_model_pca(spark: SparkSession, path: str):
+    from .model import LOPQModelPCA
+
+    lopq = load_model(spark, f"{path}/lopq")
+    rows = spark.read.parquet(f"{path}/pca").collect()
+    mu_rows = [r for r in rows if r["name"] == "mu"]
+    p_rows = sorted((r for r in rows if r["name"] == "P"), key=lambda r: r["idx"])
+    mu = np.array(mu_rows[0]["vals"], dtype=np.float64)
+    P = np.array([r["vals"] for r in p_rows], dtype=np.float64)
+    return LOPQModelPCA(lopq=lopq, P=P, mu=mu)

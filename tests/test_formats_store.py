@@ -86,3 +86,23 @@ def test_model_store_roundtrip(spark, tmp_path_factory):
     c1, f1 = model.encode(X[:20])
     c2, f2 = back.encode(X[:20])
     assert np.array_equal(c1, c2) and np.array_equal(f1, f2)
+
+
+def test_model_store_pca_roundtrip(spark, tmp_path_factory):
+    from columbiaimagesearch_spark.lopq import twin
+    from columbiaimagesearch_spark.lopq.store import load_model_pca, save_model_pca
+
+    rng = np.random.RandomState(6)
+    X = rng.randn(300, 64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    pm = twin.fit_pca_lopq(X)
+    path = str(tmp_path_factory.mktemp("model") / "pca_model")
+    save_model_pca(spark, pm, path)
+    back = load_model_pca(spark, path)
+    np.testing.assert_array_equal(back.P, pm.P)
+    np.testing.assert_array_equal(back.mu, pm.mu)
+    np.testing.assert_array_equal(back.lopq.Cs, pm.lopq.Cs)
+    np.testing.assert_array_equal(back.lopq.subs, pm.lopq.subs)
+    # identical original-space query projection end-to-end
+    q = X[:3]
+    np.testing.assert_array_equal(back.project_queries(q), pm.project_queries(q))
