@@ -124,12 +124,13 @@ def test_merge_upsert_broadcasts_source_keys(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
-def test_simhash_single_aggregation(spark):
+def test_simhash_is_map_only(spark):
     plan = explain.formatted_plan(_q(spark, "dedup_simhash"))
-    # one partial+final agg pair over per-token rows; the (doc, bit) explode
-    # form would show a second Exchange and a 60x Generate blowup
-    assert plan.count("+- Exchange") == 1, plan  # tree section: one shuffle
-    explain.assert_partial_aggregation(_q(spark, "dedup_simhash"))
+    # a simhash is a per-doc property: the votes must compute inside one
+    # Arrow batch pipelined out of the scan — any Exchange means per-token
+    # hashes are being shuffled (the pre-r4 explode + 60-SUM groupBy form)
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
 
 
 def test_boilerplate_single_exchange(spark):
