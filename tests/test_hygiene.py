@@ -201,3 +201,52 @@ def test_pii_counts_agree_with_scrubbed_text(spark):
     assert got[1]["scrubbed"] == "contact <EMAIL> today"
     assert got[2]["n_email"] == 1 and got[2]["n_ip"] == 0
     assert got[2]["scrubbed"] == "mail <EMAIL> please"
+
+
+def test_substring_spans_full_coverage_on_verbatim_dup(spark):
+    """A doc duplicated verbatim has EVERY gram duplicated, so both copies'
+    covered-token union must equal the whole doc; a doc sharing nothing has
+    zero coverage; docs shorter than SUB_L produce no grams but still
+    appear with zeros."""
+    from columbiaimagesearch_spark.operators import dedup
+
+    words = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, words),
+            (2, words),  # verbatim duplicate of doc 1
+            (3, " ".join(f"u{i}" for i in range(15))),  # unique content
+            (4, "tiny doc"),  # < SUB_L words: no grams
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        int(r["doc_id"]): r
+        for r in dedup.substring_spans_from(docs).collect()
+    }
+    for d in (1, 2):
+        assert rows[d]["dup_cover_tokens"] == 20
+        assert rows[d]["n_dup_starts"] == 20 - dedup.SUB_L + 1
+        assert rows[d]["flagged"] is True
+    assert rows[3]["dup_cover_tokens"] == 0 and rows[3]["flagged"] is False
+    assert rows[4]["n_tokens"] == 2 and rows[4]["n_dup_starts"] == 0
+
+
+def test_substring_spans_bounds(spark):
+    """Structural invariants on the real corpus: coverage never exceeds the
+    doc, starts never exceed the gram count, fraction in [0, 1]."""
+    from columbiaimagesearch_spark.operators import dedup
+    from columbiaimagesearch_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    bad = (
+        dedup.substring_spans_from(docs)
+        .where(
+            (F.col("dup_cover_tokens") > F.col("n_tokens"))
+            | (F.col("n_dup_starts") > F.greatest(F.col("n_tokens") - dedup.SUB_L + 1, F.lit(0)))
+            | (F.col("dup_cover_frac") < 0)
+            | (F.col("dup_cover_frac") > 1.0 + 1e-9)
+        )
+        .count()
+    )
+    assert bad == 0
