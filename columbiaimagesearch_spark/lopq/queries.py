@@ -180,24 +180,35 @@ def a5_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "id")
     )
 
-    out = None
-    for k in (1, 5, TOP_K):
-        hits = (
-            approx.where(F.col("rank") <= k)
-            .join(truth.where(F.col("rank") <= k).select("qid", "id"), ["qid", "id"])
-            .groupBy()
-            .agg(F.count(F.lit(1)).alias("hits"))
-            .select(
-                F.lit(k).alias("k"),
-                F.lit(len(queries)).alias("n_queries"),
-                "hits",
-                # raw IEEE division (no round): bitwise-reproducible by the
-                # NumPy oracle twin, so the driver hash can check it exactly
-                (F.col("hits") / F.lit(float(len(queries) * k))).alias("recall"),
-            )
+    # ONE (qid, id) equi-join of approx and truth ranks, then all three
+    # thresholds as sums in a single aggregation. The previous per-k
+    # union re-referenced `approx` and `truth` three times and Spark
+    # shares no subplans across union arms — the whole search AND the
+    # brute-force scoring executed once per k (15 Exchanges -> 5).
+    a = approx.withColumnRenamed("rank", "a_rank")
+    t = truth.withColumnRenamed("rank", "t_rank")
+    agg = (
+        a.join(t, ["qid", "id"])
+        .agg(
+            *[
+                F.sum(
+                    ((F.col("a_rank") <= k) & (F.col("t_rank") <= k)).cast("long")
+                ).alias(f"h{k}")
+                for k in (1, 5, TOP_K)
+            ]
         )
-        out = hits if out is None else out.unionByName(hits)
-    return out
+        .collect()[0]
+    )
+    nq = len(queries)
+    rows = [
+        # raw IEEE division (no round): bitwise-reproducible by the NumPy
+        # oracle twin, so the driver hash can check it exactly
+        (k, nq, int(agg[f"h{k}"] or 0), int(agg[f"h{k}"] or 0) / float(nq * k))
+        for k in (1, 5, TOP_K)
+    ]
+    return spark.createDataFrame(
+        rows, "k int, n_queries int, hits bigint, recall double"
+    )
 
 
 @register(
