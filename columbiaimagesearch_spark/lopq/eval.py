@@ -263,3 +263,68 @@ def subquantizer_distortion_rows(
     n = vec_df.count()
     dist = subquantizer_distortion(vec_df, model, id_col, vec_col)
     return [(m, n, round(float(v), 4)) for m, v in enumerate(dist)]
+
+
+def model_pass_stats(
+    vec_df: DataFrame,
+    model: LOPQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, int, list[tuple[int, int, float]]]:
+    """(n, n_stable, [(m, n, mean_distortion)]) — the reconstruction
+    stability counts AND the per-subquantizer distortion from ONE corpus
+    pass (both are per-vector functions of the broadcast model, so
+    splitting them into separate jobs pays the scan twice plus a count
+    job; at 100 TB that is three reads for one).  Math identical to
+    :func:`reconstruction_code_stability_stats` /
+    :func:`subquantizer_distortion` — same kernels, same rounding."""
+    spark = vec_df.sparkSession
+    b_model = spark.sparkContext.broadcast(model.to_arrays())
+
+    def both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = LOPQModel.from_arrays(b_model.value)
+        sd = m.sub_dim
+        n = same = 0
+        sums = np.zeros(m.M)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c1, f1 = m.encode(X)
+            R = m.reconstruct(c1, f1)
+            c2, f2 = m.encode(R)
+            ok = (c1 == c2).all(axis=1) & (f1 == f2).all(axis=1)
+            n += len(pdf)
+            same += int(ok.sum())
+            P = m.project_residuals(X, m.coarse_assign(X))
+            for sub in range(m.M):
+                h = sub // m.subs_per_half
+                s = sub % m.subs_per_half
+                Pm = P[:, h * m.half + s * sd : h * m.half + (s + 1) * sd]
+                S = m.subs[sub]
+                d = (Pm**2).sum(1)[:, None] - 2 * Pm @ S.T + (S**2).sum(1)[None, :]
+                sums[sub] += d.min(axis=1).sum()
+        out = pd.DataFrame(
+            {
+                "m": np.concatenate([[-1], np.arange(m.M)]).astype(np.int64),
+                "n": np.int64(n),
+                "s": np.concatenate([[float(same)], sums]),
+            }
+        )
+        yield out
+
+    rows = (
+        vec_df.select(id_col, vec_col)
+        .mapInPandas(both, "m long, n long, s double")
+        .groupBy("m")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .collect()
+    )
+    by_m = {int(r["m"]): (int(r["n"] or 0), float(r["s"] or 0.0)) for r in rows}
+    n, same = by_m.get(-1, (0, 0.0))
+    dist_rows = [
+        (m, n, round(by_m[m][1] / n, 4) if n else 0.0)
+        for m in range(model.M)
+        if m in by_m
+    ]
+    return n, int(same), dist_rows

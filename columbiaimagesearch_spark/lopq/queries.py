@@ -299,7 +299,9 @@ def lopq_eval_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_pairs, n_same = lopq_eval.same_cell_neighbor_stats(
         codes_df(spark, sf_dir), nns
     )
-    n_rec, n_stable = lopq_eval.reconstruction_code_stability_stats(emb, model)
+    # stability + distortion from ONE corpus pass (model_pass_stats):
+    # both are per-vector functions of the broadcast model
+    n_rec, n_stable, dist_rows = lopq_eval.model_pass_stats(emb, model)
     rows: list[tuple] = [
         # integer numerator/denominator + raw IEEE division: exact under
         # the driver hash (same discipline as a5_recall_stats)
@@ -311,10 +313,7 @@ def lopq_eval_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_stable / n_rec if n_rec else 0.0,
         ),
     ]
-    rows += [
-        ("subquantizer_distortion", m, n, v)
-        for m, n, v in lopq_eval.subquantizer_distortion_rows(emb, model)
-    ]
+    rows += [("subquantizer_distortion", m, n, v) for m, n, v in dist_rows]
     return spark.createDataFrame(
         rows, "metric string, m int, n bigint, value double"
     )
