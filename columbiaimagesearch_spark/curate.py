@@ -3,10 +3,11 @@
 ``curate_docs`` chains the SURVEY §7.0 operator families over any
 (doc_id, text, lang, source) relation:
 
-  near-dup dedup (MinHash-LSH pairs -> connected components, keep the
-  min-doc_id representative) -> benchmark decontamination -> repetition
+  [PII scrub] -> near-dup dedup (MinHash-LSH pairs -> connected
+  components, keep the min-doc_id representative) -> [benchmark
+  decontamination] -> [exact-substring duplication filter] -> repetition
   filter -> temperature mixture sampling -> train-split selection ->
-  sequence packing.
+  sequence packing.  (Bracketed stages are opt-in flags.)
 
 Laziness: the mixture/split/pack stages are lazy DataFrames, but the
 expensive verdict pipelines run EAGERLY inside ``curate_docs``: stage 1's
@@ -50,6 +51,7 @@ def curate_docs(
     *,
     train_split_only: bool = True,
     scrub_pii: bool = False,
+    drop_substring_dups: bool = False,
     pack_budget: int = packing.PACK_BUDGET,
     pack_shards: int = packing.PACK_SHARDS,
 ) -> CurationResult:
@@ -110,6 +112,20 @@ def curate_docs(
         )
         docs = docs.join(dirty, "doc_id", "left_anti")
     res.stages["after_decontam"] = docs
+
+    # 2b. exact-substring duplication filter (optional): drop docs whose
+    # duplicated-span coverage crosses the flag threshold — the Lee et al.
+    # exact-substring tier, run AFTER near-dup cluster removal so a doc is
+    # not double-penalized for spans its dropped near-dup twins carried.
+    if drop_substring_dups:
+        sub_ids = (
+            dedup.substring_spans_from(docs.select("doc_id", "text"))
+            .where(F.col("flagged"))
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        docs = docs.join(sub_ids, "doc_id", "left_anti")
+        res.stages["after_substring_dedup"] = docs
 
     # 3. repetition filter
     rep = hygiene.repetition_stats_from(docs)

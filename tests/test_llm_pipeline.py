@@ -121,3 +121,36 @@ def test_curation_with_pii_scrub(spark):
     leaked = res.survivors.where(F.col("text").contains("example.com")).count()
     assert leaked == 0
     assert res.survivors.where(F.col("text").contains("<EMAIL>")).count() > 0
+
+
+def test_curation_with_substring_filter(spark):
+    """drop_substring_dups=True removes high-duplicated-span docs that
+    survive cluster-level near-dup removal; the stage set stays
+    deterministic and the survivor set is the complement of the flagged
+    ids computed standalone on the post-dedup relation."""
+    from columbiaimagesearch_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    res = curate.curate_docs(
+        docs, None, train_split_only=False, drop_substring_dups=True
+    )
+    c = res.counts()
+    assert "after_substring_dedup" in c
+    assert c["after_substring_dedup"] <= c["after_dedup"]
+    # complement check against a standalone run on the same input relation
+    after_dedup = res.stages["after_dedup"]
+    flagged = set(
+        r["doc_id"]
+        for r in dedup.substring_spans_from(after_dedup.select("doc_id", "text"))
+        .where(F.col("flagged"))
+        .select("doc_id")
+        .collect()
+    )
+    kept = set(
+        r["doc_id"]
+        for r in res.stages["after_substring_dedup"].select("doc_id").collect()
+    )
+    dedup_ids = set(r["doc_id"] for r in after_dedup.select("doc_id").collect())
+    assert kept == dedup_ids - flagged
