@@ -307,7 +307,13 @@ def main() -> None:
     extras_runs: dict[str, list[dict]] = {}
 
     def med(key: str, fn, sec_key: str) -> dict:
-        samples = [fn() for _ in range(n)]
+        # time-box: on a badly degraded host a 3x-repeated extra could push
+        # the whole bench past the driver's capture window (the r2
+        # "parsed": null failure mode) — if the first sample is already
+        # slow, report it alone rather than tripling it.
+        samples = [fn()]
+        if samples[0][sec_key] < 25.0:
+            samples += [fn() for _ in range(n - 1)]
         extras_runs[key] = samples
         return sorted(samples, key=lambda s: s[sec_key])[len(samples) // 2]
 
