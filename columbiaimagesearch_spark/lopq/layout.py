@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 HISTOGRAM_DIR = "_histogram"
+META_DIR = "_layout_meta"
 
 
 def write_codes_partitioned(
@@ -74,10 +75,24 @@ def write_codes_partitioned(
         .write.mode("overwrite")
         .parquet(f"{path}/{HISTOGRAM_DIR}")
     )
+    # layout-shape metadata: the bucket count travels WITH the layout, so a
+    # reader never has to know (or can be given the wrong) bucket_cells —
+    # a mismatched bucket IN-list would silently prune CORRECT directories
+    spark = codes.sparkSession
+    spark.createDataFrame(
+        [(int(bucket_cells) if bucket_cells else None,)], "bucket_cells int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{META_DIR}")
 
 
 def read_codes(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_layout_meta(spark: SparkSession, path: str) -> int | None:
+    """The writer-recorded ``bucket_cells`` of a layout (None = plain
+    cell-partitioned)."""
+    row = spark.read.parquet(f"{path}/{META_DIR}").collect()[0]
+    return int(row["bucket_cells"]) if row["bucket_cells"] is not None else None
 
 
 def read_cell_histogram(spark: SparkSession, path: str) -> dict[int, int]:
@@ -104,6 +119,9 @@ def probe_cells(
     return codes.where(cond)
 
 
+_META_AUTO = "auto"
+
+
 def search_from_layout(
     spark: SparkSession,
     path: str,
@@ -111,7 +129,7 @@ def search_from_layout(
     queries: list[tuple[int, np.ndarray]],
     quota: int = 1000,
     k: int = 10,
-    bucket_cells: int | None = None,
+    bucket_cells: int | None | str = _META_AUTO,
     vectors: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -135,6 +153,19 @@ def search_from_layout(
     if isinstance(model, LOPQModelPCA):
         queries = [(qid, model.project_queries(q)[0]) for qid, q in queries]
         model = model.lopq
+    # the layout is self-describing: default reads bucket_cells from the
+    # writer-recorded metadata; an explicit value is VALIDATED against it
+    # (a mismatched bucket IN-list silently prunes correct directories —
+    # wrong answers, not an error, so fail loudly here instead)
+    recorded = read_layout_meta(spark, path)
+    if bucket_cells == _META_AUTO:
+        bucket_cells = recorded
+    elif bucket_cells != recorded:
+        raise ValueError(
+            f"bucket_cells={bucket_cells} does not match the layout's "
+            f"recorded bucketing ({recorded}); probing with a mismatched "
+            "bucket list would silently drop matching directories"
+        )
     counts = read_cell_histogram(spark, path)
     probe_rows, luts, qvecs = _plan_probe(model, queries, counts, quota)
     codes = read_codes(spark, path)

@@ -264,6 +264,22 @@ def test_bucketed_layout_row_group_pruning(spark, codes, tmp_path):
     assert multi_group, "row_group_bytes failed to force multi-group files"
 
 
+def test_layout_is_self_describing(spark, model, codes, queries_np, tmp_path):
+    """search_from_layout reads bucket_cells from the writer-recorded
+    metadata (no caller knowledge needed); an explicit mismatch raises
+    instead of silently pruning correct directories."""
+    path = str(tmp_path / "codes_auto")
+    layout.write_codes_partitioned(codes, path, bucket_cells=8)
+    assert layout.read_layout_meta(spark, path) == 8
+    got = layout.search_from_layout(spark, path, model, queries_np[:2], quota=QUOTA, k=TOP_K)
+    want = search(spark, codes, model, queries_np[:2], quota=QUOTA, k=TOP_K)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError, match="recorded bucketing"):
+        layout.search_from_layout(
+            spark, path, model, queries_np[:1], quota=QUOTA, k=TOP_K, bucket_cells=4
+        )
+
+
 def test_production_bootstrap_roundtrip(spark, model, codes, queries_np, tmp_path):
     """The full deploy story: persist the model (parquet artifact) and the
     codes as the bucketed layout, then bootstrap BOTH read paths from disk
