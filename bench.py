@@ -78,6 +78,8 @@ HEADLINE = [
     "lopq_eval_diagnostics",
     # exact-substring duplication tier (r4; folded spec, local parity)
     "dedup_substring_spans",
+    # label-free cosine-LSH embedding near-dup (r4; folded spec, twin parity)
+    "emb_lsh_near_dup_pairs",
 ]
 
 

@@ -280,3 +280,138 @@ def emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.col("rnk") <= twin_mod.CLUSTER_SAMPLE_QUOTA)
         .select("vec_id", "cell", "rnk", "keep")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cosine-LSH near-dup (random hyperplanes) — the label-free bucketing path
+# ---------------------------------------------------------------------------
+
+# Random-hyperplane LSH (Charikar 2002 SimHash for vectors): P(bit match) =
+# 1 - angle/pi. Tuned for this corpus's NEAR_DUP_COS=0.40 threshold
+# (p_bit ~ 0.63): 8 bands x 3 bits give ~90% band recall. Production
+# near-dup thresholds (cos >= 0.9, p_bit ~ 0.86) use 8-16 bits per band —
+# the knobs below are corpus-calibration, not structure.
+LSH_BANDS = 8
+LSH_BITS = 3
+LSH_SEED = 202
+
+
+def _lsh_planes(d: int) -> np.ndarray:
+    """(LSH_BANDS*LSH_BITS, d) fixed-seed hyperplanes — regenerated from
+    the seed wherever needed (driver twin, every executor kernel): cheaper
+    to recompute than to broadcast, and deterministic by construction."""
+    return np.random.RandomState(LSH_SEED).randn(LSH_BANDS * LSH_BITS, d)
+
+
+def _lsh_band_keys(V: np.ndarray) -> np.ndarray:
+    """(n, LSH_BANDS) int band keys. The projection is ELEMENTWISE
+    (V[:,None,:]*R).sum(2), not a BLAS matmul: a sign bit flips on the
+    last ulp at the 0 boundary, so the bucketing math must be bitwise
+    batch-shape-independent for the twin oracle to reproduce it."""
+    R = _lsh_planes(V.shape[1])
+    proj = (V[:, None, :] * R[None, :, :]).sum(axis=2)  # (n, bands*bits)
+    bits = (proj > 0).astype(np.int64)
+    keys = np.zeros((len(V), LSH_BANDS), dtype=np.int64)
+    for b in range(LSH_BANDS):
+        for i in range(LSH_BITS):
+            keys[:, b] = (keys[:, b] << 1) | bits[:, b * LSH_BITS + i]
+    return keys
+
+
+def _bucket_cos_pairs(ids: np.ndarray, V: np.ndarray) -> list[tuple]:
+    """Verified near-dup pairs inside one bucket: per-pair ELEMENTWISE
+    cosine (norms and dots are per-row reductions — bitwise identical in
+    the twin and any Arrow batching), threshold, 4dp round."""
+    order = np.argsort(ids, kind="stable")
+    ids, V = ids[order], V[order]
+    Vn = V / np.sqrt(np.einsum("ij,ij->i", V, V))[:, None]
+    ia, ib = np.triu_indices(len(ids), k=1)
+    if not len(ia):
+        return []
+    cos = np.einsum("ij,ij->i", Vn[ia], Vn[ib])
+    keep = cos >= NEAR_DUP_COS
+    return [
+        (int(ids[a]), int(ids[b]), float(np.round(c, 4)))
+        for a, b, c in zip(ia[keep], ib[keep], cos[keep])
+    ]
+
+
+def emb_lsh_near_dup_pairs_oracle(sf_dir: str) -> str:
+    """NumPy twin: identical plane generation, bucketing, and per-pair
+    verification over the parquet embeddings (float->float64 cast matches
+    the Spark side's CAST)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..lopq.twin import values_sql
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    keys = _lsh_band_keys(X)
+    pairs: set[tuple] = set()
+    for b in range(LSH_BANDS):
+        for key in np.unique(keys[:, b]):
+            mask = keys[:, b] == key
+            pairs.update(_bucket_cos_pairs(ids[mask], X[mask]))
+    return values_sql(
+        sorted(pairs),
+        [("vec_a", "BIGINT"), ("vec_b", "BIGINT"), ("cos_sim", "DOUBLE")],
+    )
+
+
+@register(
+    "emb_lsh_near_dup_pairs",
+    survey_ops=("F9", "DEDUP-embedding", "C3"),
+    # The 50-slot driver window is full; local twin parity + bench carry
+    # this spec (F9/DEDUP-embedding/C3 are driver-green on emb_near_dup_pairs).
+    driver=False,
+    doc="Label-free embedding near-dup via random-hyperplane LSH (Charikar "
+    "2002): each vector hashes to LSH_BANDS sign-bit band keys map-side, "
+    "candidate pairs form ONLY inside (band, key) buckets "
+    "(applyInPandas: one in-bucket pairwise pass, vectors shuffle once "
+    "per band, never per pair), verified by exact cosine and deduped "
+    "across bands. The scale path when no blocking label exists — the "
+    "complement of emb_near_dup_pairs' label blocking. Oracle: NumPy twin "
+    "(identical seeded planes + elementwise kernels).",
+    oracle=emb_lsh_near_dup_pairs_oracle,
+)
+def emb_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            keys = _lsh_band_keys(V)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "band": np.repeat(np.arange(LSH_BANDS), n),
+                    "key": keys.T.ravel(),
+                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), LSH_BANDS),
+                    "v": list(pdf["v"]) * LSH_BANDS,
+                }
+            )
+
+    banded = emb.mapInPandas(
+        band_rows, "band int, key bigint, vec_id bigint, v array<double>"
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = _bucket_cos_pairs(
+            pdf["vec_id"].to_numpy(), np.array(list(pdf["v"]), dtype=np.float64)
+        )
+        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_sim"])
+
+    return (
+        banded.groupBy("band", "key")
+        .applyInPandas(bucket_pairs, "vec_a bigint, vec_b bigint, cos_sim double")
+        .distinct()
+    )
