@@ -17,7 +17,9 @@ L2-normalized feature vectors with exact re-ranking
 
 ``emb_near_dup_pairs`` is the embedding-cosine near-duplicate filter
 (reference near-dup threshold semantics, ``generic_searcher.py:43-45``,
-applied pairwise label-blocked).
+applied pairwise label-blocked); ``emb_lsh_near_dup_pairs`` is its
+label-free sibling — random-hyperplane LSH bucketing (Charikar 2002) with
+in-bucket exact verification, the 100 TB path when no blocking key exists.
 """
 
 from __future__ import annotations
