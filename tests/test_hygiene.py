@@ -250,3 +250,62 @@ def test_substring_spans_bounds(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_map_only_kernels_match_duckdb_on_adversarial_texts(spark):
+    """The r4 map-only rewrites (repetition, substring spans) moved the
+    per-doc math from SQL into Python kernels — this fuzzes the places
+    Python/JVM/DuckDB string semantics could diverge (empty strings,
+    repeated separators, unicode, all-same-token docs, HALF_UP rounding
+    near boundaries) against the SAME DuckDB oracle SQL the driver runs,
+    just over an adversarial corpus instead of the fixture."""
+    import duckdb
+    import math
+    import pandas as pd
+
+    from columbiaimagesearch_spark.operators import dedup
+    from columbiaimagesearch_spark.registry import all_specs
+
+    texts = [
+        "",
+        " ",
+        "a",
+        "a a",
+        "a a a a a a a a a a",
+        "a  b  a  b  a  b",                       # doubled separators
+        "héllo wörld héllo wörld héllo wörld",     # unicode
+        "it's \"quoted\" it's \"quoted\" it's \"quoted\"",
+        ("x y z " * 50).strip(),                   # long repeated trigram
+        " ".join(f"w{i}" for i in range(40)),      # all-distinct
+        "x y z " * 3 + " ".join(f"q{i}" for i in range(10)),
+    ]
+    docs_pd = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+    docs = spark.createDataFrame(docs_pd)
+    con = duckdb.connect()
+    con.register("documents", docs_pd)
+
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+
+    for spec_name, builder in [
+        ("text_repetition_stats", lambda: hygiene.repetition_stats_from(docs)),
+        ("dedup_substring_spans", lambda: dedup.substring_spans_from(docs)),
+    ]:
+        oracle_sql = all_specs()[spec_name].oracle_for("unused")
+        got = norm(builder().toPandas())
+        want = norm(con.execute(oracle_sql).fetchdf())
+        assert list(got.columns) == list(want.columns), spec_name
+        assert len(got) == len(want), f"{spec_name}: {len(got)} vs {len(want)}"
+        for col in got.columns:
+            for i, (x, y) in enumerate(zip(got[col], want[col])):
+                same = (x == y) or (
+                    isinstance(x, float)
+                    and isinstance(y, float)
+                    and (x == y or (math.isnan(x) and math.isnan(y)))
+                )
+                assert same, f"{spec_name}.{col}[{i}]: spark={x!r} oracle={y!r}"
