@@ -322,3 +322,60 @@ def run_extraction(
 
     schema = PROVENANCE_SCHEMA if with_provenance else FEATURES_SCHEMA
     return images.select(sha1_col, content_col).mapInPandas(extract, schema)
+
+
+# ---------------------------------------------------------------------------
+# Resize stage — the remaining multimodal verb (decode / featurize /
+# frame-sample live above and in av.py)
+# ---------------------------------------------------------------------------
+
+
+def nn_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an HxWx3 uint8 array — pure numpy index
+    arithmetic (no image library in this environment), deterministic, and
+    the standard pre-featurize normalization shape (the reference resizes
+    to the DNN input size inside sbpycaffe preprocessing)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).astype(np.int64)
+    cols = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return img[rows[:, None], cols[None, :]]
+
+
+def resize_images(
+    images: DataFrame,
+    out_w: int,
+    out_h: int,
+    content_col: str = "content",
+    sha1_col: str = "sha1",
+    decoder=fake_decode,
+) -> DataFrame:
+    """(sha1, width, height, pixels) — decode + resize as ONE narrow Arrow
+    stage: binary in, fixed-size raw RGB bytes out (row-major HxWx3
+    uint8). ``decoder`` is the decode seam (``decode_image`` once a codec
+    library exists; ``fake_decode`` in this environment — the Spark-side
+    plumbing, schema, and batch shape are real either way). Per-row
+    decode failures emit a NULL pixels row with failed=1, matching
+    run_extraction's failure-tolerance contract.
+
+    Scale shape: map-only, pipelined out of the scan; output rows are
+    out_w*out_h*3 bytes regardless of source size, so downstream stages
+    (featurize, frame stacking) see bounded batches."""
+    out_w, out_h = int(out_w), int(out_h)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sha1, data in zip(pdf[sha1_col], pdf[content_col]):
+                try:
+                    img = decoder(bytes(data))
+                    px = nn_resize(np.asarray(img, dtype=np.uint8), out_w, out_h)
+                    rows.append((sha1, out_w, out_h, px.tobytes(), 0))
+                except Exception:  # noqa: BLE001 — per-row tolerance
+                    rows.append((sha1, out_w, out_h, None, 1))
+            yield pd.DataFrame(
+                rows, columns=["sha1", "width", "height", "pixels", "failed"]
+            )
+
+    return images.select(sha1_col, content_col).mapInPandas(
+        resize, "sha1 string, width int, height int, pixels binary, failed int"
+    )

@@ -254,3 +254,38 @@ def test_extraction_custom_factory(domain):
         dfs["images"], mode="full_image", model_factory=ConstantBackbone
     ).collect()
     assert feats and all(r["feature"][0] == 1.0 for r in feats)
+
+
+def test_resize_images_deterministic_and_failure_tolerant(domain, spark):
+    from columbiaimagesearch_spark.multimodal.images import (
+        fake_decode,
+        nn_resize,
+        resize_images,
+    )
+    import numpy as np
+
+    fx, dfs = domain
+    out = resize_images(dfs["images"], 4, 6).toPandas()
+    assert len(out) == dfs["images"].count()
+    ok = out[out["failed"] == 0]
+    assert len(ok) == len(out)
+    assert set(zip(out["width"], out["height"])) == {(4, 6)}
+    # every pixels payload is exactly out_h x out_w x 3 bytes and matches a
+    # local decode+resize of the same content
+    row0 = dfs["images"].orderBy("sha1").first()
+    local = nn_resize(fake_decode(bytes(row0.content)), 4, 6).tobytes()
+    got = bytes(out.set_index("sha1").loc[row0.sha1, "pixels"])
+    assert len(got) == 6 * 4 * 3 and got == local
+
+    # a decoder that blows up on one row marks failed=1 and continues
+    bad_sha = row0.sha1
+
+    def flaky(data: bytes):
+        if bytes(row0.content) == data:
+            raise ValueError("boom")
+        return fake_decode(data)
+
+    out2 = resize_images(dfs["images"], 4, 6, decoder=flaky).toPandas()
+    failed = out2[out2["failed"] == 1]
+    assert list(failed["sha1"]) == [bad_sha]
+    assert failed["pixels"].isna().all()
