@@ -1,0 +1,185 @@
+"""Incremental embedding near-dup — the streaming twin of
+``emb_lsh_near_dup_pairs``.
+
+A training pipeline ingests embeddings continuously (every new crawl drop
+is featurized); near-dup pairs against EVERYTHING already ingested must not
+recompute the corpus. Same shape as ``dedup_stream`` (the text MinHash
+twin): the corpus state is the band table, so each arriving batch does
+
+  1. sign-bit band keys for the NEW vectors only (the shared
+     ``similarity._lsh_band_keys`` kernel — elementwise projections, so
+     streamed and batch bucketing are bitwise identical);
+  2. claim anti-join on vec_id (ST2/J3 idiom) — replays are idempotent;
+  3. candidates = fresh bands ⋈ fresh bands ∪ fresh bands ⋈ state bands,
+     (band, key) equi-joins only — the state side is never scanned
+     pairwise;
+  4. exact-cosine verify of the candidate pairs against the union vector
+     table (per-pair elementwise kernel — bitwise equal to the batch
+     operator's in-bucket form, which is what makes streamed ≡ batch an
+     exact set equality, asserted in tests);
+  5. append verified pairs + fresh bands; the vector table (the claim
+     side) lands LAST — same append-order rule dedup_stream documents.
+
+Per-batch cost is O(batch × bands + collisions) regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import LSH_BANDS, NEAR_DUP_COS, _lsh_band_keys
+
+VEC_SCHEMA = "vec_id long, v array<double>"
+_BANDS_SCHEMA = "vec_id long, band int, key long"
+_PAIRS_SCHEMA = "vec_a long, vec_b long, cos_sim double"
+
+
+def _state_path(state_dir: str, name: str) -> str:
+    return os.path.join(state_dir, name)
+
+
+def _read_state(
+    spark: SparkSession, state_dir: str, name: str, schema: str
+) -> DataFrame:
+    path = _state_path(state_dir, name)
+    if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+        spark.catalog.refreshByPath(path)  # see dedup_stream._read_state
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def read_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Accumulated verified pairs; deduped on read (crash-replay residue is
+    duplicate EDGES, same contract as dedup_stream.read_pairs)."""
+    return _read_state(spark, state_dir, "pairs", _PAIRS_SCHEMA).dropDuplicates(
+        ["vec_a", "vec_b"]
+    )
+
+
+def read_vectors(spark: SparkSession, state_dir: str) -> DataFrame:
+    return _read_state(spark, state_dir, "vectors", VEC_SCHEMA)
+
+
+def _band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        V = np.array(list(pdf["v"]), dtype=np.float64)
+        keys = _lsh_band_keys(V)
+        n = len(pdf)
+        yield pd.DataFrame(
+            {
+                "vec_id": np.tile(pdf["vec_id"].to_numpy(), LSH_BANDS),
+                "band": np.repeat(np.arange(LSH_BANDS), n),
+                "key": keys.T.ravel(),
+            }
+        )
+
+
+def _verify_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-pair elementwise cosine — the same per-row normalization and
+    einsum dot as the batch operator's in-bucket kernel, so a pair verified
+    here carries the bitwise-identical cos_sim."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        A = np.array(list(pdf["va"]), dtype=np.float64)
+        B = np.array(list(pdf["vb"]), dtype=np.float64)
+        An = A / np.sqrt(np.einsum("ij,ij->i", A, A))[:, None]
+        Bn = B / np.sqrt(np.einsum("ij,ij->i", B, B))[:, None]
+        cos = np.einsum("ij,ij->i", An, Bn)
+        keep = cos >= NEAR_DUP_COS
+        yield pd.DataFrame(
+            {
+                "vec_a": pdf["vec_a"].to_numpy()[keep],
+                "vec_b": pdf["vec_b"].to_numpy()[keep],
+                "cos_sim": np.round(cos[keep], 4),
+            }
+        )
+
+
+def emb_dedup_batch_step(
+    spark: SparkSession, vecs: DataFrame, state_dir: str
+) -> int:
+    """One incremental step: near-dup ``vecs`` against state, append
+    verified pairs + fresh state rows. Returns fresh vectors admitted."""
+    vecs = vecs.where(F.col("vec_id").isNotNull()).dropDuplicates(["vec_id"])
+    state_vecs = read_vectors(spark, state_dir)
+    fresh = vecs.join(state_vecs, "vec_id", "left_anti").persist()
+    n_fresh = fresh.count()
+    if n_fresh == 0:
+        fresh.unpersist()
+        return 0
+
+    bands_fresh = fresh.mapInPandas(_band_rows, _BANDS_SCHEMA).persist()
+    bands_fresh.count()
+    state_bands = _read_state(spark, state_dir, "bands", _BANDS_SCHEMA)
+
+    new_new = (
+        bands_fresh.alias("a")
+        .join(bands_fresh.alias("b"), ["band", "key"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    new_old = (
+        bands_fresh.alias("n")
+        .join(state_bands.alias("o"), ["band", "key"])
+        .select(
+            F.least(F.col("n.vec_id"), F.col("o.vec_id")).alias("vec_a"),
+            F.greatest(F.col("n.vec_id"), F.col("o.vec_id")).alias("vec_b"),
+        )
+    )
+    cands = new_new.unionByName(new_old).distinct()
+    all_vecs = fresh.unionByName(state_vecs)
+    joined = (
+        cands.join(
+            all_vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")),
+            "vec_a",
+        )
+        .join(
+            all_vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")),
+            "vec_b",
+        )
+    )
+    pairs = joined.mapInPandas(_verify_pairs, _PAIRS_SCHEMA)
+
+    # append order is load-bearing (see dedup_stream): the claim table
+    # (vectors) lands LAST so a crash replays the whole batch
+    pairs.write.mode("append").parquet(_state_path(state_dir, "pairs"))
+    bands_fresh.write.mode("append").parquet(_state_path(state_dir, "bands"))
+    fresh.write.mode("append").parquet(_state_path(state_dir, "vectors"))
+    bands_fresh.unpersist()
+    fresh.unpersist()
+    return n_fresh
+
+
+def run_incremental_emb_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``src_dir`` (JSONL vector drops, availableNow) through the
+    incremental near-dup; offsets checkpoint with the query, the claim
+    anti-join makes redeliveries no-ops."""
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, _bid: emb_dedup_batch_step(spark, batch_df, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
