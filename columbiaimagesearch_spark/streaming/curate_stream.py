@@ -36,7 +36,14 @@ set the batch ``curate_docs`` chain produces on the union of all drops
 (per-doc verdicts are content functions; the pair graph is
 batching-invariant), which tests/test_curate_stream.py asserts exactly.
 Mixture/split/packing stay OUT of the stream: they are training-set
-assembly decisions over the curated snapshot, not ingest decisions.
+assembly decisions over the curated snapshot, not ingest decisions. So
+does the exact-substring duplication filter (batch ``drop_substring_dups``):
+a gram's duplicate status is a CORPUS-GLOBAL count that changes as drops
+arrive, so it is not a per-doc content verdict — recompute it over the
+curated snapshot at assembly time. PII scrubbing IS per-doc and
+batch-invariant, so ``scrub_pii=True`` mirrors the batch chain's stage 0:
+every downstream verdict and shingle hash is computed over the scrubbed
+text.
 """
 
 from __future__ import annotations
@@ -79,10 +86,22 @@ def read_verdicts(spark: SparkSession, state_dir: str) -> DataFrame:
     return _read_state(spark, state_dir, "verdicts", _VERDICT_SCHEMA)
 
 
-def curate_batch_step(spark: SparkSession, docs: DataFrame, state_dir: str) -> int:
+def curate_batch_step(
+    spark: SparkSession, docs: DataFrame, state_dir: str, scrub_pii: bool = False
+) -> int:
     """One incremental step: hygiene-verdict + dedup the fresh docs of
-    ``docs`` against state. Returns the number of fresh docs admitted."""
+    ``docs`` against state. Returns the number of fresh docs admitted.
+
+    ``scrub_pii=True`` redacts contact spans BEFORE any verdict or shingle
+    hash (stage 0 of the batch chain) — a per-doc content function, so
+    batch boundaries cannot change it."""
     docs = docs.where(F.col("doc_id").isNotNull()).dropDuplicates(["doc_id"])
+    if scrub_pii:
+        docs = (
+            hygiene.scrub_pii_from(docs)
+            .drop("text", "n_email", "n_ip", "n_phone")
+            .withColumnRenamed("scrubbed", "text")
+        )
     seen = read_verdicts(spark, state_dir)
     fresh = docs.join(seen, "doc_id", "left_anti").persist()
     n_fresh = fresh.count()
@@ -138,6 +157,7 @@ def run_incremental_curation(
     state_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    scrub_pii: bool = False,
 ) -> None:
     """Drain ``src_dir`` (JSONL doc drops, availableNow) through the
     incremental curation. Source offsets checkpoint with the query (ST3);
@@ -149,7 +169,9 @@ def run_incremental_curation(
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda batch_df, _bid: curate_batch_step(spark, batch_df, state_dir)
+            lambda batch_df, _bid: curate_batch_step(
+                spark, batch_df, state_dir, scrub_pii=scrub_pii
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -96,3 +96,37 @@ def test_replayed_curation_batch_is_noop(spark, tmp_path):
     assert curate_batch_step(spark, some, state) == 0
     after = {int(r["doc_id"]) for r in curated_docs(spark, state).collect()}
     assert before == after
+
+
+def test_stream_scrub_pii_affects_dedup_hashes(spark, tmp_path):
+    """With scrub_pii=True, shingle hashes are computed over the SCRUBBED
+    text: two docs identical except for different embedded emails become
+    near-dup pairs (the emails redact to the same <EMAIL> token); without
+    scrubbing they stay distinct."""
+    from columbiaimagesearch_spark.streaming import dedup_stream
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"{base} contact: first.user@example.com {base}", "en", "web"),
+            (2, f"{base} contact: other.person@sample.org {base}", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    from columbiaimagesearch_spark.streaming import curate_stream
+
+    scrubbed_state = str(tmp_path / "state_scrub")
+    curate_stream.curate_batch_step(spark, docs, scrubbed_state, scrub_pii=True)
+    scrub_pairs = dedup_stream.read_pairs(spark, scrubbed_state).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in scrub_pairs} == {(1, 2)}
+
+    raw_state = str(tmp_path / "state_raw")
+    curate_stream.curate_batch_step(spark, docs, raw_state)
+    raw_pairs = dedup_stream.read_pairs(spark, raw_state).collect()
+    # the differing emails keep the raw docs' shingle sets apart only if
+    # the jaccard dips below threshold; either way the SCRUBBED run must
+    # dominate (scrubbing can only merge, never split)
+    assert len(raw_pairs) <= len(scrub_pairs)
