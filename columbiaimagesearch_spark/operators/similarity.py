@@ -298,29 +298,33 @@ LSH_BITS = 3
 LSH_SEED = 202
 
 
-def _lsh_planes(d: int) -> np.ndarray:
-    """(LSH_BANDS*LSH_BITS, d) fixed-seed hyperplanes — regenerated from
-    the seed wherever needed (driver twin, every executor kernel): cheaper
-    to recompute than to broadcast, and deterministic by construction."""
-    return np.random.RandomState(LSH_SEED).randn(LSH_BANDS * LSH_BITS, d)
+def _lsh_planes(d: int, bands: int = LSH_BANDS, bits: int = LSH_BITS,
+                seed: int = LSH_SEED) -> np.ndarray:
+    """(bands*bits, d) fixed-seed hyperplanes — regenerated from the seed
+    wherever needed (driver twin, every executor kernel): cheaper to
+    recompute than to broadcast, and deterministic by construction."""
+    return np.random.RandomState(seed).randn(bands * bits, d)
 
 
-def _lsh_band_keys(V: np.ndarray) -> np.ndarray:
-    """(n, LSH_BANDS) int band keys. The projection is ELEMENTWISE
+def _lsh_band_keys(V: np.ndarray, bands: int = LSH_BANDS, bits: int = LSH_BITS,
+                   seed: int = LSH_SEED) -> np.ndarray:
+    """(n, bands) int band keys. The projection is ELEMENTWISE
     (V[:,None,:]*R).sum(2), not a BLAS matmul: a sign bit flips on the
     last ulp at the 0 boundary, so the bucketing math must be bitwise
     batch-shape-independent for the twin oracle to reproduce it."""
-    R = _lsh_planes(V.shape[1])
+    R = _lsh_planes(V.shape[1], bands, bits, seed)
     proj = (V[:, None, :] * R[None, :, :]).sum(axis=2)  # (n, bands*bits)
-    bits = (proj > 0).astype(np.int64)
-    keys = np.zeros((len(V), LSH_BANDS), dtype=np.int64)
-    for b in range(LSH_BANDS):
-        for i in range(LSH_BITS):
-            keys[:, b] = (keys[:, b] << 1) | bits[:, b * LSH_BITS + i]
+    bitvals = (proj > 0).astype(np.int64)
+    keys = np.zeros((len(V), bands), dtype=np.int64)
+    for b in range(bands):
+        for i in range(bits):
+            keys[:, b] = (keys[:, b] << 1) | bitvals[:, b * bits + i]
     return keys
 
 
-def _bucket_cos_pairs(ids: np.ndarray, V: np.ndarray) -> list[tuple]:
+def _bucket_cos_pairs(
+    ids: np.ndarray, V: np.ndarray, threshold: float = NEAR_DUP_COS
+) -> list[tuple]:
     """Verified near-dup pairs inside one bucket: per-pair ELEMENTWISE
     cosine (norms and dots are per-row reductions — bitwise identical in
     the twin and any Arrow batching), threshold, 4dp round."""
@@ -331,7 +335,7 @@ def _bucket_cos_pairs(ids: np.ndarray, V: np.ndarray) -> list[tuple]:
     if not len(ia):
         return []
     cos = np.einsum("ij,ij->i", Vn[ia], Vn[ib])
-    keep = cos >= NEAR_DUP_COS
+    keep = cos >= threshold
     return [
         (int(ids[a]), int(ids[b]), float(np.round(c, 4)))
         for a, b, c in zip(ia[keep], ib[keep], cos[keep])
@@ -380,35 +384,52 @@ def emb_lsh_near_dup_pairs_oracle(sf_dir: str) -> str:
     oracle=emb_lsh_near_dup_pairs_oracle,
 )
 def emb_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    return emb_lsh_pairs_from(emb)
+
+
+def emb_lsh_pairs_from(
+    vec_df: DataFrame,
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BITS,
+    threshold: float = NEAR_DUP_COS,
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    """Library form over any (vec_id, v array<double>) relation with the
+    banding knobs exposed. CALIBRATION IS LOAD-BEARING AT SCALE: in-bucket
+    work is O((n / 2^bits)^2) per band, so ``bits`` must grow with the
+    corpus — the registered fixture query's 3-bit bands fit the tiny
+    corpus + low 0.40 threshold; a 100k-vector probe at a production
+    threshold (cos >= 0.9) uses 12-16 bits (SCALE.md numbers)."""
+    from collections.abc import Iterator
 
     def band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.array(list(pdf["v"]), dtype=np.float64)
-            keys = _lsh_band_keys(V)
+            keys = _lsh_band_keys(V, bands, bits, seed)
             n = len(pdf)
             yield pd.DataFrame(
                 {
-                    "band": np.repeat(np.arange(LSH_BANDS), n),
+                    "band": np.repeat(np.arange(bands), n),
                     "key": keys.T.ravel(),
-                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), LSH_BANDS),
-                    "v": list(pdf["v"]) * LSH_BANDS,
+                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), bands),
+                    "v": list(pdf["v"]) * bands,
                 }
             )
 
-    banded = emb.mapInPandas(
+    banded = vec_df.mapInPandas(
         band_rows, "band int, key bigint, vec_id bigint, v array<double>"
     )
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = _bucket_cos_pairs(
-            pdf["vec_id"].to_numpy(), np.array(list(pdf["v"]), dtype=np.float64)
+            pdf["vec_id"].to_numpy(),
+            np.array(list(pdf["v"]), dtype=np.float64),
+            threshold,
         )
         return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_sim"])
 
