@@ -89,3 +89,71 @@ def similarity_search(
             }
         )
     return out
+
+
+def search_by_image(
+    spark: SparkSession,
+    images,
+    query_images: list[tuple[str, bytes]],
+    max_returned: int = DEFAULT_MAX_RETURNED,
+    mode: str = "full_image",
+    model_factory=None,
+    train_params: dict | None = None,
+) -> dict[str, Any]:
+    """Query-by-image — the reference's byB64/byURL flow composed end-to-end
+    (api.py request -> featurize -> searcher, searchapi + 
+    searcher_lopqhbase.py:783-912): extract features for the corpus images
+    (V17 composition over the V14 seam), index them with a LOPQ model fit
+    on a bounded ordered driver sample (the reference's nb_train
+    architecture), encode distributed, then search with the query images'
+    features extracted by the SAME model seam. Returns
+    {query_name: {"sha1s": [...], "distances": [...]}} ranked ascending.
+
+    An indexed image queried by its own bytes returns itself at rank 1
+    with distance 0 (the reference's self-retrieval sanity property —
+    pinned in tests)."""
+    from .functions.rank import ordered_global_index
+    from .lopq.encode import encode_dataframe
+    from .lopq.model import LOPQModel
+    from .lopq.search import search as lopq_search
+    from .multimodal.images import ToyExtractionModel, run_extraction
+
+    factory = model_factory or ToyExtractionModel
+    params = train_params or {"V": 4, "M": 4, "K": 8, "seed": 5, "n_iter": 8}
+
+    feats = run_extraction(images, mode=mode, model_factory=factory)
+    ok = feats.where(F.col("failed") == 0).select("sha1", "feature")
+    ided = ordered_global_index(ok, "sha1", "id").select(
+        "id", "sha1", F.col("feature").cast("array<double>").alias("v")
+    )
+    sample = [
+        np.asarray(r["v"], dtype=np.float64)
+        for r in ided.orderBy("id").limit(20000).collect()
+    ]
+    model = LOPQModel.fit(np.array(sample), **params)
+    codes = encode_dataframe(spark, ided, model, id_col="id", vec_col="v")
+
+    q_model = factory()
+    queries = [
+        (i, np.asarray(q_model.featurize_full(data), dtype=np.float64))
+        for i, (_, data) in enumerate(query_images)
+    ]
+    res = lopq_search(
+        spark, codes, model, queries,
+        quota=min(1000 * max_returned, 10000), k=max_returned,
+        vectors=ided, id_col="id", vec_col="v", rerank_nb=4 * max_returned,
+    )
+    id_to_sha1 = {
+        int(r["id"]): r["sha1"] for r in ided.select("id", "sha1").collect()
+    }
+    out: dict[str, Any] = {}
+    by_qid: dict[int, list] = {}
+    for r in res.orderBy("qid", "rank").collect():
+        by_qid.setdefault(int(r["qid"]), []).append(r)
+    for i, (name, _) in enumerate(query_images):
+        items = by_qid.get(i, [])
+        out[name] = {
+            "sha1s": [id_to_sha1[int(r["id"])] for r in items],
+            "distances": [round(float(r["exact_dist"]), 6) for r in items],
+        }
+    return out

@@ -56,3 +56,25 @@ def test_adc_mode_runs_without_vectors(spark, queries_np):
         assert q["similar_items"]["distances"] == sorted(
             q["similar_items"]["distances"]
         )
+
+
+@pytest.fixture(scope="module")
+def domain_images(spark):
+    from columbiaimagesearch_spark.sources import fixtures
+
+    return fixtures.generate(n_images=200).to_spark(spark)["images"]
+
+
+def test_search_by_image_self_retrieval(spark, domain_images):
+    """The reference's end-to-end sanity property: an indexed image queried
+    by its own bytes comes back at rank 1 with distance 0."""
+    from columbiaimagesearch_spark.api import search_by_image
+
+    rows = domain_images.orderBy("sha1").limit(3).collect()
+    queries = [(r["sha1"], bytes(r["content"])) for r in rows]
+    out = search_by_image(spark, domain_images, queries, max_returned=5)
+    assert set(out) == {r["sha1"] for r in rows}
+    for sha1, res in out.items():
+        assert res["sha1s"][0] == sha1, f"self not at rank 1 for {sha1}"
+        assert res["distances"][0] == 0.0
+        assert len(res["sha1s"]) == 5
