@@ -309,3 +309,38 @@ def test_map_only_kernels_match_duckdb_on_adversarial_texts(spark):
                     and (x == y or (math.isnan(x) and math.isnan(y)))
                 )
                 assert same, f"{spec_name}.{col}[{i}]: spark={x!r} oracle={y!r}"
+
+
+def test_components_driver_fast_path_equals_distributed(spark):
+    """connected_components' two physical strategies (driver union-find for
+    small graphs, iterative distributed min-label propagation) must produce
+    the identical (doc_id, component) labeling — including chain-shaped
+    graphs where min labels must propagate transitively, and singletons."""
+    from columbiaimagesearch_spark.operators import dedup
+
+    nodes = spark.range(0, 30).selectExpr("id as doc_id")
+    # a 6-node chain, a triangle, a 2-cycle, rest singletons
+    pairs = spark.createDataFrame(
+        [
+            (1, 5), (5, 9), (9, 13), (13, 17), (17, 21),  # chain -> min 1
+            (2, 6), (6, 10), (2, 10),                      # triangle -> min 2
+            (26, 28),                                      # pair -> min 26
+        ],
+        "doc_a long, doc_b long",
+    ).withColumn("jaccard", F.lit(1.0))
+    fast = {
+        (r["doc_id"], r["component"])
+        for r in dedup.connected_components(nodes, pairs).collect()
+    }
+    dist = {
+        (r["doc_id"], r["component"])
+        for r in dedup.connected_components(
+            nodes, pairs, driver_max_edges=0
+        ).collect()
+    }
+    assert fast == dist
+    lab = dict(fast)
+    assert all(lab[x] == 1 for x in (1, 5, 9, 13, 17, 21))
+    assert all(lab[x] == 2 for x in (2, 6, 10))
+    assert lab[26] == 26 and lab[28] == 26
+    assert lab[0] == 0 and lab[29] == 29  # singletons
