@@ -122,8 +122,22 @@ def search_by_image(
     params = train_params or {"V": 4, "M": 4, "K": 8, "seed": 5, "n_iter": 8}
 
     feats = run_extraction(images, mode=mode, model_factory=factory)
-    ok = feats.where(F.col("failed") == 0).select("sha1", "feature")
-    ided = ordered_global_index(ok, "sha1", "id").select(
+    ok = feats.where(F.col("failed") == 0)
+    if mode == "face":
+        # several faces can share one sha1 — the index key is (sha1, bbox),
+        # exactly the reference's `sha1_bbox` id suffix (C6)
+        ok = ok.select(
+            F.concat_ws(
+                "_", "sha1",
+                F.col("bbox.left"), F.col("bbox.top"),
+                F.col("bbox.right"), F.col("bbox.bottom"),
+            ).alias("item_key"),
+            "sha1",
+            "feature",
+        )
+    else:
+        ok = ok.select(F.col("sha1").alias("item_key"), "sha1", "feature")
+    ided = ordered_global_index(ok, "item_key", "id").select(
         "id", "sha1", F.col("feature").cast("array<double>").alias("v")
     )
     sample = [
@@ -133,11 +147,28 @@ def search_by_image(
     model = LOPQModel.fit(np.array(sample), **params)
     codes = encode_dataframe(spark, ided, model, id_col="id", vec_col="v")
 
+    # Query featurization mirrors the index mode (reference face search:
+    # EVERY detected query face probes the face index with its own vector,
+    # searcher_lopqhbase.py:783-830 — so one query image can carry several
+    # query points, keyed (name, face_idx) in the output).
     q_model = factory()
-    queries = [
-        (i, np.asarray(q_model.featurize_full(data), dtype=np.float64))
-        for i, (_, data) in enumerate(query_images)
-    ]
+    queries: list[tuple[int, np.ndarray]] = []
+    qkeys: list[tuple[str, int]] = []  # (query name, face_idx or -1)
+    for name, data in query_images:
+        if mode == "full_image":
+            queries.append(
+                (len(qkeys), np.asarray(q_model.featurize_full(data), dtype=np.float64))
+            )
+            qkeys.append((name, -1))
+        else:
+            for fi, (left, top, right, bottom, _score) in enumerate(
+                q_model.detect(data)
+            ):
+                vec = q_model.featurize_face(data, (left, top, right, bottom))
+                queries.append((len(qkeys), np.asarray(vec, dtype=np.float64)))
+                qkeys.append((name, fi))
+    if not queries:
+        return {name: {} for name, _ in query_images}
     res = lopq_search(
         spark, codes, model, queries,
         quota=min(1000 * max_returned, 10000), k=max_returned,
@@ -146,14 +177,21 @@ def search_by_image(
     id_to_sha1 = {
         int(r["id"]): r["sha1"] for r in ided.select("id", "sha1").collect()
     }
-    out: dict[str, Any] = {}
     by_qid: dict[int, list] = {}
     for r in res.orderBy("qid", "rank").collect():
         by_qid.setdefault(int(r["qid"]), []).append(r)
-    for i, (name, _) in enumerate(query_images):
-        items = by_qid.get(i, [])
-        out[name] = {
+    out: dict[str, Any] = {}
+    for qid, (name, face_idx) in enumerate(qkeys):
+        items = by_qid.get(qid, [])
+        entry = {
             "sha1s": [id_to_sha1[int(r["id"])] for r in items],
             "distances": [round(float(r["exact_dist"]), 6) for r in items],
         }
+        if mode == "full_image":
+            out[name] = entry
+        else:
+            out.setdefault(name, {})[face_idx] = entry
+    # query images with zero detected faces still appear (empty result)
+    for name, _ in query_images:
+        out.setdefault(name, {})
     return out

@@ -78,3 +78,27 @@ def test_search_by_image_self_retrieval(spark, domain_images):
         assert res["sha1s"][0] == sha1, f"self not at rank 1 for {sha1}"
         assert res["distances"][0] == 0.0
         assert len(res["sha1s"]) == 5
+
+
+def test_search_by_image_face_mode(spark, domain_images):
+    """Face mode: every detected query face probes the face index with its
+    own vector (results keyed by face index); a query face that exists in
+    the index retrieves its own (sha1, bbox) item at distance 0."""
+    from columbiaimagesearch_spark.api import search_by_image
+    from columbiaimagesearch_spark.multimodal.images import toy_face_detector
+
+    rows = domain_images.orderBy("sha1").limit(12).collect()
+    # pick query images that actually carry faces under the toy detector
+    with_faces = [
+        r for r in rows if len(toy_face_detector(bytes(r["content"]))) > 0
+    ][:2]
+    assert with_faces, "fixture must contain images with detected faces"
+    queries = [(r["sha1"], bytes(r["content"])) for r in with_faces]
+    out = search_by_image(spark, domain_images, queries, max_returned=3, mode="face")
+    for r in with_faces:
+        n_faces = len(toy_face_detector(bytes(r["content"])))
+        per_face = out[r["sha1"]]
+        assert set(per_face) == set(range(n_faces))
+        for res in per_face.values():
+            assert res["distances"][0] == 0.0  # own face at rank 1
+            assert res["sha1s"][0] == r["sha1"]
