@@ -176,3 +176,51 @@ def search_from_layout(
         k=k, vectors=vectors, id_col=id_col, vec_col=vec_col,
         rerank_nb=rerank_nb,
     )
+
+
+def append_codes_to_layout(codes_new: DataFrame, path: str) -> None:
+    """ST6 incremental refresh INTO the production layout: append the new
+    codes under their bucket directories (cell-sorted within the appended
+    files, so their row groups stay prunable) and MERGE the histogram
+    sidecar — the next ``search_from_layout`` plans against the refreshed
+    populations without ever scanning the data.
+
+    Idempotency is the CALLER's ledger concern (``refresh.refresh_codes``'s
+    update_id anti-join decides WHAT is new); this is the physical append.
+    The sidecar rewrite is the commit point: a crash between the data
+    append and the sidecar merge leaves newly-landed cells under-counted
+    (a probe may under-visit them until repaired) — run
+    :func:`rebuild_histogram` to restore the sidecar from the data."""
+    spark = codes_new.sparkSession
+    bucket_cells = read_layout_meta(spark, path)
+    if bucket_cells:
+        out = (
+            codes_new.withColumn("cell_bucket", F.col("cell") % bucket_cells)
+            .repartition("cell_bucket")
+            .sortWithinPartitions("cell_bucket", "cell")
+        )
+        part_col = "cell_bucket"
+    else:
+        out, part_col = codes_new, "cell"
+    inc = codes_new.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    out.write.mode("append").partitionBy(part_col).parquet(path)
+    merged = read_cell_histogram(spark, path)
+    for r in inc:
+        merged[int(r["cell"])] = merged.get(int(r["cell"]), 0) + int(r["n"])
+    spark.createDataFrame(
+        sorted(merged.items()), "cell int, n bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{HISTOGRAM_DIR}")
+
+
+def rebuild_histogram(spark: SparkSession, path: str) -> None:
+    """Recovery path: recompute the histogram sidecar from the data files
+    (one scan) — restores probe-planning correctness after a crash between
+    a data append and its sidecar merge."""
+    (
+        read_codes(spark, path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/{HISTOGRAM_DIR}")
+    )

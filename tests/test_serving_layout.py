@@ -340,3 +340,33 @@ def test_serving_snapshot_budget_enforced(spark, model, codes):
     s = ServingSearcher(model, max_rows=n - 1).load_codes(lo_half)
     with _pytest.raises(ValueError, match="serving replica budget"):
         s.add_codes(codes)
+
+
+def test_incremental_append_to_layout(spark, model, codes, queries_np, tmp_path):
+    """ST6 meets the pruned read path: append an increment into the
+    bucketed layout, and search_from_layout over the refreshed layout
+    equals search() over the full codes relation; the merged sidecar
+    matches true per-cell counts, and rebuild_histogram reproduces it."""
+    path = str(tmp_path / "codes_incr")
+    first = codes.where(F.col("id") < 250)
+    rest = codes.where(F.col("id") >= 250)
+    layout.write_codes_partitioned(first, path, bucket_cells=8)
+    layout.append_codes_to_layout(rest, path)
+
+    want_hist = {
+        int(r["cell"]): int(r["n"])
+        for r in codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert layout.read_cell_histogram(spark, path) == want_hist
+
+    got = layout.search_from_layout(spark, path, model, queries_np, quota=QUOTA, k=TOP_K)
+    want = search(spark, codes, model, queries_np, quota=QUOTA, k=TOP_K)
+    rows = lambda df: sorted(  # noqa: E731
+        (int(r["qid"]), int(r["rank"]), int(r["id"]), round(float(r["adc_dist"]), 9))
+        for r in df.collect()
+    )
+    assert rows(got) == rows(want)
+
+    # recovery path reproduces the same sidecar from the data
+    layout.rebuild_histogram(spark, path)
+    assert layout.read_cell_histogram(spark, path) == want_hist
