@@ -166,3 +166,48 @@ def test_advance_partitions_input(feeds, batch_size, data):
     flat = [x for _, items in emitted_all for x in items] + list(pending)
     assert flat == fed  # nothing lost, nothing duplicated, order preserved
     assert [s for s, _ in emitted_all] == list(range(len(emitted_all)))
+
+
+# -- DEDUP-components: union-find fast path -----------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=0,
+        max_size=80,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_union_find_matches_bfs_closure(edges):
+    from collections import defaultdict, deque
+
+    from columbiaimagesearch_spark.operators.dedup import _union_find_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    got = _union_find_components(edges)
+
+    adj = defaultdict(set)
+    nodes = set()
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+        nodes.update((a, b))
+    want = {}
+    seen: set[int] = set()
+    for start in sorted(nodes):
+        if start in seen:
+            continue
+        comp, q = [], deque([start])
+        seen.add(start)
+        while q:
+            x = q.popleft()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    q.append(y)
+        m = min(comp)
+        for x in comp:
+            want[x] = m
+    assert got == want
