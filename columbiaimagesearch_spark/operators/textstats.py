@@ -259,3 +259,65 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         fp_batches, "doc_id bigint, content_md5 string, window_fp bigint"
     )
+
+
+@register(
+    "corpus_report",
+    survey_ops=("TXT-quality", "A2", "A8"),
+    # driver window at cap; local DuckDB parity + showcase (tags green on
+    # text_quality_score / a2_cell_histogram / dedup_exact_groups rows)
+    driver=False,
+    doc="The mixture-designer's corpus recipe report: per (source, lang) "
+    "cohort — doc count, total whitespace tokens, quality-filter pass "
+    "rate, mean alpha ratio. One partial-agg groupBy over per-doc "
+    "codegen'd expressions (the query a data-recipe review actually runs "
+    "before setting mixture weights).",
+    oracle="""
+WITH d AS (
+  SELECT source, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / length(text) AS alpha_ratio
+  FROM documents
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(SUM(CASE WHEN n_chars BETWEEN 50 AND 10000 AND alpha_ratio > 0.5
+                      THEN 1.0 ELSE 0.0 END) / COUNT(*) + 1e-9, 4)
+         AS pass_rate,
+       ROUND(AVG(alpha_ratio) + 1e-9, 4) AS avg_alpha
+FROM d GROUP BY source, lang
+""",
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double") / n_chars
+    )
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.size(_tok(F.col("text"))).alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        alpha_ratio.alias("alpha_ratio"),
+    )
+    return per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("n_chars").between(50, 10000)
+                    & (F.col("alpha_ratio") > 0.5),
+                    F.lit(1.0),
+                ).otherwise(F.lit(0.0))
+            )
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            4,
+        ).alias("pass_rate"),
+        F.round(F.avg("alpha_ratio") + F.lit(1e-9), 4).alias("avg_alpha"),
+    )
