@@ -42,3 +42,20 @@ def test_every_spec_has_an_oracle():
         assert spec.oracle is not None, spec.name
         sql = spec.oracle_for("/root/testdata/sf0.01")
         assert isinstance(sql, str) and "SELECT" in sql.upper(), spec.name
+
+
+def test_folding_never_orphans_a_survey_tag():
+    """The fold-safety rule: a spec may leave the 50-slot driver window
+    ONLY if every SURVEY tag it carries stays green on some driver-visible
+    row — folding trades a redundant row, never coverage."""
+    driver_tags: set[str] = set()
+    for spec in driver_specs().values():
+        driver_tags.update(spec.survey_ops)
+    for name, spec in all_specs().items():
+        if spec.driver:
+            continue
+        orphaned = set(spec.survey_ops) - driver_tags
+        assert not orphaned, (
+            f"folded spec {name!r} is the only carrier of {sorted(orphaned)} — "
+            "promote it or add the tag to a driver row before folding"
+        )
