@@ -681,9 +681,9 @@ SELECT *, dup_cover_frac > {DUP_COVER_FLAG} AS flagged FROM f
 @register(
     "dedup_substring_spans",
     survey_ops=("DEDUP-substring", "A8", "F9"),
-    # The 50-slot driver window is full; local DuckDB parity + bench carry
-    # this spec (DEDUP/A8/F9 are driver-green on the hash/minhash rows).
-    driver=False,
+    # Promoted into the driver window in round 4 (q1_pricing_summary folded
+    # to make room): DEDUP-substring is a NEW capability tag and the
+    # registry invariant requires every tag a driver-green carrier.
     doc=f"Exact-substring duplication stats (Lee et al. 2022 exact-substring "
     f"dedup, the tier between exact-hash and MinHash): every length-{SUB_L} "
     "token gram is hashed map-side (HOF over the words array — no window "

@@ -36,6 +36,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @register(
     "q1_pricing_summary",
     survey_ops=("F1", "A2", "S3"),
+    # Folded in round 4 to give dedup_substring_spans (a NEW capability
+    # tag) a driver row: F1/A2/S3 all stay green on other driver rows
+    # (plan-asserted scans, a2_cell_histogram, s4_cursor_scan). Showcase
+    # TPC-H, like the already-folded q3/q5/q18; still parity-checked
+    # locally and in bench.
+    driver=False,
     doc="TPC-H Q1-shaped scan+filter+aggregate over lineitem; the canonical "
     "columnar-scan benchmark query (projection pruning + partial aggregation).",
     oracle="""
