@@ -178,7 +178,9 @@ def search_from_layout(
     )
 
 
-def append_codes_to_layout(codes_new: DataFrame, path: str) -> None:
+def append_codes_to_layout(
+    codes_new: DataFrame, path: str, row_group_bytes: int | None = None
+) -> None:
     """ST6 incremental refresh INTO the production layout: append the new
     codes under their bucket directories (cell-sorted within the appended
     files, so their row groups stay prunable) and MERGE the histogram
@@ -203,7 +205,10 @@ def append_codes_to_layout(codes_new: DataFrame, path: str) -> None:
     else:
         out, part_col = codes_new, "cell"
     inc = codes_new.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
-    out.write.mode("append").partitionBy(part_col).parquet(path)
+    writer = out.write.mode("append")
+    if row_group_bytes:
+        writer = writer.option("parquet.block.size", str(int(row_group_bytes)))
+    writer.partitionBy(part_col).parquet(path)
     merged = read_cell_histogram(spark, path)
     for r in inc:
         merged[int(r["cell"])] = merged.get(int(r["cell"]), 0) + int(r["n"])

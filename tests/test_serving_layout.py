@@ -370,3 +370,39 @@ def test_incremental_append_to_layout(spark, model, codes, queries_np, tmp_path)
     # recovery path reproduces the same sidecar from the data
     layout.rebuild_histogram(spark, path)
     assert layout.read_cell_histogram(spark, path) == want_hist
+
+
+def test_appended_files_stay_cell_sorted(spark, codes, tmp_path):
+    """Files landed by append_codes_to_layout must be cell-sorted too
+    (monotone row-group min/max), or the refreshed part of the index
+    silently loses row-group prunability."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    path = str(tmp_path / "codes_append_rg")
+    layout.write_codes_partitioned(
+        codes.where(F.col("id") < 250), path, bucket_cells=2, row_group_bytes=1024
+    )
+    before = {str(f) for f in Path(path).glob("cell_bucket=*/*.parquet")}
+    layout.append_codes_to_layout(
+        codes.where(F.col("id") >= 250), path, row_group_bytes=1024
+    )
+    appended = [
+        f for f in Path(path).glob("cell_bucket=*/*.parquet") if str(f) not in before
+    ]
+    assert appended, "append must land new files"
+    for f in appended:
+        md = pq.ParquetFile(str(f)).metadata
+        idx = next(
+            i for i in range(len(md.schema)) if md.schema.column(i).name == "cell"
+        )
+        stats = [
+            md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)
+        ]
+        for a, b in zip(stats, stats[1:]):
+            assert a.max <= b.min, f"appended file {f} not cell-sorted"
+    # the tiny row-group size must actually yield multi-group appended files
+    # somewhere, or the monotonicity check above proves nothing
+    assert any(
+        pq.ParquetFile(str(f)).metadata.num_row_groups > 1 for f in appended
+    ), "expected at least one multi-row-group appended file"
