@@ -33,7 +33,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import LSH_BANDS, NEAR_DUP_COS, _lsh_band_keys
+from ..operators.similarity import (
+    LSH_BANDS,
+    LSH_BITS,
+    LSH_SEED,
+    NEAR_DUP_COS,
+    _lsh_band_keys,
+)
 
 VEC_SCHEMA = "vec_id long, v array<double>"
 _BANDS_SCHEMA = "vec_id long, band int, key long"
@@ -66,49 +72,68 @@ def read_vectors(spark: SparkSession, state_dir: str) -> DataFrame:
     return _read_state(spark, state_dir, "vectors", VEC_SCHEMA)
 
 
-def _band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        V = np.array(list(pdf["v"]), dtype=np.float64)
-        keys = _lsh_band_keys(V)
-        n = len(pdf)
-        yield pd.DataFrame(
-            {
-                "vec_id": np.tile(pdf["vec_id"].to_numpy(), LSH_BANDS),
-                "band": np.repeat(np.arange(LSH_BANDS), n),
-                "key": keys.T.ravel(),
-            }
-        )
+def _band_rows_fn(bands: int, bits: int, seed: int):
+    def _band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            keys = _lsh_band_keys(V, bands, bits, seed)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), bands),
+                    "band": np.repeat(np.arange(bands), n),
+                    "key": keys.T.ravel(),
+                }
+            )
+
+    return _band_rows
 
 
-def _verify_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _verify_pairs_fn(threshold: float):
     """Per-pair elementwise cosine — the same per-row normalization and
     einsum dot as the batch operator's in-bucket kernel, so a pair verified
     here carries the bitwise-identical cos_sim."""
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        A = np.array(list(pdf["va"]), dtype=np.float64)
-        B = np.array(list(pdf["vb"]), dtype=np.float64)
-        An = A / np.sqrt(np.einsum("ij,ij->i", A, A))[:, None]
-        Bn = B / np.sqrt(np.einsum("ij,ij->i", B, B))[:, None]
-        cos = np.einsum("ij,ij->i", An, Bn)
-        keep = cos >= NEAR_DUP_COS
-        yield pd.DataFrame(
-            {
-                "vec_a": pdf["vec_a"].to_numpy()[keep],
-                "vec_b": pdf["vec_b"].to_numpy()[keep],
-                "cos_sim": np.round(cos[keep], 4),
-            }
-        )
+
+    def _verify_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf["va"]), dtype=np.float64)
+            B = np.array(list(pdf["vb"]), dtype=np.float64)
+            An = A / np.sqrt(np.einsum("ij,ij->i", A, A))[:, None]
+            Bn = B / np.sqrt(np.einsum("ij,ij->i", B, B))[:, None]
+            cos = np.einsum("ij,ij->i", An, Bn)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "cos_sim": np.round(cos[keep], 4),
+                }
+            )
+
+    return _verify_pairs
 
 
 def emb_dedup_batch_step(
-    spark: SparkSession, vecs: DataFrame, state_dir: str
+    spark: SparkSession,
+    vecs: DataFrame,
+    state_dir: str,
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BITS,
+    threshold: float = NEAR_DUP_COS,
+    seed: int = LSH_SEED,
 ) -> int:
     """One incremental step: near-dup ``vecs`` against state, append
-    verified pairs + fresh state rows. Returns fresh vectors admitted."""
+    verified pairs + fresh state rows. Returns fresh vectors admitted.
+
+    The banding knobs MUST match across every step against one state dir
+    (the band table is the state), and — as with the batch operator —
+    ``bits`` must grow with the corpus: new-old candidates per batch are
+    O(batch × bands × |state| / 2^bits), so the fixture's 3-bit default is
+    for the tiny smoke tier; production thresholds use 12-16 bits."""
     vecs = vecs.where(F.col("vec_id").isNotNull()).dropDuplicates(["vec_id"])
     state_vecs = read_vectors(spark, state_dir)
     fresh = vecs.join(state_vecs, "vec_id", "left_anti").persist()
@@ -117,7 +142,9 @@ def emb_dedup_batch_step(
         fresh.unpersist()
         return 0
 
-    bands_fresh = fresh.mapInPandas(_band_rows, _BANDS_SCHEMA).persist()
+    bands_fresh = fresh.mapInPandas(
+        _band_rows_fn(bands, bits, seed), _BANDS_SCHEMA
+    ).persist()
     bands_fresh.count()
     state_bands = _read_state(spark, state_dir, "bands", _BANDS_SCHEMA)
 
@@ -147,7 +174,7 @@ def emb_dedup_batch_step(
             "vec_b",
         )
     )
-    pairs = joined.mapInPandas(_verify_pairs, _PAIRS_SCHEMA)
+    pairs = joined.mapInPandas(_verify_pairs_fn(threshold), _PAIRS_SCHEMA)
 
     # append order is load-bearing (see dedup_stream): the claim table
     # (vectors) lands LAST so a crash replays the whole batch
