@@ -192,10 +192,15 @@ def run_incremental_emb_dedup(
     state_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BITS,
+    threshold: float = NEAR_DUP_COS,
+    seed: int = LSH_SEED,
 ) -> None:
     """Drain ``src_dir`` (JSONL vector drops, availableNow) through the
     incremental near-dup; offsets checkpoint with the query, the claim
-    anti-join makes redeliveries no-ops."""
+    anti-join makes redeliveries no-ops. Banding knobs pass through to the
+    step (they must stay constant per state dir)."""
     stream = (
         spark.readStream.schema(VEC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -203,7 +208,10 @@ def run_incremental_emb_dedup(
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda batch_df, _bid: emb_dedup_batch_step(spark, batch_df, state_dir)
+            lambda batch_df, _bid: emb_dedup_batch_step(
+                spark, batch_df, state_dir,
+                bands=bands, bits=bits, threshold=threshold, seed=seed,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
