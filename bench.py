@@ -80,6 +80,8 @@ HEADLINE = [
     "dedup_substring_spans",
     # label-free cosine-LSH embedding near-dup (r4; folded spec, twin parity)
     "emb_lsh_near_dup_pairs",
+    # as-of join showcase (r4; union-carry composition, DuckDB ASOF oracle)
+    "j_asof_latest_order",
 ]
 
 

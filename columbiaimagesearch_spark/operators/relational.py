@@ -1278,3 +1278,80 @@ def w_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
     )
     return tumb.unionByName(slide).unionByName(sess)
+
+
+@register(
+    "j_asof_latest_order",
+    survey_ops=("X-asof-join",),
+    # Beyond-inventory showcase (X- tag): the as-of join the brief names as
+    # the canonical operator Spark lacks, expressed as a composition of
+    # built-ins. Folded (local DuckDB ASOF JOIN parity + bench).
+    driver=False,
+    doc="As-of join (each event matched to its user's LATEST order at or "
+    "before the event time) via the union-carry composition: tag both "
+    "relations, union on (key, time), ONE window per key ordered by "
+    "(time, side) carrying last(right payload) forward, filter left rows. "
+    "One shuffle of both relations by key — the canonical distributed "
+    "as-of plan (no per-row lookup, no range cross join). Right side is "
+    "pre-reduced to one row per (key, time) so ties are deterministic. "
+    "Oracle: DuckDB's native ASOF JOIN.",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey AS key, CAST(o_orderdate AS TIMESTAMP) AS t,
+         CAST(MAX(o_orderkey) AS BIGINT) AS latest_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS event_epoch,
+       r.latest_orderkey,
+       CAST(floor(epoch(r.t)) AS BIGINT) AS order_epoch
+FROM events e ASOF JOIN r ON e.user_id = r.key AND e.ts >= r.t
+""",
+)
+def j_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    rights = (
+        orders.groupBy(
+            F.col("o_custkey").alias("key"),
+            F.col("o_orderdate").cast("timestamp").alias("t"),
+        )
+        .agg(F.max("o_orderkey").cast("bigint").alias("latest_orderkey"))
+        .select(
+            "key", "t", "latest_orderkey",
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(0).alias("is_left"),
+        )
+    )
+    lefts = events.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("bigint").alias("latest_orderkey"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.lit(1).alias("is_left"),
+    )
+    # rights sort BEFORE lefts at equal times: ">= t" as-of semantics
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.col("t").asc(), F.col("is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        rights.unionByName(lefts)
+        .withColumn("asof_key", F.last("latest_orderkey", ignorenulls=True).over(w))
+        .withColumn(
+            "asof_t",
+            F.last(
+                F.when(F.col("is_left") == 0, F.col("t")), ignorenulls=True
+            ).over(w),
+        )
+    )
+    return carried.where(
+        (F.col("is_left") == 1) & F.col("asof_key").isNotNull()
+    ).select(
+        "event_id",
+        F.col("key").alias("user_id"),
+        F.floor(F.col("t").cast("double")).cast("bigint").alias("event_epoch"),
+        F.col("asof_key").alias("latest_orderkey"),
+        F.floor(F.col("asof_t").cast("double")).cast("bigint").alias("order_epoch"),
+    )

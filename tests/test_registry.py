@@ -54,7 +54,12 @@ def test_folding_never_orphans_a_survey_tag():
     for name, spec in all_specs().items():
         if spec.driver:
             continue
-        orphaned = set(spec.survey_ops) - driver_tags
+        # "X-" tags mark beyond-inventory showcase operators (extensions the
+        # brief invites — as-of join, range join, ... — not SURVEY §2 or
+        # LLM-family coverage claims), so they need no driver carrier.
+        orphaned = {
+            t for t in set(spec.survey_ops) - driver_tags if not t.startswith("X-")
+        }
         assert not orphaned, (
             f"folded spec {name!r} is the only carrier of {sorted(orphaned)} — "
             "promote it or add the tag to a driver row before folding"
