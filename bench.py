@@ -82,6 +82,8 @@ HEADLINE = [
     "emb_lsh_near_dup_pairs",
     # as-of join showcase (r4; union-carry composition, DuckDB ASOF oracle)
     "j_asof_latest_order",
+    # range-join showcase (r4; bin-key equi-join rewrite, hash not NL join)
+    "j_range_tier_assign",
 ]
 
 

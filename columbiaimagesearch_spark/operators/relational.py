@@ -1355,3 +1355,62 @@ def j_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_key").alias("latest_orderkey"),
         F.floor(F.col("asof_t").cast("double")).cast("bigint").alias("order_epoch"),
     )
+
+
+# Tier table for the range-join showcase: non-overlapping [lo, hi) value
+# ranges (a rate card). Non-uniform widths on purpose — the bin-key rewrite
+# must not depend on uniform ranges.
+RANGE_TIERS = [
+    ("T0", 0.0, 10.0),
+    ("T1", 10.0, 50.0),
+    ("T2", 50.0, 120.0),
+    ("T3", 120.0, 300.0),
+    ("T4", 300.0, 1000.0),
+]
+_RANGE_BIN = 25.0  # bin width for the equi-join rewrite
+
+
+@register(
+    "j_range_tier_assign",
+    survey_ops=("X-range-join",),
+    # Beyond-inventory showcase (X- tag), like the as-of join: the range
+    # (inequality) join expressed as an equi-join so Catalyst picks a HASH
+    # join instead of BroadcastNestedLoopJoin. Folded (local parity + bench).
+    driver=False,
+    doc="Range join (point-in-interval): each event's value assigned to its "
+    "[lo, hi) tier. The naive non-equi join plans as a nested-loop (every "
+    "row probes every range); the REWRITE snaps both sides to fixed-width "
+    "bins — each tier explodes to the bins it covers, each event maps to "
+    "ONE bin — so the join is a plain broadcast HASH join on bin, with the "
+    "exact [lo, hi) predicate as a residual filter. Same rewrite Spark "
+    "itself uses for ranged point lookups; works for any non-uniform "
+    "ranges. Oracle: DuckDB BETWEEN join.",
+    oracle=f"""
+WITH tiers(tier, lo, hi) AS (VALUES
+  {", ".join(f"('{t}', CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))" for t, lo, hi in RANGE_TIERS)}
+)
+SELECT e.event_id, ROUND(e.value, 4) AS value, t.tier
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+""",
+)
+def j_range_tier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").select("event_id", "value")
+    tiers = spark.createDataFrame(RANGE_TIERS, "tier string, lo double, hi double")
+    # each tier covers ceil((hi-lo)/BIN) bins; each point hits exactly one
+    binned_tiers = tiers.select(
+        "tier", "lo", "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _RANGE_BIN).cast("long"),
+                F.ceil(F.col("hi") / _RANGE_BIN).cast("long"),
+            )
+        ).alias("bin"),
+    )
+    binned_events = events.withColumn(
+        "bin", F.floor(F.col("value") / _RANGE_BIN).cast("long")
+    )
+    return (
+        binned_events.join(F.broadcast(binned_tiers), "bin")
+        .where((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .select("event_id", F.round("value", 4).alias("value"), "tier")
+    )

@@ -133,6 +133,15 @@ def test_simhash_is_map_only(spark):
     assert "MapInPandas" in plan, plan
 
 
+def test_range_join_is_hash_not_nested_loop(spark):
+    plan = explain.formatted_plan(_q(spark, "j_range_tier_assign"))
+    # the bin-key rewrite must give Catalyst an equi-join key: a plain
+    # non-equi range predicate would plan BroadcastNestedLoopJoin (every
+    # row probes every range)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
 def test_boilerplate_single_exchange(spark):
     plan = explain.formatted_plan(_q(spark, "text_boilerplate_ngrams"))
     # per-doc DISTINCT lives inside the gram array (array_distinct before
