@@ -1414,3 +1414,35 @@ def j_range_tier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
         .select("event_id", F.round("value", 4).alias("value"), "tier")
     )
+
+
+@register(
+    "a6_event_percentiles",
+    survey_ops=("A6", "A2"),
+    # Folded (window at cap); A6/A2 driver-green via w_event_windows /
+    # a2_cell_histogram. Local DuckDB parity + bench.
+    doc="Stream-metrics percentiles: exact p50/p95/p99 of event value per "
+    "event_type (the monitoring rollup behind the reference's ingestion "
+    "counters, kafka_image_processor push_*_stats). Spark's exact "
+    "percentile aggregate == DuckDB's quantile_cont (linear interpolation "
+    "on the sorted values); one partial-agg groupBy, rounded 4dp both "
+    "sides. At 100 TB swap percentile -> percentile_approx(value, p, B) "
+    "for a bounded-memory t-digest-style sketch with the same plan shape.",
+    driver=False,
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
+       ROUND(quantile_cont(value, 0.95) + 1e-9, 4) AS p95,
+       ROUND(quantile_cont(value, 0.99) + 1e-9, 4) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def a6_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)") + F.lit(1e-9), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)") + F.lit(1e-9), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)") + F.lit(1e-9), 4).alias("p99"),
+    )
