@@ -84,6 +84,8 @@ HEADLINE = [
     "j_asof_latest_order",
     # range-join showcase (r4; bin-key equi-join rewrite, hash not NL join)
     "j_range_tier_assign",
+    # hypertable rollup showcase (r4; 3 resolutions in one Expand+agg pass)
+    "x_hypertable_rollup",
 ]
 
 

@@ -1446,3 +1446,54 @@ def a6_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.95)") + F.lit(1e-9), 4).alias("p95"),
         F.round(F.expr("percentile(value, 0.99)") + F.lit(1e-9), 4).alias("p99"),
     )
+
+
+@register(
+    "x_hypertable_rollup",
+    survey_ops=("X-hypertable-rollup", "A2"),
+    # Beyond-inventory showcase (X- tag), third of the brief's named custom
+    # operators (as-of join / range join / hypertable rollup). Folded.
+    driver=False,
+    doc="Hypertable rollup (TimescaleDB-style continuous aggregate): the "
+    "1-minute, 1-hour and 1-day time buckets of the events table computed "
+    "in ONE pass via GROUPING SETS — Catalyst's Expand emits one row per "
+    "(input row, resolution) before a single partial+final aggregation, "
+    "so the three materialized resolutions cost one shuffle, not three "
+    "scans. Resolution label and bucket epoch are derived from GROUPING() "
+    "flags. Oracle: the identical GROUPING SETS in DuckDB.",
+    oracle="""
+WITH b AS (
+  SELECT date_trunc('minute', ts) AS b1m, date_trunc('hour', ts) AS b1h,
+         date_trunc('day', ts) AS b1d, event_type, value
+  FROM events
+)
+SELECT CASE WHEN GROUPING(b1m) = 0 THEN '1m'
+            WHEN GROUPING(b1h) = 0 THEN '1h' ELSE '1d' END AS resolution,
+       CAST(floor(epoch(COALESCE(b1m, b1h, b1d))) AS BIGINT) AS bucket_epoch,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM b
+GROUP BY GROUPING SETS ((b1m, event_type), (b1h, event_type), (b1d, event_type))
+""",
+)
+def x_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    events.select(
+        F.date_trunc("minute", "ts").alias("b1m"),
+        F.date_trunc("hour", "ts").alias("b1h"),
+        F.date_trunc("day", "ts").alias("b1d"),
+        "event_type",
+        "value",
+    ).createOrReplaceTempView("_hypertable_rollup_input")
+    return spark.sql("""
+SELECT CASE WHEN GROUPING(b1m) = 0 THEN '1m'
+            WHEN GROUPING(b1h) = 0 THEN '1h' ELSE '1d' END AS resolution,
+       CAST(FLOOR(CAST(COALESCE(b1m, b1h, b1d) AS DOUBLE)) AS BIGINT)
+         AS bucket_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM _hypertable_rollup_input
+GROUP BY GROUPING SETS ((b1m, event_type), (b1h, event_type), (b1d, event_type))
+""")
