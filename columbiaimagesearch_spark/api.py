@@ -140,6 +140,10 @@ def search_by_image(
     ided = ordered_global_index(ok, "item_key", "id").select(
         "id", "sha1", F.col("feature").cast("array<double>").alias("v")
     )
+    # Featurization is the expensive stage (V14/V17); four downstream
+    # actions consume `ided` (train sample, distributed encode, rerank
+    # vectors join, metadata join) — pin it once so extraction runs once.
+    ided = ided.persist()
     sample = [
         np.asarray(r["v"], dtype=np.float64)
         for r in ided.orderBy("id").limit(20000).collect()
@@ -168,23 +172,31 @@ def search_by_image(
                 queries.append((len(qkeys), np.asarray(vec, dtype=np.float64)))
                 qkeys.append((name, fi))
     if not queries:
+        ided.unpersist()
         return {name: {} for name, _ in query_images}
     res = lopq_search(
         spark, codes, model, queries,
         quota=min(1000 * max_returned, 10000), k=max_returned,
         vectors=ided, id_col="id", vec_col="v", rerank_nb=4 * max_returned,
     )
-    id_to_sha1 = {
-        int(r["id"]): r["sha1"] for r in ided.select("id", "sha1").collect()
-    }
+    # J4 ranked-metadata join (operators/relational.py:324 pattern): resolve
+    # result ids to sha1s distributed, so the driver only ever collects
+    # O(queries * k) rows — never the full index's id->sha1 map.
+    resolved = (
+        res.join(ided.select("id", "sha1"), "id", "left")
+        .select("qid", "rank", "sha1", "exact_dist")
+        .orderBy("qid", "rank")
+        .collect()
+    )
+    ided.unpersist()
     by_qid: dict[int, list] = {}
-    for r in res.orderBy("qid", "rank").collect():
+    for r in resolved:
         by_qid.setdefault(int(r["qid"]), []).append(r)
     out: dict[str, Any] = {}
     for qid, (name, face_idx) in enumerate(qkeys):
         items = by_qid.get(qid, [])
         entry = {
-            "sha1s": [id_to_sha1[int(r["id"])] for r in items],
+            "sha1s": [r["sha1"] for r in items],
             "distances": [round(float(r["exact_dist"]), 6) for r in items],
         }
         if mode == "full_image":

@@ -157,6 +157,12 @@ def emb_dedup_batch_step(
     new_old = (
         bands_fresh.alias("n")
         .join(state_bands.alias("o"), ["band", "key"])
+        # crash-replay guard: if a crash landed this batch's bands but not
+        # its vectors (the claim table), the replayed batch meets its OWN
+        # band rows here — without this filter that produces self-pairs
+        # (vec_a == vec_b, cos = 1.0) that pass verify and poison the
+        # pairs state forever (the batch operator never emits self-pairs).
+        .where(F.col("n.vec_id") != F.col("o.vec_id"))
         .select(
             F.least(F.col("n.vec_id"), F.col("o.vec_id")).alias("vec_a"),
             F.greatest(F.col("n.vec_id"), F.col("o.vec_id")).alias("vec_b"),
@@ -179,7 +185,13 @@ def emb_dedup_batch_step(
     # append order is load-bearing (see dedup_stream): the claim table
     # (vectors) lands LAST so a crash replays the whole batch
     pairs.write.mode("append").parquet(_state_path(state_dir, "pairs"))
-    bands_fresh.write.mode("append").parquet(_state_path(state_dir, "bands"))
+    # second half of the crash-replay guard: a replayed batch whose bands
+    # already landed must not append them again (duplicate band rows would
+    # accumulate in state on every replay)
+    bands_to_append = bands_fresh.join(
+        state_bands.select("vec_id").distinct(), "vec_id", "left_anti"
+    )
+    bands_to_append.write.mode("append").parquet(_state_path(state_dir, "bands"))
     fresh.write.mode("append").parquet(_state_path(state_dir, "vectors"))
     bands_fresh.unpersist()
     fresh.unpersist()

@@ -102,3 +102,38 @@ def test_search_by_image_face_mode(spark, domain_images):
         for res in per_face.values():
             assert res["distances"][0] == 0.0  # own face at rank 1
             assert res["sha1s"][0] == r["sha1"]
+
+
+def test_search_by_image_driver_collects_bounded(spark, domain_images, monkeypatch):
+    """Scale guard (VERDICT r4 #1): the query path must never collect the
+    full index to the driver. The ONLY index-sized collect allowed is the
+    bounded nb_train subsample (it carries an explicit GlobalLimit); result
+    metadata resolution is a distributed join collecting O(queries * k)."""
+    from pyspark.sql import DataFrame
+
+    from columbiaimagesearch_spark.api import search_by_image
+
+    real_collect = DataFrame.collect
+    observed: list[tuple[int, str]] = []
+
+    def spy(self):
+        rows = real_collect(self)
+        plan = self._jdf.queryExecution().optimizedPlan().toString()
+        observed.append((len(rows), plan))
+        return rows
+
+    rows = real_collect(domain_images.orderBy("sha1").limit(2))
+    queries = [(r["sha1"], bytes(r["content"])) for r in rows]
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    out = search_by_image(spark, domain_images, queries, max_returned=3)
+    monkeypatch.undo()
+    assert set(out) == {r["sha1"] for r in rows}
+
+    # fixture index is ~200 features; anything >=100 rows is index-sized
+    # (queries*k = 6, per-partition count rows <= 32)
+    index_sized = [(n, p) for n, p in observed if n >= 100]
+    assert len(index_sized) <= 1, f"collect sizes: {[n for n, _ in observed]}"
+    for n, plan in index_sized:
+        assert "GlobalLimit" in plan, (
+            f"unbounded full-index collect of {n} rows:\n{plan}"
+        )

@@ -56,6 +56,50 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     assert eds.read_pairs(spark, state).count() == before
 
 
+def test_crash_between_bands_and_claim_replays_clean(spark, tmp_path, monkeypatch):
+    """Crash AFTER the bands append but BEFORE the vectors (claim) append:
+    the replayed batch meets its own band rows in state. The replay must
+    not emit self-pairs (vec_a == vec_b), must not duplicate band rows,
+    and the final pair set must equal an uncrashed run's."""
+    import pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    vecs = _vec_df(spark)
+    b1 = vecs.where(F.col("vec_id") < 100)
+    b2 = vecs.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 200))
+
+    clean = str(tmp_path / "clean")
+    eds.emb_dedup_batch_step(spark, b1, clean)
+    eds.emb_dedup_batch_step(spark, b2, clean)
+    want = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in eds.read_pairs(spark, clean).collect()
+    }
+
+    state = str(tmp_path / "crashed")
+    eds.emb_dedup_batch_step(spark, b1, state)
+    real_parquet = DataFrameWriter.parquet
+
+    def crash_on_claim(self, path, *a, **kw):
+        if path.rstrip("/").endswith("vectors"):
+            raise RuntimeError("simulated crash before claim append")
+        return real_parquet(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crash_on_claim)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eds.emb_dedup_batch_step(spark, b2, state)
+    monkeypatch.undo()
+
+    assert eds.emb_dedup_batch_step(spark, b2, state) == 100  # full replay
+    pairs = eds.read_pairs(spark, state)
+    assert pairs.where(F.col("vec_a") == F.col("vec_b")).count() == 0
+    got = {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in pairs.collect()}
+    assert got == want
+    # band rows did not duplicate: one row per (vector, band)
+    bands_cnt = eds._read_state(spark, state, "bands", eds._BANDS_SCHEMA).count()
+    assert bands_cnt == 200 * eds.LSH_BANDS
+
+
 def test_stream_wrapper_drains_drops(spark, tmp_path):
     import json
 
