@@ -323,7 +323,16 @@ def main() -> None:
         if samples[0][sec_key] < 25.0:
             samples += [fn() for _ in range(n - 1)]
         extras_runs[key] = samples
-        return sorted(samples, key=lambda s: s[sec_key])[len(samples) // 2]
+        # report the sample whose sec_key is closest to statistics.median
+        # (same median definition as the query loop — for even counts the
+        # mean of the middle two, not the upper-middle sample), keeping the
+        # full dict of one real run and stamping the true median seconds in.
+        true_med = statistics.median(s[sec_key] for s in samples)
+        chosen = dict(min(samples, key=lambda s: abs(s[sec_key] - true_med)))
+        chosen[sec_key] = round(true_med, 3)
+        if "docs_per_sec" in chosen and "input_docs" in chosen:
+            chosen["docs_per_sec"] = round(chosen["input_docs"] / true_med, 1)
+        return chosen
 
     curation = med("curation", lambda: curation_bench(spark, sf_dir), "seconds")
     calib["post_curation"] = cpu_calibration_sec()

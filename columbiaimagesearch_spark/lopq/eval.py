@@ -102,21 +102,20 @@ def exact_nn_block(
     ``X_all`` EXCLUDING itself, ties broken by smallest id.
 
     Shared by the distributed ``exact_nn_pairs`` pass and the NumPy oracle
-    twin. Distances use the BLAS form (‖x‖² − 2x·y + ‖y‖²) — an order of
-    magnitude faster than the elementwise tensor — and feed ONLY the
-    integer argmin: the ~1e-14 ulp wobble batch-shaped GEMM can introduce
-    cannot flip a well-separated nearest-neighbor assignment (the same
-    discipline ``LOPQModel.encode`` relies on; exact ties are resolved by
-    the id tiebreak on byte-identical distances in both engines)."""
-    d = (
-        (X_blk**2).sum(1)[:, None]
-        - 2.0 * (X_blk @ X_all.T)
-        + (X_all**2).sum(1)[None, :]
-    )
-    d[ids_blk[:, None] == ids_all[None, :]] = np.inf  # exclude self
+    twin. Distances use the BLAS form (‖x‖² − 2x·y + ‖y‖²) computed one
+    query ROW at a time (GEMV): a batch GEMM's blocking makes the result
+    depend on the batch SHAPE, so the distributed Arrow batches and the
+    twin's fixed-size blocks could disagree by ~1 ulp and argmin two
+    near-tied neighbors differently — a latent hash-flake. The per-row
+    form depends only on (x, X_all), so both engines are bitwise identical
+    under ANY batching; exact ties resolve by the smallest-id lexsort."""
+    sq_all = (X_all**2).sum(1)
     out = np.empty(len(ids_blk), dtype=np.int64)
     for i in range(len(ids_blk)):
-        out[i] = ids_all[np.lexsort((ids_all, d[i]))[0]]
+        x = X_blk[i]
+        d = float(x @ x) - 2.0 * (X_all @ x) + sq_all
+        d[ids_all == ids_blk[i]] = np.inf  # exclude self
+        out[i] = ids_all[np.lexsort((ids_all, d))[0]]
     return out
 
 

@@ -27,6 +27,25 @@ from pyspark.sql import functions as F
 
 HISTOGRAM_DIR = "_histogram"
 META_DIR = "_layout_meta"
+# write-ahead intent marker for appends: present => an append may have
+# landed data without its sidecar merge (the `_` prefix keeps it out of
+# Spark's data-file listing). O(1) to check — no footer scan at any scale;
+# on an object store this is a zero-byte object put/delete.
+PENDING_MARKER = "_PENDING_APPEND"
+
+
+def _pending_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, PENDING_MARKER)
+
+
+def layout_is_pending(path: str) -> bool:
+    """True iff an append's intent marker is present — the histogram sidecar
+    may under-count newly landed cells until :func:`rebuild_histogram`."""
+    import os
+
+    return os.path.exists(_pending_path(path))
 
 
 def write_codes_partitioned(
@@ -157,6 +176,21 @@ def search_from_layout(
     # writer-recorded metadata; an explicit value is VALIDATED against it
     # (a mismatched bucket IN-list silently prunes correct directories —
     # wrong answers, not an error, so fail loudly here instead)
+    # staleness probe: an interrupted append leaves the intent marker set —
+    # the sidecar may under-count newly landed cells, so a probe planned
+    # from it would silently under-visit. Auto-repair (one data scan) is
+    # strictly better than a wrong answer; warn so operators see it.
+    if layout_is_pending(path):
+        import warnings
+
+        warnings.warn(
+            f"layout at {path} has an in-flight/interrupted append "
+            "(_PENDING_APPEND set); rebuilding the histogram sidecar from "
+            "the data before planning the probe",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        rebuild_histogram(spark, path)
     recorded = read_layout_meta(spark, path)
     if bucket_cells == _META_AUTO:
         bucket_cells = recorded
@@ -191,10 +225,15 @@ def append_codes_to_layout(
     update_id anti-join decides WHAT is new); this is the physical append.
     The sidecar rewrite is the commit point: a crash between the data
     append and the sidecar merge leaves newly-landed cells under-counted
-    (a probe may under-visit them until repaired) — run
-    :func:`rebuild_histogram` to restore the sidecar from the data."""
+    (a probe may under-visit them until repaired). The crash window is
+    CLOSED for readers by a write-ahead intent marker: ``_PENDING_APPEND``
+    lands before the data, clears after the sidecar merge, and
+    :func:`search_from_layout` auto-repairs (``rebuild_histogram``) when it
+    finds the marker set."""
     spark = codes_new.sparkSession
     bucket_cells = read_layout_meta(spark, path)
+    with open(_pending_path(path), "w") as fh:
+        fh.write("append in flight; sidecar merge pending\n")
     if bucket_cells:
         out = (
             codes_new.withColumn("cell_bucket", F.col("cell") % bucket_cells)
@@ -215,12 +254,17 @@ def append_codes_to_layout(
     spark.createDataFrame(
         sorted(merged.items()), "cell int, n bigint"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{HISTOGRAM_DIR}")
+    import os
+
+    os.remove(_pending_path(path))
 
 
 def rebuild_histogram(spark: SparkSession, path: str) -> None:
     """Recovery path: recompute the histogram sidecar from the data files
     (one scan) — restores probe-planning correctness after a crash between
-    a data append and its sidecar merge."""
+    a data append and its sidecar merge, then clears the intent marker."""
+    import os
+
     (
         read_codes(spark, path)
         .groupBy("cell")
@@ -229,3 +273,5 @@ def rebuild_histogram(spark: SparkSession, path: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{path}/{HISTOGRAM_DIR}")
     )
+    if layout_is_pending(path):
+        os.remove(_pending_path(path))

@@ -351,10 +351,12 @@ def near_dup_pairs_from(docs: DataFrame, hashed: DataFrame | None = None) -> Dat
 # ---------------------------------------------------------------------------
 
 
-def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
-    """Driver-side union-find with path compression; labels resolve to the
-    MIN doc_id per component — identical semantics to the distributed
-    min-label propagation."""
+def _union_find_components(edges) -> dict[int, int]:
+    """Driver-side union-find with path compression over any iterable of
+    (int, int) edges (a lazy iterator keeps peak memory at the Arrow
+    buffers + the O(nodes) parent dict); labels resolve to the MIN doc_id
+    per component — identical semantics to the distributed min-label
+    propagation."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -420,9 +422,16 @@ def connected_components(
     # bounded count: limit(N+1) caps the check itself at N+1 rows
     n_pairs = pairs.limit(driver_max_edges + 1).count()
     if n_pairs <= driver_max_edges:
-        edge_rows = pairs.select("doc_a", "doc_b").collect()
+        # Arrow collect (toPandas): two int64 columns land as numpy buffers
+        # (~16 B/edge -> ~32 MB at the 2M default bound). A Row collect
+        # would cost 100+ B/edge in Python objects — several hundred MB of
+        # driver heap at the same bound.
+        edge_pdf = pairs.select("doc_a", "doc_b").toPandas()
         labels_map = _union_find_components(
-            [(int(r["doc_a"]), int(r["doc_b"])) for r in edge_rows]
+            zip(
+                map(int, edge_pdf["doc_a"].to_numpy()),
+                map(int, edge_pdf["doc_b"].to_numpy()),
+            )
         )
         spark = pairs.sparkSession
         labels = spark.createDataFrame(

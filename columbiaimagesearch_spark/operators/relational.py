@@ -1285,8 +1285,9 @@ def w_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ops=("X-asof-join",),
     # Beyond-inventory showcase (X- tag): the as-of join the brief names as
     # the canonical operator Spark lacks, expressed as a composition of
-    # built-ins. Folded (local DuckDB ASOF JOIN parity + bench).
-    driver=False,
+    # built-ins. Promoted to the driver window in r5 (slot freed by folding
+    # the now-redundant a5_recall_stats) so the showcase gets a hash-checked
+    # driver row against DuckDB's native ASOF JOIN.
     doc="As-of join (each event matched to its user's LATEST order at or "
     "before the event time) via the union-carry composition: tag both "
     "relations, union on (key, time), ONE window per key ordered by "

@@ -60,7 +60,16 @@ def _meta_path(stream_dir: str) -> str:
 class KinesisStreamEmulator:
     """The 'service': a directory holding shard-partitioned record files and
     the per-shard next-sequence-number meta (what Kinesis assigns
-    server-side)."""
+    server-side).
+
+    The shard set is DYNAMIC (resharding): ``split_shard`` closes a parent
+    and opens two children; ``merge_shards`` closes two parents and opens
+    one child — the Kinesis reshard lifecycle (closed shards keep their
+    records for draining but receive no new ones). Consumers re-list shards
+    every sweep through the records table itself, so a cursorless new shard
+    reads from its beginning (the TRIM_HORIZON contract) — mirroring the
+    reference's per-sweep ``describe_stream`` re-listing
+    (``ingester/kinesis_ingester.py:187-240``)."""
 
     stream_dir: str
     n_shards: int = 2
@@ -68,9 +77,18 @@ class KinesisStreamEmulator:
     def __post_init__(self) -> None:
         os.makedirs(_records_dir(self.stream_dir), exist_ok=True)
         if not os.path.isfile(_meta_path(self.stream_dir)):
-            self._write_meta({"n_shards": self.n_shards, "next_seq": {}})
+            self._write_meta(
+                {
+                    "shards": {
+                        f"shard-{i:04d}": {"open": True}
+                        for i in range(self.n_shards)
+                    },
+                    "next_seq": {},
+                    "next_shard": self.n_shards,
+                }
+            )
         else:
-            self.n_shards = int(self._read_meta()["n_shards"])
+            self.n_shards = len(self.open_shards())
 
     def _read_meta(self) -> dict:
         with open(_meta_path(self.stream_dir)) as f:
@@ -82,26 +100,80 @@ class KinesisStreamEmulator:
             json.dump(meta, f)
         os.replace(tmp, _meta_path(self.stream_dir))
 
+    # -- resharding (describe_stream twin) -----------------------------------
+    def list_shards(self) -> dict[str, dict]:
+        """All shards with their open/closed state (describe_stream)."""
+        return dict(self._read_meta()["shards"])
+
+    def open_shards(self) -> list[str]:
+        return sorted(
+            sh for sh, st in self._read_meta()["shards"].items() if st["open"]
+        )
+
+    def _next_shard_id(self, meta: dict) -> str:
+        sid = f"shard-{int(meta['next_shard']):04d}"
+        meta["next_shard"] = int(meta["next_shard"]) + 1
+        return sid
+
+    def split_shard(self, shard_id: str) -> tuple[str, str]:
+        """Close ``shard_id`` and open two children (Kinesis SplitShard):
+        the parent's records stay readable (drained by consumers); new
+        records route only to open shards."""
+        meta = self._read_meta()
+        if not meta["shards"].get(shard_id, {}).get("open"):
+            raise ValueError(f"cannot split closed/unknown shard {shard_id!r}")
+        meta["shards"][shard_id] = {"open": False}
+        children = (self._next_shard_id(meta), self._next_shard_id(meta))
+        for ch in children:
+            meta["shards"][ch] = {"open": True, "parent": shard_id}
+        self._write_meta(meta)
+        self.n_shards = len(self.open_shards())
+        return children
+
+    def merge_shards(self, shard_a: str, shard_b: str) -> str:
+        """Close both parents and open one child (Kinesis MergeShards)."""
+        meta = self._read_meta()
+        for sh in (shard_a, shard_b):
+            if not meta["shards"].get(sh, {}).get("open"):
+                raise ValueError(f"cannot merge closed/unknown shard {sh!r}")
+            meta["shards"][sh] = {"open": False}
+        child = self._next_shard_id(meta)
+        meta["shards"][child] = {"open": True, "parents": [shard_a, shard_b]}
+        self._write_meta(meta)
+        self.n_shards = len(self.open_shards())
+        return child
+
     # -- S10: producer sink -------------------------------------------------
     def put_records(self, df: DataFrame, key_col: str, data_col: str) -> int:
         """Append records routed to shards by partition key (the pusher
         contract, kinesis_pusher.py: sha1 partition key -> shard): shard =
-        pmod(hash(key), n_shards); per-shard sequence numbers continue from
-        the service meta. Returns the number of records written."""
+        open_shards[pmod(hash(key), n_open)] — the twin of Kinesis's MD5
+        hash-range routing, restricted to OPEN shards so resharding takes
+        effect on the very next put; per-shard sequence numbers continue
+        from the service meta. Returns the number of records written."""
         meta = self._read_meta()
-        base = {f"shard-{i:04d}": int(meta["next_seq"].get(f"shard-{i:04d}", 0))
-                for i in range(self.n_shards)}
-        shard = F.concat(
-            F.lit("shard-"),
-            F.lpad(F.pmod(F.xxhash64(F.col(key_col)), self.n_shards).cast("string"), 4, "0"),
+        open_list = sorted(
+            sh for sh, st in meta["shards"].items() if st["open"]
+        )
+        if not open_list:
+            raise ValueError("stream has no open shards")
+        base = {sh: int(meta["next_seq"].get(sh, 0)) for sh in open_list}
+        route_df = F.broadcast(
+            df.sparkSession.createDataFrame(
+                list(enumerate(open_list)), "sidx int, shard_id string"
+            )
         )
         w = Window.partitionBy("shard_id").orderBy("partition_key", "data")
         out = (
             df.select(
-                shard.alias("shard_id"),
+                F.pmod(F.xxhash64(F.col(key_col)), len(open_list))
+                .cast("int")
+                .alias("sidx"),
                 F.col(key_col).cast("string").alias("partition_key"),
                 F.col(data_col).cast("string").alias("data"),
             )
+            .join(route_df, "sidx")
+            .drop("sidx")
             .withColumn("rn", F.row_number().over(w))
         )
         base_df = F.broadcast(

@@ -182,3 +182,58 @@ def test_corrupt_records_skip_but_cursor_advances(spark, stream, tmp_path):
     assert run_ingest_kinesis(
         spark, stream, infos, ledger, batch_size=30, date_str="2024-03-01"
     ) == 0
+
+
+def test_reshard_split_new_shard_records_not_lost(spark, stream, tmp_path):
+    """Resharding contract (reference re-lists shards per sweep,
+    kinesis_ingester.py:187-240): after a SplitShard between commits, a
+    restarted consumer with no cursor for the children reads them from
+    their beginning (TRIM_HORIZON) — records landing on new shards after
+    the first commit are never lost, and the closed parent drains."""
+    infos = str(tmp_path / "shard_infos.json")
+    stream.put_records(_msgs(spark, 0, 40), "key", "data")
+    c1 = KinesisConsumerEmulator(stream, infos)
+    b1 = c1.read_new(spark)
+    assert b1.count() == 40
+    c1.commit(b1)
+
+    children = stream.split_shard("shard-0001")
+    assert set(stream.open_shards()) == {"shard-0000", *children}
+    assert stream.list_shards()["shard-0001"]["open"] is False
+    stream.put_records(_msgs(spark, 40, 100), "key", "data")
+    post = stream.records(spark).where(
+        F.col("sequence_number").isNotNull()
+    ).toPandas()
+    # new records routed to open shards only — none to the closed parent
+    new_on_parent = post[
+        (post["shard_id"] == "shard-0001")
+        & (post["partition_key"].isin([f"sha1_{i}" for i in range(40, 100)]))
+    ]
+    assert len(new_on_parent) == 0
+    landed_on_children = post[post["shard_id"].isin(children)]
+    assert len(landed_on_children) > 0, "split children must receive traffic"
+
+    # RESTART: fresh consumer object on the same shard-infos
+    c2 = KinesisConsumerEmulator(stream, infos)
+    b2 = c2.read_new(spark)
+    got = {r["partition_key"] for r in b2.collect()}
+    assert got == {f"sha1_{i}" for i in range(40, 100)}, "new-shard records lost"
+    c2.commit(b2)
+    # nothing left after commit
+    assert KinesisConsumerEmulator(stream, infos).read_new(spark).count() == 0
+
+
+def test_reshard_merge_closes_parents_and_drains(spark, stream, tmp_path):
+    infos = str(tmp_path / "shard_infos.json")
+    stream.put_records(_msgs(spark, 0, 30), "key", "data")
+    child = stream.merge_shards("shard-0000", "shard-0001")
+    assert stream.open_shards() == [child]
+    stream.put_records(_msgs(spark, 30, 60), "key", "data")
+    only_child = stream.records(spark).where(F.col("shard_id") == child)
+    assert only_child.count() == 30  # all post-merge traffic on the child
+    # one sweep drains BOTH the closed parents' backlog and the child
+    c = KinesisConsumerEmulator(stream, infos)
+    b = c.read_new(spark)
+    assert b.count() == 60
+    c.commit(b)
+    assert KinesisConsumerEmulator(stream, infos).read_new(spark).count() == 0

@@ -406,3 +406,48 @@ def test_appended_files_stay_cell_sorted(spark, codes, tmp_path):
     assert any(
         pq.ParquetFile(str(f)).metadata.num_row_groups > 1 for f in appended
     ), "expected at least one multi-row-group appended file"
+
+
+def test_crashed_append_detected_and_auto_repaired(
+    spark, model, codes, queries_np, tmp_path, monkeypatch
+):
+    """Crash between the data append and the sidecar merge: the intent
+    marker stays set, so the next search_from_layout must DETECT the stale
+    sidecar, auto-repair (rebuild_histogram), and return the same answers
+    as a search over the full codes relation — never silently under-visit
+    the newly landed cells."""
+    path = str(tmp_path / "codes_crash")
+    first = codes.where(F.col("id") < 250)
+    rest = codes.where(F.col("id") >= 250)
+    layout.write_codes_partitioned(first, path, bucket_cells=8)
+    assert not layout.layout_is_pending(path)
+
+    def boom(spark_, p):
+        raise RuntimeError("simulated crash before sidecar merge")
+
+    monkeypatch.setattr(layout, "read_cell_histogram", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        layout.append_codes_to_layout(rest, path)
+    monkeypatch.undo()
+
+    # data landed, sidecar did not: marker set, sidecar under-counts
+    assert layout.layout_is_pending(path)
+    true_hist = {
+        int(r["cell"]): int(r["n"])
+        for r in codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert layout.read_cell_histogram(spark, path) != true_hist
+
+    with pytest.warns(RuntimeWarning, match="interrupted append"):
+        got = layout.search_from_layout(
+            spark, path, model, queries_np, quota=QUOTA, k=TOP_K
+        )
+    rows = lambda df: sorted(  # noqa: E731
+        (int(r["qid"]), int(r["rank"]), int(r["id"]), round(float(r["adc_dist"]), 9))
+        for r in df.collect()
+    )
+    want = search(spark, codes, model, queries_np, quota=QUOTA, k=TOP_K)
+    assert rows(got) == rows(want)
+    # repair committed: marker cleared, sidecar now matches the data
+    assert not layout.layout_is_pending(path)
+    assert layout.read_cell_histogram(spark, path) == true_hist
