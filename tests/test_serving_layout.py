@@ -451,3 +451,14 @@ def test_crashed_append_detected_and_auto_repaired(
     # repair committed: marker cleared, sidecar now matches the data
     assert not layout.layout_is_pending(path)
     assert layout.read_cell_histogram(spark, path) == true_hist
+
+
+def test_budget_guard_exact_boundary(spark, model, codes):
+    """The snapshot budget at its exact limit: loading precisely max_rows
+    succeeds, one more row over (via add_codes) raises BEFORE any collect
+    — the guard is conservative (checks incoming+existing, pre-dedup)."""
+    n = codes.count()
+    s = ServingSearcher(model, max_rows=n).load_codes(codes)
+    assert s.n_items == n
+    with pytest.raises(ValueError, match="serving replica budget"):
+        s.add_codes(codes.limit(1))
