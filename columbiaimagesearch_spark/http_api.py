@@ -1,0 +1,393 @@
+"""HTTP serving layer — the reference's REST surface over the serving tier.
+
+The reference exposes search through a Flask/flask-restful endpoint
+(``cufacesearch/cufacesearch/api/api.py`` APIResponder, registered at
+``/<endpoint>/<mode>`` by ``www/run_search_api.py:61``). This module is the
+same surface as a stdlib-only ``http.server`` layer (no Flask in this
+environment), deliberately transport-thin: every search request is answered
+by the in-memory :class:`~.lopq.serving.ServingSearcher` replica (the <1 s
+tier), never by launching a Spark job — exactly the reference's
+architecture, where gunicorn workers hold the loaded LOPQ searcher.
+
+Covered modes (``api.py:43-70,120-169``):
+- ``byB64``   — comma-separated base64 images (``search_byB64``, api.py:287-305)
+- ``bySHA1``  — comma-separated indexed sha1s (``search_bySHA1``, api.py:260-285)
+- ``status``  — uptime / index size / last refresh (``status``, api.py:321-338)
+- ``refresh`` — reindex pending images (``refresh``, api.py:308-319; our twin
+  takes the new-images relation through the same extract→encode→add_codes
+  path, ST6 at the serving tier)
+
+Options contract (``api.py:40-41,192-215`` get_options_dict/append_errors):
+{near_dup, near_dup_th, max_returned, rerank_nb}; unknown options do not
+fail the query — they append an ``errors`` map to the response. Responses
+carry ``Timing`` like ``process_query`` (api.py:155-189). Output field
+names follow the reference's CamelCase DictOutput map
+(``searcher/output_mapping.py:54-59``: QuerySha1 / SimilarImages /
+NumberImages / ImageSha1s / Distances).
+
+Scale shape: the service holds ONLY budget-guarded serving state (codes
+dict, id→sha1 array, rerank vectors — the reference's per-worker LMDB/dict
+envelope); the Spark cluster is touched at build/refresh time, one
+distributed extract+encode pass each, with bounded driver collects.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+from datetime import datetime
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_ENDPOINT = "cuimgsearch"  # www/run_search_api.py:40 default
+VALID_OPTIONS = ("near_dup", "near_dup_th", "max_returned", "rerank_nb")
+DEFAULT_NEAR_DUP_TH = 0.8  # generic_searcher.py:43-45
+DEFAULT_MAX_RETURNED = 10
+QUOTA_CAP = 10_000  # searcher_lopqhbase.py:838
+
+
+class ImageSearchService:
+    """The engine behind the endpoint: a serving replica plus the metadata
+    needed to answer byB64/bySHA1 without Spark on the query path.
+
+    Build with :meth:`build` (one distributed extraction + encode over the
+    images relation, bounded-sample LOPQ fit — the same composition as
+    ``api.search_by_image``, but the artifacts are KEPT for serving).
+    """
+
+    def __init__(self, spark, model, searcher, id_to_sha1, sha1_to_ids,
+                 q_model, mode: str) -> None:
+        self.spark = spark
+        self.model = model
+        self.searcher = searcher  # ServingSearcher with resident vectors
+        self.id_to_sha1 = id_to_sha1  # dict[int, str]
+        self.sha1_to_ids = sha1_to_ids  # dict[str, list[int]]
+        self.q_model = q_model
+        self.mode = mode
+        self.start_time = datetime.now()
+        self.last_refresh = datetime.now()
+
+    # -- build / refresh -----------------------------------------------------
+    @staticmethod
+    def _extract_ided(images: DataFrame, mode: str, model_factory):
+        from .functions.rank import ordered_global_index
+        from .multimodal.images import run_extraction
+
+        feats = run_extraction(images, mode=mode, model_factory=model_factory)
+        ok = feats.where(F.col("failed") == 0)
+        if mode == "face":
+            ok = ok.select(
+                F.concat_ws(
+                    "_", "sha1",
+                    F.col("bbox.left"), F.col("bbox.top"),
+                    F.col("bbox.right"), F.col("bbox.bottom"),
+                ).alias("item_key"),
+                "sha1",
+                "feature",
+            )
+        else:
+            ok = ok.select(F.col("sha1").alias("item_key"), "sha1", "feature")
+        return ordered_global_index(ok, "item_key", "id").select(
+            "id", "sha1", F.col("feature").cast("array<double>").alias("v")
+        )
+
+    @classmethod
+    def build(
+        cls,
+        spark,
+        images: DataFrame,
+        mode: str = "full_image",
+        model_factory=None,
+        train_params: dict | None = None,
+    ) -> "ImageSearchService":
+        from .lopq.encode import encode_dataframe
+        from .lopq.model import LOPQModel
+        from .lopq.serving import ServingSearcher
+        from .multimodal.images import ToyExtractionModel
+
+        factory = model_factory or ToyExtractionModel
+        params = train_params or {"V": 4, "M": 4, "K": 8, "seed": 5, "n_iter": 8}
+        ided = cls._extract_ided(images, mode, factory).persist()
+        try:
+            # bounded ordered training subsample (the reference's nb_train)
+            sample = np.array(
+                [r["v"] for r in ided.orderBy("id").limit(20000).collect()],
+                dtype=np.float64,
+            )
+            model = LOPQModel.fit(sample, **params)
+            codes = encode_dataframe(spark, ided, model, id_col="id", vec_col="v")
+            searcher = ServingSearcher(model).load_codes(codes)
+            searcher.load_vectors(ided, id_col="id", vec_col="v")
+            # budget-bounded serving metadata (same row count as the codes
+            # snapshot the ServingSearcher already guards)
+            meta = ided.select("id", "sha1").collect()
+        finally:
+            ided.unpersist()
+        id_to_sha1 = {int(r["id"]): r["sha1"] for r in meta}
+        sha1_to_ids: dict[str, list[int]] = {}
+        for r in meta:
+            sha1_to_ids.setdefault(r["sha1"], []).append(int(r["id"]))
+        return cls(spark, model, searcher, id_to_sha1, sha1_to_ids,
+                   factory(), mode)
+
+    def refresh(self, new_images: DataFrame) -> int:
+        """Index new images into the running service (the reference's
+        ``refresh``/``check_new_updates`` — searcher.load_codes(full/new),
+        api.py:308-319,340-358): one distributed extract+encode pass over
+        ``new_images``, then J7-deduped ``add_codes`` into the replica.
+        Returns the number of new items admitted."""
+        from .lopq.encode import encode_dataframe
+
+        ided = self._extract_ided(new_images, self.mode, type(self.q_model))
+        # keep ids globally unique: continue after the current max id
+        base = max(self.id_to_sha1, default=-1) + 1
+        ided = ided.select(
+            (F.col("id") + base).alias("id"), "sha1", "v"
+        ).persist()
+        try:
+            codes = encode_dataframe(
+                self.spark, ided, self.model, id_col="id", vec_col="v"
+            )
+            before = self.searcher.n_items
+            # refreshed sha1s that are ALREADY indexed dedup away inside
+            # add_codes only by (cell, id); dedup by sha1 here (ST4)
+            fresh_meta = [
+                r for r in ided.select("id", "sha1").collect()
+                if r["sha1"] not in self.sha1_to_ids
+            ]
+            fresh_ids = {int(r["id"]) for r in fresh_meta}
+            if not fresh_ids:
+                return 0
+            fresh_ids_df = F.broadcast(
+                self.spark.createDataFrame(
+                    [(i,) for i in sorted(fresh_ids)], "id long"
+                )
+            )
+            self.searcher.add_codes(codes.join(fresh_ids_df, "id"))
+            vec_rows = ided.join(fresh_ids_df, "id").select("id", "v").collect()
+            for r in vec_rows:
+                self.searcher._vectors[int(r["id"])] = np.asarray(
+                    r["v"], dtype=np.float64
+                )
+            for r in fresh_meta:
+                self.id_to_sha1[int(r["id"])] = r["sha1"]
+                self.sha1_to_ids.setdefault(r["sha1"], []).append(int(r["id"]))
+        finally:
+            ided.unpersist()
+        self.last_refresh = datetime.now()
+        return self.searcher.n_items - before
+
+    # -- queries ---------------------------------------------------------------
+    def _query_vectors(self, data: bytes) -> list[np.ndarray]:
+        if self.mode == "full_image":
+            return [np.asarray(self.q_model.featurize_full(data), dtype=np.float64)]
+        return [
+            np.asarray(
+                self.q_model.featurize_face(data, bbox[:4]), dtype=np.float64
+            )
+            for bbox in self.q_model.detect(data)
+        ]
+
+    def _search_one(self, q: np.ndarray, opts: dict) -> dict:
+        max_returned = int(opts.get("max_returned", DEFAULT_MAX_RETURNED))
+        rerank_nb = int(opts.get("rerank_nb", 4 * max_returned))
+        quota = min(1000 * max_returned, QUOTA_CAP)
+        hits = self.searcher.search(
+            q, quota=quota, k=max_returned, rerank_nb=rerank_nb
+        )
+        rows = [(int(i), float(ex)) for i, _adc, ex in hits]
+        if opts.get("near_dup"):
+            th = float(opts.get("near_dup_th", DEFAULT_NEAR_DUP_TH))
+            rows = [(i, d) for i, d in rows if d <= th]
+        return {
+            "NumberImages": len(rows),
+            "ImageSha1s": [self.id_to_sha1[i] for i, _ in rows],
+            "Distances": [round(d, 6) for _, d in rows],
+        }
+
+    def search_b64_list(self, b64s: list[str], opts: dict) -> dict:
+        out = []
+        for b in b64s:
+            data = base64.b64decode(b)
+            entry: dict[str, Any] = {
+                "QuerySha1": _sha1_hex(data),
+            }
+            sims = [self._search_one(q, opts) for q in self._query_vectors(data)]
+            if self.mode == "full_image":
+                entry["SimilarImages"] = sims[0] if sims else _empty_similar()
+            else:
+                entry["NumberFaces"] = len(sims)
+                entry["SimilarFaces"] = sims
+            out.append(entry)
+        return {"images": out, "search_mode": self.mode}
+
+    def search_sha1_list(self, sha1s: list[str], opts: dict) -> dict:
+        """Query by indexed sha1 (api.py:260-285 re-fetches the image and
+        re-runs the search path; featurization here is deterministic, so
+        probing with the item's RESIDENT vectors is the same answer without
+        the re-fetch)."""
+        out = []
+        for sha1 in sha1s:
+            entry: dict[str, Any] = {"QuerySha1": sha1}
+            ids = self.sha1_to_ids.get(sha1)
+            if ids is None:
+                entry["error"] = "sha1 not indexed"
+                entry["SimilarImages"] = _empty_similar()
+            else:
+                sims = [
+                    self._search_one(self.searcher._vectors[i], opts)
+                    for i in ids
+                ]
+                if self.mode == "full_image":
+                    entry["SimilarImages"] = sims[0]
+                else:
+                    entry["NumberFaces"] = len(sims)
+                    entry["SimilarFaces"] = sims
+            out.append(entry)
+        return {"images": out, "search_mode": self.mode}
+
+    def status(self) -> dict:
+        now = datetime.now()
+        return {
+            "status": "OK",
+            "API_start_time": self.start_time.isoformat(" "),
+            "API_uptime": str(now - self.start_time),
+            "last_refresh_time": self.last_refresh.isoformat(" "),
+            "nb_indexed": str(self.searcher.n_items),
+        }
+
+
+def _sha1_hex(data: bytes) -> str:
+    import hashlib
+
+    return hashlib.sha1(data).hexdigest().upper()
+
+
+def _empty_similar() -> dict:
+    return {"NumberImages": 0, "ImageSha1s": [], "Distances": []}
+
+
+def _parse_options(options_raw: str | None) -> tuple[dict, list[str]]:
+    """get_options_dict (api.py:192-215): bad JSON or unknown keys append
+    errors, never fail the request."""
+    errors: list[str] = []
+    opts: dict = {}
+    if options_raw:
+        try:
+            opts = json.loads(options_raw)
+        except Exception as inst:  # noqa: BLE001 — contract: report, not raise
+            errors.append(f"Could not load options from: {options_raw}. {inst}")
+            opts = {}
+        for k in list(opts):
+            if k not in VALID_OPTIONS:
+                errors.append(f"Unknown option {k}")
+                opts.pop(k)
+    return opts, errors
+
+
+def _append_errors(outp: dict, errors: list[str]) -> dict:
+    if errors:
+        e_d = dict(outp.get("errors", {}))
+        for i, e in enumerate(errors, start=len(e_d)):
+            e_d[f"error_{i}"] = e
+        outp["errors"] = e_d
+    return outp
+
+
+def _process(service: ImageSearchService, mode: str,
+             data: str | None, options_raw: str | None) -> dict:
+    if not data:
+        # mode-only requests (process_mode, api.py:120-143)
+        if mode == "status":
+            return service.status()
+        if mode == "refresh":
+            return {"refresh": "pass the new images relation to "
+                               "ImageSearchService.refresh() server-side"}
+        return {"error": f"unknown_mode: {mode}. Did you forget to give "
+                         "'data' parameter?"}
+    start = time.time()
+    opts, errors = _parse_options(options_raw)
+    if mode == "byB64":
+        resp = service.search_b64_list(
+            [x for x in data.split(",") if not x.startswith("data:")], opts
+        )
+    elif mode == "bySHA1":
+        resp = service.search_sha1_list(data.split(","), opts)
+    else:
+        return {"error": f"unknown_mode: {mode}"}
+    resp = _append_errors(resp, errors)
+    resp["Timing"] = time.time() - start
+    return resp
+
+
+def make_server(
+    service: ImageSearchService,
+    endpoint: str = DEFAULT_ENDPOINT,
+    host: str = "127.0.0.1",
+    port: int = 0,
+) -> ThreadingHTTPServer:
+    """A ready-to-serve ThreadingHTTPServer bound to ``host:port`` (port 0 =
+    ephemeral; read ``server.server_address``). Routes
+    GET/POST ``/<endpoint>/<mode>`` exactly like the reference registration
+    (``run_search_api.py:61``); POST accepts urlencoded forms or a JSON
+    body with {data, options} (``put_post``, api.py:92-118)."""
+    prefix = f"/{endpoint}/"
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet test output
+            pass
+
+        def _respond(self, obj: dict, code: int = 200) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _route(self, data: str | None, options_raw: str | None) -> None:
+            parsed = urlparse(self.path)
+            if not parsed.path.startswith(prefix):
+                self._respond({"error": f"unknown endpoint {parsed.path}"}, 404)
+                return
+            mode = parsed.path[len(prefix):].strip("/")
+            if data is None:  # GET: query string carries data/options
+                qs = parse_qs(parsed.query)
+                data = qs.get("data", [None])[0]
+                options_raw = qs.get("options", [None])[0]
+            self._respond(_process(service, mode, data, options_raw))
+
+        def do_GET(self):
+            self._route(None, None)
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length).decode() if length else ""
+            ctype = self.headers.get("Content-Type", "")
+            if "json" in ctype:
+                form = json.loads(raw) if raw else {}
+            else:
+                qs = parse_qs(raw)
+                form = {k: v[0] for k, v in qs.items()}
+            data = form.get("data")
+            if data is None:
+                self._respond({"error": "no data received"})
+                return
+            self._route(data, form.get("options"))
+
+        do_PUT = do_POST
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_in_thread(server: ThreadingHTTPServer) -> threading.Thread:
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return t

@@ -25,11 +25,18 @@ once per shingle, not once per (shingle, seed).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
+
+# Block count for the exact-Jaccard block-pair matmul: every doc replicates
+# to B tasks, task (a, b) handles its two blocks' pairs in one matmul.
+# Per-task work is O((2n/B)^2); raise with corpus size.
+JACCARD_BLOCKS = 16
 
 # LSH tuning: threshold ~ (1/b)^(1/r). r=3, b=8 puts the S-curve midpoint at
 # (1/8)^(1/3) = 0.5 — exactly the verify threshold — while keeping background
@@ -137,17 +144,88 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 """,
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact all-pairs, but NOT the per-pair broadcast nested-loop form: that
+    # evaluated array_intersect once per (i, j) in codegen — ~36 us/pair,
+    # 452 s for sf0.1's 12.5M pairs (r5 second-tier bench caught it). An
+    # inverted-index join is WORSE on this corpus (tiny shingle vocabulary,
+    # heavy sharing: 36M candidate pairs > 12.5M all-pairs). Instead: the
+    # block-PAIR matmul idiom (emb_near_dup_pairs's batching applied to an
+    # unblocked corpus) — docs replicate to B tasks each, task (a, b)
+    # factorizes its local shingle vocabulary and computes ALL intersection
+    # counts of its two blocks as ONE 0/1 float32 matmul (set sizes are the
+    # row sums; Jaccard = i / (|A|+|B|-i)). Same 12.5M-pair work at BLAS
+    # speed: 452 s -> ~2 s at sf0.1. Every pair lands in exactly one task
+    # (same-block pairs in (p, p), cross in (min, max)).
+    #
+    # Scale shape: this stays the SMALL-N ground-truth rung of the ladder
+    # (MinHash-LSH is the scale path) — O(n^2/B) work per task, per-task
+    # memory = n_task x local_vocab floats, shuffle = B copies of the
+    # shingle sets. Raise JACCARD_BLOCKS with corpus size to keep tasks
+    # bounded; past ~100k docs use dedup_minhash_lsh_pairs.
+    B = JACCARD_BLOCKS
     sh = shingled_docs(spark, sf_dir)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter.cast("double") / union
-    return (
-        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
-        .where(jac >= NGRAM_PAIR_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    replicas = F.broadcast(
+        spark.range(B).select(F.col("id").cast("int").alias("oblk"))
     )
+    tagged = (
+        sh.withColumn("blk", F.pmod(F.col("doc_id"), B).cast("int"))
+        .crossJoin(replicas)
+        .select(
+            F.least("blk", "oblk").alias("ba"),
+            F.greatest("blk", "oblk").alias("bb"),
+            "doc_id",
+            "blk",
+            "shingles",
+        )
+    )
+
+    def block_pair_jaccard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        if not len(pdf):
+            return empty
+        ba, bb = int(key[0]), int(key[1])
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        ids = pdf["doc_id"].to_numpy()
+        blks = pdf["blk"].to_numpy()
+        sh_lists = [list(s) if s is not None else [] for s in pdf["shingles"]]
+        lens = np.fromiter((len(s) for s in sh_lists), dtype=np.int64,
+                           count=len(sh_lists))
+        if lens.sum() == 0:
+            return empty
+        flat = np.concatenate(
+            [np.asarray(s, dtype=object) for s in sh_lists if s]
+        )
+        codes, _uniq = pd.factorize(flat)
+        M = np.zeros((len(pdf), codes.max() + 1), dtype=np.float32)
+        M[np.repeat(np.arange(len(pdf)), lens), codes] = 1.0
+        inter = M @ M.T
+        if ba == bb:
+            ia, ib = np.triu_indices(len(pdf), k=1)
+        else:
+            sel_a = np.flatnonzero(blks == ba)
+            sel_b = np.flatnonzero(blks == bb)
+            ia = np.repeat(sel_a, len(sel_b))
+            ib = np.tile(sel_b, len(sel_a))
+        i = inter[ia, ib].astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            jac = i / (lens[ia] + lens[ib] - i)
+        keep = jac >= NGRAM_PAIR_THRESHOLD  # NaN (0/0) compares False
+        ia, ib, jac = ia[keep], ib[keep], jac[keep]
+        a_ids, b_ids = ids[ia], ids[ib]
+        return pd.DataFrame(
+            {
+                "doc_a": np.minimum(a_ids, b_ids),
+                "doc_b": np.maximum(a_ids, b_ids),
+                "jaccard": jac,
+            }
+        )
+
+    pairs = tagged.groupBy("ba", "bb").applyInPandas(
+        block_pair_jaccard, "doc_a bigint, doc_b bigint, jaccard double"
+    )
+    # round Spark-side (HALF_UP BigDecimal semantics — matches the DuckDB
+    # oracle's ROUND; np.round is half-even and would eventually mismatch)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------
