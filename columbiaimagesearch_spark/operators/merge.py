@@ -47,7 +47,11 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     "cloned under offset keys (not-matched→insert); merged = target "
     "anti-join source keys ∪ source. Verified via per-status counts, "
     "distinct-key counts, and price sums — a dropped update, duplicated "
-    "key, or missed insert shifts at least one cell.",
+    "key, or missed insert shifts at least one cell. Prices sum as exact "
+    "integer CENTS (per-row HALF_UP round then BIGINT sum): a double SUM "
+    "rounded post-hoc carries ~1e-4 of summation-order noise at sf0.1's "
+    "1e10 totals, which no fixed decimal rounding can absorb (caught by "
+    "the r5 cross-sf parity sweep).",
     oracle=f"""
 WITH t AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
@@ -70,7 +74,8 @@ merged AS (
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
-       ROUND(SUM(o_totalprice), 4) AS total_price
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_price_cents
 FROM merged
 GROUP BY o_orderstatus
 """,
@@ -93,5 +98,7 @@ def s6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_orderkey").alias("n_keys"),
-        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_price_cents"),
     )

@@ -1376,8 +1376,9 @@ _RANGE_BIN = 25.0  # bin width for the equi-join rewrite
     survey_ops=("X-range-join",),
     # Beyond-inventory showcase (X- tag), like the as-of join: the range
     # (inequality) join expressed as an equi-join so Catalyst picks a HASH
-    # join instead of BroadcastNestedLoopJoin. Folded (local parity + bench).
-    driver=False,
+    # join instead of BroadcastNestedLoopJoin. Promoted to the driver
+    # window in r5 (slot freed by folding the tag-redundant
+    # st1_count_batch_assembly) — second X-tag hash-checked row.
     doc="Range join (point-in-interval): each event's value assigned to its "
     "[lo, hi) tier. The naive non-equi join plans as a nested-loop (every "
     "row probes every range); the REWRITE snaps both sides to fixed-width "
