@@ -125,8 +125,12 @@ class ImageSearchService:
             codes = encode_dataframe(spark, ided, model, id_col="id", vec_col="v")
             searcher = ServingSearcher(model).load_codes(codes)
             searcher.load_vectors(ided, id_col="id", vec_col="v")
-            # budget-bounded serving metadata (same row count as the codes
-            # snapshot the ServingSearcher already guards)
+            # Serving metadata (id -> sha1) is resident BY DESIGN here —
+            # this is the per-replica dict the reference keeps in LMDB, not
+            # the batch facade's query path (api.py resolves metadata with
+            # a distributed join). Its cardinality equals the codes
+            # snapshot, so the load_codes budget guard above has already
+            # raised before this collect can exceed the replica envelope.
             meta = ided.select("id", "sha1").collect()
         finally:
             ided.unpersist()
