@@ -220,3 +220,27 @@ def test_kinesis_cursor_scan_prunes(spark, tmp_path):
     # broadcast the O(shards) cursor table; never shuffle the records table
     assert "BroadcastHashJoin" in plan, plan
     assert sweep.count() == 0  # everything below the committed cursors
+
+
+def test_jaccard_block_pairs_no_nested_loop(spark):
+    """The exact-Jaccard block-pair matmul (r5): pairwise work lives inside
+    Arrow tasks, so the plan must contain the block-replication broadcast
+    and the applyInPandas stage — and NEVER the per-pair broadcast
+    nested-loop join (the 452 s-at-sf0.1 form this replaced)."""
+    plan = explain.formatted_plan(_q(spark, "dedup_ngram_jaccard_pairs"))
+    # pairwise scoring lives in the Arrow task, never in an expression
+    # evaluated per (i, j): the old form's array_intersect must be gone
+    assert "array_intersect" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    # one shuffle: the groupBy (ba, bb) that forms the block-pair tasks
+    # (formatted mode: shuffle nodes print as "+- Exchange (n)",
+    # broadcasts as "+- BroadcastExchange (n)")
+    assert plan.count("+- Exchange") == 1, plan
+    # the ONLY nested-loop allowed is the B-row replication broadcast
+    # (crossJoin against Range(0, JACCARD_BLOCKS)) — a doc-vs-doc
+    # nested-loop would mean the quadratic join crept back
+    assert plan.count("+- BroadcastNestedLoopJoin") <= 1, plan
+    if "BroadcastNestedLoopJoin" in plan:
+        from columbiaimagesearch_spark.operators.dedup import JACCARD_BLOCKS
+
+        assert f"Range (0, {JACCARD_BLOCKS}" in plan, plan
