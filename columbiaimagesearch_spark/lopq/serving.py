@@ -48,9 +48,9 @@ class ServingSearcher:
         if incoming + existing > self.max_rows:
             raise ValueError(
                 f"codes snapshot of {incoming + existing} rows exceeds the "
-                f"serving replica budget of {self.max_rows}; load a cell "
-                f"range per replica (codes.where('cell BETWEEN lo AND hi')) "
-                f"or raise max_rows explicitly"
+                f"serving replica budget of {self.max_rows}; shard by cell "
+                f"range with ShardedServingRouter.build(model, codes, "
+                f"n_shards) or raise max_rows explicitly"
             )
 
     # -- index build/refresh ------------------------------------------------
@@ -115,6 +115,36 @@ class ServingSearcher:
     def n_items(self) -> int:
         return sum(len(ids) for ids, _ in self._cells.values())
 
+    @property
+    def cell_counts(self) -> dict[int, int]:
+        """Per-cell populations of this replica — the router's planning
+        input (merged across shards, it reconstructs the global histogram
+        the single-replica multisequence traversal uses)."""
+        return {c: len(ids) for c, (ids, _) in self._cells.items()}
+
+    def score_cells(
+        self, q: np.ndarray, cells
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ADC-score every resident item of ``cells`` for PROJECTED query
+        ``q`` (no top-k cut) — the per-shard unit of work in the sharded
+        router, and the inner loop of :meth:`search`. Cells this replica
+        does not hold are skipped (the router sends each shard the global
+        traversal; ownership filtering happens here)."""
+        model = self.model.lopq if isinstance(self.model, LOPQModelPCA) else self.model
+        all_ids: list[np.ndarray] = []
+        all_dists: list[np.ndarray] = []
+        for cell in cells:
+            entry = self._cells.get(cell)
+            if entry is None:
+                continue
+            ids, fines = entry
+            lut = model.adc_lut(q, cell)
+            all_ids.append(ids)
+            all_dists.append(adc_batch_dists(lut, fines))
+        if not all_ids:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        return np.concatenate(all_ids), np.concatenate(all_dists)
+
     # -- rerank feature store ------------------------------------------------
     def load_vectors(self, vec_df: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> "ServingSearcher":
@@ -161,20 +191,11 @@ class ServingSearcher:
             model = model.lopq
         counts = {c: len(ids) for c, (ids, _) in self._cells.items()}
         d1, d2 = model.coarse_distances(q)
-        all_ids: list[np.ndarray] = []
-        all_dists: list[np.ndarray] = []
-        for cell in multisequence_cells(d1, d2, counts, quota):
-            entry = self._cells.get(cell)
-            if entry is None:
-                continue
-            ids, fines = entry
-            lut = model.adc_lut(q, cell)
-            all_ids.append(ids)
-            all_dists.append(adc_batch_dists(lut, fines))
-        if not all_ids:
+        ids, dists = self.score_cells(
+            q, multisequence_cells(d1, d2, counts, quota)
+        )
+        if not len(ids):
             return []
-        ids = np.concatenate(all_ids)
-        dists = np.concatenate(all_dists)
         if rerank_nb:
             keep = np.lexsort((ids, dists))[: int(rerank_nb)]
             short_ids, short_adc = ids[keep], dists[keep]
@@ -187,6 +208,134 @@ class ServingSearcher:
                         "rerank_nb > 0 needs fetch_vectors or load_vectors()"
                     )
                 X = np.stack([vecs[int(i)] for i in short_ids])
+            exact = ((X - q) ** 2).sum(axis=1)
+            top = np.lexsort((short_ids, exact))[:k]
+            return [
+                (int(short_ids[i]), float(short_adc[i]), float(exact[i]))
+                for i in top
+            ]
+        order = np.lexsort((ids, dists))[:k]
+        return [(int(ids[i]), float(dists[i])) for i in order]
+
+
+class ShardedServingRouter:
+    """Cell-range sharded serving — the scale-out path past one replica's
+    snapshot budget (the recipe the budget guard's error message names).
+
+    The reference's envelope is one LMDB searcher per worker; past
+    "millions of images" a single in-memory replica can't hold the index,
+    so shards each load a CONTIGUOUS cell range of the same cell-partitioned
+    codes table (``codes.where(cell BETWEEN lo AND hi)`` — partition-pruned
+    by the layout) and a router answers queries:
+
+    1. plan the multisequence traversal ONCE against the GLOBAL cell
+       histogram (the merge of shard histograms), to the same quota a
+       single replica would use — so the visited-cell set is IDENTICAL to
+       the single-replica searcher's (equality is pinned by tests);
+    2. fan the visited cells out to their owning shards (``score_cells``);
+    3. merge the per-shard (id, adc_dist) candidates and take the global
+       top-k (lexsort: dist asc, id asc — the engine-wide tiebreak).
+
+    Shard boundaries come from the cell histogram (cumulative-mass split),
+    so Zipf-ish cell populations still give balanced shards. Rerank uses a
+    ``fetch_vectors(ids)`` callable — the production shape (only the
+    shortlist's features are ever fetched; searcher_lopqhbase.py:862-886).
+    """
+
+    def __init__(self, model: LOPQModel | LOPQModelPCA,
+                 shards: list[tuple[int, int, ServingSearcher]]) -> None:
+        self.model = model
+        self.shards = shards  # (cell_lo, cell_hi_inclusive, replica)
+
+    @classmethod
+    def build(
+        cls,
+        model: LOPQModel | LOPQModelPCA,
+        codes: DataFrame,
+        n_shards: int,
+        max_rows_per_shard: int = MAX_SNAPSHOT_ROWS,
+    ) -> "ShardedServingRouter":
+        """Split the cell space into ``n_shards`` contiguous ranges of
+        roughly equal MASS (cumulative per-cell counts, one small agg job),
+        then bootstrap one budget-guarded replica per range."""
+        from pyspark.sql import functions as F
+
+        hist = sorted(
+            (int(r["cell"]), int(r["n"]))
+            for r in codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        total = sum(n for _, n in hist)
+        per_shard = max(1, -(-total // n_shards))
+        ranges: list[tuple[int, int]] = []
+        lo, acc = 0, 0
+        lopq = model.lopq if isinstance(model, LOPQModelPCA) else model
+        last_cell = lopq.V * lopq.V - 1
+        for cell, n in hist:
+            acc += n
+            if acc >= per_shard and len(ranges) < n_shards - 1:
+                ranges.append((lo, cell))
+                lo, acc = cell + 1, 0
+        ranges.append((lo, last_cell))
+        shards = []
+        for rlo, rhi in ranges:
+            replica = ServingSearcher(model, max_rows=max_rows_per_shard).load_codes(
+                codes.where(F.col("cell").between(rlo, rhi))
+            )
+            shards.append((rlo, rhi, replica))
+        return cls(model, shards)
+
+    @property
+    def n_items(self) -> int:
+        return sum(s.n_items for _, _, s in self.shards)
+
+    def _global_counts(self) -> dict[int, int]:
+        merged: dict[int, int] = {}
+        for _, _, s in self.shards:
+            merged.update(s.cell_counts)  # ranges are disjoint
+        return merged
+
+    def search(
+        self,
+        q: np.ndarray,
+        quota: int = 1000,
+        k: int = 10,
+        rerank_nb: int = 0,
+        fetch_vectors=None,
+    ) -> list[tuple]:
+        """Same contract (and answers) as ``ServingSearcher.search`` over
+        the union of all shards."""
+        q = np.asarray(q, dtype=np.float64)
+        model = self.model
+        if isinstance(model, LOPQModelPCA):
+            q = model.project_queries(q)[0]
+            model = model.lopq
+        d1, d2 = model.coarse_distances(q)
+        visited = list(
+            multisequence_cells(d1, d2, self._global_counts(), quota)
+        )
+        # fan out: each shard scores only the visited cells it owns
+        by_shard: dict[int, list[int]] = {}
+        for cell in visited:
+            for i, (lo, hi, _s) in enumerate(self.shards):
+                if lo <= cell <= hi:
+                    by_shard.setdefault(i, []).append(cell)
+                    break
+        all_ids, all_dists = [], []
+        for i, cells in by_shard.items():
+            ids, dists = self.shards[i][2].score_cells(q, cells)
+            if len(ids):
+                all_ids.append(ids)
+                all_dists.append(dists)
+        if not all_ids:
+            return []
+        ids = np.concatenate(all_ids)
+        dists = np.concatenate(all_dists)
+        if rerank_nb:
+            keep = np.lexsort((ids, dists))[: int(rerank_nb)]
+            short_ids, short_adc = ids[keep], dists[keep]
+            if fetch_vectors is None:
+                raise ValueError("router rerank needs fetch_vectors(ids)")
+            X = np.asarray(fetch_vectors(short_ids), dtype=np.float64)
             exact = ((X - q) ** 2).sum(axis=1)
             top = np.lexsort((short_ids, exact))[:k]
             return [

@@ -462,3 +462,56 @@ def test_budget_guard_exact_boundary(spark, model, codes):
     assert s.n_items == n
     with pytest.raises(ValueError, match="serving replica budget"):
         s.add_codes(codes.limit(1))
+
+
+def test_sharded_router_equals_single_replica(spark, model, codes, queries_np):
+    """The scale-out recipe implemented: cell-range shards behind a router
+    must answer EVERY query identically to one replica holding the whole
+    index — ADC path and rerank path (shortlist fetch_vectors) alike —
+    because the router plans the multisequence traversal on the merged
+    histogram, not per-shard."""
+    from columbiaimagesearch_spark.lopq.serving import ShardedServingRouter
+    from columbiaimagesearch_spark.sources import load_table
+
+    single = ServingSearcher(model).load_codes(codes)
+    n = codes.count()
+    router = ShardedServingRouter.build(
+        model, codes, n_shards=4, max_rows_per_shard=n  # each shard < total
+    )
+    assert router.n_items == n
+    assert len(router.shards) == 4
+    sizes = [s.n_items for _, _, s in router.shards]
+    assert all(sz < n for sz in sizes), sizes  # genuinely sharded
+    # histogram-mass split: no shard more than ~2x the ideal share
+    assert max(sizes) <= 2 * (n // 4 + 1), sizes
+
+    vec_map = {
+        int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def fetch(ids):
+        return np.stack([vec_map[int(i)] for i in ids])
+
+    for qid, q in queries_np:
+        got = router.search(q, quota=QUOTA, k=TOP_K)
+        want = single.search(q, quota=QUOTA, k=TOP_K)
+        assert got == want, f"ADC path diverged for qid={qid}"
+        got_rr = router.search(q, quota=QUOTA, k=TOP_K, rerank_nb=40,
+                               fetch_vectors=fetch)
+        want_rr = single.search(q, quota=QUOTA, k=TOP_K, rerank_nb=40,
+                                fetch_vectors=fetch)
+        assert got_rr == want_rr, f"rerank path diverged for qid={qid}"
+
+
+def test_sharded_router_respects_per_shard_budget(spark, model, codes):
+    """Each shard's replica enforces its own budget: a per-shard cap below
+    the largest shard's mass raises the standard budget error."""
+    from columbiaimagesearch_spark.lopq.serving import ShardedServingRouter
+
+    n = codes.count()
+    with pytest.raises(ValueError, match="serving replica budget"):
+        ShardedServingRouter.build(model, codes, n_shards=2,
+                                   max_rows_per_shard=n // 4)
