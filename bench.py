@@ -205,6 +205,19 @@ def serving_scale_bench(spark, sf_dir: str, n_queries: int = 32) -> dict:
         lat_rr.append((time.perf_counter() - t0) * 1000.0)
     lat.sort()
 
+    # the scale-out path at the same index size: 4 cell-range shards behind
+    # the router (answers pinned equal to the single replica by tests) —
+    # the latency delta IS the routing overhead
+    from columbiaimagesearch_spark.lopq.serving import ShardedServingRouter
+
+    router = ShardedServingRouter.build(model, codes, n_shards=4)
+    router.search(qs[0], quota=10_000, k=10)  # warm
+    lat_router = []
+    for q in qs:
+        t0 = time.perf_counter()
+        router.search(q, quota=10_000, k=10)
+        lat_router.append((time.perf_counter() - t0) * 1000.0)
+
     path = tempfile.mkdtemp(prefix="codes_layout_100k_")
     try:
         t0 = time.perf_counter()
@@ -226,6 +239,7 @@ def serving_scale_bench(spark, sf_dir: str, n_queries: int = 32) -> dict:
         "p50": round(statistics.median(lat), 3),
         "p99": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 3),
         "p50_rerank": round(statistics.median(lat_rr), 3),
+        "p50_sharded_router": round(statistics.median(lat_router), 3),
         "n_queries": len(qs),
         "index_rows": int(n_index),
         "snapshot_load_s": round(snapshot_load_s, 3),

@@ -63,7 +63,7 @@ class ImageSearchService:
     """
 
     def __init__(self, spark, model, searcher, id_to_sha1, sha1_to_ids,
-                 q_model, mode: str) -> None:
+                 q_model, mode: str, images: DataFrame | None = None) -> None:
         self.spark = spark
         self.model = model
         self.searcher = searcher  # ServingSearcher with resident vectors
@@ -71,6 +71,7 @@ class ImageSearchService:
         self.sha1_to_ids = sha1_to_ids  # dict[str, list[int]]
         self.q_model = q_model
         self.mode = mode
+        self.images = images  # optional: backs view_image_sha1 point-gets
         self.start_time = datetime.now()
         self.last_refresh = datetime.now()
 
@@ -139,7 +140,7 @@ class ImageSearchService:
         for r in meta:
             sha1_to_ids.setdefault(r["sha1"], []).append(int(r["id"]))
         return cls(spark, model, searcher, id_to_sha1, sha1_to_ids,
-                   factory(), mode)
+                   factory(), mode, images=images)
 
     def refresh(self, new_images: DataFrame) -> int:
         """Index new images into the running service (the reference's
@@ -257,6 +258,24 @@ class ImageSearchService:
             out.append(entry)
         return {"images": out, "search_mode": self.mode}
 
+    def get_image(self, sha1: str) -> bytes | None:
+        """Image bytes by sha1 — the ``view_image_sha1`` backing fetch
+        (api.py:545-557 resolves sha1 -> url via an HBase point-get; here
+        it is an S5 point-get against the images relation: the sha1
+        predicate pushes to the parquet scan, so the job reads one row
+        group, not the table). Spark runs on THIS endpoint's path by
+        design — it is the reference's store-lookup tier, not the <1 s
+        similarity path."""
+        if self.images is None:
+            return None
+        rows = (
+            self.images.where(F.col("sha1") == sha1)
+            .select("content")
+            .limit(1)
+            .collect()
+        )
+        return bytes(rows[0]["content"]) if rows else None
+
     def status(self) -> dict:
         now = datetime.now()
         return {
@@ -366,6 +385,26 @@ def make_server(
                 qs = parse_qs(parsed.query)
                 data = qs.get("data", [None])[0]
                 options_raw = qs.get("options", [None])[0]
+            if mode == "view_image_sha1":
+                # binary response (the reference renders HTML around the
+                # cached URL; serving the bytes is the data-plane twin)
+                content = service.get_image(data) if data else None
+                if content is None:
+                    self._respond({"error": f"sha1 not found: {data}"}, 404)
+                    return
+                from .multimodal.images import sniff_image_header
+
+                fmt, _w, _h = sniff_image_header(content)
+                body = content
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    f"image/{fmt.lower()}" if fmt else "application/octet-stream",
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             self._respond(_process(service, mode, data, options_raw))
 
         def do_GET(self):

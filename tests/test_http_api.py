@@ -150,3 +150,20 @@ def test_refresh_indexes_new_images(spark, server, service):
     sims = out["images"][0]["SimilarImages"]
     assert sims["ImageSha1s"][0] == probe["sha1"]
     assert sims["Distances"][0] == 0.0
+
+
+def test_view_image_sha1_returns_bytes(spark, domain_images, server, service):
+    """view_image_sha1 (api.py:545-557): sha1 -> image bytes via an S5
+    point-get against the images relation, MIME from the header sniffer;
+    unknown sha1 -> 404."""
+    row = domain_images.orderBy("sha1").limit(1).collect()[0]
+    url = _url(server, "view_image_sha1", data=row["sha1"])
+    with urllib.request.urlopen(url, timeout=60) as r:
+        assert r.headers["Content-Type"].startswith("image/")
+        assert r.read() == bytes(row["content"])
+    bad = _url(server, "view_image_sha1", data="0" * 40)
+    try:
+        urllib.request.urlopen(bad, timeout=60)
+        raise AssertionError("expected HTTP 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
