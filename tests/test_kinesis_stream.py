@@ -237,3 +237,31 @@ def test_reshard_merge_closes_parents_and_drains(spark, stream, tmp_path):
     assert b.count() == 60
     c.commit(b)
     assert KinesisConsumerEmulator(stream, infos).read_new(spark).count() == 0
+
+
+def test_ingest_end_to_end_across_reshard(spark, stream, tmp_path):
+    """The full S2 ingest pipeline survives a reshard between sweeps: after
+    SplitShard, records routed to the new children are claimed into the
+    ledger exactly once — no loss, no duplicates — and the closed parent's
+    backlog drains in the same sweep."""
+    infos = str(tmp_path / "shard_infos.json")
+    ledger = str(tmp_path / "ledger")
+    stream.put_records(_img_msgs(spark, 0, 40), "key", "data")
+    assert run_ingest_kinesis(
+        spark, stream, infos, ledger, batch_size=25, date_str="2024-03-02"
+    ) == 40
+
+    stream.split_shard("shard-0000")
+    stream.split_shard("shard-0001")  # both originals closed
+    # 20 duplicates (claimed already) + 40 new, all landing on child shards
+    stream.put_records(_img_msgs(spark, 20, 80), "key", "data")
+    assert run_ingest_kinesis(
+        spark, stream, infos, ledger, batch_size=25, date_str="2024-03-02"
+    ) == 40
+    images = spark.read.parquet(f"{ledger}/images")
+    assert images.count() == 80
+    assert images.select("sha1").distinct().count() == 80
+    # idle sweep after the reshard is a no-op
+    assert run_ingest_kinesis(
+        spark, stream, infos, ledger, batch_size=25, date_str="2024-03-02"
+    ) == 0
