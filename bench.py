@@ -457,11 +457,18 @@ def main() -> None:
     # BENCH_RUNS.json.
     extras_runs: dict[str, list[dict]] = {}
 
-    def med(key: str, fn, sec_key: str) -> dict:
+    def med(key: str, fn, sec_key: str, warm: bool = False) -> dict:
         # time-box: on a badly degraded host a 3x-repeated extra could push
         # the whole bench past the driver's capture window (the r2
         # "parsed": null failure mode) — if the first sample is already
         # slow, report it alone rather than tripling it.
+        # warm=True: one untimed pass first, mirroring the headline loop —
+        # sections that run after DIFFERENT preceding work than last round
+        # otherwise fold that cold-start into the median (r5: curation's
+        # first sample after the new 100k serving section ran 13.3 s vs a
+        # 3.7 s warmed steady state).
+        if warm:
+            fn()
         samples = [fn()]
         if samples[0][sec_key] < 25.0:
             samples += [fn() for _ in range(n - 1)]
@@ -477,10 +484,12 @@ def main() -> None:
             chosen["docs_per_sec"] = round(chosen["input_docs"] / true_med, 1)
         return chosen
 
-    curation = med("curation", lambda: curation_bench(spark, sf_dir), "seconds")
+    curation = med("curation", lambda: curation_bench(spark, sf_dir), "seconds",
+                   warm=True)
     calib["post_curation"] = cpu_calibration_sec()
     curation_full = med(
-        "curation_full", lambda: curation_bench(spark, sf_dir, full=True), "seconds"
+        "curation_full", lambda: curation_bench(spark, sf_dir, full=True),
+        "seconds", warm=True,
     )
     calib["post_curation_full"] = cpu_calibration_sec()
     train = med("train", lambda: train_bench(spark, sf_dir), "fit_spark_seconds")
