@@ -497,14 +497,15 @@ def connected_components(
     # verify) would execute twice just to build edges. Checkpointing also
     # keeps every propagation round's scan against cached rows.
     pairs = pairs.localCheckpoint(eager=True)
-    # bounded count: limit(N+1) caps the check itself at N+1 rows
-    n_pairs = pairs.limit(driver_max_edges + 1).count()
-    if n_pairs <= driver_max_edges:
-        # Arrow collect (toPandas): two int64 columns land as numpy buffers
-        # (~16 B/edge -> ~32 MB at the 2M default bound). A Row collect
-        # would cost 100+ B/edge in Python objects — several hundred MB of
-        # driver heap at the same bound.
-        edge_pdf = pairs.select("doc_a", "doc_b").toPandas()
+    # Bounded fetch doubling as the bounded count: limit(N+1) caps the
+    # Arrow collect at N+1 rows, and its length IS the fast-path test — one
+    # job where the old count()-then-collect shape paid two. toPandas
+    # lands the two int64 columns as numpy buffers (~16 B/edge -> ~32 MB at
+    # the 2M default bound; Row objects would cost 100+ B/edge).
+    edge_pdf = (
+        pairs.select("doc_a", "doc_b").limit(driver_max_edges + 1).toPandas()
+    )
+    if len(edge_pdf) <= driver_max_edges:
         labels_map = _union_find_components(
             zip(
                 map(int, edge_pdf["doc_a"].to_numpy()),
@@ -512,14 +513,26 @@ def connected_components(
             )
         )
         spark = pairs.sparkSession
+        if not labels_map:
+            return nodes.select(
+                "doc_id", F.col("doc_id").alias("component")
+            )
         labels = spark.createDataFrame(
-            list(labels_map.items()) or [(None, None)],
-            "doc_id long, component long",
-        ).where(F.col("doc_id").isNotNull())
-        singletons = nodes.select("doc_id").join(
-            labels.select("doc_id"), "doc_id", "left_anti"
-        ).select("doc_id", F.col("doc_id").alias("component"))
-        return labels.unionByName(singletons)
+            list(labels_map.items()), "doc_id long, component long"
+        )
+        # singleton completion as ONE broadcast left join (labels is
+        # bounded by 2x the edge cap, always broadcastable here) — the
+        # previous anti-join + union shape ran two branches and a union
+        # through the caller's eager checkpoint, ~1 s of pure job
+        # scheduling on a tiny graph (r5 curation-chain profile)
+        return nodes.select("doc_id").join(
+            F.broadcast(labels.withColumnRenamed("doc_id", "_lbl_id")),
+            F.col("doc_id") == F.col("_lbl_id"),
+            "left",
+        ).select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     ).persist()
