@@ -147,7 +147,15 @@ class ImageSearchService:
         ``refresh``/``check_new_updates`` — searcher.load_codes(full/new),
         api.py:308-319,340-358): one distributed extract+encode pass over
         ``new_images``, then J7-deduped ``add_codes`` into the replica.
-        Returns the number of new items admitted."""
+        Returns the number of new items admitted.
+
+        Concurrency contract: SINGLE WRITER. Queries are read-only numpy
+        over immutable per-cell arrays (safe under the threading server),
+        and ``add_codes`` replaces each touched cell's arrays atomically
+        (a concurrent search sees the old or new array, never a partial
+        one) — but two concurrent ``refresh`` calls may double-admit a
+        sha1. Serialize refreshes (the reference does the same: one
+        refresher thread per gunicorn worker, api.py:28-41)."""
         from .lopq.encode import encode_dataframe
 
         ided = self._extract_ided(new_images, self.mode, type(self.q_model))
