@@ -187,7 +187,11 @@ def emb_dedup_batch_step(
     pairs.write.mode("append").parquet(_state_path(state_dir, "pairs"))
     # second half of the crash-replay guard: a replayed batch whose bands
     # already landed must not append them again (duplicate band rows would
-    # accumulate in state on every replay)
+    # accumulate in state on every replay). Cost: one extra column-pruned
+    # scan of state_bands' vec_id column per batch — the candidates join
+    # above already scans the full state each batch, so this adds a
+    # fraction, not a new asymptotic term; the per-batch cost stays
+    # O(batch x bands + state + collisions).
     bands_to_append = bands_fresh.join(
         state_bands.select("vec_id").distinct(), "vec_id", "left_anti"
     )
