@@ -78,7 +78,10 @@ def codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lopq_encode_codes",
-    survey_ops=("V4", "V8", "V9"),
+    # C7 (r6): the emitted cell column IS the cell-id <-> coarse-pair codec
+    # (cell = c1*V + c2, model.py:706-710) — the production carrier of the
+    # tag now that the dedicated c7_cell_id_roundtrip rendering is folded.
+    survey_ops=("V4", "V8", "V9", "C7"),
     doc="LOPQ encode: embeddings -> (id, c1, c2, cell, fine) codes table via "
     "one mapInPandas pass with broadcast model (replaces the reference's "
     "compute_codes_parallel process pool, utils.py:134-218). Oracle: "

@@ -126,6 +126,13 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard_pairs",
     survey_ops=("DEDUP-ngram", "F9"),
+    # Folded r6 (rotation: emb_lsh_near_dup_pairs and friends enter the
+    # 50-slot window). DEDUP-ngram stays driver-green on
+    # dedup_minhash_lsh_pairs (MinHash over the SAME word-bigram shingle
+    # sets = the n-gram Jaccard estimator), F9 on dedup_substring_spans /
+    # emb_lsh_near_dup_pairs; this exact rung remains DuckDB-parity-checked
+    # locally and benched in the second tier.
+    driver=False,
     doc="n-gram Jaccard near-dup pairs (brute-force): distinct word-bigram "
     "sets, all pairs i<j, Jaccard >= 0.2. The small-N ground truth that "
     "validates the MinHash-LSH scale path.",
@@ -382,7 +389,11 @@ def verified_jaccard_pairs(cands: DataFrame, hashed: DataFrame) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh_pairs",
-    survey_ops=("DEDUP-minhash", "J7", "A8"),
+    # DEDUP-ngram (r6): this spec minhashes the same distinct word-bigram
+    # shingle sets as dedup_ngram_jaccard_pairs and verifies candidates with
+    # the EXACT shingle Jaccard — it is the n-gram Jaccard operator's scale
+    # form, so it carries the tag while the brute-force rung is folded.
+    survey_ops=("DEDUP-minhash", "DEDUP-ngram", "J7", "A8"),
     doc=f"MinHash+LSH near-dup pairs: one md5 per shingle + {N_MINHASH} "
     f"universal-hash permutations, {N_BANDS} bands x {BAND_ROWS} rows; "
     f"candidates = docs sharing any band bucket; verified with exact shingle "

@@ -1063,11 +1063,13 @@ def c10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c_scalar_keys",
-    survey_ops=("C1", "C2", "C6", "C9"),
+    survey_ops=("C1", "C2", "C5", "C6", "C9"),
     doc="Key building / codec layer: update_id grammar with zero-padded seq "
     "(hbase_indexer_minimal.py:595-617), md5 content hash (imgio.py:23-39 "
     "uses sha1; DuckDB lacks sha1 so parity uses md5 — Spark side also "
-    "exposes sha1 in functions.scalar), base64 round-trip (featsio.py:4-11).",
+    "exposes sha1 in functions.scalar), base64 round-trip (featsio.py:4-11), "
+    "bbox pack/parse 'l_t_r_b' (C5, the detector bbox string codec used for "
+    "face keying; detection roundtrip detector/utils.py).",
     oracle="""
 SELECT c_custkey,
        'index_update_' || lower(c_mktsegment) || '_2024-01-15_' ||
@@ -1075,7 +1077,15 @@ SELECT c_custkey,
        md5(c_name) AS name_md5,
        to_base64(CAST(c_name AS BLOB)) AS name_b64,
        upper(c_mktsegment) AS segment_uc,
-       substr(c_name, 1, 8) AS name_prefix
+       substr(c_name, 1, 8) AS name_prefix,
+       CAST(c_custkey % 100 AS VARCHAR) || '_' || CAST(c_nationkey AS VARCHAR)
+         || '_' || CAST(c_custkey % 100 + 16 AS VARCHAR)
+         || '_' || CAST(c_nationkey + 16 AS VARCHAR) AS bbox_str,
+       CAST(string_split(
+         CAST(c_custkey % 100 AS VARCHAR) || '_' || CAST(c_nationkey AS VARCHAR)
+           || '_' || CAST(c_custkey % 100 + 16 AS VARCHAR)
+           || '_' || CAST(c_nationkey + 16 AS VARCHAR), '_')[2] AS BIGINT)
+         AS bbox_top
 FROM customer
 WHERE c_custkey < 500
 """,
@@ -1096,6 +1106,23 @@ def c_scalar_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.base64(F.col("c_name").cast("binary")).alias("name_b64"),
             F.upper("c_mktsegment").alias("segment_uc"),
             F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.concat_ws(
+                "_",
+                (F.col("c_custkey") % 100).cast("string"),
+                F.col("c_nationkey").cast("string"),
+                (F.col("c_custkey") % 100 + 16).cast("string"),
+                (F.col("c_nationkey") + 16).cast("string"),
+            ).alias("bbox_str"),
+            F.split(
+                F.concat_ws(
+                    "_",
+                    (F.col("c_custkey") % 100).cast("string"),
+                    F.col("c_nationkey").cast("string"),
+                    (F.col("c_custkey") % 100 + 16).cast("string"),
+                    (F.col("c_nationkey") + 16).cast("string"),
+                ),
+                "_",
+            ).getItem(1).cast("bigint").alias("bbox_top"),
         )
     )
 
@@ -1103,6 +1130,11 @@ def c_scalar_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "c7_cell_id_roundtrip",
     survey_ops=("C7", "C5"),
+    # Folded r6 (rotation): C7 is driver-green on lopq_encode_codes (the
+    # production cell = c1*V + c2 codec feeding the layout/search path),
+    # C5 on c_scalar_keys' bbox pack/parse columns. Local DuckDB parity +
+    # bench keep this dedicated roundtrip rendering verified.
+    driver=False,
     doc="cell-id <-> coarse-pair codec (model.py:706-710: cell = c1*V + c2; "
     "inverse via div/mod) plus bbox-ish string pack/unpack (detector/utils.py).",
     oracle="""
@@ -1421,8 +1453,8 @@ def j_range_tier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a6_event_percentiles",
     survey_ops=("A6", "A2"),
-    # Folded (window at cap); A6/A2 driver-green via w_event_windows /
-    # a2_cell_histogram. Local DuckDB parity + bench.
+    # Promoted to the driver window r6 (rotation: one of the four specs that
+    # had never earned a hash-checked driver row).
     doc="Stream-metrics percentiles: exact p50/p95/p99 of event value per "
     "event_type (the monitoring rollup behind the reference's ingestion "
     "counters, kafka_image_processor push_*_stats). Spark's exact "
@@ -1430,7 +1462,6 @@ def j_range_tier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on the sorted values); one partial-agg groupBy, rounded 4dp both "
     "sides. At 100 TB swap percentile -> percentile_approx(value, p, B) "
     "for a bounded-memory t-digest-style sketch with the same plan shape.",
-    driver=False,
     oracle="""
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -1454,8 +1485,9 @@ def a6_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_hypertable_rollup",
     survey_ops=("X-hypertable-rollup", "A2"),
     # Beyond-inventory showcase (X- tag), third of the brief's named custom
-    # operators (as-of join / range join / hypertable rollup). Folded.
-    driver=False,
+    # operators (as-of join / range join / hypertable rollup). Promoted to
+    # the driver window r6 (rotation: had never earned a hash-checked
+    # driver row).
     doc="Hypertable rollup (TimescaleDB-style continuous aggregate): the "
     "1-minute, 1-hour and 1-day time buckets of the events table computed "
     "in ONE pass via GROUPING SETS — Catalyst's Expand emits one row per "

@@ -194,6 +194,11 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_near_dup_pairs",
     survey_ops=("F9", "DEDUP-embedding", "C3", "C4"),
+    # Folded r6 (rotation): F9/DEDUP-embedding/C3/C4 are driver-green on
+    # emb_lsh_near_dup_pairs (same cosine kernel, same float->double cast,
+    # label-free banding instead of label blocking). Local DuckDB parity +
+    # bench keep this label-blocked rendering verified.
+    driver=False,
     doc="Embedding-cosine near-duplicate pairs, label-blocked (the near-dup "
     "distance filter generic_searcher.py:43-45 applied pairwise; blocking "
     "key stands in for the coarse cell at scale). Carries C3/C4: the "
@@ -369,10 +374,12 @@ def emb_lsh_near_dup_pairs_oracle(sf_dir: str) -> str:
 
 @register(
     "emb_lsh_near_dup_pairs",
-    survey_ops=("F9", "DEDUP-embedding", "C3"),
-    # The 50-slot driver window is full; local twin parity + bench carry
-    # this spec (F9/DEDUP-embedding/C3 are driver-green on emb_near_dup_pairs).
-    driver=False,
+    # C4 (r6): the builder casts the parquet array<float> embedding to
+    # array<double> before the seeded-plane kernel — the featurizer dtype
+    # cast contract (featsio.py:13-22), same as emb_near_dup_pairs did.
+    survey_ops=("F9", "DEDUP-embedding", "C3", "C4"),
+    # Promoted to the driver window r6 (rotation: the label-free scale path
+    # of embedding dedup had never earned a hash-checked driver row).
     doc="Label-free embedding near-dup via random-hyperplane LSH (Charikar "
     "2002): each vector hashes to LSH_BANDS sign-bit band keys map-side, "
     "candidate pairs form ONLY inside (band, key) buckets "

@@ -59,6 +59,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_quality_score",
     survey_ops=("TXT-quality",),
+    # Folded r6 (rotation): TXT-quality is driver-green on corpus_report,
+    # which aggregates these same per-doc quality expressions. Local DuckDB
+    # parity + bench keep this per-doc rendering verified.
+    driver=False,
     doc="Quality scoring: length/space/alpha ratios and mean token length — "
     "the cheap heuristics used to pre-filter web text before training.",
     oracle="""
@@ -264,9 +268,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_report",
     survey_ops=("TXT-quality", "A2", "A8"),
-    # driver window at cap; local DuckDB parity + showcase (tags green on
-    # text_quality_score / a2_cell_histogram / dedup_exact_groups rows)
-    driver=False,
+    # Promoted to the driver window r6 (rotation: one of the four specs that
+    # had never earned a hash-checked driver row); takes over TXT-quality
+    # from the folded text_quality_score per-doc rendering.
     doc="The mixture-designer's corpus recipe report: per (source, lang) "
     "cohort — doc count, total whitespace tokens, quality-filter pass "
     "rate, mean alpha ratio. One partial-agg groupBy over per-doc "
