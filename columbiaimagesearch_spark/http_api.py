@@ -12,6 +12,12 @@ architecture, where gunicorn workers hold the loaded LOPQ searcher.
 Covered modes (``api.py:43-70,120-169``):
 - ``byB64``   — comma-separated base64 images (``search_byB64``, api.py:287-305)
 - ``bySHA1``  — comma-separated indexed sha1s (``search_bySHA1``, api.py:260-285)
+- ``byURL``   — comma-separated image URLs (``search_byURL``, api.py:232-246;
+  the reference's primary README entry point). The fetcher is pluggable:
+  the default resolves ``data:`` URIs, ``file://`` URLs and plain local
+  paths (no network in this environment) and falls through to
+  ``urllib.request`` for http(s) where available.
+- ``byPATH``  — local file paths (``search_byPATH``, api.py:248-258)
 - ``status``  — uptime / index size / last refresh (``status``, api.py:321-338)
 - ``refresh`` — reindex pending images (``refresh``, api.py:308-319; our twin
   takes the new-images relation through the same extract→encode→add_codes
@@ -74,6 +80,9 @@ class ImageSearchService:
         self.images = images  # optional: backs view_image_sha1 point-gets
         self.start_time = datetime.now()
         self.last_refresh = datetime.now()
+        # refresh is single-writer BY CONTRACT; the lock makes two
+        # concurrent calls serialize instead of double-admitting a sha1
+        self._refresh_lock = threading.Lock()
 
     # -- build / refresh -----------------------------------------------------
     @staticmethod
@@ -107,14 +116,29 @@ class ImageSearchService:
         mode: str = "full_image",
         model_factory=None,
         train_params: dict | None = None,
+        n_shards: int = 1,
+        max_rows_per_shard: int | None = None,
     ) -> "ImageSearchService":
+        """``n_shards`` > 1 backs the service with a
+        :class:`~.lopq.serving.ShardedServingRouter` instead of one replica —
+        the scale-out path past a single replica's snapshot budget. Each
+        shard loads ONLY its cell range's codes AND rerank vectors (the
+        per-replica residency envelope stays honest); the id -> sha1 map
+        stays service-resident like the reference's per-worker LMDB
+        metadata (at true scale it shards alongside the codes — each
+        worker's map covers its range)."""
         from .lopq.encode import encode_dataframe
         from .lopq.model import LOPQModel
-        from .lopq.serving import ServingSearcher
+        from .lopq.serving import (
+            MAX_SNAPSHOT_ROWS,
+            ServingSearcher,
+            ShardedServingRouter,
+        )
         from .multimodal.images import ToyExtractionModel
 
         factory = model_factory or ToyExtractionModel
         params = train_params or {"V": 4, "M": 4, "K": 8, "seed": 5, "n_iter": 8}
+        per_shard_cap = max_rows_per_shard or MAX_SNAPSHOT_ROWS
         ided = cls._extract_ided(images, mode, factory).persist()
         try:
             # bounded ordered training subsample (the reference's nb_train)
@@ -123,16 +147,37 @@ class ImageSearchService:
                 dtype=np.float64,
             )
             model = LOPQModel.fit(sample, **params)
-            codes = encode_dataframe(spark, ided, model, id_col="id", vec_col="v")
-            searcher = ServingSearcher(model).load_codes(codes)
-            searcher.load_vectors(ided, id_col="id", vec_col="v")
-            # Serving metadata (id -> sha1) is resident BY DESIGN here —
-            # this is the per-replica dict the reference keeps in LMDB, not
-            # the batch facade's query path (api.py resolves metadata with
-            # a distributed join). Its cardinality equals the codes
-            # snapshot, so the load_codes budget guard above has already
-            # raised before this collect can exceed the replica envelope.
-            meta = ided.select("id", "sha1").collect()
+            codes = encode_dataframe(
+                spark, ided, model, id_col="id", vec_col="v"
+            ).persist()
+            try:
+                if n_shards <= 1:
+                    searcher = ServingSearcher(
+                        model, max_rows=per_shard_cap
+                    ).load_codes(codes)
+                    searcher.load_vectors(ided, id_col="id", vec_col="v")
+                else:
+                    searcher = ShardedServingRouter.build(
+                        model, codes, n_shards,
+                        max_rows_per_shard=per_shard_cap,
+                    )
+                    for lo, hi, replica in searcher.shards:
+                        shard_ids = codes.where(
+                            F.col("cell").between(lo, hi)
+                        ).select("id")
+                        replica.load_vectors(
+                            ided.join(shard_ids, "id"),
+                            id_col="id", vec_col="v",
+                        )
+                # Serving metadata (id -> sha1) is resident BY DESIGN here —
+                # this is the per-replica dict the reference keeps in LMDB,
+                # not the batch facade's query path (api.py resolves metadata
+                # with a distributed join). Its cardinality equals the codes
+                # snapshot, so the load_codes budget guard above has already
+                # raised before this collect can exceed the replica envelope.
+                meta = ided.select("id", "sha1").collect()
+            finally:
+                codes.unpersist()
         finally:
             ided.unpersist()
         id_to_sha1 = {int(r["id"]): r["sha1"] for r in meta}
@@ -149,13 +194,18 @@ class ImageSearchService:
         ``new_images``, then J7-deduped ``add_codes`` into the replica.
         Returns the number of new items admitted.
 
-        Concurrency contract: SINGLE WRITER. Queries are read-only numpy
-        over immutable per-cell arrays (safe under the threading server),
-        and ``add_codes`` replaces each touched cell's arrays atomically
-        (a concurrent search sees the old or new array, never a partial
-        one) — but two concurrent ``refresh`` calls may double-admit a
-        sha1. Serialize refreshes (the reference does the same: one
-        refresher thread per gunicorn worker, api.py:28-41)."""
+        Concurrency contract: SINGLE WRITER, enforced by an in-process
+        lock (two concurrent ``refresh`` calls serialize — without it they
+        could double-admit a sha1). Queries are read-only numpy over
+        immutable per-cell arrays (safe under the threading server), and
+        ``add_codes`` replaces each touched cell's arrays atomically (a
+        concurrent search sees the old or new array, never a partial one).
+        The reference runs the same shape: one refresher thread per
+        gunicorn worker, api.py:28-41."""
+        with self._refresh_lock:
+            return self._refresh_locked(new_images)
+
+    def _refresh_locked(self, new_images: DataFrame) -> int:
         from .lopq.encode import encode_dataframe
 
         ided = self._extract_ided(new_images, self.mode, type(self.q_model))
@@ -183,12 +233,24 @@ class ImageSearchService:
                     [(i,) for i in sorted(fresh_ids)], "id long"
                 )
             )
-            self.searcher.add_codes(codes.join(fresh_ids_df, "id"))
-            vec_rows = ided.join(fresh_ids_df, "id").select("id", "v").collect()
-            for r in vec_rows:
-                self.searcher._vectors[int(r["id"])] = np.asarray(
-                    r["v"], dtype=np.float64
+            fresh_codes = codes.join(fresh_ids_df, "id").persist()
+            try:
+                self.searcher.add_codes(fresh_codes)
+                # rerank vectors route to the owning shard by the item's
+                # cell (single replica ignores the cell)
+                id_cell = {
+                    int(r["id"]): int(r["cell"])
+                    for r in fresh_codes.select("id", "cell").collect()
+                }
+                vec_rows = (
+                    ided.join(fresh_ids_df, "id").select("id", "v").collect()
                 )
+                for r in vec_rows:
+                    self.searcher.put_vector(
+                        int(r["id"]), r["v"], cell=id_cell.get(int(r["id"]))
+                    )
+            finally:
+                fresh_codes.unpersist()
             for r in fresh_meta:
                 self.id_to_sha1[int(r["id"])] = r["sha1"]
                 self.sha1_to_ids.setdefault(r["sha1"], []).append(int(r["id"]))
@@ -212,10 +274,19 @@ class ImageSearchService:
         max_returned = int(opts.get("max_returned", DEFAULT_MAX_RETURNED))
         rerank_nb = int(opts.get("rerank_nb", 4 * max_returned))
         quota = min(1000 * max_returned, QUOTA_CAP)
-        hits = self.searcher.search(
-            q, quota=quota, k=max_returned, rerank_nb=rerank_nb
-        )
-        rows = [(int(i), float(ex)) for i, _adc, ex in hits]
+        if rerank_nb <= 0:
+            # pure-ADC path (the reference's rerank-off mode): search
+            # returns (id, adc_dist) 2-tuples — report the ADC distance
+            hits = self.searcher.search(
+                q, quota=quota, k=max_returned, rerank_nb=0
+            )
+            rows = [(int(i), float(d)) for i, d in hits]
+        else:
+            hits = self.searcher.search(
+                q, quota=quota, k=max_returned, rerank_nb=rerank_nb,
+                fetch_vectors=self.searcher.resident_vectors,
+            )
+            rows = [(int(i), float(ex)) for i, _adc, ex in hits]
         if opts.get("near_dup"):
             th = float(opts.get("near_dup_th", DEFAULT_NEAR_DUP_TH))
             rows = [(i, d) for i, d in rows if d <= th]
@@ -225,19 +296,55 @@ class ImageSearchService:
             "Distances": [round(d, 6) for _, d in rows],
         }
 
+    def _entry_for_bytes(self, data: bytes, opts: dict) -> dict:
+        entry: dict[str, Any] = {"QuerySha1": _sha1_hex(data)}
+        sims = [self._search_one(q, opts) for q in self._query_vectors(data)]
+        if self.mode == "full_image":
+            entry["SimilarImages"] = sims[0] if sims else _empty_similar()
+        else:
+            entry["NumberFaces"] = len(sims)
+            entry["SimilarFaces"] = sims
+        return entry
+
     def search_b64_list(self, b64s: list[str], opts: dict) -> dict:
         out = []
         for b in b64s:
-            data = base64.b64decode(b)
-            entry: dict[str, Any] = {
-                "QuerySha1": _sha1_hex(data),
-            }
-            sims = [self._search_one(q, opts) for q in self._query_vectors(data)]
-            if self.mode == "full_image":
-                entry["SimilarImages"] = sims[0] if sims else _empty_similar()
-            else:
-                entry["NumberFaces"] = len(sims)
-                entry["SimilarFaces"] = sims
+            try:
+                data = base64.b64decode(b, validate=True)
+            except Exception as inst:  # noqa: BLE001 — contract: per-item error
+                out.append({
+                    "error": f"could not decode base64 input: {inst}",
+                    "SimilarImages": _empty_similar(),
+                })
+                continue
+            out.append(self._entry_for_bytes(data, opts))
+        return {"images": out, "search_mode": self.mode}
+
+    def search_url_list(
+        self, urls: list[str], opts: dict, fetcher=None
+    ) -> dict:
+        """byURL / byPATH (api.py:232-258): fetch each image's bytes, then
+        the byB64 path. Fetch failures append per-item errors, never fail
+        the request (the reference's contract for dead URLs). The edge
+        applies the F11 cleanup (strip wrapping quotes/whitespace) before
+        fetching — the serving twin of f11_url_cleanup."""
+        fetch = fetcher or default_url_fetcher
+        out = []
+        for url in urls:
+            url = url.strip().strip('"').strip("'")
+            if not url:
+                continue
+            try:
+                data = fetch(url)
+            except Exception as inst:  # noqa: BLE001 — contract: per-item error
+                out.append({
+                    "QueryURL": url,
+                    "error": f"could not fetch image: {inst}",
+                    "SimilarImages": _empty_similar(),
+                })
+                continue
+            entry = self._entry_for_bytes(data, opts)
+            entry["QueryURL"] = url
             out.append(entry)
         return {"images": out, "search_mode": self.mode}
 
@@ -255,7 +362,7 @@ class ImageSearchService:
                 entry["SimilarImages"] = _empty_similar()
             else:
                 sims = [
-                    self._search_one(self.searcher._vectors[i], opts)
+                    self._search_one(self.searcher.resident_vectors([i])[0], opts)
                     for i in ids
                 ]
                 if self.mode == "full_image":
@@ -295,6 +402,48 @@ class ImageSearchService:
         }
 
 
+def _split_url_list(data: str) -> list[str]:
+    """Split the comma-separated URL list WITHOUT breaking ``data:`` URIs,
+    whose syntax itself contains one comma (header,payload — the payload is
+    base64/percent-encoded, so it never contains a raw comma itself)."""
+    out: list[str] = []
+    for part in data.split(","):
+        if out and out[-1].startswith("data:") and "," not in out[-1]:
+            out[-1] += "," + part
+        else:
+            out.append(part)
+    return out
+
+
+def default_url_fetcher(url: str) -> bytes:
+    """Pluggable-fetcher default for byURL/byPATH: ``data:`` URIs,
+    ``file://`` URLs and plain local paths resolve without network (this
+    environment has none); http(s) URLs go through urllib where the
+    deployment allows it (the reference fetches with requests,
+    imgio.py:42-66)."""
+    if url.startswith("data:"):
+        header, _, payload = url.partition(",")
+        if not payload:
+            raise ValueError("data: URI has no payload")
+        if header.endswith(";base64"):
+            return base64.b64decode(payload, validate=True)
+        from urllib.parse import unquote_to_bytes
+
+        return unquote_to_bytes(payload)
+    if url.startswith("file://"):
+        path = urlparse(url).path
+        with open(path, "rb") as f:
+            return f.read()
+    if url.startswith(("http://", "https://")):
+        import urllib.request
+
+        with urllib.request.urlopen(url, timeout=30) as r:
+            return r.read()
+    # byPATH: a bare local filesystem path
+    with open(url, "rb") as f:
+        return f.read()
+
+
 def _sha1_hex(data: bytes) -> str:
     import hashlib
 
@@ -305,9 +454,13 @@ def _empty_similar() -> dict:
     return {"NumberImages": 0, "ImageSha1s": [], "Distances": []}
 
 
+_NUMERIC_OPTIONS = {"near_dup_th": float, "max_returned": int, "rerank_nb": int}
+
+
 def _parse_options(options_raw: str | None) -> tuple[dict, list[str]]:
-    """get_options_dict (api.py:192-215): bad JSON or unknown keys append
-    errors, never fail the request."""
+    """get_options_dict (api.py:192-215): bad JSON, unknown keys AND
+    non-coercible numeric values append errors, never fail the request —
+    a bad value is dropped (the default applies) with an error entry."""
     errors: list[str] = []
     opts: dict = {}
     if options_raw:
@@ -316,10 +469,19 @@ def _parse_options(options_raw: str | None) -> tuple[dict, list[str]]:
         except Exception as inst:  # noqa: BLE001 — contract: report, not raise
             errors.append(f"Could not load options from: {options_raw}. {inst}")
             opts = {}
+        if not isinstance(opts, dict):
+            errors.append(f"Options must be a JSON object, got: {options_raw}")
+            opts = {}
         for k in list(opts):
             if k not in VALID_OPTIONS:
                 errors.append(f"Unknown option {k}")
                 opts.pop(k)
+            elif k in _NUMERIC_OPTIONS:
+                try:
+                    opts[k] = _NUMERIC_OPTIONS[k](opts[k])
+                except (TypeError, ValueError):
+                    errors.append(f"Could not parse option {k}: {opts[k]!r}")
+                    opts.pop(k)
     return opts, errors
 
 
@@ -351,6 +513,8 @@ def _process(service: ImageSearchService, mode: str,
         )
     elif mode == "bySHA1":
         resp = service.search_sha1_list(data.split(","), opts)
+    elif mode in ("byURL", "byPATH"):
+        resp = service.search_url_list(_split_url_list(data), opts)
     else:
         return {"error": f"unknown_mode: {mode}"}
     resp = _append_errors(resp, errors)
@@ -415,23 +579,42 @@ def make_server(
                 return
             self._respond(_process(service, mode, data, options_raw))
 
+        def _safely(self, fn) -> None:
+            """Error envelope for the whole request path: any uncaught
+            exception (malformed JSON body, invalid base64, handler bug)
+            answers a JSON error object with 400 instead of killing the
+            handler thread with a closed socket (the reference reports
+            these through its errors fields, api.py:192-215)."""
+            try:
+                fn()
+            except BrokenPipeError:
+                pass  # client went away mid-response; nothing to answer
+            except Exception as inst:  # noqa: BLE001 — transport error envelope
+                try:
+                    self._respond({"error": f"{type(inst).__name__}: {inst}"}, 400)
+                except Exception:  # noqa: BLE001 — socket already unusable
+                    pass
+
         def do_GET(self):
-            self._route(None, None)
+            self._safely(lambda: self._route(None, None))
 
         def do_POST(self):
-            length = int(self.headers.get("Content-Length", 0))
-            raw = self.rfile.read(length).decode() if length else ""
-            ctype = self.headers.get("Content-Type", "")
-            if "json" in ctype:
-                form = json.loads(raw) if raw else {}
-            else:
-                qs = parse_qs(raw)
-                form = {k: v[0] for k, v in qs.items()}
-            data = form.get("data")
-            if data is None:
-                self._respond({"error": "no data received"})
-                return
-            self._route(data, form.get("options"))
+            def handle():
+                length = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(length).decode() if length else ""
+                ctype = self.headers.get("Content-Type", "")
+                if "json" in ctype:
+                    form = json.loads(raw) if raw else {}
+                else:
+                    qs = parse_qs(raw)
+                    form = {k: v[0] for k, v in qs.items()}
+                data = form.get("data")
+                if data is None:
+                    self._respond({"error": "no data received"})
+                    return
+                self._route(data, form.get("options"))
+
+            self._safely(handle)
 
         do_PUT = do_POST
 

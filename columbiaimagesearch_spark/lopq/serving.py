@@ -163,6 +163,23 @@ class ServingSearcher:
         }
         return self
 
+    def put_vector(self, vid: int, v, cell: int | None = None) -> None:
+        """Single-vector upsert into the resident rerank store (the refresh
+        path's unit of work; ``cell`` is accepted for signature parity with
+        the sharded router, which routes on it)."""
+        if not hasattr(self, "_vectors"):
+            self._vectors = {}
+        self._vectors[int(vid)] = np.asarray(v, dtype=np.float64)
+
+    def resident_vectors(self, ids) -> np.ndarray:
+        """``fetch_vectors``-shaped accessor over the resident store — lets
+        callers use ONE search call shape against both this class and the
+        sharded router."""
+        vecs = getattr(self, "_vectors", None)
+        if vecs is None:
+            raise ValueError("no resident vectors: call load_vectors() first")
+        return np.stack([vecs[int(i)] for i in ids])
+
     # -- query --------------------------------------------------------------
     def search(
         self,
@@ -288,6 +305,47 @@ class ShardedServingRouter:
     def n_items(self) -> int:
         return sum(s.n_items for _, _, s in self.shards)
 
+    def add_codes(self, codes: DataFrame) -> "ShardedServingRouter":
+        """Incremental add routed by cell range: each shard admits only the
+        slice of ``codes`` it owns (same (cell, id)-dedup J7 semantics and
+        per-shard budget guard as the single replica). Shard ranges cover
+        the full cell space [0, V*V-1], so every incoming row lands in
+        exactly one shard."""
+        from pyspark.sql import functions as F
+
+        for lo, hi, s in self.shards:
+            s.add_codes(codes.where(F.col("cell").between(lo, hi)))
+        return self
+
+    def _shard_for_cell(self, cell: int) -> ServingSearcher:
+        for lo, hi, s in self.shards:
+            if lo <= cell <= hi:
+                return s
+        raise ValueError(f"cell {cell} outside all shard ranges")
+
+    def put_vector(self, vid: int, v, cell: int | None = None) -> None:
+        """Route a rerank vector to the shard owning the item's cell — each
+        shard holds ONLY its cell range's vectors, keeping the per-replica
+        residency envelope honest."""
+        if cell is None:
+            raise ValueError("router put_vector needs the item's cell")
+        self._shard_for_cell(int(cell)).put_vector(vid, v)
+
+    def resident_vectors(self, ids) -> np.ndarray:
+        """``fetch_vectors``-shaped accessor over the union of per-shard
+        stores (O(shortlist x shards) dict probes — the shortlist is k-ish,
+        shard counts are dozens; fine)."""
+        out = []
+        for i in ids:
+            for _lo, _hi, s in self.shards:
+                v = getattr(s, "_vectors", {}).get(int(i))
+                if v is not None:
+                    out.append(v)
+                    break
+            else:
+                raise KeyError(f"id {int(i)} has no resident vector")
+        return np.stack(out)
+
     def _global_counts(self) -> dict[int, int]:
         merged: dict[int, int] = {}
         for _, _, s in self.shards:
@@ -314,12 +372,15 @@ class ShardedServingRouter:
             multisequence_cells(d1, d2, self._global_counts(), quota)
         )
         # fan out: each shard scores only the visited cells it owns
+        # (bisect over the sorted range starts — O(visited log shards))
+        import bisect
+
+        lows = [lo for lo, _hi, _s in self.shards]
         by_shard: dict[int, list[int]] = {}
         for cell in visited:
-            for i, (lo, hi, _s) in enumerate(self.shards):
-                if lo <= cell <= hi:
-                    by_shard.setdefault(i, []).append(cell)
-                    break
+            i = bisect.bisect_right(lows, cell) - 1
+            if i >= 0 and cell <= self.shards[i][1]:
+                by_shard.setdefault(i, []).append(cell)
         all_ids, all_dists = [], []
         for i, cells in by_shard.items():
             ids, dists = self.shards[i][2].score_cells(q, cells)
