@@ -48,6 +48,35 @@ def layout_is_pending(path: str) -> bool:
     return os.path.exists(_pending_path(path))
 
 
+def _read_pending_token(path: str) -> str | None:
+    """The marker's writer token (None when no marker). Tokens let a repair
+    distinguish 'the append I saw when I started' from 'a NEW append that
+    began mid-repair' — the latter must keep its marker."""
+    try:
+        with open(_pending_path(path)) as fh:
+            return fh.read().strip() or "<untokened>"
+    except FileNotFoundError:
+        return None
+
+
+def _write_pending_marker(path: str) -> str:
+    import uuid
+
+    token = uuid.uuid4().hex
+    with open(_pending_path(path), "w") as fh:
+        fh.write(token)
+    return token
+
+
+def _clear_pending_marker(path: str, token: str) -> None:
+    """Remove the marker ONLY if it still carries ``token`` — never clear
+    another writer's in-flight intent."""
+    import os
+
+    if _read_pending_token(path) == token:
+        os.remove(_pending_path(path))
+
+
 def write_codes_partitioned(
     codes: DataFrame,
     path: str,
@@ -227,13 +256,28 @@ def append_codes_to_layout(
     append and the sidecar merge leaves newly-landed cells under-counted
     (a probe may under-visit them until repaired). The crash window is
     CLOSED for readers by a write-ahead intent marker: ``_PENDING_APPEND``
-    lands before the data, clears after the sidecar merge, and
-    :func:`search_from_layout` auto-repairs (``rebuild_histogram``) when it
-    finds the marker set."""
+    lands before the data (carrying a per-append writer token), clears
+    after the sidecar merge, and :func:`search_from_layout` auto-repairs
+    (``rebuild_histogram``) when it finds the marker set.
+
+    Crash/concurrency protocol (single WRITER per layout — the module
+    contract; readers may race the writer):
+    - an append that finds a stale marker repairs FIRST (one data scan),
+      so its own merge never inherits a crashed predecessor's under-count;
+    - the merge base is the sidecar snapshot taken BEFORE the data lands,
+      so a reader's mid-append rebuild (which may count partially-landed
+      files) is overwritten by the exact value at commit;
+    - the marker clears only if it still carries THIS append's token."""
     spark = codes_new.sparkSession
     bucket_cells = read_layout_meta(spark, path)
-    with open(_pending_path(path), "w") as fh:
-        fh.write("append in flight; sidecar merge pending\n")
+    if layout_is_pending(path):
+        # a previous append crashed before its sidecar merge: repair before
+        # merging, or this append's merge would bake the under-count in
+        rebuild_histogram(spark, path)
+    token = _write_pending_marker(path)
+    # merge base: the PRE-append snapshot (exact under single-writer), so
+    # the final overwrite is correct even if a reader rebuilds mid-append
+    merged = read_cell_histogram(spark, path)
     if bucket_cells:
         out = (
             codes_new.withColumn("cell_bucket", F.col("cell") % bucket_cells)
@@ -248,23 +292,28 @@ def append_codes_to_layout(
     if row_group_bytes:
         writer = writer.option("parquet.block.size", str(int(row_group_bytes)))
     writer.partitionBy(part_col).parquet(path)
-    merged = read_cell_histogram(spark, path)
     for r in inc:
         merged[int(r["cell"])] = merged.get(int(r["cell"]), 0) + int(r["n"])
     spark.createDataFrame(
         sorted(merged.items()), "cell int, n bigint"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{HISTOGRAM_DIR}")
-    import os
-
-    os.remove(_pending_path(path))
+    _clear_pending_marker(path, token)
 
 
 def rebuild_histogram(spark: SparkSession, path: str) -> None:
     """Recovery path: recompute the histogram sidecar from the data files
     (one scan) — restores probe-planning correctness after a crash between
-    a data append and its sidecar merge, then clears the intent marker."""
-    import os
+    a data append and its sidecar merge.
 
+    The intent marker clears only if it still carries the SAME writer token
+    it had when this rebuild started: a marker replaced mid-rebuild belongs
+    to a NEW in-flight append and must survive. A marker whose token is
+    unchanged is treated as stale — which assumes no append is STILL in
+    flight from before the rebuild began (the module's single-writer
+    contract; a live writer re-asserts correctness anyway, because its
+    commit overwrites the sidecar from a pre-append snapshot and its next
+    append repairs first on a crash)."""
+    token_before = _read_pending_token(path)
     (
         read_codes(spark, path)
         .groupBy("cell")
@@ -273,5 +322,5 @@ def rebuild_histogram(spark: SparkSession, path: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{path}/{HISTOGRAM_DIR}")
     )
-    if layout_is_pending(path):
-        os.remove(_pending_path(path))
+    if token_before is not None:
+        _clear_pending_marker(path, token_before)

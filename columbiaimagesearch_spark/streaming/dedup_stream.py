@@ -110,6 +110,12 @@ def dedup_batch_step(spark: SparkSession, docs: DataFrame, state_dir: str) -> in
     new_old = (
         bands_fresh.alias("n")
         .join(state_bands.alias("o"), ["band_key"])
+        # crash-replay guard (mirror of emb_dedup_stream): a crash between
+        # the bands and hashes appends leaves this batch's band rows in
+        # state but the batch unclaimed — the replay meets its OWN bands
+        # here, and without this filter emits doc_a == doc_b self-pairs
+        # (jaccard 1.0) that pass verify and poison the pairs state.
+        .where(F.col("n.doc_id") != F.col("o.doc_id"))
         .select(
             F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
             F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
@@ -127,7 +133,16 @@ def dedup_batch_step(spark: SparkSession, docs: DataFrame, state_dir: str) -> in
     # land last, after every plan derived from the pre-append snapshot has
     # been written out.
     pairs.write.mode("append").parquet(_state_path(state_dir, "pairs"))
-    bands_fresh.write.mode("append").parquet(_state_path(state_dir, "bands"))
+    # second half of the crash-replay guard (mirror of emb_dedup_stream): a
+    # replayed batch whose bands already landed must not append them again —
+    # duplicate band rows would accumulate in state on every replay. One
+    # extra column-pruned scan of state_bands' doc_id column per batch; the
+    # candidates join above already scans state each batch, so the per-batch
+    # cost stays O(batch x bands + state + collisions).
+    bands_to_append = bands_fresh.join(
+        state_bands.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    bands_to_append.write.mode("append").parquet(_state_path(state_dir, "bands"))
     fresh.write.mode("append").parquet(_state_path(state_dir, "hashes"))
     bands_fresh.unpersist()
     fresh.unpersist()

@@ -92,7 +92,22 @@ class KinesisStreamEmulator:
 
     def _read_meta(self) -> dict:
         with open(_meta_path(self.stream_dir)) as f:
-            return json.load(f)
+            meta = json.load(f)
+        if "shards" not in meta:
+            # migrate pre-reshard meta ({"n_shards": N, "next_seq": ...}):
+            # synthesize the shards dict (all open, no lineage) and seat
+            # next_shard past them, then persist the upgraded form so the
+            # migration runs once per stream dir (ADVICE r5).
+            n = int(meta.get("n_shards", self.n_shards))
+            meta = {
+                "shards": {
+                    f"shard-{i:04d}": {"open": True} for i in range(n)
+                },
+                "next_seq": meta.get("next_seq", {}),
+                "next_shard": n,
+            }
+            self._write_meta(meta)
+        return meta
 
     def _write_meta(self, meta: dict) -> None:
         tmp = _meta_path(self.stream_dir) + ".tmp"

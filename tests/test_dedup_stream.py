@@ -68,6 +68,56 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     assert _pair_set(read_pairs(spark, state)) == pairs_before
 
 
+def test_crash_between_bands_and_claim_replays_clean(spark, tmp_path, monkeypatch):
+    """Crash AFTER the bands append but BEFORE the hashes (claim) append:
+    the replayed batch meets its own band rows in state. The replay must
+    not emit self-pairs (doc_a == doc_b, jaccard 1.0), must not duplicate
+    band rows, and the final pair set must equal an uncrashed run's
+    (mirror of the emb_dedup_stream crash test; ADVICE r5)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from columbiaimagesearch_spark.streaming.dedup_stream import (
+        _BANDS_SCHEMA,
+        _read_state,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") < 100)
+    b2 = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+
+    clean = str(tmp_path / "clean")
+    dedup_batch_step(spark, b1, clean)
+    dedup_batch_step(spark, b2, clean)
+    want = _pair_set(read_pairs(spark, clean))
+
+    state = str(tmp_path / "crashed")
+    n_b1 = dedup_batch_step(spark, b1, state)
+    real_parquet = DataFrameWriter.parquet
+
+    def crash_on_claim(self, path, *a, **kw):
+        if path.rstrip("/").endswith("hashes"):
+            raise RuntimeError("simulated crash before claim append")
+        return real_parquet(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crash_on_claim)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        dedup_batch_step(spark, b2, state)
+    monkeypatch.undo()
+
+    n_b2 = dedup_batch_step(spark, b2, state)  # full replay
+    assert n_b1 + n_b2 == 200
+    pairs = read_pairs(spark, state)
+    assert pairs.where(F.col("doc_a") == F.col("doc_b")).count() == 0
+    assert _pair_set(pairs) == want
+    # band rows did not duplicate: one row set per admitted doc
+    bands = _read_state(spark, state, "bands", _BANDS_SCHEMA)
+    per_doc = bands.groupBy("doc_id").count().select("count").distinct().collect()
+    assert bands.select("doc_id").distinct().count() == 200
+    assert len(per_doc) == 1  # every doc contributed the same band count
+
+
 def test_cross_batch_pairs_found(spark, tmp_path):
     """A near-dup whose twin arrived in an EARLIER batch is still caught —
     the new-old band join against state."""

@@ -35,6 +35,33 @@ def _msgs(spark, lo, hi):
     )
 
 
+def test_old_meta_format_migrates_on_open(spark, stream, tmp_path):
+    """A stream dir written before the reshard lifecycle ({"n_shards": N})
+    opens cleanly: the shards dict is synthesized (all open), next_shard
+    seats past them, and the upgraded meta persists (ADVICE r5)."""
+    import json
+    import os
+
+    # produce into the CURRENT format, then rewrite meta in the old shape
+    stream.put_records(_msgs(spark, 0, 40), "key", "data")
+    meta_path = os.path.join(stream.stream_dir, "stream_meta.json")
+    with open(meta_path) as f:
+        cur = json.load(f)
+    with open(meta_path, "w") as f:
+        json.dump({"n_shards": 2, "next_seq": cur["next_seq"]}, f)
+
+    reopened = KinesisStreamEmulator(stream.stream_dir)
+    assert reopened.open_shards() == ["shard-0000", "shard-0001"]
+    # records survive and sequencing continues where the old meta left off
+    assert reopened.put_records(_msgs(spark, 40, 60), "key", "data") == 20
+    with open(meta_path) as f:
+        upgraded = json.load(f)
+    assert upgraded["next_shard"] == 2 and "shards" in upgraded
+    # the reshard lifecycle works on the migrated stream
+    ch1, ch2 = reopened.split_shard("shard-0000")
+    assert ch1 == "shard-0002" and ch2 == "shard-0003"
+
+
 def test_put_records_assigns_monotonic_seq_per_shard(spark, stream):
     assert stream.put_records(_msgs(spark, 0, 50), "key", "data") == 50
     assert stream.put_records(_msgs(spark, 50, 80), "key", "data") == 30

@@ -422,10 +422,18 @@ def test_crashed_append_detected_and_auto_repaired(
     layout.write_codes_partitioned(first, path, bucket_cells=8)
     assert not layout.layout_is_pending(path)
 
-    def boom(spark_, p):
-        raise RuntimeError("simulated crash before sidecar merge")
+    # crash at the sidecar overwrite itself: the data append has landed,
+    # the histogram has not (the real crash window)
+    from pyspark.sql.readwriter import DataFrameWriter
 
-    monkeypatch.setattr(layout, "read_cell_histogram", boom)
+    real_parquet = DataFrameWriter.parquet
+
+    def boom(self, p, *a, **kw):
+        if p.rstrip("/").endswith(layout.HISTOGRAM_DIR):
+            raise RuntimeError("simulated crash before sidecar merge")
+        return real_parquet(self, p, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
     with pytest.raises(RuntimeError, match="simulated crash"):
         layout.append_codes_to_layout(rest, path)
     monkeypatch.undo()
@@ -451,6 +459,71 @@ def test_crashed_append_detected_and_auto_repaired(
     # repair committed: marker cleared, sidecar now matches the data
     assert not layout.layout_is_pending(path)
     assert layout.read_cell_histogram(spark, path) == true_hist
+
+
+def test_append_onto_crashed_layout_repairs_first(
+    spark, model, codes, tmp_path, monkeypatch
+):
+    """An append that finds a stale intent marker must repair the sidecar
+    BEFORE merging — otherwise its merge bakes the crashed predecessor's
+    under-count in forever (ADVICE r5 marker-protocol hardening)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    path = str(tmp_path / "codes_crash_then_append")
+    a = codes.where(F.col("id") < 200)
+    b = codes.where((F.col("id") >= 200) & (F.col("id") < 350))
+    c = codes.where(F.col("id") >= 350)
+    layout.write_codes_partitioned(a, path, bucket_cells=8)
+
+    real_parquet = DataFrameWriter.parquet
+
+    def boom(self, p, *arg, **kw):
+        if p.rstrip("/").endswith(layout.HISTOGRAM_DIR):
+            raise RuntimeError("simulated crash before sidecar merge")
+        return real_parquet(self, p, *arg, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        layout.append_codes_to_layout(b, path)
+    monkeypatch.undo()
+    assert layout.layout_is_pending(path)
+
+    # the NEXT append repairs first, then merges — sidecar ends exact
+    layout.append_codes_to_layout(c, path)
+    assert not layout.layout_is_pending(path)
+    true_hist = {
+        int(r["cell"]): int(r["n"])
+        for r in codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert layout.read_cell_histogram(spark, path) == true_hist
+
+
+def test_rebuild_keeps_marker_replaced_midway(spark, codes, tmp_path):
+    """rebuild_histogram clears ONLY the marker token it started with: a
+    marker re-asserted by a new writer mid-rebuild survives (the reader
+    can't prove it stale)."""
+    path = str(tmp_path / "codes_token")
+    layout.write_codes_partitioned(codes, path, bucket_cells=8)
+    stale_token = layout._write_pending_marker(path)
+    # simulate a NEW append starting mid-rebuild: replace the marker token
+    # before rebuild runs its clear step
+    import columbiaimagesearch_spark.lopq.layout as lay
+
+    orig_clear = lay._clear_pending_marker
+
+    def swap_then_clear(p, token):
+        assert token == stale_token
+        lay._write_pending_marker(p)  # new writer asserts intent
+        orig_clear(p, token)
+
+    lay_clear = lay._clear_pending_marker
+    try:
+        lay._clear_pending_marker = swap_then_clear
+        layout.rebuild_histogram(spark, path)
+    finally:
+        lay._clear_pending_marker = lay_clear
+    # the new writer's marker must still be present
+    assert layout.layout_is_pending(path)
 
 
 def test_budget_guard_exact_boundary(spark, model, codes):
