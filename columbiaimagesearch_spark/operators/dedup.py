@@ -33,10 +33,37 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources import load_table
 
-# Block count for the exact-Jaccard block-pair matmul: every doc replicates
+# Block sizing for the exact-Jaccard block-pair matmul: every doc replicates
 # to B tasks, task (a, b) handles its two blocks' pairs in one matmul.
-# Per-task work is O((2n/B)^2); raise with corpus size.
-JACCARD_BLOCKS = 16
+# B derives from the doc count (derive_jaccard_blocks) so per-task memory
+# (n/B x local_vocab float32) stays bounded as the corpus grows; past
+# JACCARD_MAX_DOCS the operator refuses outright — exact all-pairs is the
+# small-N ground-truth rung, dedup_minhash_lsh_pairs is the scale path.
+JACCARD_TARGET_BLOCK_DOCS = 320  # ~320 docs/block ≈ the benched r5 shape
+JACCARD_MAX_DOCS = 100_000
+
+
+def derive_jaccard_blocks(
+    n_docs: int,
+    target_block_docs: int = JACCARD_TARGET_BLOCK_DOCS,
+    max_docs: int = JACCARD_MAX_DOCS,
+) -> int:
+    """Block count sized to the corpus (VERDICT r5 next-round #4): per
+    block-pair task the kernel holds ~2 x target_block_docs rows and their
+    factorized shingle vocabulary. Raises past ``max_docs``: at 100k docs
+    the all-pairs count (5e9) stops being a ground-truth rung — use
+    ``dedup_minhash_lsh_pairs`` (banded candidates + exact verify), which
+    computes the same verified-Jaccard pairs without the quadratic."""
+    if n_docs > max_docs:
+        raise ValueError(
+            f"dedup_ngram_jaccard_pairs is the exact small-N oracle rung "
+            f"({n_docs} docs > {max_docs} cap): the all-pairs matmul would "
+            "do O(n^2) work. Use dedup_minhash_lsh_pairs — the banded scale "
+            "path with the same exact-Jaccard verification."
+        )
+    import math
+
+    return max(1, math.ceil(n_docs / max(1, target_block_docs)))
 
 # LSH tuning: threshold ~ (1/b)^(1/r). r=3, b=8 puts the S-curve midpoint at
 # (1/8)^(1/3) = 0.5 — exactly the verify threshold — while keeping background
@@ -167,10 +194,13 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale shape: this stays the SMALL-N ground-truth rung of the ladder
     # (MinHash-LSH is the scale path) — O(n^2/B) work per task, per-task
     # memory = n_task x local_vocab floats, shuffle = B copies of the
-    # shingle sets. Raise JACCARD_BLOCKS with corpus size to keep tasks
-    # bounded; past ~100k docs use dedup_minhash_lsh_pairs.
-    B = JACCARD_BLOCKS
+    # shingle sets. B derives from the doc count (bounded tasks at any
+    # corpus size); past JACCARD_MAX_DOCS the derivation raises, naming
+    # dedup_minhash_lsh_pairs as the scale path.
     sh = shingled_docs(spark, sf_dir)
+    # plan-time count on the base table: parquet row-count metadata, no
+    # shingle computation
+    B = derive_jaccard_blocks(load_table(spark, sf_dir, "documents").count())
     replicas = F.broadcast(
         spark.range(B).select(F.col("id").cast("int").alias("oblk"))
     )

@@ -297,10 +297,62 @@ def emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1 - angle/pi. Tuned for this corpus's NEAR_DUP_COS=0.40 threshold
 # (p_bit ~ 0.63): 8 bands x 3 bits give ~90% band recall. Production
 # near-dup thresholds (cos >= 0.9, p_bit ~ 0.86) use 8-16 bits per band —
-# the knobs below are corpus-calibration, not structure.
+# the knobs below are corpus-calibration, not structure. The FIXTURE
+# constants pin the registered oracle query; library callers that omit the
+# knobs get them DERIVED from the corpus size (derive_lsh_knobs), so a
+# 100 TB run never inherits 3-bit bands.
 LSH_BANDS = 8
 LSH_BITS = 3
 LSH_SEED = 202
+LSH_TARGET_BUCKET = 64  # in-bucket pairwise work is O(target_bucket) rows/row
+LSH_RECALL = 0.90  # band-OR recall floor at the near-dup threshold
+
+
+def derive_lsh_knobs(
+    n_vectors: int,
+    threshold: float = NEAR_DUP_COS,
+    target_bucket: int = LSH_TARGET_BUCKET,
+    recall: float = LSH_RECALL,
+    min_bits: int = LSH_BITS,
+    max_bits: int = 24,
+    min_bands: int = 4,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """(bands, bits) sized to the corpus — the self-scaling form of the
+    fixture constants (VERDICT r5 next-round #3).
+
+    In-bucket work per band is O((n / 2^bits)^2), so ``bits`` grows with
+    the corpus: bits = ceil(log2(n / target_bucket)) keeps the expected
+    bucket near ``target_bucket`` rows (uniform-hash approximation; real
+    buckets skew, but the applyInPandas kernel is per-bucket so one hot
+    bucket bounds one task, not the stage). More bits cut per-band recall
+    (p_band = p_bit^bits with p_bit = 1 - acos(t)/pi), so ``bands`` is then
+    derived to restore the band-OR recall floor:
+    bands = ceil(log(1-recall) / log(1-p_band)). Cost scales linearly in
+    bands and quadratically in bucket size — trading the linear knob for
+    the quadratic one is exactly the right direction at scale."""
+    import math
+
+    want = math.ceil(math.log2(max(1.0, n_vectors / max(1, target_bucket))))
+    bits = max(min_bits, min(max_bits, want))
+    p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+
+    def bands_needed(r: int) -> float:
+        p_band = p_bit**r
+        if p_band >= 1.0 - 1e-12:
+            return float(min_bands)
+        return math.log(1.0 - recall) / math.log(1.0 - p_band)
+
+    # RECALL IS THE CONTRACT: if the wanted bits can't reach the floor
+    # within max_bands, back bits off (bigger buckets, more in-bucket
+    # work) until they can — a silent recall miss loses pairs, a bucket
+    # over target only costs time. Low thresholds (p_bit near 0.5) are
+    # where this binds; they're fundamentally expensive for sign-bit LSH,
+    # and the blocked (emb_near_dup_pairs) / IVF paths are the alternative.
+    while bits > min_bits and bands_needed(bits) > max_bands:
+        bits -= 1
+    bands = math.ceil(bands_needed(bits))
+    return max(min_bands, min(max_bands, bands)), bits
 
 
 def _lsh_planes(d: int, bands: int = LSH_BANDS, bits: int = LSH_BITS,
@@ -394,23 +446,34 @@ def emb_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    return emb_lsh_pairs_from(emb)
+    # fixture knobs EXPLICIT here: the NumPy-twin oracle reproduces exactly
+    # these; library callers omit them and get corpus-derived knobs
+    return emb_lsh_pairs_from(emb, bands=LSH_BANDS, bits=LSH_BITS)
 
 
 def emb_lsh_pairs_from(
     vec_df: DataFrame,
-    bands: int = LSH_BANDS,
-    bits: int = LSH_BITS,
+    bands: int | None = None,
+    bits: int | None = None,
     threshold: float = NEAR_DUP_COS,
     seed: int = LSH_SEED,
 ) -> DataFrame:
-    """Library form over any (vec_id, v array<double>) relation with the
-    banding knobs exposed. CALIBRATION IS LOAD-BEARING AT SCALE: in-bucket
-    work is O((n / 2^bits)^2) per band, so ``bits`` must grow with the
-    corpus — the registered fixture query's 3-bit bands fit the tiny
-    corpus + low 0.40 threshold; a 100k-vector probe at a production
-    threshold (cos >= 0.9) uses 12-16 bits (SCALE.md numbers)."""
+    """Library form over any (vec_id, v array<double>) relation.
+
+    CALIBRATION IS LOAD-BEARING AT SCALE: in-bucket work is
+    O((n / 2^bits)^2) per band, so ``bits`` must grow with the corpus.
+    When ``bands``/``bits`` are omitted they are DERIVED from a cheap
+    count of ``vec_df`` via :func:`derive_lsh_knobs` (bits from the
+    target bucket size, bands restoring the recall floor) — a 10x larger
+    corpus gets more bits with no knob change. Pass both explicitly to
+    pin a calibration (the registered fixture query does, for its
+    oracle)."""
     from collections.abc import Iterator
+
+    if bands is None or bits is None:
+        d_bands, d_bits = derive_lsh_knobs(vec_df.count(), threshold=threshold)
+        bands = d_bands if bands is None else bands
+        bits = d_bits if bits is None else bits
 
     def band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -117,23 +117,94 @@ def _verify_pairs_fn(threshold: float):
     return _verify_pairs
 
 
+def _knobs_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "lsh_knobs.json")
+
+
+def _resolve_knobs(
+    state_dir: str,
+    bands: int | None,
+    bits: int | None,
+    threshold: float,
+    seed: int,
+    expected_corpus: int | None,
+) -> tuple[int, int]:
+    """The banding knobs ARE state: the band table is keyed by them, so
+    every step against one state dir must use the same (bands, bits,
+    seed) — a silent knob change would make the new-old join compare keys
+    from different hash families (missed pairs, no error). Resolution:
+
+    1. a state dir that already pinned knobs wins — explicit args may
+       only CONFIRM them (a conflict raises instead of corrupting state);
+    2. explicit args pin on first use;
+    3. ``expected_corpus`` derives (bands, bits) via
+       :func:`~..operators.similarity.derive_lsh_knobs` and pins those —
+       the self-scaling path (size to the corpus the stream will
+       accumulate, not the first batch);
+    4. otherwise the fixture constants pin (smoke-tier default)."""
+    import json
+
+    pinned = None
+    try:
+        with open(_knobs_path(state_dir)) as fh:
+            pinned = json.load(fh)
+    except FileNotFoundError:
+        pass
+    if pinned is not None:
+        for name, given in (("bands", bands), ("bits", bits), ("seed", seed)):
+            if given is not None and given != pinned[name]:
+                raise ValueError(
+                    f"LSH knob {name}={given} conflicts with the state "
+                    f"dir's pinned {name}={pinned[name]} — the band table "
+                    "was built with the pinned calibration; start a new "
+                    "state dir to re-calibrate"
+                )
+        return int(pinned["bands"]), int(pinned["bits"])
+    if bands is None or bits is None:
+        if expected_corpus is not None:
+            from ..operators.similarity import derive_lsh_knobs
+
+            d_bands, d_bits = derive_lsh_knobs(
+                expected_corpus, threshold=threshold
+            )
+        else:
+            d_bands, d_bits = LSH_BANDS, LSH_BITS
+        bands = d_bands if bands is None else bands
+        bits = d_bits if bits is None else bits
+    os.makedirs(state_dir, exist_ok=True)
+    with open(_knobs_path(state_dir), "w") as fh:
+        json.dump(
+            {"bands": int(bands), "bits": int(bits), "seed": int(seed),
+             "threshold": float(threshold)},
+            fh,
+        )
+    return int(bands), int(bits)
+
+
 def emb_dedup_batch_step(
     spark: SparkSession,
     vecs: DataFrame,
     state_dir: str,
-    bands: int = LSH_BANDS,
-    bits: int = LSH_BITS,
+    bands: int | None = None,
+    bits: int | None = None,
     threshold: float = NEAR_DUP_COS,
     seed: int = LSH_SEED,
+    expected_corpus: int | None = None,
 ) -> int:
     """One incremental step: near-dup ``vecs`` against state, append
     verified pairs + fresh state rows. Returns fresh vectors admitted.
 
     The banding knobs MUST match across every step against one state dir
-    (the band table is the state), and — as with the batch operator —
-    ``bits`` must grow with the corpus: new-old candidates per batch are
-    O(batch × bands × |state| / 2^bits), so the fixture's 3-bit default is
-    for the tiny smoke tier; production thresholds use 12-16 bits."""
+    (the band table is the state) — enforced by :func:`_resolve_knobs`,
+    which pins the first step's knobs in ``lsh_knobs.json`` and rejects
+    conflicting explicit knobs later. Pass ``expected_corpus`` on the
+    first step to size the calibration to the corpus the stream will
+    accumulate (bits grow with it; the fixture constants remain the
+    smoke-tier default): new-old candidates per batch are
+    O(batch × bands × |state| / 2^bits)."""
+    bands, bits = _resolve_knobs(
+        state_dir, bands, bits, threshold, seed, expected_corpus
+    )
     vecs = vecs.where(F.col("vec_id").isNotNull()).dropDuplicates(["vec_id"])
     state_vecs = read_vectors(spark, state_dir)
     fresh = vecs.join(state_vecs, "vec_id", "left_anti").persist()
@@ -208,15 +279,17 @@ def run_incremental_emb_dedup(
     state_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
-    bands: int = LSH_BANDS,
-    bits: int = LSH_BITS,
+    bands: int | None = None,
+    bits: int | None = None,
     threshold: float = NEAR_DUP_COS,
     seed: int = LSH_SEED,
+    expected_corpus: int | None = None,
 ) -> None:
     """Drain ``src_dir`` (JSONL vector drops, availableNow) through the
     incremental near-dup; offsets checkpoint with the query, the claim
-    anti-join makes redeliveries no-ops. Banding knobs pass through to the
-    step (they must stay constant per state dir)."""
+    anti-join makes redeliveries no-ops. Banding knobs pin to the state
+    dir on the first batch (derived from ``expected_corpus`` when given)
+    and stay constant for its lifetime — see ``_resolve_knobs``."""
     stream = (
         spark.readStream.schema(VEC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -227,6 +300,7 @@ def run_incremental_emb_dedup(
             lambda batch_df, _bid: emb_dedup_batch_step(
                 spark, batch_df, state_dir,
                 bands=bands, bits=bits, threshold=threshold, seed=seed,
+                expected_corpus=expected_corpus,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -100,6 +100,105 @@ def test_crash_between_bands_and_claim_replays_clean(spark, tmp_path, monkeypatc
     assert bands_cnt == 200 * eds.LSH_BANDS
 
 
+def test_derived_knobs_scale_with_corpus():
+    """A 10x larger corpus gets MORE bits with no knob change, and bands
+    rise to hold the recall floor (VERDICT r5 next-round #3)."""
+    import math
+
+    from columbiaimagesearch_spark.operators.similarity import (
+        LSH_RECALL,
+        NEAR_DUP_COS,
+        derive_lsh_knobs,
+    )
+
+    # at a production near-dup threshold (cos >= 0.9): bits grow with the
+    # corpus and the expected bucket stays near the target
+    knobs = {n: derive_lsh_knobs(n, threshold=0.9) for n in
+             (10_000, 100_000, 1_000_000)}
+    bits_seq = [knobs[n][1] for n in (10_000, 100_000, 1_000_000)]
+    assert bits_seq[0] < bits_seq[1] < bits_seq[2]
+    assert 100_000 / 2 ** knobs[100_000][1] <= 2 * 64
+    p_hi = 1.0 - math.acos(0.9) / math.pi
+    for bands, bits in knobs.values():
+        recall = 1.0 - (1.0 - p_hi**bits) ** bands
+        assert recall >= LSH_RECALL - 1e-9, (bands, bits, recall)
+
+    # at the fixture's LOW threshold the bands cap binds: bits back off so
+    # the recall floor still holds (recall is the contract; bucket size
+    # degrades, never silent pair loss)
+    p_lo = 1.0 - math.acos(NEAR_DUP_COS) / math.pi
+    for n in (10_000, 1_000_000):
+        bands, bits = derive_lsh_knobs(n)
+        recall = 1.0 - (1.0 - p_lo**bits) ** bands
+        assert recall >= LSH_RECALL - 1e-9, (bands, bits, recall)
+
+
+def test_auto_knobs_equal_explicit_derived(spark):
+    """emb_lsh_pairs_from with omitted knobs == the same call with the
+    derived knobs passed explicitly (the auto path is a derivation, not a
+    different algorithm)."""
+    from columbiaimagesearch_spark.operators.similarity import (
+        derive_lsh_knobs,
+        emb_lsh_pairs_from,
+    )
+
+    vecs = _vec_df(spark)
+    bands, bits = derive_lsh_knobs(vecs.count())
+    auto = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in emb_lsh_pairs_from(vecs).collect()
+    }
+    explicit = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in emb_lsh_pairs_from(vecs, bands=bands, bits=bits).collect()
+    }
+    assert auto == explicit and len(auto) > 0
+
+
+def test_stream_pins_derived_knobs_and_rejects_conflicts(spark, tmp_path):
+    """First step with expected_corpus derives + pins the knobs in state
+    metadata; later steps inherit them with NO knob arguments; a
+    conflicting explicit knob raises instead of silently mixing hash
+    families; streamed ≡ batch at the SAME derived calibration."""
+    import json
+
+    import pytest
+
+    from columbiaimagesearch_spark.operators.similarity import (
+        derive_lsh_knobs,
+        emb_lsh_pairs_from,
+    )
+
+    vecs = _vec_df(spark)
+    n = vecs.count()
+    state = str(tmp_path / "state")
+    b1 = vecs.where(F.col("vec_id") < 200)
+    b2 = vecs.where(F.col("vec_id") >= 200)
+    eds.emb_dedup_batch_step(spark, b1, state, expected_corpus=n)
+
+    exp_bands, exp_bits = derive_lsh_knobs(n)
+    with open(eds._knobs_path(state)) as fh:
+        pinned = json.load(fh)
+    assert (pinned["bands"], pinned["bits"]) == (exp_bands, exp_bits)
+
+    # knobless later step inherits the pin
+    eds.emb_dedup_batch_step(spark, b2, state)
+    got = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in eds.read_pairs(spark, state).collect()
+    }
+    want = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in emb_lsh_pairs_from(
+            vecs, bands=exp_bands, bits=exp_bits
+        ).collect()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="pinned"):
+        eds.emb_dedup_batch_step(spark, b2, state, bits=exp_bits + 1)
+
+
 def test_stream_wrapper_drains_drops(spark, tmp_path):
     import json
 

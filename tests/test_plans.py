@@ -227,6 +227,21 @@ def test_jaccard_block_pairs_no_nested_loop(spark):
     Arrow tasks, so the plan must contain the block-replication broadcast
     and the applyInPandas stage — and NEVER the per-pair broadcast
     nested-loop join (the 452 s-at-sf0.1 form this replaced)."""
+    # block-count derivation: bounded per-task size, loud guard past the
+    # exact rung's ceiling (the scale path is dedup_minhash_lsh_pairs)
+    import pytest
+
+    from columbiaimagesearch_spark.operators.dedup import (
+        JACCARD_TARGET_BLOCK_DOCS,
+        derive_jaccard_blocks,
+    )
+
+    assert derive_jaccard_blocks(100) == 1
+    assert derive_jaccard_blocks(5_000) == -(-5_000 // JACCARD_TARGET_BLOCK_DOCS)
+    assert derive_jaccard_blocks(50_000) > derive_jaccard_blocks(5_000)
+    with pytest.raises(ValueError, match="dedup_minhash_lsh_pairs"):
+        derive_jaccard_blocks(200_000)
+
     plan = explain.formatted_plan(_q(spark, "dedup_ngram_jaccard_pairs"))
     # pairwise scoring lives in the Arrow task, never in an expression
     # evaluated per (i, j): the old form's array_intersect must be gone
@@ -237,10 +252,16 @@ def test_jaccard_block_pairs_no_nested_loop(spark):
     # broadcasts as "+- BroadcastExchange (n)")
     assert plan.count("+- Exchange") == 1, plan
     # the ONLY nested-loop allowed is the B-row replication broadcast
-    # (crossJoin against Range(0, JACCARD_BLOCKS)) — a doc-vs-doc
-    # nested-loop would mean the quadratic join crept back
+    # (crossJoin against Range(0, B) with B derived from the doc count) —
+    # a doc-vs-doc nested-loop would mean the quadratic join crept back
     assert plan.count("+- BroadcastNestedLoopJoin") <= 1, plan
     if "BroadcastNestedLoopJoin" in plan:
-        from columbiaimagesearch_spark.operators.dedup import JACCARD_BLOCKS
+        from columbiaimagesearch_spark.operators.dedup import (
+            derive_jaccard_blocks,
+        )
+        from columbiaimagesearch_spark.sources import load_table
 
-        assert f"Range (0, {JACCARD_BLOCKS}" in plan, plan
+        b = derive_jaccard_blocks(
+            load_table(spark, SF_SMOKE, "documents").count()
+        )
+        assert f"Range (0, {b}" in plan, plan
