@@ -18,6 +18,12 @@ Covered modes (``api.py:43-70,120-169``):
   paths (no network in this environment) and falls through to
   ``urllib.request`` for http(s) where available.
 - ``byPATH``  — local file paths (``search_byPATH``, api.py:248-258)
+- ``view_similar_by{B64,SHA1,URL,PATH}`` — the same searches rendered as a
+  minimal HTML results page (``view_similar_query_response``,
+  api.py:410-507 + ``www/templates/view_similar_images.html``): query image
+  inline (data: URI where the bytes are at hand, else a
+  ``view_image_sha1`` link), each similar image an ``<img>`` pointing at
+  this server's ``view_image_sha1`` endpoint with the distance as title.
 - ``status``  — uptime / index size / last refresh (``status``, api.py:321-338)
 - ``refresh`` — reindex pending images (``refresh``, api.py:308-319; our twin
   takes the new-images relation through the same extract→encode→add_codes
@@ -494,6 +500,93 @@ def _append_errors(outp: dict, errors: list[str]) -> dict:
     return outp
 
 
+def _html_escape(s: str) -> str:
+    import html
+
+    return html.escape(str(s), quote=True)
+
+
+def _render_similar_html(resp: dict, query_srcs: dict[str, str],
+                         endpoint: str) -> str:
+    """The reference's view_similar_* page (www/templates/
+    view_similar_images.html rendered by api.py:410-507), minimally:
+    per query — the query image, then each similar image as an <img>
+    fetched from THIS server's view_image_sha1 route with the distance
+    in the title attribute."""
+    parts = ["<html><head><title>Images viewer</title></head><body>"]
+    for entry in resp.get("images", []):
+        qsha = entry.get("QuerySha1", "")
+        src = query_srcs.get(qsha)
+        parts.append("<h2>Query image:</h2>")
+        if src:
+            parts.append(
+                f'<img src="{_html_escape(src)}" '
+                f'title="{_html_escape(qsha)}" class="img_vis">'
+            )
+        else:
+            parts.append(f"<p>{_html_escape(qsha or entry.get('error', '?'))}</p>")
+        parts.append("<h2>Query results:</h2>")
+        sims_list = (
+            entry.get("SimilarFaces")
+            if "SimilarFaces" in entry
+            else [entry.get("SimilarImages") or {}]
+        )
+        for sims in sims_list:
+            for sha1, dist in zip(
+                sims.get("ImageSha1s", []), sims.get("Distances", [])
+            ):
+                parts.append(
+                    f'<img src="/{endpoint}/view_image_sha1?data='
+                    f'{_html_escape(sha1)}" alt="{_html_escape(sha1)}" '
+                    f'title="{_html_escape(dist)}" class="img_vis" '
+                    'style="height: 120px;">'
+                )
+    parts.append("</body></html>")
+    return "\n".join(parts)
+
+
+def _view_similar_query_srcs(service: ImageSearchService, base_mode: str,
+                             data: str) -> dict[str, str]:
+    """query sha1 -> displayable src, per the reference's per-type rules
+    (api.py:423-452): B64/PATH embed the bytes as a data: URI (MIME from
+    the header sniff), URL uses the URL itself, SHA1 links back through
+    view_image_sha1."""
+    from .multimodal.images import sniff_image_header
+
+    srcs: dict[str, str] = {}
+    if base_mode == "byB64":
+        for b in data.split(","):
+            if b.startswith("data:"):
+                continue
+            try:
+                raw = base64.b64decode(b, validate=True)
+            except Exception:  # noqa: BLE001 — bad items already error per-item
+                continue
+            fmt, _w, _h = sniff_image_header(raw)
+            mime = f"image/{fmt.lower()}" if fmt else "application/octet-stream"
+            srcs[_sha1_hex(raw)] = f"data:{mime};base64,{b}"
+    elif base_mode == "byPATH":
+        for p in _split_url_list(data):
+            try:
+                raw = default_url_fetcher(p.strip())
+            except Exception:  # noqa: BLE001
+                continue
+            fmt, _w, _h = sniff_image_header(raw)
+            mime = f"image/{fmt.lower()}" if fmt else "application/octet-stream"
+            srcs[_sha1_hex(raw)] = (
+                f"data:{mime};base64,{base64.b64encode(raw).decode()}"
+            )
+    elif base_mode == "byURL":
+        for u in _split_url_list(data):
+            u = u.strip()
+            try:
+                raw = default_url_fetcher(u)
+            except Exception:  # noqa: BLE001
+                continue
+            srcs[_sha1_hex(raw)] = u
+    return srcs
+
+
 def _process(service: ImageSearchService, mode: str,
              data: str | None, options_raw: str | None) -> dict:
     if not data:
@@ -557,6 +650,23 @@ def make_server(
                 qs = parse_qs(parsed.query)
                 data = qs.get("data", [None])[0]
                 options_raw = qs.get("options", [None])[0]
+            if mode.startswith("view_similar_by") and data:
+                base_mode = "by" + mode[len("view_similar_by"):]
+                resp = _process(service, base_mode, data, options_raw)
+                if base_mode == "bySHA1":
+                    srcs = {
+                        s: f"/{endpoint}/view_image_sha1?data={s}"
+                        for s in data.split(",")
+                    }
+                else:
+                    srcs = _view_similar_query_srcs(service, base_mode, data)
+                body = _render_similar_html(resp, srcs, endpoint).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if mode == "view_image_sha1":
                 # binary response (the reference renders HTML around the
                 # cached URL; serving the bytes is the data-plane twin)

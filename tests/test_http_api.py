@@ -308,6 +308,37 @@ def test_concurrent_refresh_serializes(spark, domain_images):
     assert svc.searcher.n_items == len(known) + len(expected_new)
 
 
+def test_view_similar_html_modes(spark, domain_images, server, tmp_path):
+    """view_similar_by{B64,SHA1,PATH}: same search, rendered as the
+    reference's HTML results page — query image inline (data: URI where
+    bytes are at hand, view_image_sha1 link for sha1 queries), each hit an
+    <img> against this server's view_image_sha1 route with the distance
+    as title."""
+    row = domain_images.orderBy("sha1").limit(1).collect()[0]
+    content = bytes(row["content"])
+    b64 = base64.b64encode(content).decode()
+
+    def get_html(mode, data):
+        with urllib.request.urlopen(_url(server, mode, data=data), timeout=60) as r:
+            assert r.headers["Content-Type"].startswith("text/html")
+            return r.read().decode()
+
+    page = get_html("view_similar_byB64", b64)
+    # top hit (the image itself, indexed under the fixture sha1) links back
+    # through the data-plane fetch route
+    assert f"view_image_sha1?data={row['sha1']}" in page
+    assert "data:image/" in page  # query embedded as data: URI
+    assert 'title="0.0"' in page  # self-match distance
+
+    page_sha = get_html("view_similar_bySHA1", row["sha1"])
+    assert f"view_image_sha1?data={row['sha1']}" in page_sha
+
+    img = tmp_path / "probe.img"
+    img.write_bytes(content)
+    page_path = get_html("view_similar_byPATH", str(img))
+    assert f"view_image_sha1?data={row['sha1']}" in page_path
+
+
 def test_view_image_sha1_returns_bytes(spark, domain_images, server, service):
     """view_image_sha1 (api.py:545-557): sha1 -> image bytes via an S5
     point-get against the images relation, MIME from the header sniffer;
