@@ -75,7 +75,8 @@ class ImageSearchService:
     """
 
     def __init__(self, spark, model, searcher, id_to_sha1, sha1_to_ids,
-                 q_model, mode: str, images: DataFrame | None = None) -> None:
+                 q_model, mode: str, images: DataFrame | None = None,
+                 source_path: str | None = None) -> None:
         self.spark = spark
         self.model = model
         self.searcher = searcher  # ServingSearcher with resident vectors
@@ -84,6 +85,10 @@ class ImageSearchService:
         self.q_model = q_model
         self.mode = mode
         self.images = images  # optional: backs view_image_sha1 point-gets
+        # when the images relation scans a path, remembering it lets
+        # refresh_from_source invalidate Spark's file-listing cache so a
+        # re-scan sees files that landed after build
+        self.source_path = source_path
         self.start_time = datetime.now()
         self.last_refresh = datetime.now()
         # refresh is single-writer BY CONTRACT; the lock makes two
@@ -124,6 +129,7 @@ class ImageSearchService:
         train_params: dict | None = None,
         n_shards: int = 1,
         max_rows_per_shard: int | None = None,
+        source_path: str | None = None,
     ) -> "ImageSearchService":
         """``n_shards`` > 1 backs the service with a
         :class:`~.lopq.serving.ShardedServingRouter` instead of one replica —
@@ -191,7 +197,7 @@ class ImageSearchService:
         for r in meta:
             sha1_to_ids.setdefault(r["sha1"], []).append(int(r["id"]))
         return cls(spark, model, searcher, id_to_sha1, sha1_to_ids,
-                   factory(), mode, images=images)
+                   factory(), mode, images=images, source_path=source_path)
 
     def refresh(self, new_images: DataFrame) -> int:
         """Index new images into the running service (the reference's
@@ -210,6 +216,26 @@ class ImageSearchService:
         gunicorn worker, api.py:28-41."""
         with self._refresh_lock:
             return self._refresh_locked(new_images)
+
+    def refresh_from_source(self) -> int:
+        """The reference's HTTP ``refresh`` semantics (api.py:307-319:
+        ``searcher.load_codes(full_refresh=True)`` — re-check the BACKING
+        STORE for anything unindexed): re-scan the service's images
+        relation and admit whatever the sha1 dedup says is new. With a
+        ``source_path``, the file-listing cache is invalidated first so
+        rows appended to the path since build/last refresh are seen."""
+        if self.images is None:
+            raise ValueError(
+                "service was built without a backing images relation; "
+                "call refresh(new_images) with the new rows instead"
+            )
+        if self.source_path:
+            # a DataFrame pins the file listing its plan was built with;
+            # refreshByPath drops the shared listing cache and the fresh
+            # read PICKS UP files appended since build
+            self.spark.catalog.refreshByPath(self.source_path)
+            self.images = self.spark.read.parquet(self.source_path)
+        return self.refresh(self.images)
 
     def _refresh_locked(self, new_images: DataFrame) -> int:
         from .lopq.encode import encode_dataframe
@@ -594,8 +620,15 @@ def _process(service: ImageSearchService, mode: str,
         if mode == "status":
             return service.status()
         if mode == "refresh":
-            return {"refresh": "pass the new images relation to "
-                               "ImageSearchService.refresh() server-side"}
+            # the reference's semantics (api.py:307-319): re-check the
+            # backing store for unindexed images and admit them
+            if service.images is None:
+                return {"refresh": "no backing images relation; pass new "
+                                   "images to ImageSearchService.refresh() "
+                                   "server-side"}
+            admitted = service.refresh_from_source()
+            return {"refresh": "just run a full refresh",
+                    "admitted": admitted}
         return {"error": f"unknown_mode: {mode}. Did you forget to give "
                          "'data' parameter?"}
     start = time.time()

@@ -308,6 +308,53 @@ def test_concurrent_refresh_serializes(spark, domain_images):
     assert svc.searcher.n_items == len(known) + len(expected_new)
 
 
+def test_http_refresh_picks_up_appended_source_rows(spark, tmp_path):
+    """The reference's HTTP refresh semantics (load_codes(full_refresh=True),
+    api.py:307-319): GET /refresh re-scans the BACKING STORE and admits
+    whatever landed since build. Parquet-backed end-to-end: build from a
+    path, append rows to that path, hit /refresh over HTTP, find the new
+    image through the same running endpoint."""
+    from columbiaimagesearch_spark.sources import fixtures
+
+    src = str(tmp_path / "images_src")
+    all_images = fixtures.generate(n_images=210).to_spark(spark)["images"]
+    initial = all_images.orderBy("sha1").limit(180)
+    initial.write.mode("overwrite").parquet(src)
+
+    svc = http_api.ImageSearchService.build(
+        spark, spark.read.parquet(src), source_path=src
+    )
+    known = set(svc.sha1_to_ids)
+    assert len(known) == 180
+
+    srv = http_api.make_server(svc)
+    http_api.serve_in_thread(srv)
+    try:
+        # nothing new yet: refresh over HTTP is a no-op
+        out = _get(srv, "refresh")
+        assert out["refresh"] == "just run a full refresh"
+        assert out["admitted"] == 0
+
+        # append the remaining rows to the SOURCE PATH, refresh via HTTP
+        later = all_images.join(initial.select("sha1"), "sha1", "left_anti")
+        n_later = later.count()
+        assert n_later == 30
+        later.write.mode("append").parquet(src)
+        out = _get(srv, "refresh")
+        assert out["admitted"] == n_later
+
+        probe = later.orderBy("sha1").limit(1).collect()[0]
+        found = _get(
+            srv, "byB64",
+            data=base64.b64encode(bytes(probe["content"])).decode(),
+        )
+        sims = found["images"][0]["SimilarImages"]
+        assert sims["ImageSha1s"][0] == probe["sha1"]
+        assert sims["Distances"][0] == 0.0
+    finally:
+        srv.shutdown()
+
+
 def test_view_similar_html_modes(spark, domain_images, server, tmp_path):
     """view_similar_by{B64,SHA1,PATH}: same search, rendered as the
     reference's HTML results page — query image inline (data: URI where
