@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 
 DEFAULT_ENDPOINT = "cuimgsearch"  # www/run_search_api.py:40 default
 VALID_OPTIONS = ("near_dup", "near_dup_th", "max_returned", "rerank_nb")
+REFRESH_DELAY_S = 3600  # check_new_updates refresh throttle (api.py:26)
 DEFAULT_NEAR_DUP_TH = 0.8  # generic_searcher.py:43-45
 DEFAULT_MAX_RETURNED = 10
 QUOTA_CAP = 10_000  # searcher_lopqhbase.py:838
@@ -259,6 +260,9 @@ class ImageSearchService:
             ]
             fresh_ids = {int(r["id"]) for r in fresh_meta}
             if not fresh_ids:
+                # a refresh RAN (the store was checked) — stamp it, or the
+                # check_new_updates throttle would re-scan on every call
+                self.last_refresh = datetime.now()
                 return 0
             fresh_ids_df = F.broadcast(
                 self.spark.createDataFrame(
@@ -432,6 +436,22 @@ class ImageSearchService:
             "last_refresh_time": self.last_refresh.isoformat(" "),
             "nb_indexed": str(self.searcher.n_items),
         }
+
+    def check_new_updates(self, refresh_delay_s: float = REFRESH_DELAY_S) -> dict:
+        """``check_new_updates`` (api.py:340-366): status, plus a source
+        refresh IF the index has not been refreshed in ``refresh_delay_s``
+        — the throttled keep-fresh poke a cron or monitor hits."""
+        stale_s = (datetime.now() - self.last_refresh).total_seconds()
+        if self.images is not None and stale_s > refresh_delay_s:
+            self.refresh_from_source()
+        return self.status()
+
+    def check_all_updates(self) -> dict:
+        """``check_all_updates`` (api.py:368-385): status plus an
+        UNCONDITIONAL source refresh (disregard last-refresh time)."""
+        if self.images is not None:
+            self.refresh_from_source()
+        return self.status()
 
 
 def _split_url_list(data: str) -> list[str]:
@@ -619,6 +639,10 @@ def _process(service: ImageSearchService, mode: str,
         # mode-only requests (process_mode, api.py:120-143)
         if mode == "status":
             return service.status()
+        if mode == "check_new_updates":
+            return service.check_new_updates()
+        if mode == "check_all_updates":
+            return service.check_all_updates()
         if mode == "refresh":
             # the reference's semantics (api.py:307-319): re-check the
             # backing store for unindexed images and admit them

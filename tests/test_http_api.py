@@ -351,6 +351,22 @@ def test_http_refresh_picks_up_appended_source_rows(spark, tmp_path):
         sims = found["images"][0]["SimilarImages"]
         assert sims["ImageSha1s"][0] == probe["sha1"]
         assert sims["Distances"][0] == 0.0
+
+        # check_new_updates: stale index -> refreshes; fresh index -> only
+        # status (the refresh throttle; api.py:340-366 semantics)
+        import datetime as dtmod
+
+        svc.last_refresh = svc.last_refresh - dtmod.timedelta(hours=2)
+        stamped_before = svc.last_refresh
+        st = _get(srv, "check_new_updates")
+        assert st["status"] == "OK"
+        assert svc.last_refresh > stamped_before  # refresh ran (no-op admit)
+        stamped = svc.last_refresh
+        _get(srv, "check_new_updates")  # inside the delay: status only
+        assert svc.last_refresh == stamped
+        # check_all_updates refreshes unconditionally
+        _get(srv, "check_all_updates")
+        assert svc.last_refresh > stamped
     finally:
         srv.shutdown()
 
