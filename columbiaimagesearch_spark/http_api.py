@@ -77,7 +77,7 @@ class ImageSearchService:
 
     def __init__(self, spark, model, searcher, id_to_sha1, sha1_to_ids,
                  q_model, mode: str, images: DataFrame | None = None,
-                 source_path: str | None = None) -> None:
+                 source_path: str | None = None, fetcher=None) -> None:
         self.spark = spark
         self.model = model
         self.searcher = searcher  # ServingSearcher with resident vectors
@@ -90,6 +90,8 @@ class ImageSearchService:
         # refresh_from_source invalidate Spark's file-listing cache so a
         # re-scan sees files that landed after build
         self.source_path = source_path
+        # byURL/byPATH edge fetcher; the default denies local file reads
+        self.fetcher = fetcher or default_url_fetcher
         self.start_time = datetime.now()
         self.last_refresh = datetime.now()
         # refresh is single-writer BY CONTRACT; the lock makes two
@@ -131,6 +133,7 @@ class ImageSearchService:
         n_shards: int = 1,
         max_rows_per_shard: int | None = None,
         source_path: str | None = None,
+        path_root: str | None = None,
     ) -> "ImageSearchService":
         """``n_shards`` > 1 backs the service with a
         :class:`~.lopq.serving.ShardedServingRouter` instead of one replica —
@@ -198,7 +201,8 @@ class ImageSearchService:
         for r in meta:
             sha1_to_ids.setdefault(r["sha1"], []).append(int(r["id"]))
         return cls(spark, model, searcher, id_to_sha1, sha1_to_ids,
-                   factory(), mode, images=images, source_path=source_path)
+                   factory(), mode, images=images, source_path=source_path,
+                   fetcher=make_url_fetcher(path_root) if path_root else None)
 
     def refresh(self, new_images: DataFrame) -> int:
         """Index new images into the running service (the reference's
@@ -241,6 +245,18 @@ class ImageSearchService:
     def _refresh_locked(self, new_images: DataFrame) -> int:
         from .lopq.encode import encode_dataframe
 
+        # ST4 sha1 dedup BEFORE extraction: already-indexed images are
+        # anti-joined away up front, so a poll that finds nothing new costs
+        # one broadcast anti-join scan — not a full featurization pass plus
+        # a full-corpus (id, sha1) collect (the indexed-sha1 side is the
+        # service's resident metadata, bounded by the replica budget)
+        if self.sha1_to_ids:
+            indexed = F.broadcast(
+                self.spark.createDataFrame(
+                    [(s,) for s in self.sha1_to_ids], "sha1 string"
+                )
+            )
+            new_images = new_images.join(indexed, "sha1", "left_anti")
         ided = self._extract_ided(new_images, self.mode, type(self.q_model))
         # keep ids globally unique: continue after the current max id
         base = max(self.id_to_sha1, default=-1) + 1
@@ -346,7 +362,7 @@ class ImageSearchService:
         out = []
         for b in b64s:
             try:
-                data = base64.b64decode(b, validate=True)
+                data = _decode_b64_item(b)
             except Exception as inst:  # noqa: BLE001 — contract: per-item error
                 out.append({
                     "error": f"could not decode base64 input: {inst}",
@@ -357,14 +373,21 @@ class ImageSearchService:
         return {"images": out, "search_mode": self.mode}
 
     def search_url_list(
-        self, urls: list[str], opts: dict, fetcher=None
+        self, urls: list[str], opts: dict, fetcher=None,
+        srcs_out: dict | None = None,
     ) -> dict:
         """byURL / byPATH (api.py:232-258): fetch each image's bytes, then
         the byB64 path. Fetch failures append per-item errors, never fail
         the request (the reference's contract for dead URLs). The edge
         applies the F11 cleanup (strip wrapping quotes/whitespace) before
-        fetching — the serving twin of f11_url_cleanup."""
-        fetch = fetcher or default_url_fetcher
+        fetching — the serving twin of f11_url_cleanup.
+
+        ``srcs_out`` (view_similar support): when given, successfully
+        fetched items are recorded as sha1 -> (url, bytes) so the HTML
+        renderer reuses THIS fetch instead of fetching each query again
+        (a re-fetch doubles latency and can sha1-mismatch if the remote
+        content changed between the two reads)."""
+        fetch = fetcher or self.fetcher
         out = []
         for url in urls:
             url = url.strip().strip('"').strip("'")
@@ -381,6 +404,8 @@ class ImageSearchService:
                 continue
             entry = self._entry_for_bytes(data, opts)
             entry["QueryURL"] = url
+            if srcs_out is not None:
+                srcs_out[entry["QuerySha1"]] = (url, data)
             out.append(entry)
         return {"images": out, "search_mode": self.mode}
 
@@ -467,33 +492,72 @@ def _split_url_list(data: str) -> list[str]:
     return out
 
 
-def default_url_fetcher(url: str) -> bytes:
-    """Pluggable-fetcher default for byURL/byPATH: ``data:`` URIs,
-    ``file://`` URLs and plain local paths resolve without network (this
-    environment has none); http(s) URLs go through urllib where the
+def make_url_fetcher(path_root: str | None = None, allow_http: bool = True):
+    """Build the byURL/byPATH fetcher: ``data:`` URIs always resolve;
+    ``file://`` URLs and plain local paths are CONFINED to ``path_root``
+    (``None`` — the default — denies all local reads: an HTTP client must
+    not be able to exfiltrate arbitrary server files through
+    ``byPATH?data=/etc/passwd``); http(s) URLs go through urllib where the
     deployment allows it (the reference fetches with requests,
     imgio.py:42-66)."""
-    if url.startswith("data:"):
-        header, _, payload = url.partition(",")
-        if not payload:
-            raise ValueError("data: URI has no payload")
-        if header.endswith(";base64"):
-            return base64.b64decode(payload, validate=True)
-        from urllib.parse import unquote_to_bytes
+    import os
 
-        return unquote_to_bytes(payload)
-    if url.startswith("file://"):
-        path = urlparse(url).path
-        with open(path, "rb") as f:
+    root = os.path.realpath(path_root) if path_root else None
+
+    def _read_local(path: str) -> bytes:
+        if root is None:
+            raise PermissionError(
+                "local file access is disabled; build the service with "
+                "path_root=<dir> to allow byPATH/file:// queries under it"
+            )
+        real = os.path.realpath(path)
+        if real != root and not real.startswith(root + os.sep):
+            raise PermissionError(f"path outside the allowed root: {path}")
+        with open(real, "rb") as f:
             return f.read()
-    if url.startswith(("http://", "https://")):
-        import urllib.request
 
-        with urllib.request.urlopen(url, timeout=30) as r:
-            return r.read()
-    # byPATH: a bare local filesystem path
-    with open(url, "rb") as f:
-        return f.read()
+    def fetch(url: str) -> bytes:
+        if url.startswith("data:"):
+            header, _, payload = url.partition(",")
+            if not payload:
+                raise ValueError("data: URI has no payload")
+            if header.endswith(";base64"):
+                return base64.b64decode(payload, validate=True)
+            from urllib.parse import unquote_to_bytes
+
+            return unquote_to_bytes(payload)
+        if url.startswith("file://"):
+            return _read_local(urlparse(url).path)
+        if url.startswith(("http://", "https://")):
+            if not allow_http:
+                raise PermissionError("http(s) fetch is disabled")
+            import urllib.request
+
+            with urllib.request.urlopen(url, timeout=30) as r:
+                return r.read()
+        # byPATH: a bare local filesystem path
+        return _read_local(url)
+
+    return fetch
+
+
+#: secure default: data:/http(s) only — NO local file or path reads
+default_url_fetcher = make_url_fetcher()
+
+
+def _decode_b64_item(b: str) -> bytes:
+    """One byB64 item -> bytes. ``data:`` URIs decode through the fetcher's
+    data: branch (so a data URI posted to byB64 is answered, not silently
+    dropped — every input item must yield a result OR an error entry).
+    Plain base64 is normalized first: '+' that a GET query-string decode
+    turned into spaces is restored, and MIME/PEM line wrapping is
+    stripped — then decoded strictly (base64 has no space in its
+    alphabet, so both rewrites are unambiguous)."""
+    if b.startswith("data:"):
+        return make_url_fetcher()(b)
+    b = b.replace(" ", "+")
+    b = b.replace("\r", "").replace("\n", "").replace("\t", "")
+    return base64.b64decode(b, validate=True)
 
 
 def _sha1_hex(data: bytes) -> str:
@@ -591,50 +655,42 @@ def _render_similar_html(resp: dict, query_srcs: dict[str, str],
     return "\n".join(parts)
 
 
-def _view_similar_query_srcs(service: ImageSearchService, base_mode: str,
-                             data: str) -> dict[str, str]:
+def _view_similar_query_srcs(base_mode: str, data: str,
+                             fetched: dict | None) -> dict[str, str]:
     """query sha1 -> displayable src, per the reference's per-type rules
     (api.py:423-452): B64/PATH embed the bytes as a data: URI (MIME from
     the header sniff), URL uses the URL itself, SHA1 links back through
-    view_image_sha1."""
+    view_image_sha1. byURL/byPATH reuse the bytes the SEARCH already
+    fetched (``fetched``: sha1 -> (url, bytes) from search_url_list) —
+    no second fetch, so the rendered query image always matches the
+    response's QuerySha1."""
     from .multimodal.images import sniff_image_header
+
+    def _data_uri(raw: bytes) -> str:
+        fmt, _w, _h = sniff_image_header(raw)
+        mime = f"image/{fmt.lower()}" if fmt else "application/octet-stream"
+        return f"data:{mime};base64,{base64.b64encode(raw).decode()}"
 
     srcs: dict[str, str] = {}
     if base_mode == "byB64":
-        for b in data.split(","):
-            if b.startswith("data:"):
-                continue
+        for b in _split_url_list(data):
             try:
-                raw = base64.b64decode(b, validate=True)
+                raw = _decode_b64_item(b)
             except Exception:  # noqa: BLE001 — bad items already error per-item
                 continue
-            fmt, _w, _h = sniff_image_header(raw)
-            mime = f"image/{fmt.lower()}" if fmt else "application/octet-stream"
-            srcs[_sha1_hex(raw)] = f"data:{mime};base64,{b}"
+            srcs[_sha1_hex(raw)] = _data_uri(raw)
     elif base_mode == "byPATH":
-        for p in _split_url_list(data):
-            try:
-                raw = default_url_fetcher(p.strip())
-            except Exception:  # noqa: BLE001
-                continue
-            fmt, _w, _h = sniff_image_header(raw)
-            mime = f"image/{fmt.lower()}" if fmt else "application/octet-stream"
-            srcs[_sha1_hex(raw)] = (
-                f"data:{mime};base64,{base64.b64encode(raw).decode()}"
-            )
+        for sha1, (_url, raw) in (fetched or {}).items():
+            srcs[sha1] = _data_uri(raw)
     elif base_mode == "byURL":
-        for u in _split_url_list(data):
-            u = u.strip()
-            try:
-                raw = default_url_fetcher(u)
-            except Exception:  # noqa: BLE001
-                continue
-            srcs[_sha1_hex(raw)] = u
+        for sha1, (url, _raw) in (fetched or {}).items():
+            srcs[sha1] = url
     return srcs
 
 
 def _process(service: ImageSearchService, mode: str,
-             data: str | None, options_raw: str | None) -> dict:
+             data: str | None, options_raw: str | None,
+             srcs_out: dict | None = None) -> dict:
     if not data:
         # mode-only requests (process_mode, api.py:120-143)
         if mode == "status":
@@ -658,13 +714,16 @@ def _process(service: ImageSearchService, mode: str,
     start = time.time()
     opts, errors = _parse_options(options_raw)
     if mode == "byB64":
-        resp = service.search_b64_list(
-            [x for x in data.split(",") if not x.startswith("data:")], opts
-        )
+        # _split_url_list keeps data: URIs whole across their header comma;
+        # search_b64_list answers (or per-item-errors) EVERY item — no
+        # silent drops that would misalign a client's input/output zip
+        resp = service.search_b64_list(_split_url_list(data), opts)
     elif mode == "bySHA1":
         resp = service.search_sha1_list(data.split(","), opts)
     elif mode in ("byURL", "byPATH"):
-        resp = service.search_url_list(_split_url_list(data), opts)
+        resp = service.search_url_list(
+            _split_url_list(data), opts, srcs_out=srcs_out
+        )
     else:
         return {"error": f"unknown_mode: {mode}"}
     resp = _append_errors(resp, errors)
@@ -709,14 +768,16 @@ def make_server(
                 options_raw = qs.get("options", [None])[0]
             if mode.startswith("view_similar_by") and data:
                 base_mode = "by" + mode[len("view_similar_by"):]
-                resp = _process(service, base_mode, data, options_raw)
+                fetched: dict = {}
+                resp = _process(service, base_mode, data, options_raw,
+                                srcs_out=fetched)
                 if base_mode == "bySHA1":
                     srcs = {
                         s: f"/{endpoint}/view_image_sha1?data={s}"
                         for s in data.split(",")
                     }
                 else:
-                    srcs = _view_similar_query_srcs(service, base_mode, data)
+                    srcs = _view_similar_query_srcs(base_mode, data, fetched)
                 body = _render_similar_html(resp, srcs, endpoint).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html; charset=utf-8")

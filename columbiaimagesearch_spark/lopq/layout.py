@@ -205,21 +205,29 @@ def search_from_layout(
     # writer-recorded metadata; an explicit value is VALIDATED against it
     # (a mismatched bucket IN-list silently prunes correct directories —
     # wrong answers, not an error, so fail loudly here instead)
-    # staleness probe: an interrupted append leaves the intent marker set —
-    # the sidecar may under-count newly landed cells, so a probe planned
-    # from it would silently under-visit. Auto-repair (one data scan) is
-    # strictly better than a wrong answer; warn so operators see it.
-    if layout_is_pending(path):
+    # staleness probe: an in-flight/interrupted append leaves the intent
+    # marker set — the sidecar may under-count newly landed cells, so a
+    # probe planned from it would silently under-visit. The READER repairs
+    # IN MEMORY only (one data scan feeding this probe's planning): it
+    # must not write the sidecar or clear the marker, because the marker
+    # may belong to a LIVE writer — a reader-side clear would let a
+    # post-data crash of that append go permanently undetected, and a
+    # reader-side sidecar write could overwrite the writer's exact commit
+    # with a partial count. A crashed append's marker stays set until the
+    # next append's pre-repair or an explicit rebuild_histogram — both
+    # writer-side, where the single-writer contract makes clearing safe.
+    pending = layout_is_pending(path)
+    if pending:
         import warnings
 
         warnings.warn(
             f"layout at {path} has an in-flight/interrupted append "
-            "(_PENDING_APPEND set); rebuilding the histogram sidecar from "
-            "the data before planning the probe",
+            "(_PENDING_APPEND set); planning this probe from a histogram "
+            "rebuilt in memory from the data (sidecar and marker are left "
+            "for the writer-side repair)",
             RuntimeWarning,
             stacklevel=2,
         )
-        rebuild_histogram(spark, path)
     recorded = read_layout_meta(spark, path)
     if bucket_cells == _META_AUTO:
         bucket_cells = recorded
@@ -229,7 +237,16 @@ def search_from_layout(
             f"recorded bucketing ({recorded}); probing with a mismatched "
             "bucket list would silently drop matching directories"
         )
-    counts = read_cell_histogram(spark, path)
+    if pending:
+        counts = {
+            int(r["cell"]): int(r["n"])
+            for r in read_codes(spark, path)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    else:
+        counts = read_cell_histogram(spark, path)
     probe_rows, luts, qvecs = _plan_probe(model, queries, counts, quota)
     codes = read_codes(spark, path)
     visited = sorted({cell for _, cell in probe_rows})
@@ -257,8 +274,9 @@ def append_codes_to_layout(
     (a probe may under-visit them until repaired). The crash window is
     CLOSED for readers by a write-ahead intent marker: ``_PENDING_APPEND``
     lands before the data (carrying a per-append writer token), clears
-    after the sidecar merge, and :func:`search_from_layout` auto-repairs
-    (``rebuild_histogram``) when it finds the marker set.
+    after the sidecar merge, and :func:`search_from_layout` plans from an
+    in-memory data rebuild while it finds the marker set (readers never
+    write the sidecar or clear the marker — only writer-side paths do).
 
     Crash/concurrency protocol (single WRITER per layout — the module
     contract; readers may race the writer):
@@ -301,18 +319,17 @@ def append_codes_to_layout(
 
 
 def rebuild_histogram(spark: SparkSession, path: str) -> None:
-    """Recovery path: recompute the histogram sidecar from the data files
-    (one scan) — restores probe-planning correctness after a crash between
-    a data append and its sidecar merge.
+    """WRITER-SIDE recovery: recompute the histogram sidecar from the data
+    files (one scan) — restores probe-planning correctness after a crash
+    between a data append and its sidecar merge. Called by the next
+    append's pre-repair or explicitly by an operator; readers never call
+    it (``search_from_layout`` plans from an in-memory rebuild instead),
+    so under the single-writer contract no append can be in flight here
+    and clearing the marker is safe.
 
-    The intent marker clears only if it still carries the SAME writer token
-    it had when this rebuild started: a marker replaced mid-rebuild belongs
-    to a NEW in-flight append and must survive. A marker whose token is
-    unchanged is treated as stale — which assumes no append is STILL in
-    flight from before the rebuild began (the module's single-writer
-    contract; a live writer re-asserts correctness anyway, because its
-    commit overwrites the sidecar from a pre-append snapshot and its next
-    append repairs first on a crash)."""
+    The intent marker still clears only if it carries the SAME writer token
+    it had when this rebuild started — a marker replaced mid-rebuild
+    belongs to a NEW in-flight append and must survive."""
     token_before = _read_pending_token(path)
     (
         read_codes(spark, path)

@@ -310,9 +310,22 @@ class ShardedServingRouter:
         slice of ``codes`` it owns (same (cell, id)-dedup J7 semantics and
         per-shard budget guard as the single replica). Shard ranges cover
         the full cell space [0, V*V-1], so every incoming row lands in
-        exactly one shard."""
+        exactly one shard.
+
+        All-or-nothing: every shard's budget is checked (one cell-histogram
+        job, upper bound before dedup — same conservatism as the single
+        replica's guard) BEFORE any shard admits, so a mid-loop budget
+        error can never leave a partial admit whose ids the caller's
+        metadata doesn't know about."""
         from pyspark.sql import functions as F
 
+        hist = {
+            int(r["cell"]): int(r["n"])
+            for r in codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        for lo, hi, s in self.shards:
+            incoming = sum(n for c, n in hist.items() if lo <= c <= hi)
+            s._check_budget(incoming, s.n_items)
         for lo, hi, s in self.shards:
             s.add_codes(codes.where(F.col("cell").between(lo, hi)))
         return self

@@ -351,8 +351,27 @@ def derive_lsh_knobs(
     # and the blocked (emb_near_dup_pairs) / IVF paths are the alternative.
     while bits > min_bits and bands_needed(bits) > max_bands:
         bits -= 1
-    bands = math.ceil(bands_needed(bits))
-    return max(min_bands, min(max_bands, bands)), bits
+    needed = bands_needed(bits)
+    bands = max(min_bands, min(max_bands, math.ceil(needed)))
+    if needed > max_bands:
+        # even min_bits can't reach the floor within max_bands: the clamp
+        # is a RECALL MISS, not a cost trade — say so instead of silently
+        # returning knobs that lose pairs (the contract above)
+        import warnings
+
+        p_band = p_bit**bits
+        achieved = 1.0 - (1.0 - p_band) ** bands
+        warnings.warn(
+            f"derive_lsh_knobs: threshold={threshold} needs "
+            f"~{math.ceil(needed)} bands at bits={bits} to reach "
+            f"recall={recall}, but max_bands={max_bands} caps the achieved "
+            f"band-OR recall at ~{achieved:.2f}; use the blocked "
+            "(emb_near_dup_pairs) or IVF path for thresholds this low, or "
+            "raise max_bands",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return bands, bits
 
 
 def _lsh_planes(d: int, bands: int = LSH_BANDS, bits: int = LSH_BITS,

@@ -150,6 +150,20 @@ def _resolve_knobs(
             pinned = json.load(fh)
     except FileNotFoundError:
         pass
+    if pinned is None and (bands is None or bits is None):
+        bands_path = _state_path(state_dir, "bands")
+        if os.path.isdir(bands_path) and any(
+            f.endswith(".parquet") for f in os.listdir(bands_path)
+        ):
+            # a state dir with resident band rows but no knobs file
+            # predates knob pinning — silently pinning TODAY's defaults
+            # would compare keys from a different hash family than the
+            # resident state (missed pairs, no error)
+            raise ValueError(
+                f"state dir {state_dir} holds band rows but no "
+                "lsh_knobs.json; pass the bands/bits/seed it was built "
+                "with explicitly once to pin them"
+            )
     if pinned is not None:
         for name, given in (("bands", bands), ("bits", bits), ("seed", seed)):
             if given is not None and given != pinned[name]:
@@ -172,12 +186,17 @@ def _resolve_knobs(
         bands = d_bands if bands is None else bands
         bits = d_bits if bits is None else bits
     os.makedirs(state_dir, exist_ok=True)
-    with open(_knobs_path(state_dir), "w") as fh:
+    # tmp + rename: a crash mid-dump must leave NO knobs file (retryable),
+    # never a truncated one that wedges every later step on JSONDecodeError
+    final = _knobs_path(state_dir)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump(
             {"bands": int(bands), "bits": int(bits), "seed": int(seed),
              "threshold": float(threshold)},
             fh,
         )
+    os.replace(tmp, final)
     return int(bands), int(bits)
 
 

@@ -199,6 +199,49 @@ def test_stream_pins_derived_knobs_and_rejects_conflicts(spark, tmp_path):
         eds.emb_dedup_batch_step(spark, b2, state, bits=exp_bits + 1)
 
 
+def test_legacy_state_without_knobs_file(spark, tmp_path):
+    """A state dir holding band rows but no lsh_knobs.json (created before
+    knob pinning): a knobless step must REFUSE (pinning today's defaults
+    would hash with a different family than the resident bands — silently
+    missed pairs), while an explicit re-pin of the original knobs
+    proceeds and records them."""
+    import json
+    import os
+
+    import pytest
+
+    vecs = _vec_df(spark)
+    state = str(tmp_path / "state")
+    eds.emb_dedup_batch_step(spark, vecs.where(F.col("vec_id") < 100), state,
+                             bands=6, bits=4)
+    os.remove(eds._knobs_path(state))  # simulate the pre-pinning layout
+
+    with pytest.raises(ValueError, match="no\\s+lsh_knobs.json"):
+        eds.emb_dedup_batch_step(
+            spark, vecs.where(F.col("vec_id") >= 100), state
+        )
+    # explicit re-pin of the original calibration recovers the stream
+    eds.emb_dedup_batch_step(
+        spark, vecs.where(F.col("vec_id") >= 100), state, bands=6, bits=4
+    )
+    with open(eds._knobs_path(state)) as fh:
+        assert json.load(fh)["bands"] == 6
+    # and the knobs file is written atomically (no .tmp residue)
+    assert not os.path.exists(eds._knobs_path(state) + ".tmp")
+
+
+def test_derive_knobs_warns_on_unreachable_recall():
+    """When even min_bits cannot reach the recall floor within max_bands,
+    the clamp is a RECALL MISS — derive_lsh_knobs must say so (a silent
+    clamp loses pairs while claiming the floor)."""
+    import pytest
+
+    from columbiaimagesearch_spark.operators.similarity import derive_lsh_knobs
+
+    with pytest.warns(RuntimeWarning, match="caps the achieved"):
+        derive_lsh_knobs(1_000_000, threshold=-0.9)
+
+
 def test_stream_wrapper_drains_drops(spark, tmp_path):
     import json
 

@@ -22,8 +22,13 @@ def domain_images(spark):
 
 
 @pytest.fixture(scope="module")
-def service(spark, domain_images):
-    return http_api.ImageSearchService.build(spark, domain_images)
+def service(spark, domain_images, tmp_path_factory):
+    # path_root confines byPATH/file:// reads to pytest's tmp tree (every
+    # tmp_path lives under getbasetemp()); without it local reads are denied
+    return http_api.ImageSearchService.build(
+        spark, domain_images,
+        path_root=str(tmp_path_factory.getbasetemp()),
+    )
 
 
 @pytest.fixture(scope="module")
@@ -235,6 +240,58 @@ def test_byurl_matches_byb64(spark, domain_images, server, tmp_path):
     assert entry["SimilarImages"]["NumberImages"] == 0
 
 
+def test_bypath_confined_to_path_root(spark, domain_images, server):
+    """Local reads are CONFINED: a byPATH/file:// query outside the
+    service's path_root answers a per-item error, never the file bytes —
+    and a service built without path_root denies local reads entirely
+    (an HTTP client must not read arbitrary server files)."""
+    out = _get(server, "byPATH", data="/etc/hostname")
+    entry = out["images"][0]
+    assert "could not fetch image" in entry["error"]
+    assert "allowed root" in entry["error"]
+    # ../ traversal out of the root is caught after realpath resolution
+    out = _get(server, "byURL",
+               data="file:///tmp/../etc/hostname")
+    assert "could not fetch image" in out["images"][0]["error"]
+
+    unconfined = http_api.ImageSearchService.build(spark, domain_images)
+    resp = unconfined.search_url_list(["/etc/hostname"], {})
+    assert "local file access is disabled" in resp["images"][0]["error"]
+
+
+def test_byb64_data_uri_and_lenient_base64(spark, domain_images, server,
+                                           service):
+    """Every byB64 input item yields a result or an error entry — a data:
+    URI item is decoded and answered (not silently dropped), and
+    MIME-wrapped / GET-mangled base64 ('+' -> ' ', embedded newlines)
+    still decodes."""
+    row = domain_images.orderBy("sha1").limit(1).collect()[0]
+    content = bytes(row["content"])
+    b64 = base64.b64encode(content).decode()
+    expect = _get(server, "byB64", data=b64)["images"][0]
+
+    # data: URI as a byB64 item (its header comma must not split it)
+    out = _get(server, "byB64",
+               data="data:application/octet-stream;base64," + b64)
+    assert len(out["images"]) == 1
+    assert out["images"][0]["QuerySha1"] == expect["QuerySha1"]
+    assert out["images"][0]["SimilarImages"] == expect["SimilarImages"]
+
+    # MIME 76-col wrapping and '+'->' ' query-string mangling both decode
+    wrapped = "\n".join(b64[i:i + 76] for i in range(0, len(b64), 76))
+    mangled = b64.replace("+", " ")
+    out = _get(server, "byB64", data=wrapped)
+    assert out["images"][0]["QuerySha1"] == expect["QuerySha1"]
+    resp = service.search_b64_list([mangled], {})
+    assert resp["images"][0]["QuerySha1"] == expect["QuerySha1"]
+
+    # a malformed item still errors per-item, aligned with its position
+    out = _get(server, "byB64", data=",".join([b64, "data:text/plain;no-payload"]))
+    assert len(out["images"]) == 2
+    assert out["images"][0]["QuerySha1"] == expect["QuerySha1"]
+    assert "could not decode" in out["images"][1]["error"]
+
+
 def test_sharded_service_build_same_answers(spark, domain_images):
     """build(n_shards=2) routes through ShardedServingRouter with per-shard
     codes AND rerank vectors — byB64/bySHA1 answers are identical to the
@@ -279,6 +336,35 @@ def test_sharded_service_build_same_answers(spark, domain_images):
     sims = out["images"][0]["SimilarImages"]
     assert sims["ImageSha1s"][0] == probe["sha1"]
     assert sims["Distances"][0] == 0.0
+
+
+def test_refresh_extracts_only_new_images(spark, domain_images):
+    """Already-indexed sha1s are anti-joined away BEFORE featurization: a
+    poll that finds nothing new never pays an extraction pass over the
+    corpus (it used to featurize + collect everything and discard it
+    driver-side), and a mixed batch extracts only its new rows."""
+    from columbiaimagesearch_spark.sources import fixtures
+
+    svc = http_api.ImageSearchService.build(spark, domain_images)
+    extracted_counts: list[int] = []
+    real_extract = type(svc)._extract_ided
+
+    def spy(images, mode, factory):
+        extracted_counts.append(images.count())
+        return real_extract(images, mode, factory)
+
+    svc._extract_ided = spy
+    assert svc.refresh(domain_images) == 0  # all known
+    assert extracted_counts[-1] == 0
+
+    new_images = fixtures.generate(n_images=205).to_spark(spark)["images"]
+    n_new = new_images.join(
+        domain_images.select("sha1"), "sha1", "left_anti"
+    ).count()
+    assert n_new > 0
+    admitted = svc.refresh(new_images)  # mixed: knowns + a few new
+    assert admitted == n_new
+    assert extracted_counts[-1] == n_new  # ONLY the new rows featurized
 
 
 def test_concurrent_refresh_serializes(spark, domain_images):

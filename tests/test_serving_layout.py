@@ -413,9 +413,13 @@ def test_crashed_append_detected_and_auto_repaired(
 ):
     """Crash between the data append and the sidecar merge: the intent
     marker stays set, so the next search_from_layout must DETECT the stale
-    sidecar, auto-repair (rebuild_histogram), and return the same answers
-    as a search over the full codes relation — never silently under-visit
-    the newly landed cells."""
+    sidecar, plan from an in-memory data rebuild, and return the same
+    answers as a search over the full codes relation — never silently
+    under-visit the newly landed cells. The READER must NOT write the
+    sidecar or clear the marker (the marker may belong to a live writer;
+    a reader-side clear would hide a post-data crash of that append) —
+    repair of the on-disk state is writer-side (explicit rebuild or the
+    next append's pre-repair)."""
     path = str(tmp_path / "codes_crash")
     first = codes.where(F.col("id") < 250)
     rest = codes.where(F.col("id") >= 250)
@@ -456,7 +460,12 @@ def test_crashed_append_detected_and_auto_repaired(
     )
     want = search(spark, codes, model, queries_np, quota=QUOTA, k=TOP_K)
     assert rows(got) == rows(want)
-    # repair committed: marker cleared, sidecar now matches the data
+    # the reader answered correctly but left the on-disk state alone:
+    # marker still set, sidecar still stale (writer-side repair owns them)
+    assert layout.layout_is_pending(path)
+    assert layout.read_cell_histogram(spark, path) != true_hist
+    # writer-side repair commits: marker cleared, sidecar matches the data
+    layout.rebuild_histogram(spark, path)
     assert not layout.layout_is_pending(path)
     assert layout.read_cell_histogram(spark, path) == true_hist
 
@@ -588,3 +597,29 @@ def test_sharded_router_respects_per_shard_budget(spark, model, codes):
     with pytest.raises(ValueError, match="serving replica budget"):
         ShardedServingRouter.build(model, codes, n_shards=2,
                                    max_rows_per_shard=n // 4)
+
+
+def test_sharded_router_add_codes_all_or_nothing(spark, model, codes):
+    """router.add_codes checks EVERY shard's budget before ANY shard
+    admits: a batch that would overflow one shard leaves the whole router
+    untouched — no partial admit whose ids the caller's metadata never
+    learned about (a mid-loop raise used to corrupt the service
+    permanently)."""
+    from columbiaimagesearch_spark.lopq.serving import ShardedServingRouter
+
+    first = codes.where(F.col("id") < 250)
+    rest = codes.where(F.col("id") >= 250)
+    n_first = first.count()
+    router = ShardedServingRouter.build(model, first, n_shards=2)
+    for _lo, _hi, s in router.shards:
+        # headroom fits only a few more rows per shard, so `rest` must
+        # overflow at least one shard
+        s.max_rows = s.n_items + 5
+    before = {
+        (lo, hi): s.n_items for lo, hi, s in router.shards
+    }
+    with pytest.raises(ValueError, match="serving replica budget"):
+        router.add_codes(rest)
+    after = {(lo, hi): s.n_items for lo, hi, s in router.shards}
+    assert after == before  # NOTHING admitted anywhere
+    assert router.n_items == n_first
