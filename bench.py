@@ -131,6 +131,93 @@ def serving_latency_ms(spark, sf_dir: str, n_queries: int = 32) -> dict:
     }
 
 
+def _tiled_embeddings(spark, emb, target: int):
+    """The sf embeddings tiled to ``target`` vectors — replica r gets
+    deterministic per-element jitter so the tiled corpus spreads over
+    cells like the real one (replica 0 IS the original corpus)."""
+    from pyspark.sql import functions as F
+
+    n0 = emb.count()
+    reps = -(-target // n0)
+    return (
+        emb.crossJoin(spark.range(reps).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("vec_id") + F.col("rep") * n0).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x
+                    + F.lit(0.02)
+                    * F.col("rep").cast("double")
+                    * F.sin(F.col("vec_id").cast("double") * 0.7 + i.cast("double") * 1.3)
+                ).cast("double"),
+            ).alias("v"),
+        )
+        .where(F.col("vec_id") < target)
+    )
+
+
+def serving_million_bench(spark, sf_dir: str, n_queries: int = 32) -> dict | None:
+    """Serving latency AT the reference's stated scale: its envelope is
+    "millions of images ... in less than a second" (README.md:12-13) — the
+    100k section extrapolates; this measures at 1M index rows directly.
+    ADC-path only (rerank residency at 1M belongs to the sharded tier):
+    p50/p99 through the single replica, p50 through an 8-shard router
+    RE-SHARDED FROM the live replica (ShardedServingRouter.from_replica —
+    zero re-read), plus the replica bootstrap time (snapshot_load_s, the
+    Arrow collect). Set SPARK_GRAFT_SERVING_N_LARGE=0 to skip."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from columbiaimagesearch_spark.lopq.encode import encode_dataframe
+    from columbiaimagesearch_spark.lopq.queries import fixture_model
+    from columbiaimagesearch_spark.lopq.serving import (
+        ServingSearcher,
+        ShardedServingRouter,
+    )
+    from columbiaimagesearch_spark.sources import load_table
+
+    target = int(os.environ.get("SPARK_GRAFT_SERVING_N_LARGE", "1000000"))
+    if target <= 0:
+        return None
+    model = fixture_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tiled = _tiled_embeddings(spark, emb, target)
+    codes = encode_dataframe(spark, tiled, model, id_col="vec_id", vec_col="v")
+    codes = codes.persist()
+    n_index = codes.count()
+    t0 = time.perf_counter()
+    searcher = ServingSearcher(model).load_codes(codes)
+    snapshot_load_s = time.perf_counter() - t0
+    codes.unpersist()
+
+    q_rows = emb.where(F.col("vec_id") < n_queries).select("embedding").collect()
+    qs = [np.asarray(r["embedding"], dtype=np.float64) for r in q_rows]
+    searcher.search(qs[0], quota=10_000, k=10)  # warm
+    lat = []
+    for q in qs:
+        t0 = time.perf_counter()
+        searcher.search(q, quota=10_000, k=10)
+        lat.append((time.perf_counter() - t0) * 1000.0)
+    lat.sort()
+
+    router = ShardedServingRouter.from_replica(searcher, 8)
+    router.search(qs[0], quota=10_000, k=10)  # warm
+    lat_router = []
+    for q in qs:
+        t0 = time.perf_counter()
+        router.search(q, quota=10_000, k=10)
+        lat_router.append((time.perf_counter() - t0) * 1000.0)
+    return {
+        "p50": round(statistics.median(lat), 3),
+        "p99": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 3),
+        "p50_sharded_router": round(statistics.median(lat_router), 3),
+        "n_queries": len(qs),
+        "index_rows": int(n_index),
+        "snapshot_load_s": round(snapshot_load_s, 3),
+    }
+
+
 def serving_scale_bench(spark, sf_dir: str, n_queries: int = 32) -> dict:
     """Serving latency at a realistic index size — evidence for the
     reference's envelope ("millions of images ... in less than a second",
@@ -163,26 +250,7 @@ def serving_scale_bench(spark, sf_dir: str, n_queries: int = 32) -> dict:
     target = int(os.environ.get("SPARK_GRAFT_SERVING_N", "100000"))
     model = fixture_model(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n0 = emb.count()
-    reps = -(-target // n0)
-    tiled = (
-        emb.crossJoin(spark.range(reps).select(F.col("id").alias("rep")))
-        .select(
-            (F.col("vec_id") + F.col("rep") * n0).alias("vec_id"),
-            # deterministic per-(row, element) jitter: replica 0 is the
-            # original corpus; the rest land in nearby-but-distinct cells
-            F.transform(
-                "embedding",
-                lambda x, i: (
-                    x
-                    + F.lit(0.02)
-                    * F.col("rep").cast("double")
-                    * F.sin(F.col("vec_id").cast("double") * 0.7 + i.cast("double") * 1.3)
-                ).cast("double"),
-            ).alias("v"),
-        )
-        .where(F.col("vec_id") < target)
-    )
+    tiled = _tiled_embeddings(spark, emb, target)
     codes = encode_dataframe(spark, tiled, model, id_col="vec_id", vec_col="v")
     codes = codes.persist()
     n_index = codes.count()
@@ -569,6 +637,10 @@ def main() -> None:
     # API) gets its own top-level key
     serving_http = serving.pop("http")
     calib["post_serving"] = cpu_calibration_sec()
+    # r6: measure AT the reference's claimed scale ("millions of images,
+    # <1 s") — 1M index rows, ADC + re-sharded router
+    serving_1m = serving_million_bench(spark, sf_dir)
+    calib["post_serving_1m"] = cpu_calibration_sec()
 
     # The wall of a single curation/train run wobbles ±50% on this host at
     # FLAT cpu calib (JVM GC pauses + IO transients, not CPU contention) —
@@ -639,6 +711,7 @@ def main() -> None:
                 "serving_ms": serving,
                 "serving_ms_fixture": serving_fixture,
                 "serving_http_ms": serving_http,
+                **({"serving_1m_ms": serving_1m} if serving_1m else {}),
                 "second_tier": second_tier,
                 "curation": curation,
                 "curation_full": curation_full,

@@ -588,6 +588,47 @@ def test_sharded_router_equals_single_replica(spark, model, codes, queries_np):
         assert got_rr == want_rr, f"rerank path diverged for qid={qid}"
 
 
+def test_from_replica_resharding_identical(spark, model, codes):
+    """from_replica re-shards a LIVE replica in memory: same ranges as
+    build() on the same populations, zero re-read, identical answers on
+    both the ADC and rerank paths, and resident vectors route to the
+    shard owning their cell."""
+    from columbiaimagesearch_spark.lopq.serving import ShardedServingRouter
+    from columbiaimagesearch_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    single = ServingSearcher(model).load_codes(codes).load_vectors(emb)
+    built = ShardedServingRouter.build(model, codes, n_shards=4)
+    resharded = ShardedServingRouter.from_replica(single, 4)
+    assert [(lo, hi) for lo, hi, _ in resharded.shards] == [
+        (lo, hi) for lo, hi, _ in built.shards
+    ]
+    assert resharded.n_items == single.n_items
+    # vectors landed on exactly the shard owning their cell
+    total_vecs = sum(
+        len(getattr(s, "_vectors", {})) for _, _, s in resharded.shards
+    )
+    assert total_vecs == len(single._vectors)
+
+    qs = [
+        np.array(r["embedding"], dtype=np.float64)
+        for r in emb.where(F.col("vec_id") < 4).select("embedding").collect()
+    ]
+    for q in qs:
+        assert resharded.search(q, quota=QUOTA, k=TOP_K) == single.search(
+            q, quota=QUOTA, k=TOP_K
+        )
+        got_rr = resharded.search(
+            q, quota=QUOTA, k=TOP_K, rerank_nb=40,
+            fetch_vectors=resharded.resident_vectors,
+        )
+        want_rr = single.search(
+            q, quota=QUOTA, k=TOP_K, rerank_nb=40,
+            fetch_vectors=single.resident_vectors,
+        )
+        assert got_rr == want_rr
+
+
 def test_sharded_router_respects_per_shard_budget(spark, model, codes):
     """Each shard's replica enforces its own budget: a per-shard cap below
     the largest shard's mass raises the standard budget error."""
