@@ -89,6 +89,24 @@ HEADLINE = [
 ]
 
 
+def _latencies_ms(fn, qs) -> list[float]:
+    """Warm once on qs[0], then one timed call per query; sorted ms list.
+    The one measurement loop every serving section shares (p50 = median,
+    p99 = _p99 below) — fix the convention HERE, not in three copies."""
+    fn(qs[0])
+    lat = []
+    for q in qs:
+        t0 = time.perf_counter()
+        fn(q)
+        lat.append((time.perf_counter() - t0) * 1000.0)
+    lat.sort()
+    return lat
+
+
+def _p99(lat: list[float]) -> float:
+    return round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 3)
+
+
 def serving_latency_ms(spark, sf_dir: str, n_queries: int = 32) -> dict:
     """p50/p99 single-query latency of the in-memory serving tier at the
     reference's production quota envelope (quota=10000, k=10 —
@@ -111,20 +129,14 @@ def serving_latency_ms(spark, sf_dir: str, n_queries: int = 32) -> dict:
         emb.where(F.col("vec_id") < n_queries).select("embedding").collect()
     )
     qs = [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
-    searcher.search(qs[0], quota=10_000, k=10)  # warm
-    lat, lat_rr = [], []
-    for q in qs:
-        t0 = time.perf_counter()
-        searcher.search(q, quota=10_000, k=10)
-        lat.append((time.perf_counter() - t0) * 1000.0)
-        t0 = time.perf_counter()
-        searcher.search(q, quota=10_000, k=10, rerank_nb=RERANK_NB)
-        lat_rr.append((time.perf_counter() - t0) * 1000.0)
-    lat.sort()
-    lat_rr.sort()
+    lat = _latencies_ms(lambda q: searcher.search(q, quota=10_000, k=10), qs)
+    lat_rr = _latencies_ms(
+        lambda q: searcher.search(q, quota=10_000, k=10, rerank_nb=RERANK_NB),
+        qs,
+    )
     return {
         "p50": round(statistics.median(lat), 3),
-        "p99": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 3),
+        "p99": _p99(lat),
         "p50_rerank": round(statistics.median(lat_rr), 3),
         "n_queries": len(qs),
         "index_rows": searcher.n_items,
@@ -193,24 +205,14 @@ def serving_million_bench(spark, sf_dir: str, n_queries: int = 32) -> dict | Non
 
     q_rows = emb.where(F.col("vec_id") < n_queries).select("embedding").collect()
     qs = [np.asarray(r["embedding"], dtype=np.float64) for r in q_rows]
-    searcher.search(qs[0], quota=10_000, k=10)  # warm
-    lat = []
-    for q in qs:
-        t0 = time.perf_counter()
-        searcher.search(q, quota=10_000, k=10)
-        lat.append((time.perf_counter() - t0) * 1000.0)
-    lat.sort()
-
+    lat = _latencies_ms(lambda q: searcher.search(q, quota=10_000, k=10), qs)
     router = ShardedServingRouter.from_replica(searcher, 8)
-    router.search(qs[0], quota=10_000, k=10)  # warm
-    lat_router = []
-    for q in qs:
-        t0 = time.perf_counter()
-        router.search(q, quota=10_000, k=10)
-        lat_router.append((time.perf_counter() - t0) * 1000.0)
+    lat_router = _latencies_ms(
+        lambda q: router.search(q, quota=10_000, k=10), qs
+    )
     return {
         "p50": round(statistics.median(lat), 3),
-        "p99": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 3),
+        "p99": _p99(lat),
         "p50_sharded_router": round(statistics.median(lat_router), 3),
         "n_queries": len(qs),
         "index_rows": int(n_index),
@@ -262,16 +264,11 @@ def serving_scale_bench(spark, sf_dir: str, n_queries: int = 32) -> dict:
 
     q_rows = emb.where(F.col("vec_id") < n_queries).select("embedding").collect()
     qs = [np.asarray(r["embedding"], dtype=np.float64) for r in q_rows]
-    searcher.search(qs[0], quota=10_000, k=10)  # warm
-    lat, lat_rr = [], []
-    for q in qs:
-        t0 = time.perf_counter()
-        searcher.search(q, quota=10_000, k=10)
-        lat.append((time.perf_counter() - t0) * 1000.0)
-        t0 = time.perf_counter()
-        searcher.search(q, quota=10_000, k=10, rerank_nb=RERANK_NB)
-        lat_rr.append((time.perf_counter() - t0) * 1000.0)
-    lat.sort()
+    lat = _latencies_ms(lambda q: searcher.search(q, quota=10_000, k=10), qs)
+    lat_rr = _latencies_ms(
+        lambda q: searcher.search(q, quota=10_000, k=10, rerank_nb=RERANK_NB),
+        qs,
+    )
 
     # the scale-out path at the same index size: 4 cell-range shards behind
     # the router (answers pinned equal to the single replica by tests) —
@@ -279,12 +276,9 @@ def serving_scale_bench(spark, sf_dir: str, n_queries: int = 32) -> dict:
     from columbiaimagesearch_spark.lopq.serving import ShardedServingRouter
 
     router = ShardedServingRouter.build(model, codes, n_shards=4)
-    router.search(qs[0], quota=10_000, k=10)  # warm
-    lat_router = []
-    for q in qs:
-        t0 = time.perf_counter()
-        router.search(q, quota=10_000, k=10)
-        lat_router.append((time.perf_counter() - t0) * 1000.0)
+    lat_router = _latencies_ms(
+        lambda q: router.search(q, quota=10_000, k=10), qs
+    )
 
     path = tempfile.mkdtemp(prefix="codes_layout_100k_")
     try:
@@ -306,7 +300,7 @@ def serving_scale_bench(spark, sf_dir: str, n_queries: int = 32) -> dict:
     codes.unpersist()
     return {
         "p50": round(statistics.median(lat), 3),
-        "p99": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 3),
+        "p99": _p99(lat),
         "p50_rerank": round(statistics.median(lat_rr), 3),
         "p50_sharded_router": round(statistics.median(lat_router), 3),
         "n_queries": len(qs),

@@ -40,17 +40,19 @@ def adc_batch_dists(lut: np.ndarray, fine: np.ndarray) -> np.ndarray:
     LUT loop, lopq/lopq/search.py:166-177, vectorized).
 
     Gather shape: one contiguous 1-D ``take`` per subquantizer (each
-    ``lut[m]`` is K doubles — cache-resident), accumulated over the M axis
-    of the transposed (M, n) buffer. ~2x the 2-D fancy-index form at
-    serving-cell sizes (the index-pair broadcast and strided stores
-    dominated it). The per-element reduction tree over M is fixed by
-    numpy's axis-0 pairwise reduction, independent of n — the
-    batch-shape-independence the twin relies on (pinned in tests)."""
+    ``lut[m]`` is K doubles — cache-resident), accumulated SEQUENTIALLY
+    over m. ~2x the 2-D fancy-index form at serving-cell sizes (the
+    index-pair broadcast and strided stores dominated it). The explicit
+    left-to-right accumulation makes the per-element reduction order
+    independent of n BY CONSTRUCTION — the batch-shape-independence the
+    twin and the serving/batch identity rely on (an (M, n).sum(axis=0)
+    form is NOT shape-independent: numpy collapses the n=1 case to a
+    contiguous pairwise reduction; pinned in tests)."""
     M = lut.shape[0]
-    out = np.empty((M, len(fine)), dtype=lut.dtype)
-    for m in range(M):
-        out[m] = lut[m].take(fine[:, m])
-    return out.sum(axis=0)
+    acc = lut[0].take(fine[:, 0])
+    for m in range(1, M):
+        acc += lut[m].take(fine[:, m])
+    return acc
 
 
 def multisequence_cells(

@@ -84,6 +84,7 @@ class ServingSearcher:
         self.model = model
         self.max_rows = int(max_rows)
         self._cells: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._counts_cache: dict[int, int] | None = None
 
     def _check_budget(self, incoming: int, existing: int = 0) -> None:
         if incoming + existing > self.max_rows:
@@ -114,8 +115,13 @@ class ServingSearcher:
         bounds = np.flatnonzero(np.diff(cells)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(cells)]])
+        # per-cell COPIES, not views: a view would pin the whole snapshot
+        # buffer alive for as long as ANY cell still references it — after
+        # many add_codes cell replacements a long-running replica would
+        # retain ~2x its snapshot (the dead original rows plus the new
+        # concats). The copies cost one memcpy at load time.
         return {
-            int(cells[s]): (ids[s:e], fines[s:e])
+            int(cells[s]): (ids[s:e].copy(), fines[s:e].copy())
             for s, e in zip(starts, ends)
         }
 
@@ -129,6 +135,7 @@ class ServingSearcher:
         pdf = codes.select("cell", "id", "fine").toPandas()
         M = self.model.lopq.M if isinstance(self.model, LOPQModelPCA) else self.model.M
         self._cells = self._group_codes_pdf(pdf, M)
+        self._counts_cache = None
         return self
 
     def add_codes(self, codes: DataFrame) -> "ServingSearcher":
@@ -160,6 +167,7 @@ class ServingSearcher:
                 np.concatenate([ids, new_ids[keep]]),
                 np.concatenate([fines, new_fines[keep]]),
             )
+            self._counts_cache = None
         return self
 
     @property
@@ -170,8 +178,16 @@ class ServingSearcher:
     def cell_counts(self) -> dict[int, int]:
         """Per-cell populations of this replica — the router's planning
         input (merged across shards, it reconstructs the global histogram
-        the single-replica multisequence traversal uses)."""
-        return {c: len(ids) for c, (ids, _) in self._cells.items()}
+        the single-replica multisequence traversal uses). Cached: the map
+        only changes on load_codes/add_codes (which invalidate), and at
+        production cell counts (V=4096 -> millions of occupied cells) a
+        per-query rebuild would dwarf the ms-scale search itself. Callers
+        treat the returned dict as read-only."""
+        if self._counts_cache is None:
+            self._counts_cache = {
+                c: len(ids) for c, (ids, _) in self._cells.items()
+            }
+        return self._counts_cache
 
     def score_cells(
         self, q: np.ndarray, cells
@@ -257,7 +273,7 @@ class ServingSearcher:
         if isinstance(model, LOPQModelPCA):
             q = model.project_queries(q)[0]
             model = model.lopq
-        counts = {c: len(ids) for c, (ids, _) in self._cells.items()}
+        counts = self.cell_counts
         d1, d2 = model.coarse_distances(q)
         ids, dists = self.score_cells(
             q, multisequence_cells(d1, d2, counts, quota)
@@ -314,6 +330,7 @@ class ShardedServingRouter:
                  shards: list[tuple[int, int, ServingSearcher]]) -> None:
         self.model = model
         self.shards = shards  # (cell_lo, cell_hi_inclusive, replica)
+        self._global_counts_cache: dict[int, int] | None = None
 
     @classmethod
     def build(
@@ -353,31 +370,41 @@ class ShardedServingRouter:
         ranges ``build`` would plan, WITHOUT re-reading the codes relation.
         Zero-copy: cells are atomic units, so each shard's per-cell arrays
         are the replica's own; resident rerank vectors are routed to the
-        shard owning their cell. Answers are identical to the source
-        replica (the router plans against the merged histogram — pinned by
-        tests)."""
+        shard owning their cell (one vectorized membership test per shard
+        — never a per-id Python probe over the whole index). Answers are
+        identical to the source replica (the router plans against the
+        merged histogram — pinned by tests).
+
+        ``max_rows_per_shard`` defaults to ``MAX_SNAPSHOT_ROWS`` — the same
+        default ``build`` gives its shards (NOT the source replica's cap:
+        a replica sized tightly to its current rows would otherwise pass
+        that tight cap to every shard and fail the very next add)."""
         model = replica.model
         lopq = model.lopq if isinstance(model, LOPQModelPCA) else model
         hist = sorted(replica.cell_counts.items())
         ranges = _plan_cell_ranges(hist, n_shards, lopq.V * lopq.V - 1)
         vectors = getattr(replica, "_vectors", None) or {}
+        vec_ids = np.fromiter(vectors.keys(), dtype=np.int64, count=len(vectors))
         shards = []
         for rlo, rhi in ranges:
             s = ServingSearcher(
-                model, max_rows=max_rows_per_shard or replica.max_rows
+                model,
+                max_rows=MAX_SNAPSHOT_ROWS
+                if max_rows_per_shard is None
+                else max_rows_per_shard,
             )
             s._cells = {
                 c: arrs for c, arrs in replica._cells.items() if rlo <= c <= rhi
             }
             s._check_budget(s.n_items)
             if vectors:
-                owned = {}
-                for _c, (ids, _f) in s._cells.items():
-                    for i in ids:
-                        v = vectors.get(int(i))
-                        if v is not None:
-                            owned[int(i)] = v
-                s._vectors = owned
+                shard_ids = (
+                    np.concatenate([ids for ids, _f in s._cells.values()])
+                    if s._cells
+                    else np.empty(0, dtype=np.int64)
+                )
+                owned_ids = vec_ids[np.isin(vec_ids, shard_ids)]
+                s._vectors = {int(i): vectors[int(i)] for i in owned_ids}
             shards.append((rlo, rhi, s))
         return cls(model, shards)
 
@@ -408,6 +435,7 @@ class ShardedServingRouter:
             s._check_budget(incoming, s.n_items)
         for lo, hi, s in self.shards:
             s.add_codes(codes.where(F.col("cell").between(lo, hi)))
+        self._global_counts_cache = None
         return self
 
     def _shard_for_cell(self, cell: int) -> ServingSearcher:
@@ -440,10 +468,16 @@ class ShardedServingRouter:
         return np.stack(out)
 
     def _global_counts(self) -> dict[int, int]:
-        merged: dict[int, int] = {}
-        for _, _, s in self.shards:
-            merged.update(s.cell_counts)  # ranges are disjoint
-        return merged
+        """Merged per-cell histogram across shards — cached like the
+        single replica's ``cell_counts`` (it only changes on add_codes,
+        which invalidates; a per-query rebuild would dominate the ms-scale
+        search at production cell counts)."""
+        if self._global_counts_cache is None:
+            merged: dict[int, int] = {}
+            for _, _, s in self.shards:
+                merged.update(s.cell_counts)  # ranges are disjoint
+            self._global_counts_cache = merged
+        return self._global_counts_cache
 
     def search(
         self,

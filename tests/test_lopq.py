@@ -95,6 +95,24 @@ def test_spark_encode_matches_numpy(spark, model, emb_np):
         assert f == tuple(fine[i])
 
 
+def test_adc_batch_dists_batch_shape_independent():
+    """The shared ADC kernel must return BITWISE-identical distances for a
+    row regardless of the batch it arrives in — the distributed path
+    splits cells across Arrow batches while serving scores whole cells,
+    and the serving ≡ batch ≡ twin identity rests on this. Singleton
+    batches are the regression case: an (M, n).sum(axis=0) formulation
+    collapses n=1 to a contiguous pairwise reduction and breaks it."""
+    from columbiaimagesearch_spark.lopq.search import adc_batch_dists
+
+    rng = np.random.RandomState(3)
+    lut = rng.rand(8, 256)
+    fine = rng.randint(0, 256, size=(1000, 8)).astype(np.int64)
+    full = adc_batch_dists(lut, fine)
+    for sl in [slice(0, 1), slice(5, 6), slice(999, 1000), slice(0, 7),
+               slice(100, 613)]:
+        assert np.array_equal(adc_batch_dists(lut, fine[sl]), full[sl]), sl
+
+
 def test_multisequence_visits_in_distance_order(model, emb_np):
     _, X = emb_np
     d1, d2 = model.coarse_distances(X[0])

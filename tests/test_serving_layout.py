@@ -600,6 +600,14 @@ def test_from_replica_resharding_identical(spark, model, codes):
     single = ServingSearcher(model).load_codes(codes).load_vectors(emb)
     built = ShardedServingRouter.build(model, codes, n_shards=4)
     resharded = ShardedServingRouter.from_replica(single, 4)
+    # a TIGHTLY-capped source replica must not pass its cap to the shards
+    # (build's shards default to MAX_SNAPSHOT_ROWS; from_replica matches,
+    # or the very next add would spuriously hit the inherited budget)
+    from columbiaimagesearch_spark.lopq.serving import MAX_SNAPSHOT_ROWS
+
+    tight = ServingSearcher(model, max_rows=single.n_items).load_codes(codes)
+    for _lo, _hi, s in ShardedServingRouter.from_replica(tight, 4).shards:
+        assert s.max_rows == MAX_SNAPSHOT_ROWS
     assert [(lo, hi) for lo, hi, _ in resharded.shards] == [
         (lo, hi) for lo, hi, _ in built.shards
     ]
