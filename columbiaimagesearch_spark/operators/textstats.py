@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources import load_table
+from ..sources import load_table, parallelize_scan
 
 # Marker stopword sets for the language-ID heuristic (classic stopword-hit
 # n-gram heuristic; on real corpora these dominate quickly).
@@ -44,7 +44,7 @@ FROM documents
 """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.size(_tok(F.col("text"))).cast("bigint").alias("n_tokens"),
@@ -82,7 +82,7 @@ FROM documents
 """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     n_chars = F.length("text")
     n_tokens = F.size(_tok(F.col("text")))
     n_spaces = F.length(F.regexp_replace("text", "[^ ]", ""))
@@ -136,7 +136,7 @@ FROM scored
 """,
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     toks = _tok(F.col("text"))
 
     def marker_count(lang: str):
@@ -232,7 +232,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     pows = _FP_POWS
 
     def fp_batches(batches):
@@ -296,6 +296,9 @@ FROM d GROUP BY source, lang
 """,
 )
 def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT parallelize_scan'd: avg(alpha_ratio) is an order-dependent float
+    # accumulation whose rounded value the DuckDB oracle pins — keep the
+    # scan's native partitioning (see parallelize_scan's contract)
     docs = load_table(spark, sf_dir, "documents")
     n_chars = F.length("text")
     alpha_ratio = (

@@ -1,3 +1,5 @@
-from .tables import TABLES, load_table, load_tables, register_views
+from .tables import (TABLES, load_table, load_tables, parallelize_scan,
+                     register_views)
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = ["TABLES", "load_table", "load_tables", "parallelize_scan",
+           "register_views"]

@@ -62,6 +62,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def parallelize_scan(df: DataFrame) -> DataFrame:
+    """Spread a SMALL scan across the session's cores — a no-op at scale.
+
+    A single-row-group parquet file reads as ONE input split no matter
+    what ``maxPartitionBytes`` says, so every map stage built on it
+    serializes on one core until the first exchange — at small sf the
+    CPU-heavy per-doc projections (gram hashing, minhash, banding) were
+    measured spending >80% of their wall in that single task. The
+    repartition fires ONLY when the scan's parallelism is below
+    ``defaultParallelism``; a production-scale source already has at
+    least cores-many splits, so no shuffle is ever added there. Use on
+    relations feeding CPU-heavy per-row work whose results are
+    row-deterministic (hashes, per-doc aggregates) — NOT on float
+    accumulations whose oracle pins a partition order."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
