@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources import load_table, parallelize_scan
+from ..sources import load_table
 
 # Block sizing for the exact-Jaccard block-pair matmul: every doc replicates
 # to B tasks, task (a, b) handles its two blocks' pairs in one matmul.
@@ -113,7 +113,7 @@ def shingles_from(docs: DataFrame) -> DataFrame:
 
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles) of the documents table — see :func:`shingles_from`."""
-    return shingles_from(parallelize_scan(load_table(spark, sf_dir, "documents")))
+    return shingles_from(load_table(spark, sf_dir, "documents", spread=True))
 
 
 # ---------------------------------------------------------------------------
@@ -325,7 +325,7 @@ def hashed_from(docs: DataFrame, persist: bool = True) -> DataFrame:
 
 def hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, hs) of the documents table — see :func:`hashed_from`."""
-    return hashed_from(parallelize_scan(load_table(spark, sf_dir, "documents")))
+    return hashed_from(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def bands_from(hashed: DataFrame) -> DataFrame:
@@ -437,7 +437,7 @@ WHERE inter / (sz - inter) >= {JACCARD_THRESHOLD}
 """,
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return near_dup_pairs_from(docs)
 
 
@@ -751,7 +751,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["doc_id", "simhash_bits"])
 
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return docs.mapInPandas(simhash, "doc_id bigint, simhash_bits string")
 
 
@@ -836,7 +836,7 @@ SELECT *, dup_cover_frac > {DUP_COVER_FLAG} AS flagged FROM f
     oracle=SUBSTRING_SPANS_ORACLE_SQL,
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return substring_spans_from(docs)
 
 

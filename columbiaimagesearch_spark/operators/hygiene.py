@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.tables import load_table, parallelize_scan
+from ..sources.tables import load_table
 
 N_GRAM = 8  # decontamination n-gram width (GPT-3 used 13, Llama 8-10)
 BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 stands in for the eval suite
@@ -183,7 +183,9 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``documents`` table, with doc_id % BENCH_MOD == 0 standing in for the
     eval suite — the oracle-checkable rendering of
     :func:`decontaminate_from`."""
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # NOT spread: the gram probe is a broadcast-side JVM HOF chain; the
+    # added exchanges measured 1.25x SLOWER than the single-split scan
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     is_bench = (F.col("doc_id") % BENCH_MOD) == 0
     return decontaminate_from(docs.where(~is_bench), docs.where(is_bench))
 
@@ -261,7 +263,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Map-only: see :func:`repetition_stats_from`.
     """
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return repetition_stats_from(docs)
 
 
@@ -407,7 +409,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable rendering of :func:`boilerplate_ngrams_from` over
     the ``documents`` table."""
     return boilerplate_ngrams_from(
-        parallelize_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     )
 
 
@@ -501,7 +503,7 @@ FROM s2
     oracle=PII_SCRUB_ORACLE_SQL,
 )
 def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     seeded = docs.select(
         "doc_id",
         F.concat(

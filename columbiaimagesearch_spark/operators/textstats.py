@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources import load_table, parallelize_scan
+from ..sources import load_table
 
 # Marker stopword sets for the language-ID heuristic (classic stopword-hit
 # n-gram heuristic; on real corpora these dominate quickly).
@@ -44,7 +44,9 @@ FROM documents
 """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    # NOT spread: split+size is a cheap JVM expression; the spread shuffle
+    # measured 1.16x slower than one-core evaluation
+    docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.size(_tok(F.col("text"))).cast("bigint").alias("n_tokens"),
@@ -82,7 +84,7 @@ FROM documents
 """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     n_chars = F.length("text")
     n_tokens = F.size(_tok(F.col("text")))
     n_spaces = F.length(F.regexp_replace("text", "[^ ]", ""))
@@ -136,7 +138,7 @@ FROM scored
 """,
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     toks = _tok(F.col("text"))
 
     def marker_count(lang: str):
@@ -232,7 +234,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # NOT spread: the rolling hash is one numpy pass per batch, measured
+    # shuffle-bound when spread (1.08x slower)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pows = _FP_POWS
 
     def fp_batches(batches):

@@ -89,3 +89,27 @@ def assert_no_cartesian(df: DataFrame) -> str:
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, f"cartesian product in plan:\n{plan}"
     return plan
+
+
+def data_shuffles(plan: str) -> int:
+    """Count shuffle Exchange nodes that move DATA BY KEY (hash/range/single
+    partition), excluding the scan-spreading round-robin repartition that
+    ``sources.parallelize_scan`` inserts on single-split sources: that
+    exchange carries each input row once, before any per-token/per-gram
+    expansion, and vanishes on production sources with >= cores-many splits.
+    BroadcastExchange is a different node name and is never counted here.
+
+    Formatted-mode plans print each node's arguments in a detail block
+    (``(4) Exchange`` / ``Arguments: hashpartitioning(...)``), so blocks —
+    not lines — are classified."""
+    import re
+
+    n = 0
+    for block in plan.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if re.match(r"\(\d+\) Exchange\b", head):
+            # optimized plans print "roundrobinpartitioning", unresolved
+            # AQE-wrapped ones "RoundRobinPartitioning" — match both
+            if "roundrobinpartitioning" not in block.lower():
+                n += 1
+    return n

@@ -29,7 +29,9 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     # The driver may hand us a session we didn't build: pin the SQL confs our
     # queries' semantics depend on (all runtime-settable) and ship the
     # package to its Python workers. UTC keeps date_format/timestamp-literal
@@ -59,10 +61,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP_NTZ (or already TIMESTAMP): NTZ->TZ cast under the UTC
         # session timezone keeps the wall-clock values bit-identical.
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    # spread=True: give CPU-heavy per-row consumers full parallelism even
+    # on a single-split source (see parallelize_scan; memoized per path)
+    return parallelize_scan(df, cache_key=path) if spread else df
 
 
-def parallelize_scan(df: DataFrame) -> DataFrame:
+# Memoized spread decisions: the probe (`df.rdd.getNumPartitions()`)
+# forces a full analyze+plan pass that measured ~90 ms per call — more
+# than the shuffle it gates for sub-second queries. Split counts are a
+# pure function of (file layout, maxPartitionBytes, parallelism), so one
+# probe per (path, target) is exact.
+_SPREAD_CACHE: dict[tuple[str, int], bool] = {}
+
+
+def parallelize_scan(df: DataFrame, cache_key: str | None = None) -> DataFrame:
     """Spread a SMALL scan across the session's cores — a no-op at scale.
 
     A single-row-group parquet file reads as ONE input split no matter
@@ -72,15 +86,29 @@ def parallelize_scan(df: DataFrame) -> DataFrame:
     measured spending >80% of their wall in that single task. The
     repartition fires ONLY when the scan's parallelism is below
     ``defaultParallelism``; a production-scale source already has at
-    least cores-many splits, so no shuffle is ever added there. Use on
-    relations feeding CPU-heavy per-row work whose results are
+    least cores-many splits, so no shuffle is ever added there.
+
+    Use on relations feeding CPU-heavy per-row work whose results are
     row-deterministic (hashes, per-doc aggregates) — NOT on float
-    accumulations whose oracle pins a partition order."""
+    accumulations whose oracle pins a partition order, and NOT on
+    relations whose per-row work is a cheap JVM expression (measured:
+    the shuffle + 32-task scheduling costs more than one-core evaluation
+    saves for token counting and broadcast-probe filters).
+
+    ``cache_key`` (the scan's path) memoizes the split-count probe —
+    pass it whenever the relation is a plain file scan; `load_table`
+    callers get it automatically via ``spread=True``."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    if cache_key is not None:
+        key = (cache_key, target)
+        need = _SPREAD_CACHE.get(key)
+        if need is None:
+            need = df.rdd.getNumPartitions() < target
+            _SPREAD_CACHE[key] = need
+    else:
+        need = df.rdd.getNumPartitions() < target
+    return df.repartition(target) if need else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

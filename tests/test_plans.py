@@ -127,9 +127,13 @@ def test_merge_upsert_broadcasts_source_keys(spark):
 def test_simhash_is_map_only(spark):
     plan = explain.formatted_plan(_q(spark, "dedup_simhash"))
     # a simhash is a per-doc property: the votes must compute inside one
-    # Arrow batch pipelined out of the scan — any Exchange means per-token
-    # hashes are being shuffled (the pre-r4 explode + 60-SUM groupBy form)
-    assert "Exchange" not in plan, plan
+    # Arrow batch pipelined out of the scan — any keyed Exchange means
+    # per-token hashes are being shuffled (the pre-r4 explode + 60-SUM
+    # groupBy form). The scan-spreading round-robin repartition on the
+    # single-split fixture source is the one allowed exchange: it carries
+    # each doc row exactly once, pre-expansion.
+    assert explain.data_shuffles(plan) == 0, plan
+    assert "BroadcastExchange" not in plan, plan
     assert "MapInPandas" in plan, plan
 
 
@@ -145,18 +149,21 @@ def test_range_join_is_hash_not_nested_loop(spark):
 def test_boilerplate_single_exchange(spark):
     plan = explain.formatted_plan(_q(spark, "text_boilerplate_ngrams"))
     # per-doc DISTINCT lives inside the gram array (array_distinct before
-    # the explode), so the ONLY exchange is the final groupBy(gram) — a
-    # second Exchange means a dropDuplicates or window crept back in
-    assert plan.count("+- Exchange") == 1, plan  # tree section: one shuffle
+    # the explode), so the ONLY keyed exchange is the final groupBy(gram) —
+    # a second one means a dropDuplicates or window crept back in (the
+    # scan-spreading round-robin repartition is excluded by data_shuffles)
+    assert explain.data_shuffles(plan) == 1, plan
 
 
 def test_repetition_stats_is_map_only(spark):
     plan = explain.formatted_plan(_q(spark, "text_repetition_stats"))
     # repetition is a per-doc property: the stats must pipeline out of the
-    # scan as one Arrow pass — ANY Exchange here means tokens are being
-    # shuffled to recompute per-doc counters (the pre-r4 posexplode+window
-    # form shuffled every token of the corpus twice)
-    assert "Exchange" not in plan, plan
+    # scan as one Arrow pass — any keyed Exchange here means tokens are
+    # being shuffled to recompute per-doc counters (the pre-r4
+    # posexplode+window form shuffled every token of the corpus twice);
+    # only the pre-expansion scan-spreading round-robin is allowed
+    assert explain.data_shuffles(plan) == 0, plan
+    assert "BroadcastExchange" not in plan, plan
     assert "MapInPandas" in plan, plan
 
 
@@ -247,10 +254,10 @@ def test_jaccard_block_pairs_no_nested_loop(spark):
     # evaluated per (i, j): the old form's array_intersect must be gone
     assert "array_intersect" not in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
-    # one shuffle: the groupBy (ba, bb) that forms the block-pair tasks
-    # (formatted mode: shuffle nodes print as "+- Exchange (n)",
-    # broadcasts as "+- BroadcastExchange (n)")
-    assert plan.count("+- Exchange") == 1, plan
+    # one keyed shuffle: the groupBy (ba, bb) that forms the block-pair
+    # tasks (the scan-spreading round-robin repartition on the single-split
+    # fixture source is excluded by data_shuffles)
+    assert explain.data_shuffles(plan) == 1, plan
     # the ONLY nested-loop allowed is the B-row replication broadcast
     # (crossJoin against Range(0, B) with B derived from the doc count) —
     # a doc-vs-doc nested-loop would mean the quadratic join crept back
@@ -265,3 +272,33 @@ def test_jaccard_block_pairs_no_nested_loop(spark):
             load_table(spark, SF_SMOKE, "documents").count()
         )
         assert f"Range (0, {b}" in plan, plan
+
+
+def test_parallelize_scan_spreads_single_split_only(spark):
+    """parallelize_scan (sources/tables.py) must spread a single-split
+    scan to defaultParallelism — and be an IDENTITY on any relation whose
+    parallelism already meets it (the production-scale case: no shuffle
+    may ever be added there)."""
+    from columbiaimagesearch_spark.sources import load_table, parallelize_scan
+
+    target = spark.sparkContext.defaultParallelism
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert docs.rdd.getNumPartitions() < target  # fixture premise
+    spread = parallelize_scan(docs)
+    assert spread.rdd.getNumPartitions() == target
+    # row-multiset preserved
+    assert spread.count() == docs.count()
+
+    wide = docs.repartition(target)
+    assert parallelize_scan(wide) is wide  # identity: no added exchange
+
+    # load_table(spread=True) memoizes the split-count probe per path —
+    # the probe itself costs a full analyze+plan pass (~90 ms), more than
+    # the shuffle it gates for sub-second queries
+    from columbiaimagesearch_spark.sources import tables as tables_mod
+
+    spread2 = load_table(spark, SF_SMOKE, "documents", spread=True)
+    assert spread2.rdd.getNumPartitions() == target
+    key = (f"{SF_SMOKE}/documents.parquet", target)
+    assert tables_mod._SPREAD_CACHE.get(key) is True
