@@ -303,7 +303,15 @@ def lopq_eval_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     model = fixture_model(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    nns = lopq_eval.exact_nn_pairs(emb)
+    # the exact-NN pass spreads its single-split input (its per-row kernel
+    # is bitwise batch-shape-independent and emits only int ids, so the
+    # integer same-cell counts are partition-order-free; measured
+    # 0.99 -> 0.72 s at sf0.1). model_pass_stats stays on the NATIVE scan:
+    # its distortion means are partition-order float sums the twin oracle
+    # pins at 4dp.
+    nns = lopq_eval.exact_nn_pairs(
+        load_table(spark, sf_dir, "embeddings", spread=True)
+    )
     n_pairs, n_same = lopq_eval.same_cell_neighbor_stats(
         codes_df(spark, sf_dir), nns
     )
