@@ -183,11 +183,18 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``documents`` table, with doc_id % BENCH_MOD == 0 standing in for the
     eval suite — the oracle-checkable rendering of
     :func:`decontaminate_from`."""
-    # NOT spread: the gram probe is a broadcast-side JVM HOF chain; the
-    # added exchanges measured 1.25x SLOWER than the single-split scan
+    # Spread ONLY the train branch: its explode+md5 gram pipeline is the
+    # heavy side (~200 grams/doc before the first exchange). The bench
+    # branch stays on the native scan — it is ~1% of docs and sits on the
+    # critical path as the broadcast build, so extra stages there delay
+    # everything (measured: both-spread 1.25x SLOWER, train-only spread
+    # 0.69x of plain at sf0.1).
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
     is_bench = (F.col("doc_id") % BENCH_MOD) == 0
-    return decontaminate_from(docs.where(~is_bench), docs.where(is_bench))
+    return decontaminate_from(train.where(~is_bench), docs.where(is_bench))
 
 
 REPETITION_ORACLE_SQL = f"""
