@@ -858,6 +858,13 @@ def substring_spans_from(docs: DataFrame) -> DataFrame:
         words.where(F.size("words") >= SUB_L)
         .select("doc_id", F.explode(F.expr(_SUB_GRAM_EXPR)).alias("g"))
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+        # persisted: referenced twice (dup-count agg build + join probe)
+        # and Spark shares no subplans, so without the cache the whole
+        # gram-hashing HOF pass runs twice (measured 1.9 -> 1.4 s at
+        # sf0.1). Identical calls share one entry via plan
+        # canonicalization; LRU eviction reclaims it, same contract as
+        # hashed_from.
+        .persist()
     )
     duph = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(
         F.col("c") >= 2
