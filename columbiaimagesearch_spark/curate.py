@@ -118,12 +118,19 @@ def curate_docs(
     # exact-substring tier, run AFTER near-dup cluster removal so a doc is
     # not double-penalized for spans its dropped near-dup twins carried.
     if drop_substring_dups:
+        # own the gram cache (same discipline as `hashed` above): the
+        # eager localCheckpoint consumes the spans, so the grams relation
+        # is dead afterwards and must not outlive this call as a cache
+        # entry — docs' lineage differs per curate() invocation, so plan
+        # canonicalization would never dedupe the leaked entries
+        grams = dedup.grams_from(docs.select("doc_id", "text")).persist()
         sub_ids = (
-            dedup.substring_spans_from(docs.select("doc_id", "text"))
+            dedup.substring_spans_from(docs.select("doc_id", "text"), grams=grams)
             .where(F.col("flagged"))
             .select("doc_id")
             .localCheckpoint(eager=True)
         )
+        grams.unpersist()
         docs = docs.join(sub_ids, "doc_id", "left_anti")
         res.stages["after_substring_dedup"] = docs
 

@@ -840,7 +840,21 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_spans_from(docs)
 
 
-def substring_spans_from(docs: DataFrame) -> DataFrame:
+def grams_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, h) rolling-hash gram rows of a (doc_id, text) relation
+    — the shared intermediate of :func:`substring_spans_from`, exposed so
+    eager callers (curate) can own its cache lifetime."""
+    words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    return (
+        words.where(F.size("words") >= SUB_L)
+        .select("doc_id", F.explode(F.expr(_SUB_GRAM_EXPR)).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+
+
+def substring_spans_from(
+    docs: DataFrame, grams: DataFrame | None = None, persist: bool = True
+) -> DataFrame:
     """(doc_id, n_tokens, n_dup_starts, dup_cover_tokens, dup_cover_frac,
     flagged) over any (doc_id, text) relation.
 
@@ -849,23 +863,24 @@ def substring_spans_from(docs: DataFrame) -> DataFrame:
     keys (doc_id, pos, h) ints by h for the duplicate-count aggregation
     (AQE-skew-splittable join, not a window, so one hot gram cannot pin a
     partition); the coverage window runs over duplicated starts only —
-    a tiny fraction of the corpus for clean data."""
+    a tiny fraction of the corpus for clean data.
+
+    The gram relation is referenced twice (dup-count agg build + join
+    probe) and Spark shares no subplans, so without a cache the whole
+    gram-hashing HOF pass runs twice (measured 1.9 -> 1.4 s at sf0.1);
+    ``persist=True`` caches it, identical calls sharing one entry via plan
+    canonicalization with LRU reclaim — the hashed_from contract. Callers
+    that consume the result eagerly and repeatedly (curate) should pass a
+    ``grams_from(docs)`` relation they persist/unpersist themselves, so no
+    cache outlives the call."""
     words = docs.select("doc_id", F.split("text", " ").alias("words"))
     tok = words.select(
         "doc_id", F.size("words").cast("bigint").alias("n_tokens")
     )
-    grams = (
-        words.where(F.size("words") >= SUB_L)
-        .select("doc_id", F.explode(F.expr(_SUB_GRAM_EXPR)).alias("g"))
-        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-        # persisted: referenced twice (dup-count agg build + join probe)
-        # and Spark shares no subplans, so without the cache the whole
-        # gram-hashing HOF pass runs twice (measured 1.9 -> 1.4 s at
-        # sf0.1). Identical calls share one entry via plan
-        # canonicalization; LRU eviction reclaims it, same contract as
-        # hashed_from.
-        .persist()
-    )
+    if grams is None:
+        grams = grams_from(docs)
+        if persist:
+            grams = grams.persist()
     duph = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(
         F.col("c") >= 2
     ).select("h")

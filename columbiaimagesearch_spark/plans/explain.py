@@ -92,24 +92,56 @@ def assert_no_cartesian(df: DataFrame) -> str:
 
 
 def data_shuffles(plan: str) -> int:
-    """Count shuffle Exchange nodes that move DATA BY KEY (hash/range/single
-    partition), excluding the scan-spreading round-robin repartition that
+    """Count shuffle Exchange nodes that move EXPANDED or KEYED data,
+    excluding only the scan-spreading round-robin repartition that
     ``sources.parallelize_scan`` inserts on single-split sources: that
-    exchange carries each input row once, before any per-token/per-gram
-    expansion, and vanishes on production sources with >= cores-many splits.
+    exchange carries each input row once, directly off the scan, before
+    any per-token/per-gram expansion, and vanishes on production sources
+    with >= cores-many splits. The exemption is POSITIONAL, not just
+    by partitioning kind: a round-robin exchange sitting above an
+    explode/map stage re-shuffles the expanded stream — exactly the
+    pathology the map-only plan guards exist to catch — and is counted.
     BroadcastExchange is a different node name and is never counted here.
 
-    Formatted-mode plans print each node's arguments in a detail block
-    (``(4) Exchange`` / ``Arguments: hashpartitioning(...)``), so blocks —
-    not lines — are classified."""
+    Formatted-mode plans print a tree section, then one detail block per
+    node (``(4) Exchange`` / ``Arguments: hashpartitioning(...)``); the
+    blocks classify the partitioning, the tree gives the position."""
     import re
 
-    n = 0
-    for block in plan.split("\n\n"):
+    sections = plan.split("\n\n")
+    tree = sections[0].splitlines()
+    blocks: dict[int, str] = {}
+    for block in sections[1:]:
         head = block.strip().splitlines()[0] if block.strip() else ""
-        if re.match(r"\(\d+\) Exchange\b", head):
-            # optimized plans print "roundrobinpartitioning", unresolved
-            # AQE-wrapped ones "RoundRobinPartitioning" — match both
-            if "roundrobinpartitioning" not in block.lower():
-                n += 1
+        m = re.match(r"\((\d+)\) (\S+)", head)
+        if m:
+            blocks[int(m.group(1))] = block
+
+    # nodes an Exchange may sit on top of and still be "directly off the
+    # scan": pruning/evaluation shims that do not expand rows
+    _SHIMS = ("Project", "Filter", "ColumnarToRow", "InputAdapter")
+
+    def _scan_below(i: int) -> bool:
+        for ln in tree[i + 1 :]:
+            node = re.search(r"([A-Za-z]+[A-Za-z ]*?)\s*\(\d+\)", ln)
+            if not node:
+                return False
+            name = node.group(1).strip()
+            if name.startswith("Scan"):
+                return True
+            if name not in _SHIMS:
+                return False
+        return False
+
+    n = 0
+    for i, ln in enumerate(tree):
+        m = re.search(r"(\S*Exchange) \((\d+)\)", ln)
+        if not m or m.group(1) != "Exchange":
+            continue
+        block = blocks.get(int(m.group(2)), "")
+        # optimized plans print "roundrobinpartitioning", unresolved
+        # AQE-wrapped ones "RoundRobinPartitioning" — match both
+        if "roundrobinpartitioning" in block.lower() and _scan_below(i):
+            continue
+        n += 1
     return n

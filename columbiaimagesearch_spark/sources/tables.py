@@ -41,6 +41,7 @@ def load_table(
 
     ensure_shipped(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # The driver's events.parquet `ts` physical type has varied across
         # rounds: TIMESTAMP(NANOS) (which the Spark reader only accepts as
@@ -51,29 +52,46 @@ def load_table(
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
             # nanos-as-long: integer nanos -> micros, no float in the path
-            return df.withColumn(
+            df = df.withColumn(
                 "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
             )
-        # TIMESTAMP_NTZ (or already TIMESTAMP): NTZ->TZ cast under the UTC
-        # session timezone keeps the wall-clock values bit-identical.
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
+        else:
+            # TIMESTAMP_NTZ (or already TIMESTAMP): NTZ->TZ cast under the
+            # UTC session timezone keeps the wall-clock values
+            # bit-identical.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
+        df = spark.read.parquet(path)
     # spread=True: give CPU-heavy per-row consumers full parallelism even
-    # on a single-split source (see parallelize_scan; memoized per path)
+    # on a single-split source (see parallelize_scan; memoized per path).
+    # Applied AFTER the events normalization so every table honors it.
     return parallelize_scan(df, cache_key=path) if spread else df
 
 
 # Memoized spread decisions: the probe (`df.rdd.getNumPartitions()`)
 # forces a full analyze+plan pass that measured ~90 ms per call — more
 # than the shuffle it gates for sub-second queries. Split counts are a
-# pure function of (file layout, maxPartitionBytes, parallelism), so one
-# probe per (path, target) is exact.
-_SPREAD_CACHE: dict[tuple[str, int], bool] = {}
+# pure function of (file layout, maxPartitionBytes, parallelism); the key
+# carries all three — file layout as (mtime, size) of the path so an
+# in-place rewrite (e.g. regenerated fixtures growing extra row groups)
+# invalidates the entry instead of serving a stale decision.
+_SPREAD_CACHE: dict[tuple, bool] = {}
+
+
+def _spread_cache_key(df: DataFrame, cache_key: str, target: int) -> tuple:
+    try:
+        st = os.stat(cache_key)
+        layout = (int(st.st_mtime_ns), st.st_size)
+    except OSError:  # non-local path (e.g. object store): no cheap stat
+        layout = None
+    max_bytes = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"
+    )
+    return (cache_key, layout, max_bytes, target)
 
 
 def parallelize_scan(df: DataFrame, cache_key: str | None = None) -> DataFrame:
@@ -101,7 +119,7 @@ def parallelize_scan(df: DataFrame, cache_key: str | None = None) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if cache_key is not None:
-        key = (cache_key, target)
+        key = _spread_cache_key(df, cache_key, target)
         need = _SPREAD_CACHE.get(key)
         if need is None:
             need = df.rdd.getNumPartitions() < target

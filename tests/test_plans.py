@@ -300,5 +300,14 @@ def test_parallelize_scan_spreads_single_split_only(spark):
 
     spread2 = load_table(spark, SF_SMOKE, "documents", spread=True)
     assert spread2.rdd.getNumPartitions() == target
-    key = (f"{SF_SMOKE}/documents.parquet", target)
-    assert tables_mod._SPREAD_CACHE.get(key) is True
+    path = f"{SF_SMOKE}/documents.parquet"
+    hits = [
+        k for k in tables_mod._SPREAD_CACHE if k[0] == path and k[-1] == target
+    ]
+    assert hits and tables_mod._SPREAD_CACHE[hits[0]] is True
+
+    # events' ts-normalization branch must honor spread too (it returned
+    # early before the spread handling once)
+    ev = load_table(spark, SF_SMOKE, "events", spread=True)
+    assert ev.rdd.getNumPartitions() == target
+    assert dict(ev.dtypes)["ts"] == "timestamp"

@@ -54,29 +54,39 @@ def test_spread_invariant(spark, name, monkeypatch):
     assert spread_rows == plain_rows
 
 
+# exact spread=True call-site counts per module: a NEW call site (or a
+# removal) changes a count and fails the tripwire below, forcing the
+# developer to re-confirm SPREAD_QUERIES covers it — function-level
+# coverage cannot silently drift inside an already-listed module
+EXPECTED_SPREAD_SITES = {
+    "operators/dedup.py": 5,
+    "operators/hygiene.py": 4,
+    "operators/textstats.py": 2,
+    "operators/similarity.py": 1,
+    "lopq/queries.py": 1,
+}
+
+
 def test_covers_all_spread_call_sites():
-    """Every operator module using load_table(spread=True) must have at
-    least one registered query in SPREAD_QUERIES — so a new spread call
-    site cannot dodge the invariance check silently."""
+    """Pin every load_table(spread=True) call site by module and COUNT —
+    so a new spread call site cannot dodge the invariance check silently
+    (adding one anywhere, including an already-covered module, fails here
+    until SPREAD_QUERIES demonstrably exercises it)."""
     import pathlib
 
     import columbiaimagesearch_spark as pkg
 
     root = pathlib.Path(pkg.__file__).parent
-    spread_modules = {
-        p.relative_to(root).as_posix()
-        for p in root.rglob("*.py")
-        if "spread=True" in p.read_text()
-    }
-    spread_modules.discard("sources/tables.py")  # the definition itself
-    covered = {
-        "operators/dedup.py",
-        "operators/hygiene.py",
-        "operators/textstats.py",
-        "operators/similarity.py",
-        "lopq/queries.py",
-    }
-    assert spread_modules <= covered, (
-        f"spread call sites in {spread_modules - covered} lack coverage in "
-        "SPREAD_QUERIES — add a query exercising them"
+    actual = {}
+    for p in root.rglob("*.py"):
+        rel = p.relative_to(root).as_posix()
+        if rel == "sources/tables.py":  # the definition itself
+            continue
+        n = p.read_text().count("spread=True")
+        if n:
+            actual[rel] = n
+    assert actual == EXPECTED_SPREAD_SITES, (
+        f"spread=True call sites changed: {actual} != "
+        f"{EXPECTED_SPREAD_SITES}. Update EXPECTED_SPREAD_SITES only after "
+        "adding a SPREAD_QUERIES entry exercising the new site."
     )
