@@ -1,0 +1,113 @@
+"""The bench output contract the driver depends on (VERDICT r6 #1).
+
+The driver captures only the TAIL of bench stdout (~2000 chars) and parses
+the final JSON line. Round 6's inline extras pushed that line past the
+window and the round's BENCH artifact recorded parsed:null — these tests
+pin the fix: the final line is compact, self-contained, and never exceeds
+TAIL_SAFE_CHARS no matter how the extra sections grow.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import bench
+
+
+def _headline(n_queries: int = 40) -> dict:
+    return {
+        "metric": "headline_query_wall_seconds",
+        "value": 26.653,
+        "unit": "sec",
+        # 18-char names = the repo's real average (measured on BENCH_r05)
+        "queries": {f"q{i:02d}_realistic_name": round(0.5 + i * 0.037, 3)
+                    for i in range(n_queries)},
+        "sf": 0.1,
+        "n": 3,
+        "value_per_calib": 78.03,
+        "value_per_sched": 180.7,
+    }
+
+
+def _extras() -> dict:
+    serving = {"p50": 2.73, "p99": 4.41, "p50_rerank": 3.1,
+               "p50_sharded_router": 3.9, "n_queries": 32,
+               "index_rows": 100_000, "snapshot_load_s": 0.25,
+               "layout_write_s": 1.2, "layout_search_s": 0.97}
+    return {
+        "serving_ms": serving,
+        "serving_ms_fixture": dict(serving, index_rows=2000),
+        "serving_http_ms": {"p50": 4.67, "p99": 6.94, "p50_adc": 4.1,
+                            "n_queries": 32},
+        "serving_1m_ms": {"p50": 5.71, "p99": 17.63,
+                          "p50_sharded_router": 4.93, "n_queries": 32,
+                          "index_rows": 1_000_000, "snapshot_load_s": 2.44},
+        "serving_skew_ms": {"p50": 6.0, "p99": 21.0,
+                            "p50_sharded_router": 5.1,
+                            "p99_sharded_router": 9.0, "hot_cell_rows": 100_000,
+                            "hot_rate": 0.4, "index_rows": 1_000_000},
+        "second_tier": {"n": 30, "total_s": 25.1},
+        "curation": {"seconds": 4.5, "input_docs": 5000, "docs_per_sec": 1111.1},
+        "curation_full": {"seconds": 6.5, "input_docs": 5000,
+                          "docs_per_sec": 769.0},
+        "train": {"fit_spark_seconds": 9.8, "rows": 6000},
+        "layout_search": {"write_s": 1.3, "search_s": 0.8},
+        "cpu_calib_sec": {"pre": 0.35, "post": 0.36, "post_second_tier": 0.35,
+                          "post_serving": 0.36, "post_serving_1m": 0.37,
+                          "post_curation": 0.35, "post_curation_full": 0.36,
+                          "post_train": 0.35},
+        "sched_calib_sec": {"pre": 0.074, "post": 0.073},
+    }
+
+
+def test_final_line_fits_tail_window_with_all_extras():
+    lines = bench.compose_output_lines(_headline(), _extras())
+    assert len(lines) == 2
+    final = lines[-1]
+    assert len(final) <= bench.TAIL_SAFE_CHARS
+    parsed = json.loads(final)
+    # the driver's done-criteria keys (VERDICT r6 next-round #1)
+    for key in ("metric", "value", "unit", "queries", "sf", "n",
+                "value_per_calib", "value_per_sched"):
+        assert key in parsed, key
+    assert len(parsed["queries"]) == 40
+    # the r7 skew evidence rides the parsed artifact
+    assert parsed["serving_skew"]["p99"] == 21.0
+    assert parsed["serving_1m"]["p50"] == 5.71
+
+
+def test_extras_line_carries_full_sections():
+    lines = bench.compose_output_lines(_headline(), _extras())
+    extras = json.loads(lines[0])["bench_extras"]
+    assert extras["serving_1m_ms"]["index_rows"] == 1_000_000
+    assert extras["cpu_calib_sec"]["post_train"] == 0.35
+
+
+def test_summaries_drop_before_contract_keys():
+    """Under size pressure the serving summaries shed one by one; the
+    contract keys survive as long as they alone fit."""
+    big = _headline(n_queries=60)  # queries alone near the limit
+    lines = bench.compose_output_lines(big, _extras())
+    parsed = json.loads(lines[-1])
+    assert len(lines[-1]) <= bench.TAIL_SAFE_CHARS
+    assert "queries" in parsed and "value_per_sched" in parsed
+    # at least one summary was dropped to make room
+    kept = [k for k in ("serving", "serving_1m", "serving_skew", "http")
+            if k in parsed]
+    assert len(kept) < 4
+
+
+def test_oversized_contract_fails_loudly():
+    huge = _headline(n_queries=120)
+    with pytest.raises(RuntimeError, match="tail-capture window"):
+        bench.compose_output_lines(huge, _extras())
+
+
+def test_final_line_is_last_and_valid_json():
+    lines = bench.compose_output_lines(_headline(), _extras())
+    # every emitted line parses on its own — the driver may grab any suffix
+    for ln in lines:
+        json.loads(ln)
+    assert json.loads(lines[-1])["metric"] == "headline_query_wall_seconds"
