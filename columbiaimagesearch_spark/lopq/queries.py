@@ -131,11 +131,9 @@ def lopq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a5_recall_stats",
     survey_ops=("A5", "V12", "T1"),
-    # Folded r5: every tag it carries is green on another driver row
-    # (A5 -> lopq_eval_diagnostics, V12/T1 -> ann_cosine_topk,
-    # T1 also j4_ranked_metadata_join / lopq_search_topk); the freed slot
-    # promotes the as-of join showcase to a hash-checked driver row.
-    driver=False,
+    # Rotated BACK into the driver window r7 (freshness: folded since r5 —
+    # VERDICT r6 next-round #6); x_hypertable_rollup folds in exchange
+    # (X- showcase tag needs no driver carrier, A2 is multiply covered).
     doc="Retrieval-quality harness (lopq/lopq/eval.py:92-142 get_recall): "
     "recall@{1,5,10} of the LOPQ searcher vs the exact brute-force ground "
     "truth (eval.py:7-38), computed as Spark joins/aggregations: truth = "

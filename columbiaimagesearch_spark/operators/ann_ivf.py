@@ -154,11 +154,10 @@ def cached_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     survey_ops=("V8", "J6", "T1", "V12"),
-    # Folded from the 50-slot driver window in round 4 to make room for
-    # lopq_eval_diagnostics: every tag is green on other driver rows (V8 via
-    # lopq_encode_codes, J6 via lopq_search_topk, T1/V12 via ann_cosine_topk
-    # and a5_recall_stats). Still locally parity-checked and in bench.
-    driver=False,
+    # Rotated BACK into the driver window r7 (freshness: folded since r4,
+    # the oldest driver row in the registry — VERDICT r6 next-round #6);
+    # a6_event_percentiles folds in exchange (its A6/A2 tags stay green on
+    # w_event_windows / many rows).
     doc=f"IVF ANN: {N_CELLS}-cell inverted file (driver-sample k-means, "
     f"mapInPandas assign), probe {N_PROBE} nearest cells per query, exact "
     "rank within. Oracle: NumPy twin (lopq/twin.py) — elementwise exact "

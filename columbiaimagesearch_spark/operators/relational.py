@@ -1453,8 +1453,10 @@ def j_range_tier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a6_event_percentiles",
     survey_ops=("A6", "A2"),
-    # Promoted to the driver window r6 (rotation: one of the four specs that
-    # had never earned a hash-checked driver row).
+    # Driver-green r6 (hash-checked); folded r7 to rotate ann_ivf_topk back
+    # through the window. A6 stays green on w_event_windows, A2 on many
+    # rows; local parity + bench keep this spec verified.
+    driver=False,
     doc="Stream-metrics percentiles: exact p50/p95/p99 of event value per "
     "event_type (the monitoring rollup behind the reference's ingestion "
     "counters, kafka_image_processor push_*_stats). Spark's exact "
@@ -1485,9 +1487,10 @@ def a6_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_hypertable_rollup",
     survey_ops=("X-hypertable-rollup", "A2"),
     # Beyond-inventory showcase (X- tag), third of the brief's named custom
-    # operators (as-of join / range join / hypertable rollup). Promoted to
-    # the driver window r6 (rotation: had never earned a hash-checked
-    # driver row).
+    # operators (as-of join / range join / hypertable rollup). Driver-green
+    # r6 (hash-checked); folded r7 to rotate a5_recall_stats back through
+    # the window (X- tags need no driver carrier; A2 multiply covered).
+    driver=False,
     doc="Hypertable rollup (TimescaleDB-style continuous aggregate): the "
     "1-minute, 1-hour and 1-day time buckets of the events table computed "
     "in ONE pass via GROUPING SETS — Catalyst's Expand emits one row per "
