@@ -242,6 +242,73 @@ def test_derive_knobs_warns_on_unreachable_recall():
         derive_lsh_knobs(1_000_000, threshold=-0.9)
 
 
+def test_stream_restart_reloads_derived_knobs(spark, tmp_path):
+    """DERIVED knobs through the STREAM wrapper, across a restart (VERDICT
+    r6 next-round #5): the first run derives (bands, bits) from
+    expected_corpus and pins them; a restarted run against the same state
+    dir — even one passing a GROWN expected_corpus, as a long-lived
+    pipeline would after the corpus estimate is revised — must reload the
+    pinned knobs rather than re-derive (a silent re-derivation would band
+    new batches with a different hash family than the resident state:
+    missed pairs, no error). Accumulated pairs must equal the batch
+    operator at the pinned calibration."""
+    import json
+
+    from columbiaimagesearch_spark.operators.similarity import (
+        derive_lsh_knobs,
+        emb_lsh_pairs_from,
+    )
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    vecs = _vec_df(spark)
+    n = vecs.count()
+    rows = vecs.collect()
+
+    def drop(name: str, part) -> None:
+        with open(src / name, "w") as fh:
+            for r in part:
+                fh.write(
+                    json.dumps({"vec_id": r["vec_id"], "v": list(r["v"])}) + "\n"
+                )
+
+    half = len(rows) // 2
+    drop("drop0.jsonl", rows[:half])
+    eds.run_incremental_emb_dedup(
+        spark, str(src), state, ckpt, expected_corpus=n
+    )
+    exp_bands, exp_bits = derive_lsh_knobs(n)
+    with open(eds._knobs_path(state)) as fh:
+        pinned_first = json.load(fh)
+    assert (pinned_first["bands"], pinned_first["bits"]) == (exp_bands, exp_bits)
+
+    # restart: new files land, the stream comes back up against the SAME
+    # state dir + checkpoint with a 100x-grown corpus estimate
+    drop("drop1.jsonl", rows[half:])
+    eds.run_incremental_emb_dedup(
+        spark, str(src), state, ckpt, expected_corpus=n * 100
+    )
+    with open(eds._knobs_path(state)) as fh:
+        assert json.load(fh) == pinned_first  # reloaded, not re-derived
+    # sanity: the grown estimate WOULD have derived different knobs, so
+    # the equality above proves the pin won, not that derivation is flat
+    assert derive_lsh_knobs(n * 100) != (exp_bands, exp_bits)
+
+    got = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in eds.read_pairs(spark, state).collect()
+    }
+    want = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in emb_lsh_pairs_from(
+            vecs, bands=exp_bands, bits=exp_bits
+        ).collect()
+    }
+    assert got == want and eds.read_vectors(spark, state).count() == n
+
+
 def test_stream_wrapper_drains_drops(spark, tmp_path):
     import json
 
