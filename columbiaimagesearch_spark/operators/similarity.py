@@ -385,13 +385,26 @@ def _lsh_planes(d: int, bands: int = LSH_BANDS, bits: int = LSH_BITS,
 def _lsh_band_keys(V: np.ndarray, bands: int = LSH_BANDS, bits: int = LSH_BITS,
                    seed: int = LSH_SEED) -> np.ndarray:
     """(n, bands) int band keys. The projection is ELEMENTWISE
-    (V[:,None,:]*R).sum(2), not a BLAS matmul: a sign bit flips on the
+    (Vc[:,None,:]*R).sum(2), not a BLAS matmul: a sign bit flips on the
     last ulp at the 0 boundary, so the bucketing math must be bitwise
-    batch-shape-independent for the twin oracle to reproduce it."""
+    batch-shape-independent for the twin oracle to reproduce it.
+
+    Row-CHUNKED (r7): each row's math is independent, so chunking cannot
+    change any key — but it bounds the elementwise temp at
+    (256, bands*bits, d) ≈ 14 MB. Un-chunked, derived production knobs
+    (17 bands x 13 bits at 500k rows) made the temp 0.5 GB per 10k-row
+    Arrow batch PER WORKER; 32 concurrent workers allocated ~18 GB of
+    throwaway pages per wave and the 500k validation run spent minutes in
+    allocator/page churn (measured in SCALE.md §Derived-knob validation)."""
     R = _lsh_planes(V.shape[1], bands, bits, seed)
-    proj = (V[:, None, :] * R[None, :, :]).sum(axis=2)  # (n, bands*bits)
-    bitvals = (proj > 0).astype(np.int64)
-    keys = np.zeros((len(V), bands), dtype=np.int64)
+    n = len(V)
+    bitvals = np.empty((n, bands * bits), dtype=np.int64)
+    step = 256
+    for s in range(0, n, step):
+        Vc = V[s : s + step]
+        proj = (Vc[:, None, :] * R[None, :, :]).sum(axis=2)
+        bitvals[s : s + len(Vc)] = proj > 0
+    keys = np.zeros((n, bands), dtype=np.int64)
     for b in range(bands):
         for i in range(bits):
             keys[:, b] = (keys[:, b] << 1) | bitvals[:, b * bits + i]

@@ -1,0 +1,184 @@
+"""Empirical knob validation at 100x the driver corpus (VERDICT r6 #2).
+
+The r6 derivations (derive_lsh_knobs / derive_jaccard_blocks) were
+unit-tested for monotonicity but never EXECUTED on a corpus big enough to
+move them off their floors (sf0.1 = 5-6k rows). These tests generate a
+500k-row synthetic corpus with planted near-duplicates (tests/synth_corpus)
+and run the library forms end-to-end with DERIVED knobs, asserting:
+
+  (a) the derived bits/bands actually engaged (observed bucket population
+      matches the derived keyspace, not the fixture constants');
+  (b) mean in-bucket size ~ LSH_TARGET_BUCKET, max bounded;
+  (c) wall time scales ~linearly in n x bands, not quadratically in n;
+  (d) the recall floor holds empirically on the planted pairs;
+  (e) the exact-Jaccard rung REFUSES past its envelope, and the MinHash
+      scale path it names handles the same 500k docs end-to-end.
+
+Slow (several minutes at local[32]) — gated behind SPARK_GRAFT_SLOW=1 so
+routine pytest stays fast. Measured numbers live in SCALE.md §Derived-knob
+validation; re-run with:  SPARK_GRAFT_SLOW=1 pytest tests/test_scale_knobs.py -s
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from columbiaimagesearch_spark.operators.similarity import (
+    LSH_BANDS,
+    LSH_BITS,
+    LSH_SEED,
+    LSH_TARGET_BUCKET,
+    derive_lsh_knobs,
+    emb_lsh_pairs_from,
+)
+from columbiaimagesearch_spark.streaming.emb_dedup_stream import _band_rows_fn
+
+import synth_corpus as synth
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW") != "1",
+    reason="500k-row scale validation (minutes); set SPARK_GRAFT_SLOW=1",
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    """Bench-shaped session (local[32] by default), overriding conftest's
+    8-core test session — the SCALE.md numbers come from this tier. When
+    the whole suite runs with SLOW=1, getOrCreate may hand back the
+    existing 8-core session; walls grow but every assertion has slack."""
+    from columbiaimagesearch_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    s = get_spark(app_name="scale-knobs", cpus=cpus, shuffle_partitions=cpus)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+N_LARGE = 500_000
+N_SMALL = 50_000
+N_DUPS = 5_000
+# the production near-dup threshold the module documents (cos >= 0.9);
+# the fixture's 0.40 corpus-calibration threshold is fundamentally
+# expensive for sign-bit LSH (derive_lsh_knobs warns and backs off bits)
+# and is served by the blocked/IVF paths at scale.
+THRESHOLD = 0.9
+
+
+def _timed_pairs(vec_df, threshold):
+    t0 = time.perf_counter()
+    rows = emb_lsh_pairs_from(vec_df, threshold=threshold).collect()
+    wall = time.perf_counter() - t0
+    return {(r["vec_a"], r["vec_b"]) for r in rows}, wall
+
+
+def test_lsh_derived_knobs_engage_and_scale(spark):
+    planted = synth.planted_pairs(N_LARGE, N_DUPS)
+    big = synth.gen_embeddings(spark, N_LARGE, N_DUPS).persist()
+    assert big.count() == N_LARGE
+    small = synth.gen_embeddings(spark, N_SMALL, N_DUPS // 10).persist()
+    small.count()
+
+    bands, bits = derive_lsh_knobs(N_LARGE, threshold=THRESHOLD)
+    # (a) the derivation left the fixture floor
+    assert bits > LSH_BITS and (bands, bits) != (LSH_BANDS, LSH_BITS)
+
+    # warm the Python worker pool + codegen on the SMALL corpus before any
+    # timed run (bench methodology): the first mapInPandas job of a session
+    # pays per-core worker spin-up, which the first dry run of this test
+    # mis-booked against the large corpus (269 s "large" vs 41 s warm)
+    _timed_pairs(small, THRESHOLD)
+
+    found, wall_large = _timed_pairs(big, THRESHOLD)
+    # (d) empirical recall on the planted pairs beats the design floor
+    # (planted cos ~0.97 sits above the 0.9 threshold the floor is set at,
+    # so expected recall is ~0.999; 0.95 leaves statistical slack)
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.95, recall
+
+    # (a)+(b) observed bucket population matches the DERIVED keyspace:
+    # mean ~ n/2^bits ~ LSH_TARGET_BUCKET. Had the fixture bits=3 leaked
+    # through, the mean would be ~n/8 = 62500 — three orders off.
+    stats = (
+        big.mapInPandas(
+            _band_rows_fn(bands, bits, LSH_SEED),
+            "vec_id long, band int, key long",
+        )
+        .groupBy("band", "key")
+        .count()
+        .agg(
+            F.mean("count").alias("mean"),
+            F.max("count").alias("max"),
+        )
+        .collect()[0]
+    )
+    assert stats["mean"] <= 4 * LSH_TARGET_BUCKET, stats
+    assert stats["mean"] >= LSH_TARGET_BUCKET / 8, stats
+    assert stats["max"] <= 32 * LSH_TARGET_BUCKET, stats
+
+    # (c) wall scales ~linearly in n x bands, not quadratically in n:
+    # at 10x rows the derived knobs predict ~(N_LARGE*bands_L)/(N_SMALL*
+    # bands_S) ~ 17x work; a quadratic path would be ~100x. 40x is the
+    # fail line (leaves room for fixed overhead + host noise).
+    bands_s, bits_s = derive_lsh_knobs(N_SMALL, threshold=THRESHOLD)
+    assert bits_s < bits  # smaller corpus, fewer bits — derivation moved
+    found_s, wall_small = _timed_pairs(small, THRESHOLD)
+    recall_s = len(found_s & synth.planted_pairs(N_SMALL, N_DUPS // 10)) / (
+        N_DUPS // 10
+    )
+    assert recall_s >= 0.95, recall_s
+    ratio = wall_large / wall_small
+    linear_model = (N_LARGE * bands) / (N_SMALL * bands_s)
+    assert ratio <= 40.0, (wall_small, wall_large, ratio)
+    print(
+        f"\n[scale-knobs] emb LSH @{N_LARGE}: knobs=({bands},{bits}) "
+        f"recall={recall:.4f} wall={wall_large:.1f}s | "
+        f"@{N_SMALL}: knobs=({bands_s},{bits_s}) recall={recall_s:.4f} "
+        f"wall={wall_small:.1f}s | ratio={ratio:.1f}x "
+        f"(linear-model {linear_model:.1f}x, quadratic ~100x) | "
+        f"bucket mean={stats['mean']:.1f} max={stats['max']} "
+        f"target={LSH_TARGET_BUCKET}"
+    )
+    small.unpersist()
+    big.unpersist()
+
+
+def test_jaccard_refuses_and_minhash_covers_500k(spark):
+    from columbiaimagesearch_spark.operators.dedup import (
+        JACCARD_MAX_DOCS,
+        derive_jaccard_blocks,
+        hashed_from,
+        near_dup_pairs_from,
+    )
+
+    # (e) the exact all-pairs rung refuses loudly past its envelope and
+    # names the scale path
+    assert N_LARGE > JACCARD_MAX_DOCS
+    with pytest.raises(ValueError, match="dedup_minhash_lsh_pairs"):
+        derive_jaccard_blocks(N_LARGE)
+
+    # ... and that named path handles the same 500k docs end-to-end
+    planted = synth.planted_pairs(N_LARGE, N_DUPS)
+    docs = synth.gen_documents(spark, N_LARGE, N_DUPS).persist()
+    assert docs.count() == N_LARGE
+    hashed = hashed_from(docs)
+    t0 = time.perf_counter()
+    rows = near_dup_pairs_from(docs, hashed=hashed).collect()
+    wall = time.perf_counter() - t0
+    found = {(r["doc_a"], r["doc_b"]) for r in rows}
+    recall = len(found & planted) / len(planted)
+    extras = len(found - planted)
+    # planted Jaccard ~0.71 -> band recall 1-(1-0.71^3)^8 ~ 0.966; the
+    # verify stage then only keeps exact J >= 0.5, and the wide random
+    # vocab makes cross-base collisions essentially impossible
+    assert recall >= 0.90, recall
+    assert extras <= 5, extras
+    print(
+        f"\n[scale-knobs] minhash LSH @{N_LARGE} docs: pairs={len(found)} "
+        f"recall={recall:.4f} extras={extras} wall={wall:.1f}s"
+    )
+    hashed.unpersist()
+    docs.unpersist()

@@ -588,6 +588,33 @@ def test_sharded_router_equals_single_replica(spark, model, codes, queries_np):
         assert got_rr == want_rr, f"rerank path diverged for qid={qid}"
 
 
+def test_router_equals_replica_on_skewed_cells(spark, model, codes, queries_np):
+    """The Zipf-skew scenario the r7 bench measures for LATENCY
+    (serving_skew_ms), pinned here for CORRECTNESS: with ~10% of all rows
+    remapped into the naturally hottest cell, the cumulative-mass split
+    concentrates that cell on one shard — answers must still equal a
+    single whole-index replica's exactly (the router plans the traversal
+    on the merged histogram, so a fat cell changes load, never results)."""
+    from columbiaimagesearch_spark.lopq.serving import ShardedServingRouter
+
+    base = ServingSearcher(model).load_codes(codes)
+    hot = int(max(base.cell_counts, key=base.cell_counts.get))
+    skewed = codes.withColumn(
+        "cell",
+        F.when(F.col("id") % 10 == 7, F.lit(hot)).otherwise(F.col("cell")),
+    )
+    single = ServingSearcher(model).load_codes(skewed)
+    assert single.cell_counts[hot] > base.cell_counts[hot]
+    router = ShardedServingRouter.build(
+        model, skewed, n_shards=4, max_rows_per_shard=single.n_items
+    )
+    assert router.n_items == single.n_items
+    for qid, q in queries_np:
+        got = router.search(q, quota=QUOTA, k=TOP_K)
+        want = single.search(q, quota=QUOTA, k=TOP_K)
+        assert got == want, f"skewed ADC path diverged for qid={qid}"
+
+
 def test_from_replica_resharding_identical(spark, model, codes):
     """from_replica re-shards a LIVE replica in memory: same ranges as
     build() on the same populations, zero re-read, identical answers on
