@@ -154,10 +154,11 @@ def cached_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     survey_ops=("V8", "J6", "T1", "V12"),
-    # Rotated BACK into the driver window r7 (freshness: folded since r4,
-    # the oldest driver row in the registry — VERDICT r6 next-round #6);
-    # a6_event_percentiles folds in exchange (its A6/A2 tags stay green on
-    # w_event_windows / many rows).
+    # Folded r8 after its r7 re-verification (VERDICT r7 next-round #5):
+    # V8 stays driver-green on lopq_encode_codes, J6 on lopq_search_topk,
+    # T1 on t1_distance_topk (rotated back in exchange), V12 on
+    # ann_cosine_topk.
+    driver=False,
     doc=f"IVF ANN: {N_CELLS}-cell inverted file (driver-sample k-means, "
     f"mapInPandas assign), probe {N_PROBE} nearest cells per query, exact "
     "rank within. Oracle: NumPy twin (lopq/twin.py) — elementwise exact "

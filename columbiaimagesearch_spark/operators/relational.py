@@ -557,7 +557,10 @@ def a_rollup_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t1_distance_topk",
     survey_ops=("T1", "T6"),
-    driver=False,  # T1 driver-green via j4_ranked_metadata_join + ann_cosine_topk; T6 via s4_cursor_scan
+    # Rotated BACK into the driver window r8 (freshness: folded since r5 —
+    # VERDICT r7 next-round #5); ann_ivf_topk folds in exchange (its
+    # V8/J6/T1/V12 tags stay green on lopq_encode_codes / lopq_search_topk /
+    # this row + j4_ranked_metadata_join / ann_cosine_topk).
     doc="Global sort+limit (search.py:206-215 sorts candidates by distance, "
     "cuts to limit). Spark plans TakeOrderedAndProject: per-partition top-k, "
     "then a k-row merge on the driver — no full sort at scale.",
@@ -622,7 +625,10 @@ def t4_per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t2_quota_accumulation",
     survey_ops=("T2", "T3"),
-    driver=False,  # T2+T3 driver-green via lopq_search_topk (true heap traversal)
+    # Rotated BACK into the driver window r8 (freshness: folded since r5 —
+    # VERDICT r7 next-round #5); a5_recall_stats folds in exchange (its
+    # A5/V12/T1 tags stay green on lopq_eval_diagnostics / ann_cosine_topk /
+    # t1_distance_topk).
     doc="Multi-sequence quota cutoff: visit cells in distance order until the "
     "running item count reaches quota (search.py:110-135). Rendered as a "
     "running-sum window with cutoff.",
