@@ -306,6 +306,48 @@ LSH_BITS = 3
 LSH_SEED = 202
 LSH_TARGET_BUCKET = 64  # in-bucket pairwise work is O(target_bucket) rows/row
 LSH_RECALL = 0.90  # band-OR recall floor at the near-dup threshold
+# Per-bucket refusal line for emb_lsh_pairs_from (r8): derive_lsh_knobs
+# targets mean=LSH_TARGET_BUCKET, and the 500k validation run measured
+# max=1068 (~17x mean) on a healthy corpus — so 64x mean is far outside
+# anything the derivation produces and marks a DEGENERATE bucket (e.g. a
+# mass of identical/zero vectors all hashing to one key), where O(n^2)
+# in-bucket work silently becomes the whole job. Loud refusal beats a
+# mystery multi-hour stage at 100 TB.
+LSH_MAX_BUCKET = 64 * LSH_TARGET_BUCKET
+
+
+class _MaxAccumParam:
+    """AccumulatorParam taking the max — idempotent under task retry, so
+    speculative/retried buckets can never inflate the telemetry."""
+
+    def zero(self, value: int) -> int:
+        return value
+
+    def addInPlace(self, a: int, b: int) -> int:
+        return max(a, b)
+
+
+class LshBucketStats:
+    """Executor-side bucket telemetry for :func:`emb_lsh_pairs_from`.
+
+    Create one per run, pass it in, run any action on the returned
+    DataFrame, then read ``max_bucket`` / ``max_pairs_bucket``: the largest
+    (band, key) bucket any executor saw, and the upper bound of per-bucket
+    pair work it implies. At 100 TB a pathological bucket is the one
+    remaining skew risk in the LSH dedup family (VERDICT r7 #6) — this is
+    the metric a cluster job should export alongside its output."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._acc = spark.sparkContext.accumulator(0, _MaxAccumParam())
+
+    @property
+    def max_bucket(self) -> int:
+        return int(self._acc.value)
+
+    @property
+    def max_pairs_bucket(self) -> int:
+        n = self.max_bucket
+        return n * (n - 1) // 2
 
 
 def derive_lsh_knobs(
@@ -491,6 +533,8 @@ def emb_lsh_pairs_from(
     bits: int | None = None,
     threshold: float = NEAR_DUP_COS,
     seed: int = LSH_SEED,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+    stats: LshBucketStats | None = None,
 ) -> DataFrame:
     """Library form over any (vec_id, v array<double>) relation.
 
@@ -501,13 +545,22 @@ def emb_lsh_pairs_from(
     target bucket size, bands restoring the recall floor) — a 10x larger
     corpus gets more bits with no knob change. Pass both explicitly to
     pin a calibration (the registered fixture query does, for its
-    oracle)."""
+    oracle).
+
+    ``max_bucket`` (default :data:`LSH_MAX_BUCKET` = 64x the derivation's
+    target mean) REFUSES a degenerate bucket loudly instead of letting its
+    O(n^2) pair pass eat the stage: random-hyperplane keys can't spread
+    identical (or all-zero) vectors, so a duplicate-flooded corpus piles
+    them into one (band, key) whatever the knobs say. None disables.
+    ``stats`` (an :class:`LshBucketStats`) exports the observed max bucket
+    after any action — the skew telemetry a cluster run should log."""
     from collections.abc import Iterator
 
     if bands is None or bits is None:
         d_bands, d_bits = derive_lsh_knobs(vec_df.count(), threshold=threshold)
         bands = d_bands if bands is None else bands
         bits = d_bits if bits is None else bits
+    acc = stats._acc if stats is not None else None
 
     def band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -536,6 +589,20 @@ def emb_lsh_pairs_from(
     )
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if acc is not None:
+            acc.add(len(pdf))
+        if max_bucket is not None and len(pdf) > max_bucket:
+            raise RuntimeError(
+                f"emb_lsh_pairs_from: bucket (band={int(pdf['band'].iloc[0])}, "
+                f"key={int(pdf['key'].iloc[0])}) holds {len(pdf)} vectors "
+                f"> max_bucket={max_bucket}; in-bucket verification is "
+                "O(n^2) and this bucket would dominate the job. The corpus "
+                "has a mass of near-identical vectors LSH keys cannot "
+                "spread — dedup it with the blocked path "
+                "(emb_near_dup_pairs) or the IVF/LOPQ ANN ladder "
+                "(ann_ivf_topk / lopq_search_topk), or pass a larger "
+                "max_bucket (None disables) if the O(n^2) cost is intended."
+            )
         rows = _bucket_cos_pairs(
             pdf["vec_id"].to_numpy(),
             np.array(list(pdf["v"]), dtype=np.float64),

@@ -325,3 +325,64 @@ def test_stream_wrapper_drains_drops(spark, tmp_path):
                 )
     eds.run_incremental_emb_dedup(spark, str(src), state, ckpt)
     assert eds.read_vectors(spark, state).count() == 60
+
+
+def test_bucket_telemetry_reports_true_max(spark):
+    """LshBucketStats observes the real max (band, key) bucket size —
+    cross-checked against a driver-side recount with the same kernel
+    (VERDICT r7 #6: the skew metric a 100 TB run should export)."""
+    import numpy as np
+
+    from columbiaimagesearch_spark.operators.similarity import (
+        LSH_BANDS,
+        LSH_BITS,
+        LSH_SEED,
+        LshBucketStats,
+        _lsh_band_keys,
+        emb_lsh_pairs_from,
+    )
+
+    vecs = _vec_df(spark)
+    stats = LshBucketStats(spark)
+    out = emb_lsh_pairs_from(vecs, bands=LSH_BANDS, bits=LSH_BITS, stats=stats)
+    out.write.format("noop").mode("overwrite").save()
+
+    rows = vecs.collect()
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    keys = _lsh_band_keys(X, LSH_BANDS, LSH_BITS, LSH_SEED)
+    expected_max = max(
+        int(np.max(np.unique(keys[:, b], return_counts=True)[1]))
+        for b in range(LSH_BANDS)
+    )
+    assert stats.max_bucket == expected_max
+    assert stats.max_pairs_bucket == expected_max * (expected_max - 1) // 2
+
+
+def test_degenerate_bucket_refuses_loudly(spark):
+    """A bucket past max_bucket raises naming the blocked/IVF escape paths
+    instead of silently running O(n^2): identical vectors land in ONE
+    (band, key) bucket no matter the knobs — the skew LSH cannot spread."""
+    import pytest
+    from pyspark.sql import Row
+
+    from columbiaimagesearch_spark.operators.similarity import (
+        LshBucketStats,
+        emb_lsh_pairs_from,
+    )
+
+    clone = [1.0, 0.5, -0.25, 2.0]
+    vecs = spark.createDataFrame(
+        [Row(vec_id=i, v=clone) for i in range(120)]
+    )
+    with pytest.raises(Exception, match="emb_near_dup_pairs"):
+        emb_lsh_pairs_from(
+            vecs, bands=4, bits=8, max_bucket=50
+        ).write.format("noop").mode("overwrite").save()
+
+    # max_bucket=None disables the guard; telemetry still sees the flood
+    stats = LshBucketStats(spark)
+    n_pairs = emb_lsh_pairs_from(
+        vecs, bands=4, bits=8, max_bucket=None, stats=stats
+    ).count()
+    assert stats.max_bucket == 120
+    assert n_pairs == 120 * 119 // 2
