@@ -189,11 +189,19 @@ def serving_million_bench(
     codes after remapping ~10% of all rows into the naturally-largest cell
     — production cell populations are Zipf-ish (SURVEY §4), and the
     fixture layout's natural balance never exercised that. The hot cell
-    makes any query whose traversal reaches it scan ~100k codes in one
+    makes any query whose traversal reaches it scan ~300k codes in one
     ADC pass; hot_rate reports what fraction of the bench queries did, so
-    the p99 is attributable. The router shards by cumulative mass, so one
-    shard absorbs the hot cell and the fan-out hides it — the skewed
-    router p50/p99 vs the balanced one IS the evidence."""
+    the p99 is attributable.
+
+    What the router does and does NOT buy (measured r8): in ONE process
+    the fan-out is sequential, so router wall ≈ single-replica wall — it
+    does not hide the hot cell locally (r7 measured a 3% p99 delta and
+    over-claimed "absorption"). What sharding + fat-cell slicing DOES buy
+    is the bound on MAX PER-SHARD scanned rows per query —
+    max_shard_rows_p50/_max below, ~6x smaller with slicing (57.9k vs
+    335.3k worst-case at the r8 measurement) — and that bound IS the wall
+    clock of a real deployment whose shards are separate processes
+    answering in parallel."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -267,6 +275,28 @@ def serving_million_bench(
     lat_skew_router = _latencies_ms(
         lambda q: skew_router.search(q, quota=10_000, k=10), qs
     )
+
+    def max_shard_rows(router, q: np.ndarray) -> int:
+        """Worst single-shard scanned-row count for one query — the
+        parallel-deployment wall the fat-cell slicing bounds."""
+        import bisect
+
+        qp = model.project_queries(q)[0] if isinstance(model, LOPQModelPCA) else q
+        d1, d2 = lopq.coarse_distances(qp)
+        visited = multisequence_cells(d1, d2, router._global_counts(), 10_000)
+        per = [0] * len(router.shards)
+        lows = [lo for lo, _h, _s in router.shards]
+        for cell in visited:
+            owners = router._splits.get(cell)
+            if owners is not None:
+                for i in set(owners):
+                    per[i] += router.shards[i][2].cell_counts.get(cell, 0)
+            else:
+                i = bisect.bisect_right(lows, cell) - 1
+                per[i] += router.shards[i][2].cell_counts.get(cell, 0)
+        return max(per)
+
+    mx = [max_shard_rows(skew_router, q) for q in qs]
     skewed = {
         "p50": round(statistics.median(lat_skew), 3),
         "p99": _p99(lat_skew),
@@ -276,6 +306,9 @@ def serving_million_bench(
         "index_rows": int(n_index),
         "hot_cell_rows": int(hot_rows),
         "hot_rate": round(hot_rate, 3),
+        "split_cells": len(skew_router._splits),
+        "max_shard_rows_p50": int(statistics.median(mx)),
+        "max_shard_rows_max": int(max(mx)),
     }
     return balanced, skewed
 

@@ -54,25 +54,60 @@ def _topk_idx(dists: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
     return cand[np.lexsort((ids[cand], dists[cand]))[:k]]
 
 
-def _plan_cell_ranges(
+# A cell bigger than per_shard/CELL_SLICE_FACTOR splits into id-mod slices
+# across distinct shards: cell-range sharding alone leaves a Zipf-fat cell
+# wholly on one shard, and since per-QUERY work is driven by the visited
+# cells (not shard mass), every query visiting that cell pays its full scan
+# on one replica while the fan-out waits (measured r7: skewed router p99
+# 17.0 ms vs single 17.6 — a 3% "absorption"). Slicing bounds any one
+# shard's share of any one cell at ~per_shard/CELL_SLICE_FACTOR rows.
+CELL_SLICE_FACTOR = 4
+
+
+def _plan_shard_claims(
     hist: list[tuple[int, int]], n_shards: int, last_cell: int
-) -> list[tuple[int, int]]:
-    """Cumulative-mass split of a sorted (cell, n) histogram into
-    ``n_shards`` contiguous cell ranges covering [0, last_cell] — the one
-    range planner shared by ``ShardedServingRouter.build`` (histogram from
-    a codes relation) and ``from_replica`` (histogram from resident
-    arrays), so both shardings are identical for the same populations."""
+) -> tuple[list[tuple[int, int]], dict[int, list[int]]]:
+    """Cumulative-mass split of a sorted (cell, n) histogram into exactly
+    ``n_shards`` contiguous cell ranges tiling [0, last_cell], plus a
+    ``splits`` map for fat cells: cell -> [owner shard per id-mod slice]
+    (slice j of m holds the cell's rows with id % m == j, owners are
+    distinct and spread over the shard list). Split cells are owned ONLY
+    via ``splits`` — range ownership is overridden — and their slice mass
+    is pre-charged to the owning shards so the range walk still balances
+    total mass. The one planner shared by ``ShardedServingRouter.build``
+    (histogram from a codes relation) and ``from_replica`` (histogram from
+    resident arrays), so both shardings are identical for the same
+    populations."""
     total = sum(n for _, n in hist)
     per_shard = max(1, -(-total // n_shards))
+    split_unit = max(1, -(-per_shard // CELL_SLICE_FACTOR))
+    splits: dict[int, list[int]] = {}
+    preload = [0] * n_shards
+    for cell, n in hist:
+        m = min(n_shards, -(-n // split_unit))
+        if m >= 2:
+            owners = [j * n_shards // m for j in range(m)]  # distinct, spread
+            splits[cell] = owners
+            for owner in owners:
+                preload[owner] += n // m
     ranges: list[tuple[int, int]] = []
     lo, acc = 0, 0
     for cell, n in hist:
+        if cell in splits:
+            continue
         acc += n
-        if acc >= per_shard and len(ranges) < n_shards - 1:
+        if (
+            acc >= max(1, per_shard - preload[len(ranges)])
+            and len(ranges) < n_shards - 1
+        ):
             ranges.append((lo, cell))
             lo, acc = cell + 1, 0
     ranges.append((lo, last_cell))
-    return ranges
+    # pad to exactly n_shards (tiny/degenerate histograms): empty tail
+    # ranges own no resident cell but keep split owner indices valid
+    while len(ranges) < n_shards:
+        ranges.append((last_cell + 1, last_cell))
+    return ranges, splits
 
 
 class ServingSearcher:
@@ -190,13 +225,16 @@ class ServingSearcher:
         return self._counts_cache
 
     def score_cells(
-        self, q: np.ndarray, cells
+        self, q: np.ndarray, cells, luts: dict | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
         """ADC-score every resident item of ``cells`` for PROJECTED query
         ``q`` (no top-k cut) — the per-shard unit of work in the sharded
         router, and the inner loop of :meth:`search`. Cells this replica
         does not hold are skipped (the router sends each shard the global
-        traversal; ownership filtering happens here)."""
+        traversal; ownership filtering happens here). ``luts`` optionally
+        supplies precomputed per-cell ADC LUTs — the router passes one for
+        each SLICED cell so the m shards holding slices don't each rebuild
+        the identical (M, K) table per query."""
         model = self.model.lopq if isinstance(self.model, LOPQModelPCA) else self.model
         all_ids: list[np.ndarray] = []
         all_dists: list[np.ndarray] = []
@@ -205,7 +243,9 @@ class ServingSearcher:
             if entry is None:
                 continue
             ids, fines = entry
-            lut = model.adc_lut(q, cell)
+            lut = luts.get(cell) if luts is not None else None
+            if lut is None:
+                lut = model.adc_lut(q, cell)
             all_ids.append(ids)
             all_dists.append(adc_batch_dists(lut, fines))
         if not all_ids:
@@ -321,16 +361,55 @@ class ShardedServingRouter:
        top-k (lexsort: dist asc, id asc — the engine-wide tiebreak).
 
     Shard boundaries come from the cell histogram (cumulative-mass split),
-    so Zipf-ish cell populations still give balanced shards. Rerank uses a
-    ``fetch_vectors(ids)`` callable — the production shape (only the
+    so Zipf-ish cell populations still give balanced shards — and a FAT
+    cell (more than ~1/CELL_SLICE_FACTOR of a shard's mass) is further
+    split into id-mod slices owned by distinct shards, so the per-QUERY
+    cost of visiting it is divided too, not just its resident mass (the
+    r7 bench showed a whole-cell hot shard gates the fan-out: skewed
+    router p99 within 3% of a single replica's). The in-process fan-out
+    is sequential — threading it measured 1.6-10x SLOWER at 1M rows (GIL
+    contention across the fine-grained numpy kernels), so ONE process's
+    wall equals total work; a real deployment's shards are separate
+    processes and parallelize the fan-out for free, making MAX PER-SHARD
+    work (which the slicing bounds) the wall-clock quantity. Rerank uses
+    a ``fetch_vectors(ids)`` callable — the production shape (only the
     shortlist's features are ever fetched; searcher_lopqhbase.py:862-886).
     """
 
     def __init__(self, model: LOPQModel | LOPQModelPCA,
-                 shards: list[tuple[int, int, ServingSearcher]]) -> None:
+                 shards: list[tuple[int, int, ServingSearcher]],
+                 splits: dict[int, list[int]] | None = None) -> None:
         self.model = model
         self.shards = shards  # (cell_lo, cell_hi_inclusive, replica)
+        # cell -> [owner shard index per id-mod slice]; overrides ranges
+        self._splits = splits or {}
         self._global_counts_cache: dict[int, int] | None = None
+
+    def _slice_pred(self, shard_idx: int):
+        """DataFrame predicate for the id-mod slices shard ``shard_idx``
+        owns (None when it owns none) — shared by build and add_codes."""
+        from pyspark.sql import functions as F
+
+        pred = None
+        for c, owners in self._splits.items():
+            m = len(owners)
+            for j, owner in enumerate(owners):
+                if owner == shard_idx:
+                    p = (F.col("cell") == c) & (F.col("id") % m == j)
+                    pred = p if pred is None else (pred | p)
+        return pred
+
+    def _range_pred(self, rlo: int, rhi: int):
+        """DataFrame predicate for full-range ownership: cells in
+        [rlo, rhi] EXCLUDING split cells (those route via _splits)."""
+        from pyspark.sql import functions as F
+
+        pred = F.col("cell").between(rlo, rhi)
+        if self._splits:
+            pred = pred & ~F.col("cell").isin(
+                [int(c) for c in self._splits]
+            )
+        return pred
 
     @classmethod
     def build(
@@ -342,7 +421,8 @@ class ShardedServingRouter:
     ) -> "ShardedServingRouter":
         """Split the cell space into ``n_shards`` contiguous ranges of
         roughly equal MASS (cumulative per-cell counts, one small agg job),
-        then bootstrap one budget-guarded replica per range."""
+        slicing fat cells across shards by id-mod, then bootstrap one
+        budget-guarded replica per range."""
         from pyspark.sql import functions as F
 
         hist = sorted(
@@ -350,14 +430,18 @@ class ShardedServingRouter:
             for r in codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
         )
         lopq = model.lopq if isinstance(model, LOPQModelPCA) else model
-        ranges = _plan_cell_ranges(hist, n_shards, lopq.V * lopq.V - 1)
-        shards = []
-        for rlo, rhi in ranges:
+        ranges, splits = _plan_shard_claims(hist, n_shards, lopq.V * lopq.V - 1)
+        router = cls(model, [], splits)
+        for i, (rlo, rhi) in enumerate(ranges):
+            pred = router._range_pred(rlo, rhi)
+            slice_pred = router._slice_pred(i)
+            if slice_pred is not None:
+                pred = pred | slice_pred
             replica = ServingSearcher(model, max_rows=max_rows_per_shard).load_codes(
-                codes.where(F.col("cell").between(rlo, rhi))
+                codes.where(pred)
             )
-            shards.append((rlo, rhi, replica))
-        return cls(model, shards)
+            router.shards.append((rlo, rhi, replica))
+        return router
 
     @classmethod
     def from_replica(
@@ -382,11 +466,11 @@ class ShardedServingRouter:
         model = replica.model
         lopq = model.lopq if isinstance(model, LOPQModelPCA) else model
         hist = sorted(replica.cell_counts.items())
-        ranges = _plan_cell_ranges(hist, n_shards, lopq.V * lopq.V - 1)
+        ranges, splits = _plan_shard_claims(hist, n_shards, lopq.V * lopq.V - 1)
         vectors = getattr(replica, "_vectors", None) or {}
         vec_ids = np.fromiter(vectors.keys(), dtype=np.int64, count=len(vectors))
         shards = []
-        for rlo, rhi in ranges:
+        for i, (rlo, rhi) in enumerate(ranges):
             s = ServingSearcher(
                 model,
                 max_rows=MAX_SNAPSHOT_ROWS
@@ -394,8 +478,21 @@ class ShardedServingRouter:
                 else max_rows_per_shard,
             )
             s._cells = {
-                c: arrs for c, arrs in replica._cells.items() if rlo <= c <= rhi
+                c: arrs
+                for c, arrs in replica._cells.items()
+                if rlo <= c <= rhi and c not in splits
             }
+            for c, owners in splits.items():
+                m = len(owners)
+                entry = replica._cells.get(c)
+                if entry is None:
+                    continue
+                ids, fines = entry
+                for j, owner in enumerate(owners):
+                    if owner == i:
+                        mask = (ids % m) == j
+                        if mask.any():
+                            s._cells[c] = (ids[mask].copy(), fines[mask].copy())
             s._check_budget(s.n_items)
             if vectors:
                 shard_ids = (
@@ -406,7 +503,7 @@ class ShardedServingRouter:
                 owned_ids = vec_ids[np.isin(vec_ids, shard_ids)]
                 s._vectors = {int(i): vectors[int(i)] for i in owned_ids}
             shards.append((rlo, rhi, s))
-        return cls(model, shards)
+        return cls(model, shards, splits)
 
     @property
     def n_items(self) -> int:
@@ -430,27 +527,51 @@ class ShardedServingRouter:
             int(r["cell"]): int(r["n"])
             for r in codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
         }
-        for lo, hi, s in self.shards:
-            incoming = sum(n for c, n in hist.items() if lo <= c <= hi)
+        for i, (lo, hi, s) in enumerate(self.shards):
+            incoming = sum(
+                n
+                for c, n in hist.items()
+                if lo <= c <= hi and c not in self._splits
+            )
+            # a split cell's id-mod distribution isn't in the histogram;
+            # charge each owning shard the FULL cell count (same
+            # upper-bound-before-dedup conservatism as the base guard)
+            incoming += sum(
+                hist.get(c, 0)
+                for c, owners in self._splits.items()
+                if i in owners
+            )
             s._check_budget(incoming, s.n_items)
-        for lo, hi, s in self.shards:
-            s.add_codes(codes.where(F.col("cell").between(lo, hi)))
+        for i, (lo, hi, s) in enumerate(self.shards):
+            pred = self._range_pred(lo, hi)
+            slice_pred = self._slice_pred(i)
+            if slice_pred is not None:
+                pred = pred | slice_pred
+            s.add_codes(codes.where(pred))
         self._global_counts_cache = None
         return self
 
-    def _shard_for_cell(self, cell: int) -> ServingSearcher:
+    def _shard_for_cell(self, cell: int, vid: int | None = None) -> ServingSearcher:
+        owners = self._splits.get(cell)
+        if owners is not None:
+            if vid is None:
+                raise ValueError(
+                    f"cell {cell} is sliced across shards; routing needs the "
+                    "item id"
+                )
+            return self.shards[owners[int(vid) % len(owners)]][2]
         for lo, hi, s in self.shards:
             if lo <= cell <= hi:
                 return s
         raise ValueError(f"cell {cell} outside all shard ranges")
 
     def put_vector(self, vid: int, v, cell: int | None = None) -> None:
-        """Route a rerank vector to the shard owning the item's cell — each
-        shard holds ONLY its cell range's vectors, keeping the per-replica
-        residency envelope honest."""
+        """Route a rerank vector to the shard owning the item's (cell, id)
+        slice — each shard holds ONLY its slice's vectors, keeping the
+        per-replica residency envelope honest."""
         if cell is None:
             raise ValueError("router put_vector needs the item's cell")
-        self._shard_for_cell(int(cell)).put_vector(vid, v)
+        self._shard_for_cell(int(cell), vid=int(vid)).put_vector(vid, v)
 
     def resident_vectors(self, ids) -> np.ndarray:
         """``fetch_vectors``-shaped accessor over the union of per-shard
@@ -475,7 +596,11 @@ class ShardedServingRouter:
         if self._global_counts_cache is None:
             merged: dict[int, int] = {}
             for _, _, s in self.shards:
-                merged.update(s.cell_counts)  # ranges are disjoint
+                # ranges are disjoint but SPLIT cells live on several
+                # shards — sum, never overwrite, or the traversal would
+                # plan against one slice's population
+                for c, n in s.cell_counts.items():
+                    merged[c] = merged.get(c, 0) + n
             self._global_counts_cache = merged
         return self._global_counts_cache
 
@@ -498,19 +623,41 @@ class ShardedServingRouter:
         visited = list(
             multisequence_cells(d1, d2, self._global_counts(), quota)
         )
-        # fan out: each shard scores only the visited cells it owns
-        # (bisect over the sorted range starts — O(visited log shards))
+        # fan out: each shard scores only the visited (cell-)slices it owns
+        # (split cells go to EVERY owning shard; the rest bisect over the
+        # sorted range starts — O(visited log shards))
         import bisect
 
         lows = [lo for lo, _hi, _s in self.shards]
         by_shard: dict[int, list[int]] = {}
         for cell in visited:
+            owners = self._splits.get(cell)
+            if owners is not None:
+                for i in set(owners):
+                    by_shard.setdefault(i, []).append(cell)
+                continue
             i = bisect.bisect_right(lows, cell) - 1
             if i >= 0 and cell <= self.shards[i][1]:
                 by_shard.setdefault(i, []).append(cell)
+        # LUTs for sliced cells are built ONCE here and shared: m shards
+        # hold slices of the same cell and would otherwise each rebuild the
+        # identical (M, K) table per query. The fan-out itself is
+        # SEQUENTIAL in-process — threading it was measured 1.6-10x SLOWER
+        # at a 1M-row index (GIL contention between the many small numpy
+        # ops dominates; the kernels are too fine to overlap), so one
+        # process's wall equals TOTAL work. A real deployment's shards are
+        # separate processes/machines and fan out in parallel for free;
+        # what the split buys is the bound on MAX PER-SHARD work — the
+        # quantity that parallel wall clock is made of.
+        model_ref = self.model.lopq if isinstance(self.model, LOPQModelPCA) else self.model
+        luts = {
+            cell: model_ref.adc_lut(q, cell)
+            for cell in visited
+            if cell in self._splits
+        } or None
         all_ids, all_dists = [], []
         for i, cells in by_shard.items():
-            ids, dists = self.shards[i][2].score_cells(q, cells)
+            ids, dists = self.shards[i][2].score_cells(q, cells, luts=luts)
             if len(ids):
                 all_ids.append(ids)
                 all_dists.append(dists)
