@@ -16,7 +16,9 @@ and run the library forms end-to-end with DERIVED knobs, asserting:
 
 Slow (several minutes at local[32]) — gated behind SPARK_GRAFT_SLOW=1 so
 routine pytest stays fast. Measured numbers live in SCALE.md §Derived-knob
-validation; re-run with:  SPARK_GRAFT_SLOW=1 pytest tests/test_scale_knobs.py -s
+validation, with one dated JSON line per run in SCALE_RUNS.jsonl; re-run
+and persist with:  python scripts/scale_validation.py
+(or just the tests:  SPARK_GRAFT_SLOW=1 pytest tests/test_scale_knobs.py -s)
 """
 
 from __future__ import annotations
