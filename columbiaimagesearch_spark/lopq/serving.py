@@ -649,9 +649,8 @@ class ShardedServingRouter:
         # separate processes/machines and fan out in parallel for free;
         # what the split buys is the bound on MAX PER-SHARD work — the
         # quantity that parallel wall clock is made of.
-        model_ref = self.model.lopq if isinstance(self.model, LOPQModelPCA) else self.model
         luts = {
-            cell: model_ref.adc_lut(q, cell)
+            cell: model.adc_lut(q, cell)
             for cell in visited
             if cell in self._splits
         } or None
