@@ -85,7 +85,12 @@ def curate_docs(
     # checkpoints the pairs, so the hashed relation is consumed by the time
     # it returns and can be unpersisted (no leaked cache per curate call).
     hashed = dedup.hashed_from(docs)
-    pairs = dedup.near_dup_pairs_from(docs, hashed=hashed)
+    # max_bucket: the chain is already eager, so the guard's one int-only
+    # agg job is amortized — an exact-duplicate flood refuses loudly here
+    # (naming the linear exact-hash rung) instead of a quadratic self-join
+    pairs = dedup.near_dup_pairs_from(
+        docs, hashed=hashed, max_bucket=dedup.MINHASH_MAX_BUCKET
+    )
     comp = dedup.connected_components(docs.select("doc_id"), pairs)
     hashed.unpersist()
     losers = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")

@@ -441,7 +441,19 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_from(docs)
 
 
-def near_dup_pairs_from(docs: DataFrame, hashed: DataFrame | None = None) -> DataFrame:
+# Same refusal philosophy as similarity.LSH_MAX_BUCKET: a band bucket of b
+# docs emits ~b^2/2 candidate pairs through the self-join, and IDENTICAL
+# texts share EVERY band key, so an exact-duplicate flood turns one bucket
+# quadratic no matter the banding. The linear fix is the exact-hash
+# pre-rung (dedup_exact_groups); the guard names it instead of running it.
+MINHASH_MAX_BUCKET = 4096
+
+
+def near_dup_pairs_from(
+    docs: DataFrame,
+    hashed: DataFrame | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """DataFrame-level MinHash+LSH near-dup pairs over any (doc_id, text)
     relation — the library entry point behind ``dedup_minhash_lsh_pairs``
     (and the per-batch stage of streaming/dedup_stream.py).
@@ -451,10 +463,37 @@ def near_dup_pairs_from(docs: DataFrame, hashed: DataFrame | None = None) -> Dat
     ``curate.curate_docs``, whose ``connected_components`` checkpoints
     them) should build ``hashed_from(docs)`` itself, pass it in, and
     unpersist it afterwards — otherwise each invocation parks one cached
-    relation until LRU eviction."""
+    relation until LRU eviction.
+
+    ``max_bucket`` (opt-in; :data:`MINHASH_MAX_BUCKET` is the suggested
+    cap) runs one eager int-only aggregation over the band table and
+    REFUSES if any band bucket exceeds it — an exact-duplicate flood makes
+    one bucket quadratic in the candidate self-join whatever the banding
+    (identical texts share every band key). Default None keeps the
+    registered lazy query plan job-free; the eager curation chain turns it
+    on, where the extra small job amortizes against its checkpointed
+    stages."""
     if hashed is None:
         hashed = hashed_from(docs)
     bands = bands_from(hashed)
+    if max_bucket is not None:
+        top = (
+            bands.groupBy("band_key")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        if top is not None and top > max_bucket:
+            raise RuntimeError(
+                f"near_dup_pairs_from: a band bucket holds {top} docs "
+                f"> max_bucket={max_bucket}; the candidate self-join would "
+                "emit ~b^2/2 pairs for that bucket. The corpus has a mass "
+                "of (near-)identical texts — run the linear exact-hash "
+                "rung first (dedup_exact_groups: md5 groupBy, keep the "
+                "min-doc_id canonical) and re-run on its survivors, or "
+                "pass a larger max_bucket (None disables) if the "
+                "quadratic cost is intended."
+            )
     cands = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_key"])

@@ -154,3 +154,30 @@ def test_curation_with_substring_filter(spark):
     )
     dedup_ids = set(r["doc_id"] for r in after_dedup.select("doc_id").collect())
     assert kept == dedup_ids - flagged
+
+
+def test_minhash_refuses_exact_duplicate_flood(spark):
+    """An exact-duplicate flood shares EVERY band key, so one bucket goes
+    quadratic in the candidate self-join no matter the banding — with
+    max_bucket set (as the curation chain does) the library form refuses
+    loudly, naming the linear exact-hash rung; default None keeps the
+    registered lazy plan unchanged and still finds the pairs."""
+    import pytest
+    from pyspark.sql import Row
+
+    from columbiaimagesearch_spark.operators.dedup import near_dup_pairs_from
+
+    flood = spark.createDataFrame(
+        [Row(doc_id=i, text="the same document body repeated verbatim "
+                            "across the whole corpus partition")
+         for i in range(50)]
+        + [Row(doc_id=100 + i, text=f"unique filler document number {i} "
+                                    f"with its own words {i * 7}")
+           for i in range(20)]
+    )
+    with pytest.raises(RuntimeError, match="dedup_exact_groups"):
+        near_dup_pairs_from(flood, max_bucket=20)
+
+    # guard off: the flood is still correct (all 50x49/2 identical pairs)
+    pairs = near_dup_pairs_from(flood).where("jaccard = 1.0").count()
+    assert pairs >= 50 * 49 // 2
