@@ -36,6 +36,12 @@ MH_RE = re.compile(
     r"\[scale-knobs\] minhash LSH @(?P<n>\d+) docs: pairs=(?P<pairs>\d+) "
     r"recall=(?P<recall>[\d.]+) extras=(?P<extras>\d+) wall=(?P<wall>[\d.]+)s"
 )
+SUB_RE = re.compile(
+    r"\[scale-knobs\] substring spans @(?P<n>\d+) docs: "
+    r"flagged=(?P<flagged>\d+) planted=(?P<planted>\d+) "
+    r"missed=(?P<missed>\d+) extras=(?P<extras>\d+) wall=(?P<wall>[\d.]+)s "
+    r"\| @(?P<n_small>\d+): wall=(?P<wall_s>[\d.]+)s \| ratio=(?P<ratio>[\d.]+)x"
+)
 
 
 def main() -> int:
@@ -71,7 +77,13 @@ def main() -> int:
         record["minhash"] = {
             k: (float(v) if "." in v else int(v)) for k, v in g.items()
         }
-    if "emb_lsh" not in record or "minhash" not in record:
+    m = SUB_RE.search(out)
+    if m:
+        g = m.groupdict()
+        record["substring"] = {
+            k: (float(v) if "." in v else int(v)) for k, v in g.items()
+        }
+    if any(k not in record for k in ("emb_lsh", "minhash", "substring")):
         sys.stderr.write(
             "scale_validation: pytest passed but the printed summaries did "
             "not match the expected format — NOT writing a partial artifact "

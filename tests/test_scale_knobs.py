@@ -12,7 +12,9 @@ and run the library forms end-to-end with DERIVED knobs, asserting:
   (c) wall time scales ~linearly in n x bands, not quadratically in n;
   (d) the recall floor holds empirically on the planted pairs;
   (e) the exact-Jaccard rung REFUSES past its envelope, and the MinHash
-      scale path it names handles the same 500k docs end-to-end.
+      scale path it names handles the same 500k docs end-to-end;
+  (f) the exact-substring rung flags every planted one-token-swap doc at
+      500k with zero extras, scaling gram-linearly (r8).
 
 Slow (several minutes at local[32]) — gated behind SPARK_GRAFT_SLOW=1 so
 routine pytest stays fast. Measured numbers live in SCALE.md §Derived-knob
@@ -183,4 +185,58 @@ def test_jaccard_refuses_and_minhash_covers_500k(spark):
         f"recall={recall:.4f} extras={extras} wall={wall:.1f}s"
     )
     hashed.unpersist()
+    docs.unpersist()
+
+
+def test_substring_spans_scale_500k(spark):
+    """(r8) The exact-substring rung (Lee et al. 2022 tier) at 100x the
+    driver corpus: every planted one-token-swap dup shares >=14 of its 20
+    6-gram starts with its base, so ALL 2*N_DUPS planted docs must flag
+    (coverage >> 0.30) and — at VOCAB=200k — essentially nothing else;
+    wall must scale ~linearly in total grams, never like the O(corpus^2)
+    pair tiers (the whole point of the rung)."""
+    from columbiaimagesearch_spark.operators.dedup import substring_spans_from
+
+    docs = synth.gen_documents(spark, N_LARGE, N_DUPS).persist()
+    assert docs.count() == N_LARGE
+    small = synth.gen_documents(spark, N_SMALL, N_DUPS // 10).persist()
+    small.count()
+
+    def flagged_ids(d):
+        t0 = time.perf_counter()
+        rows = (
+            substring_spans_from(d, persist=False)
+            .where(F.col("flagged"))
+            .select("doc_id")
+            .collect()
+        )
+        return {r["doc_id"] for r in rows}, time.perf_counter() - t0
+
+    # warm the codegen/worker pool on the small corpus (bench methodology)
+    flagged_s, _ = flagged_ids(small)
+    flagged_s, wall_small = flagged_ids(small)
+    planted_s = {i for i in range(N_DUPS // 10)} | {
+        i + (N_SMALL - N_DUPS // 10) for i in range(N_DUPS // 10)
+    }
+    assert len(planted_s - flagged_s) == 0, len(planted_s - flagged_s)
+
+    flagged, wall_large = flagged_ids(docs)
+    planted = {i for i in range(N_DUPS)} | {
+        i + (N_LARGE - N_DUPS) for i in range(N_DUPS)
+    }
+    missed = len(planted - flagged)
+    extras = len(flagged - planted)
+    assert missed == 0, missed
+    # random 6-gram collisions at VOCAB=200k are ~impossible; allow a hair
+    assert extras <= 5, extras
+
+    ratio = wall_large / wall_small
+    assert ratio <= 40.0, (wall_small, wall_large, ratio)  # linear ~10x
+    print(
+        f"\n[scale-knobs] substring spans @{N_LARGE} docs: "
+        f"flagged={len(flagged)} planted={len(planted)} missed={missed} "
+        f"extras={extras} wall={wall_large:.1f}s | @{N_SMALL}: "
+        f"wall={wall_small:.1f}s | ratio={ratio:.1f}x (linear ~10x)"
+    )
+    small.unpersist()
     docs.unpersist()
