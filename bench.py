@@ -198,10 +198,11 @@ def serving_million_bench(
     does not hide the hot cell locally (r7 measured a 3% p99 delta and
     over-claimed "absorption"). What sharding + fat-cell slicing DOES buy
     is the bound on MAX PER-SHARD scanned rows per query —
-    max_shard_rows_p50/_max below, ~6x smaller with slicing (57.9k vs
-    335.3k worst-case at the r8 measurement) — and that bound IS the wall
-    clock of a real deployment whose shards are separate processes
-    answering in parallel."""
+    max_shard_rows_p50/_max below, ~7x smaller with slicing (48.6k vs
+    335.3k worst-case at the r8 measurement; the 335k hot cell slices to
+    its 41.9k fair share per shard) — and that bound IS the wall clock of
+    a real deployment whose shards are separate processes answering in
+    parallel."""
     import numpy as np
     from pyspark.sql import functions as F
 

@@ -63,14 +63,46 @@ def _topk_idx(dists: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
 # shard's share of any one cell at ~per_shard/CELL_SLICE_FACTOR rows.
 CELL_SLICE_FACTOR = 4
 
+# Knuth multiplicative mix for slice assignment: raw ``id % m`` looks fair
+# but production ids are CORRELATED (sequential ranges, per-source strides,
+# mod-sharded assignment) — e.g. ids selected by ``id % 10 == 7`` hit only
+# the odd residues mod 8, leaving half the slices with none of those rows
+# (surfaced by the 1M-row scale test). The mix multiplies the low 31 id
+# bits by the golden-ratio constant and takes the HIGH bits of the 32-bit
+# product via ``(mixed * m) >> 32`` — the low bits of ``id * C mod 2^32``
+# keep the id's own low-bit structure (C is odd, so ≡ identity mod small
+# powers of two), which is precisely the stride pattern we must dissolve.
+# All operands stay < 2^63, so the arithmetic is exact (and identical) in
+# both int64 numpy and Spark BIGINT.
+_SLICE_MIX = 2654435761
+
+
+def _slice_of_ids(ids: np.ndarray, m: int) -> np.ndarray:
+    """Slice index per id (numpy form; must stay bit-identical to
+    :func:`_slice_col`)."""
+    mixed = ((ids % 2**31) * _SLICE_MIX) % 2**32
+    return (mixed * m) >> 32
+
+
+def _slice_col(m: int):
+    """Slice index of the ``id`` column (Spark form; must stay
+    bit-identical to :func:`_slice_of_ids`)."""
+    from pyspark.sql import functions as F
+
+    mixed = F.pmod(F.col("id"), F.lit(2**31)) * F.lit(_SLICE_MIX) % F.lit(
+        2**32
+    )
+    return F.shiftright(mixed * F.lit(m), 32)
+
 
 def _plan_shard_claims(
     hist: list[tuple[int, int]], n_shards: int, last_cell: int
 ) -> tuple[list[tuple[int, int]], dict[int, list[int]]]:
     """Cumulative-mass split of a sorted (cell, n) histogram into exactly
     ``n_shards`` contiguous cell ranges tiling [0, last_cell], plus a
-    ``splits`` map for fat cells: cell -> [owner shard per id-mod slice]
-    (slice j of m holds the cell's rows with id % m == j, owners are
+    ``splits`` map for fat cells: cell -> [owner shard per id slice]
+    (slice j of m holds the cell's rows with ``_slice_of_ids(id, m) == j``
+    — a multiplicative mix then mod, see ``_SLICE_MIX``; owners are
     distinct and spread over the shard list). Split cells are owned ONLY
     via ``splits`` — range ownership is overridden — and their slice mass
     is pre-charged to the owning shards so the range walk still balances
@@ -395,7 +427,7 @@ class ShardedServingRouter:
             m = len(owners)
             for j, owner in enumerate(owners):
                 if owner == shard_idx:
-                    p = (F.col("cell") == c) & (F.col("id") % m == j)
+                    p = (F.col("cell") == c) & (_slice_col(m) == j)
                     pred = p if pred is None else (pred | p)
         return pred
 
@@ -490,7 +522,7 @@ class ShardedServingRouter:
                 ids, fines = entry
                 for j, owner in enumerate(owners):
                     if owner == i:
-                        mask = (ids % m) == j
+                        mask = _slice_of_ids(ids, m) == j
                         if mask.any():
                             s._cells[c] = (ids[mask].copy(), fines[mask].copy())
             s._check_budget(s.n_items)
@@ -559,7 +591,8 @@ class ShardedServingRouter:
                     f"cell {cell} is sliced across shards; routing needs the "
                     "item id"
                 )
-            return self.shards[owners[int(vid) % len(owners)]][2]
+            slice_j = int(_slice_of_ids(np.asarray([int(vid)]), len(owners))[0])
+            return self.shards[owners[slice_j]][2]
         for lo, hi, s in self.shards:
             if lo <= cell <= hi:
                 return s

@@ -42,12 +42,27 @@ SUB_RE = re.compile(
     r"missed=(?P<missed>\d+) extras=(?P<extras>\d+) wall=(?P<wall>[\d.]+)s "
     r"\| @(?P<n_small>\d+): wall=(?P<wall_s>[\d.]+)s \| ratio=(?P<ratio>[\d.]+)x"
 )
+SRV_RE = re.compile(
+    r"\[scale-serving\] router==replica @(?P<n>\d+) skewed rows: "
+    r"queries=(?P<queries>\d+) mismatches=(?P<mismatches>\d+) "
+    r"split_cells=(?P<split_cells>\d+) hot_slices=(?P<hot_slices>\d+) "
+    r"hot_slice_max=(?P<hot_slice_max>\d+) of hot_total=(?P<hot_total>\d+) "
+    r"reshard=(?P<reshard>[\d.]+)s"
+)
 
 
 def main() -> int:
     calib_pre = cpu_calibration_sec()
     proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/test_scale_knobs.py", "-s", "-q"],
+        [
+            sys.executable,
+            "-m",
+            "pytest",
+            "tests/test_scale_knobs.py",
+            "tests/test_scale_serving.py",
+            "-s",
+            "-q",
+        ],
         cwd=REPO,
         env={**__import__("os").environ, "SPARK_GRAFT_SLOW": "1"},
         capture_output=True,
@@ -63,7 +78,8 @@ def main() -> int:
     record: dict = {
         "date": datetime.date.today().isoformat(),
         "calib": {"pre": calib_pre, "post": calib_post},
-        "pytest": "tests/test_scale_knobs.py (SPARK_GRAFT_SLOW=1)",
+        "pytest": "tests/test_scale_knobs.py + tests/test_scale_serving.py "
+        "(SPARK_GRAFT_SLOW=1)",
     }
     m = LSH_RE.search(out)
     if m:
@@ -83,7 +99,16 @@ def main() -> int:
         record["substring"] = {
             k: (float(v) if "." in v else int(v)) for k, v in g.items()
         }
-    if any(k not in record for k in ("emb_lsh", "minhash", "substring")):
+    m = SRV_RE.search(out)
+    if m:
+        g = m.groupdict()
+        record["serving_1m"] = {
+            k: (float(v) if "." in v else int(v)) for k, v in g.items()
+        }
+    if any(
+        k not in record
+        for k in ("emb_lsh", "minhash", "substring", "serving_1m")
+    ):
         sys.stderr.write(
             "scale_validation: pytest passed but the printed summaries did "
             "not match the expected format — NOT writing a partial artifact "

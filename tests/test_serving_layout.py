@@ -734,7 +734,9 @@ def test_fat_cell_slices_across_distinct_shards(spark, model, codes, queries_np)
         router.shards[o][2].cell_counts.get(hot, 0) for o in set(owners)
     ]
     assert sum(slice_sizes) == hot_total
-    assert max(slice_sizes) <= -(-hot_total // len(owners)) + len(owners)
+    # mixed-hash split: binomially balanced, not exact — 2x fair share is
+    # many standard deviations out at any cell size
+    assert max(slice_sizes) <= 2 * -(-hot_total // len(owners))
     assert router.n_items == single.n_items
 
     # from_replica plans the identical slicing from resident arrays
@@ -761,9 +763,11 @@ def test_fat_cell_slices_across_distinct_shards(spark, model, codes, queries_np)
     assert router.n_items == single.n_items
     m = len(owners)
     full = ServingSearcher(model).load_codes(skewed_all)
+    from columbiaimagesearch_spark.lopq.serving import _slice_of_ids
+
     for j, o in enumerate(owners):
         ids, _f = router.shards[o][2]._cells[hot]
-        assert (ids % m == j).all()
+        assert (_slice_of_ids(ids, m) == j).all()
     assert sum(
         router.shards[o][2].cell_counts.get(hot, 0) for o in set(owners)
     ) == full.cell_counts[hot]
