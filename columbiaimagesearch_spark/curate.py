@@ -85,13 +85,18 @@ def curate_docs(
     # checkpoints the pairs, so the hashed relation is consumed by the time
     # it returns and can be unpersisted (no leaked cache per curate call).
     hashed = dedup.hashed_from(docs)
-    # max_bucket: the chain is already eager, so the guard's one int-only
-    # agg job is amortized — an exact-duplicate flood refuses loudly here
-    # (naming the linear exact-hash rung) instead of a quadratic self-join
+    # max_bucket: an exact-duplicate flood refuses loudly here (naming the
+    # linear exact-hash rung) instead of a quadratic self-join. We own the
+    # band cache too: the guard's eager agg materializes it, the pair
+    # self-join reads it back (one signature pass instead of three), and
+    # connected_components' checkpoint means both caches are consumed on
+    # return.
+    bands = dedup.bands_from(hashed).persist()
     pairs = dedup.near_dup_pairs_from(
-        docs, hashed=hashed, max_bucket=dedup.MINHASH_MAX_BUCKET
+        docs, hashed=hashed, max_bucket=dedup.MINHASH_MAX_BUCKET, bands=bands
     )
     comp = dedup.connected_components(docs.select("doc_id"), pairs)
+    bands.unpersist()
     hashed.unpersist()
     losers = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
     docs = docs.join(losers, "doc_id", "left_anti")

@@ -453,6 +453,7 @@ def near_dup_pairs_from(
     docs: DataFrame,
     hashed: DataFrame | None = None,
     max_bucket: int | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """DataFrame-level MinHash+LSH near-dup pairs over any (doc_id, text)
     relation — the library entry point behind ``dedup_minhash_lsh_pairs``
@@ -466,16 +467,20 @@ def near_dup_pairs_from(
     relation until LRU eviction.
 
     ``max_bucket`` (opt-in; :data:`MINHASH_MAX_BUCKET` is the suggested
-    cap) runs one eager int-only aggregation over the band table and
-    REFUSES if any band bucket exceeds it — an exact-duplicate flood makes
-    one bucket quadratic in the candidate self-join whatever the banding
-    (identical texts share every band key). Default None keeps the
-    registered lazy query plan job-free; the eager curation chain turns it
-    on, where the extra small job amortizes against its checkpointed
-    stages."""
+    cap) runs one eager aggregation over the band table and REFUSES if any
+    band bucket exceeds it — an exact-duplicate flood makes one bucket
+    quadratic in the candidate self-join whatever the banding (identical
+    texts share every band key). Default None keeps the registered lazy
+    query plan job-free. An eager caller that enables it should ALSO pass
+    ``bands`` as a relation it persists/unpersists itself (the hashed
+    contract): the guard's aggregation then doubles as the band table's
+    materialization and the self-join reads the cache, so the check costs
+    ~nothing — without it the guard re-runs the 24-permutation signature
+    pass (measured +0.8 s of a 5.5 s curate call at sf0.1)."""
     if hashed is None:
         hashed = hashed_from(docs)
-    bands = bands_from(hashed)
+    if bands is None:
+        bands = bands_from(hashed)
     if max_bucket is not None:
         top = (
             bands.groupBy("band_key")
