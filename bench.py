@@ -71,6 +71,8 @@ HEADLINE = [
     "ann_ivf_topk",
     # LLM hygiene/packing family (driver-visible since r3)
     "llm_decontaminate",
+    # fuzzy (MinHash) decontamination (r8; folded spec, local parity)
+    "llm_fuzzy_decontaminate",
     "text_repetition_stats",
     "text_boilerplate_ngrams",
     "llm_split_assign",

@@ -359,10 +359,11 @@ _SIG_SQL = f"""
 """
 
 
-# CTE chain from raw documents to verified near-dup pairs — shared by the
-# pair query's oracle and the connected-components oracle (which wraps it in
-# a recursive CTE).
-_PAIRS_CTES_SQL = f"""sh AS (
+# Base CTE chain from raw documents to the banded signature table — shared
+# by the pair query's oracle, the connected-components oracle, and the
+# fuzzy-decontamination oracle (hygiene.py), which append their own
+# candidate/verify tails.
+BASE_MINHASH_CTES_SQL = f"""sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
 ),
 hh AS (
@@ -379,7 +380,10 @@ bands AS (
                    || CAST(sig[{BAND_ROWS} * b + 3] AS VARCHAR)
                  for b in generate_series(0, {N_BANDS - 1})]) AS band_key
   FROM sigs
-),
+)
+"""
+
+_PAIRS_CTES_SQL = f"""{BASE_MINHASH_CTES_SQL},
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id

@@ -197,6 +197,119 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_from(train.where(~is_bench), docs.where(is_bench))
 
 
+def fuzzy_decontaminate_from(
+    train_docs: DataFrame, bench_docs: DataFrame
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: per train doc, the max EXACT
+    shingle-Jaccard against any benchmark doc among MinHash-LSH candidate
+    pairs — the near-duplicate complement of :func:`decontaminate_from`'s
+    verbatim n-gram overlap (a paraphrased/lightly-edited eval document
+    shares few exact 8-grams but high shingle Jaccard).
+
+    Plan at 100 TB: both corpora hash/band map-side (dedup.py machinery);
+    the benchmark suite is tiny next to the corpus, so its band table and
+    hash sets are BROADCAST — the corpus side never shuffles for either
+    join. Candidate pairs are NOT distinct'd: duplicate (train, bench)
+    candidates from multi-band collisions agree on the Jaccard, and the
+    per-doc MAX absorbs them — a distinct would add a corpus-sized
+    exchange for nothing. Returns every train doc (no candidates ->
+    max_jaccard 0.0), so the output is a complete verdict column."""
+    from .dedup import JACCARD_THRESHOLD, bands_from, hashed_from
+
+    h_t = hashed_from(train_docs)
+    h_b = hashed_from(bench_docs)
+    cands = (
+        bands_from(h_t)
+        .join(
+            F.broadcast(
+                bands_from(h_b).withColumnRenamed("doc_id", "bench_doc")
+            ),
+            "band_key",
+        )
+        .select("doc_id", "bench_doc")
+    )
+    x = h_t.select("doc_id", F.col("hs").alias("hs_t"))
+    y = h_b.select(F.col("doc_id").alias("bench_doc"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_t", "hs_b")).cast("double")
+    sz = (F.size("hs_t") + F.size("hs_b")).cast("double")
+    scored = (
+        cands.join(x, "doc_id")
+        .join(F.broadcast(y), "bench_doc")
+        .select("doc_id", (inter / (sz - inter)).alias("jac"))
+    )
+    agg = scored.groupBy("doc_id").agg(F.max("jac").alias("mj"))
+    mj0 = F.coalesce(F.col("mj"), F.lit(0.0))
+    return (
+        train_docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            # +1e-9 before the 4dp round, mirroring hit_frac: keeps the
+            # value off the HALF_UP/HALF_EVEN boundary in both engines
+            F.round(mj0 + F.lit(1e-9), 4).alias("max_jaccard"),
+            (mj0 >= JACCARD_THRESHOLD).alias("contaminated"),
+        )
+    )
+
+
+def _fuzzy_decontaminate_oracle() -> str:
+    from .dedup import BASE_MINHASH_CTES_SQL, JACCARD_THRESHOLD
+
+    return f"""
+WITH {BASE_MINHASH_CTES_SQL},
+cands AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS bench_doc
+  FROM bands a JOIN bands b ON a.band_key = b.band_key
+  WHERE a.doc_id % {BENCH_MOD} <> 0 AND b.doc_id % {BENCH_MOD} = 0
+),
+verified AS (
+  SELECT c.doc_id,
+         CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS inter,
+         CAST(len(x.hs) + len(y.hs) AS DOUBLE) AS sz
+  FROM cands c
+  JOIN hh x ON x.doc_id = c.doc_id
+  JOIN hh y ON y.doc_id = c.bench_doc
+),
+agg AS (
+  SELECT doc_id, MAX(inter / (sz - inter)) AS mj FROM verified GROUP BY doc_id
+)
+SELECT d.doc_id,
+       ROUND(COALESCE(a.mj, 0) + 1e-9, 4) AS max_jaccard,
+       COALESCE(a.mj, 0) >= {JACCARD_THRESHOLD} AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {BENCH_MOD} <> 0) d
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register(
+    "llm_fuzzy_decontaminate",
+    survey_ops=("LLM-decontaminate", "DEDUP-minhash", "F9", "A8"),
+    # driver=False: the window holds 50; every tag here is driver-green
+    # (LLM-decontaminate on llm_decontaminate, DEDUP-minhash on
+    # dedup_minhash_lsh_pairs, F9 on emb_lsh_near_dup_pairs, A8 on many) —
+    # local parity + bench cover it, a future rotation can swap it in.
+    doc="Fuzzy decontamination (r8): max exact shingle-Jaccard per train "
+    "doc vs the eval suite over MinHash-LSH candidates — catches "
+    "paraphrased/edited eval leakage that exact 8-gram overlap misses. "
+    "Bench bands + hash sets broadcast; corpus never shuffles for the "
+    "joins.",
+    oracle=lambda sf_dir: _fuzzy_decontaminate_oracle(),
+    driver=False,
+)
+def llm_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, max_jaccard, contaminated) for every train doc, with
+    doc_id % BENCH_MOD == 0 standing in for the eval suite — the
+    oracle-checkable rendering of :func:`fuzzy_decontaminate_from`."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    is_bench = (F.col("doc_id") % BENCH_MOD) == 0
+    return fuzzy_decontaminate_from(
+        train.where(~is_bench), docs.where(is_bench)
+    )
+
+
 REPETITION_ORACLE_SQL = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents

@@ -344,3 +344,46 @@ def test_components_driver_fast_path_equals_distributed(spark):
     assert all(lab[x] == 2 for x in (2, 6, 10))
     assert lab[26] == 26 and lab[28] == 26
     assert lab[0] == 0 and lab[29] == 29  # singletons
+
+
+def test_fuzzy_decontaminate_catches_paraphrase_exact_misses(spark):
+    """The r8 fuzzy variant's reason to exist: a train doc that edits every
+    8th token of an eval doc shares ZERO exact 8-grams (decontaminate_from
+    says clean) but keeps shingle Jaccard far above 0.5 — the fuzzy verdict
+    must flag it; an unrelated doc must stay clean in both."""
+    from pyspark.sql import Row
+
+    base = [f"w{i}" for i in range(32)]
+    edited = list(base)
+    for p in (3, 11, 19, 27):  # max clean gap 7 < 8 -> no shared 8-gram
+        edited[p] = f"x{p}"
+    rows_bench = [Row(doc_id=1, text=" ".join(base))]
+    rows_train = [
+        Row(doc_id=10, text=" ".join(edited)),
+        Row(doc_id=11, text=" ".join(f"z{i}" for i in range(32))),
+    ]
+    bench = spark.createDataFrame(rows_bench)
+    train = spark.createDataFrame(rows_train)
+
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in hygiene.decontaminate_from(train, bench).collect()
+    }
+    fuzzy = {
+        r["doc_id"]: (r["contaminated"], r["max_jaccard"])
+        for r in hygiene.fuzzy_decontaminate_from(train, bench).collect()
+    }
+    assert exact[10] is False and exact[11] is False  # exact 8-gram blind
+    assert fuzzy[10][0] is True and fuzzy[10][1] >= 0.5
+    assert fuzzy[11][0] is False and fuzzy[11][1] == 0.0
+
+
+def test_fuzzy_decontaminate_broadcasts_bench_side(spark):
+    """Both bench-side joins (band table, hash sets) must be broadcast —
+    the corpus side never shuffles for them (the 100 TB contract)."""
+    from columbiaimagesearch_spark.operators.hygiene import (
+        llm_fuzzy_decontaminate,
+    )
+
+    plan = formatted_plan(llm_fuzzy_decontaminate(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
