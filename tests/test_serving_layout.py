@@ -775,3 +775,22 @@ def test_fat_cell_slices_across_distinct_shards(spark, model, codes, queries_np)
         assert router.search(q, quota=QUOTA, k=TOP_K) == single.search(
             q, quota=QUOTA, k=TOP_K
         ), f"post-add split path diverged for qid={qid}"
+
+
+def test_router_single_cell_degenerate(spark, model, codes, queries_np):
+    """Degenerate histogram: EVERY row forced into one cell. The planner
+    slices it across all shards, pads the tail ranges, and the router must
+    still answer exactly like a whole-index replica (the pad path and the
+    all-mass-split walk are otherwise never exercised)."""
+    from columbiaimagesearch_spark.lopq.serving import ShardedServingRouter
+
+    one_cell = codes.withColumn("cell", F.lit(3))
+    single = ServingSearcher(model).load_codes(one_cell)
+    router = ShardedServingRouter.build(model, one_cell, n_shards=4)
+    assert router.n_items == single.n_items
+    assert 3 in router._splits and len(set(router._splits[3])) >= 2
+    assert len(router.shards) == 4
+    for qid, q in queries_np:
+        assert router.search(q, quota=QUOTA, k=TOP_K) == single.search(
+            q, quota=QUOTA, k=TOP_K
+        ), f"degenerate single-cell path diverged for qid={qid}"
