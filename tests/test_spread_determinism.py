@@ -29,6 +29,7 @@ SPREAD_QUERIES = [
     "dedup_ngram_jaccard_pairs",
     "dedup_components",
     "llm_decontaminate",
+    "llm_fuzzy_decontaminate",
     "llm_pii_scrub",
     "text_repetition_stats",
     "text_boilerplate_ngrams",
@@ -60,7 +61,7 @@ def test_spread_invariant(spark, name, monkeypatch):
 # coverage cannot silently drift inside an already-listed module
 EXPECTED_SPREAD_SITES = {
     "operators/dedup.py": 5,
-    "operators/hygiene.py": 4,
+    "operators/hygiene.py": 5,  # +1 r8: llm_fuzzy_decontaminate train scan
     "operators/textstats.py": 2,
     "operators/similarity.py": 1,
     "lopq/queries.py": 1,
