@@ -198,7 +198,10 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fuzzy_decontaminate_from(
-    train_docs: DataFrame, bench_docs: DataFrame
+    train_docs: DataFrame,
+    bench_docs: DataFrame,
+    hashed_train: DataFrame | None = None,
+    hashed_bench: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy benchmark decontamination: per train doc, the max EXACT
     shingle-Jaccard against any benchmark doc among MinHash-LSH candidate
@@ -206,34 +209,53 @@ def fuzzy_decontaminate_from(
     verbatim n-gram overlap (a paraphrased/lightly-edited eval document
     shares few exact 8-grams but high shingle Jaccard).
 
-    Plan at 100 TB: both corpora hash/band map-side (dedup.py machinery);
-    the benchmark suite is tiny next to the corpus, so its band table and
-    hash sets are BROADCAST — the corpus side never shuffles for either
-    join. Candidate pairs are NOT distinct'd: duplicate (train, bench)
-    candidates from multi-band collisions agree on the Jaccard, and the
-    per-doc MAX absorbs them — a distinct would add a corpus-sized
-    exchange for nothing. Returns every train doc (no candidates ->
-    max_jaccard 0.0), so the output is a complete verdict column."""
-    from .dedup import JACCARD_THRESHOLD, bands_from, hashed_from
+    ``hashed_train`` / ``hashed_bench`` follow ``near_dup_pairs_from``'s
+    hashed contract (dedup.py): an eager caller that already owns the
+    (doc_id, hs) relations (e.g. a curation chain that also runs the
+    MinHash pair rung) passes them in — and owns their persist/unpersist
+    lifecycle. When omitted, both are built UNPERSISTED: the plan below
+    references the corpus-side hash relation exactly once (the band
+    explode carries ``hs`` alongside, :func:`~.dedup.banded_sets_from`),
+    so caching it would park a corpus-sized relation for a single reader;
+    the bench side is eval-suite-sized (MBs) and its one recompute (bands
+    + hash sets) is cheaper than a cache entry nobody unpersists.
 
-    h_t = hashed_from(train_docs)
-    h_b = hashed_from(bench_docs)
-    cands = (
-        bands_from(h_t)
-        .join(
-            F.broadcast(
-                bands_from(h_b).withColumnRenamed("doc_id", "bench_doc")
-            ),
-            "band_key",
-        )
-        .select("doc_id", "bench_doc")
+    Plan at 100 TB — every join is a broadcast; the corpus side never
+    exchanges anything wider than (doc_id, jac) scalars:
+    - corpus: ONE subtree — shingle-hash → signature → band explode with
+      ``hs`` carried (map-side, pipelined, no materialization);
+    - bench band table and bench hash sets: BROADCAST builds;
+    - candidate scoring happens in the same stage as the band join, so
+      multi-band duplicate candidates are absorbed by the per-doc MAX
+      after a scalar-only partial-agg shuffle (a distinct would add a
+      corpus-sized exchange for nothing);
+    - the final completeness join broadcasts the per-doc aggregate (docs
+      that band-collide with the eval suite — tiny by construction; a
+      corpus pathologically flooded with eval clones hits the LSH
+      degenerate-bucket regime first, see dedup.MINHASH_MAX_BUCKET)
+      against a doc_id-only (column-pruned) scan of ``train_docs``, which
+      is what returns every train doc (no candidates -> max_jaccard 0.0 —
+      zero-shingle docs never enter the hashed relation, so the id scan
+      cannot come from it)."""
+    from .dedup import JACCARD_THRESHOLD, banded_sets_from, bands_from, hashed_from
+
+    h_t = (
+        hashed_from(train_docs, persist=False)
+        if hashed_train is None
+        else hashed_train
     )
-    x = h_t.select("doc_id", F.col("hs").alias("hs_t"))
+    h_b = (
+        hashed_from(bench_docs, persist=False)
+        if hashed_bench is None
+        else hashed_bench
+    )
+    bb = bands_from(h_b).withColumnRenamed("doc_id", "bench_doc")
     y = h_b.select(F.col("doc_id").alias("bench_doc"), F.col("hs").alias("hs_b"))
-    inter = F.size(F.array_intersect("hs_t", "hs_b")).cast("double")
-    sz = (F.size("hs_t") + F.size("hs_b")).cast("double")
+    inter = F.size(F.array_intersect("hs", "hs_b")).cast("double")
+    sz = (F.size("hs") + F.size("hs_b")).cast("double")
     scored = (
-        cands.join(x, "doc_id")
+        banded_sets_from(h_t)
+        .join(F.broadcast(bb), "band_key")
         .join(F.broadcast(y), "bench_doc")
         .select("doc_id", (inter / (sz - inter)).alias("jac"))
     )
@@ -241,7 +263,7 @@ def fuzzy_decontaminate_from(
     mj0 = F.coalesce(F.col("mj"), F.lit(0.0))
     return (
         train_docs.select("doc_id")
-        .join(agg, "doc_id", "left")
+        .join(F.broadcast(agg), "doc_id", "left")
         .select(
             "doc_id",
             # +1e-9 before the 4dp round, mirroring hit_frac: keeps the
@@ -284,17 +306,16 @@ LEFT JOIN agg a USING (doc_id)
 @register(
     "llm_fuzzy_decontaminate",
     survey_ops=("LLM-decontaminate", "DEDUP-minhash", "F9", "A8"),
-    # driver=False: the window holds 50; every tag here is driver-green
-    # (LLM-decontaminate on llm_decontaminate, DEDUP-minhash on
-    # dedup_minhash_lsh_pairs, F9 on emb_lsh_near_dup_pairs, A8 on many) —
-    # local parity + bench cover it, a future rotation can swap it in.
-    doc="Fuzzy decontamination (r8): max exact shingle-Jaccard per train "
+    # Rotated driver-visible in r9 (born folded in r8 — the round's only
+    # operator without a hash-checked driver row); t1/t2/j_asof folded to
+    # make room, all their non-showcase tags multiply driver-covered.
+    doc="Fuzzy decontamination: max exact shingle-Jaccard per train "
     "doc vs the eval suite over MinHash-LSH candidates — catches "
     "paraphrased/edited eval leakage that exact 8-gram overlap misses. "
-    "Bench bands + hash sets broadcast; corpus never shuffles for the "
-    "joins.",
+    "r9 plan: ONE corpus hash subtree (hs carried through the band "
+    "explode); bench bands + hash sets + final per-doc aggregate all "
+    "broadcast — the corpus never shuffles anything wider than scalars.",
     oracle=lambda sf_dir: _fuzzy_decontaminate_oracle(),
-    driver=False,
 )
 def llm_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, max_jaccard, contaminated) for every train doc, with

@@ -60,7 +60,8 @@ _COS_SQL = (
 @register(
     "emb_l2_norms",
     survey_ops=("C3", "C4"),
-    driver=False,  # C3/C4 driver-green via emb_near_dup_pairs (normalizes in-kernel)
+    # Rotated back driver-visible r9 (no driver row since r5 — the oldest
+    # fold alongside c7_cell_id_roundtrip; window rotation discipline).
     doc="L2 norm / normalization contract of the featurizer layer "
     "(featsio.py:13-22: features are stored L2-normalized float32).",
     oracle="""

