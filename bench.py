@@ -204,7 +204,11 @@ def serving_million_bench(
     335.3k worst-case at the r8 measurement; the 335k hot cell slices to
     its 41.9k fair share per shard) — and that bound IS the wall clock of
     a real deployment whose shards are separate processes answering in
-    parallel."""
+    parallel. r9 closes the loop by MEASURING that deployment shape:
+    p50/p99_parallel_router runs the same skewed queries through
+    ForkedRouterPool (one forked worker per shard, COW-shared arrays,
+    k-sized replies), so the slicing claim is a latency number again, not
+    only a row-count proxy."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -300,16 +304,34 @@ def serving_million_bench(
         return max(per)
 
     mx = [max_shard_rows(skew_router, q) for q in qs]
+
+    # Process-parallel fan-out (r9): one forked worker per shard (COW
+    # shares the resident arrays; replies are k-sized). This turns the
+    # max-per-shard-rows proxy into a MEASURED parallel wall — the
+    # sequential in-process router's wall equals TOTAL work, a threaded one
+    # was 1.6-10x slower (GIL), but separate processes genuinely overlap.
+    from columbiaimagesearch_spark.lopq.serving import ForkedRouterPool
+
+    with ForkedRouterPool(skew_router) as pool:
+        pool.search(qs[0], quota=10_000, k=10)  # warm the COW pages
+        lat_parallel = _latencies_ms(
+            lambda q: pool.search(q, quota=10_000, k=10), qs
+        )
+    slice_stats = skew_router.split_slice_stats
     skewed = {
         "p50": round(statistics.median(lat_skew), 3),
         "p99": _p99(lat_skew),
         "p50_sharded_router": round(statistics.median(lat_skew_router), 3),
         "p99_sharded_router": _p99(lat_skew_router),
+        "p50_parallel_router": round(statistics.median(lat_parallel), 3),
+        "p99_parallel_router": _p99(lat_parallel),
         "n_queries": len(qs),
         "index_rows": int(n_index),
         "hot_cell_rows": int(hot_rows),
         "hot_rate": round(hot_rate, 3),
         "split_cells": len(skew_router._splits),
+        "capped_split_cells": slice_stats["capped_split_cells"],
+        "max_slice_rows": slice_stats["max_slice_rows"],
         "max_shard_rows_p50": int(statistics.median(mx)),
         "max_shard_rows_max": int(max(mx)),
     }
@@ -679,7 +701,8 @@ def compose_output_lines(
         ("serving", pick(extras.get("serving_ms"), ("p50", "p99", "index_rows"))),
         ("serving_1m", pick(extras.get("serving_1m_ms"))),
         ("serving_skew", pick(extras.get("serving_skew_ms"),
-                              ("p50", "p99", "p99_sharded_router", "hot_rate"))),
+                              ("p50", "p99", "p99_sharded_router",
+                               "p99_parallel_router", "hot_rate"))),
         ("http", pick(extras.get("serving_http_ms"))),
     ]
     final = dict(headline)

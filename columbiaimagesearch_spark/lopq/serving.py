@@ -61,6 +61,15 @@ def _topk_idx(dists: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
 # on one replica while the fan-out waits (measured r7: skewed router p99
 # 17.0 ms vs single 17.6 — a 3% "absorption"). Slicing bounds any one
 # shard's share of any one cell at ~per_shard/CELL_SLICE_FACTOR rows.
+# CAP: a cell can split into at most n_shards slices (owners must be
+# distinct shards), so a cell fatter than n_shards * split_unit leaves
+# each slice at ~n/n_shards rows — ABOVE the per_shard/CELL_SLICE_FACTOR
+# bound. That residual is the best any partitioning of n_shards machines
+# can do for one cell (n rows over n_shards owners is already even), so
+# it is accepted, not an error — but it must be VISIBLE, not silent:
+# ShardedServingRouter.split_slice_stats reports the max resident slice
+# and whether any cell hit the cap, and bench.py emits it alongside
+# max_shard_rows.
 CELL_SLICE_FACTOR = 4
 
 # Knuth multiplicative mix for slice assignment: raw ``id % m`` looks fair
@@ -115,11 +124,22 @@ def _plan_shard_claims(
     split_unit = max(1, -(-per_shard // CELL_SLICE_FACTOR))
     splits: dict[int, list[int]] = {}
     preload = [0] * n_shards
+    rot = 0
     for cell, n in hist:
         m = min(n_shards, -(-n // split_unit))
         if m >= 2:
-            owners = [j * n_shards // m for j in range(m)]  # distinct, spread
+            # distinct, spread — and ROTATED per split cell: without the
+            # offset every split cell's owner list starts at shard 0, so
+            # concurrent split cells stack their first slices on the same
+            # shards and a query visiting several of them concentrates k
+            # slices of work on one replica, eroding the max-per-shard
+            # bound the slicing exists to provide. The running-offset
+            # rotation keeps owners distinct (a constant shift of m
+            # distinct values mod n_shards) while de-correlating owner
+            # lists across cells.
+            owners = [(rot + j * n_shards // m) % n_shards for j in range(m)]
             splits[cell] = owners
+            rot += 1
             for owner in owners:
                 preload[owner] += n // m
     ranges: list[tuple[int, int]] = []
@@ -541,6 +561,32 @@ class ShardedServingRouter:
     def n_items(self) -> int:
         return sum(s.n_items for _, _, s in self.shards)
 
+    @property
+    def split_slice_stats(self) -> dict:
+        """Residual-slice telemetry for the CELL_SLICE_FACTOR cap (see the
+        constant's comment): ``max_slice_rows`` is the largest resident
+        slice of any split cell on any shard — the quantity the
+        ~per_shard/CELL_SLICE_FACTOR bound is about; ``capped_split_cells``
+        counts cells whose owner list hit m = n_shards, where that bound
+        silently degrades to ~cell_rows/n_shards (already the best any
+        partitioning over n_shards machines can do, but it must be visible
+        — bench.py emits this dict next to max_shard_rows)."""
+        n_shards = len(self.shards)
+        max_slice = 0
+        capped = 0
+        for c, owners in self._splits.items():
+            if len(owners) >= n_shards:
+                capped += 1
+            for i in set(owners):
+                entry = self.shards[i][2]._cells.get(c)
+                if entry is not None:
+                    max_slice = max(max_slice, len(entry[0]))
+        return {
+            "split_cells": len(self._splits),
+            "capped_split_cells": capped,
+            "max_slice_rows": max_slice,
+        }
+
     def add_codes(self, codes: DataFrame) -> "ShardedServingRouter":
         """Incremental add routed by cell range: each shard admits only the
         slice of ``codes`` it owns (same (cell, id)-dedup J7 semantics and
@@ -709,5 +755,139 @@ class ShardedServingRouter:
                 (int(short_ids[i]), float(short_adc[i]), float(exact[i]))
                 for i in top
             ]
+        order = _topk_idx(dists, ids, k)
+        return [(int(ids[i]), float(dists[i])) for i in order]
+
+
+def _forked_shard_loop(conn, router: "ShardedServingRouter", shard_idx: int):
+    """Worker body for :class:`ForkedRouterPool` — runs in a forked child
+    that inherited ``router`` via copy-on-write (never pickled). Scores its
+    own shard's (cell-)slices and replies only the LOCAL top-``nb``
+    candidates, so the reply IPC is k-sized, never scanned-rows-sized."""
+    import os
+
+    s = router.shards[shard_idx][2]
+    try:
+        while True:
+            msg = conn.recv()
+            if msg is None:
+                break
+            q, cells, nb = msg
+            ids, dists = s.score_cells(q, cells)
+            if nb and len(ids) > nb:
+                keep = _topk_idx(dists, ids, nb)
+                ids, dists = ids[keep], dists[keep]
+            conn.send((ids, dists))
+    except (EOFError, KeyboardInterrupt):
+        pass
+    finally:
+        # _exit: skip inherited atexit handlers (the parent may host a JVM
+        # gateway whose shutdown hooks must only ever run in the parent)
+        os._exit(0)
+
+
+class ForkedRouterPool:
+    """Process-parallel fan-out over a built :class:`ShardedServingRouter`
+    — the measured rendering of "a real deployment's shards answer in
+    parallel" (the in-process fan-out is sequential, and THREADING it was
+    measured 1.6-10x slower at 1M rows: GIL contention across the
+    fine-grained numpy kernels).
+
+    One worker per shard, forked ONCE at pool construction: Linux
+    copy-on-write shares the parent's resident numpy arrays with the
+    children for free — no pickling, no duplication (pages copy only on
+    write, and the serving arrays are read-only). Per query the parent
+    plans the multisequence traversal exactly like ``router.search``,
+    sends each involved worker its (projected query, owned cells) — tiny
+    — and each worker replies its LOCAL top-``max(k, rerank_nb)``
+    candidates: the global top-k under the engine ordering (dist asc, id
+    asc) is a subset of the union of per-shard top-k's (each globally-kept
+    pair is by definition within its own shard's top-k), so the merge is
+    exact and answers are IDENTICAL to ``router.search`` (pinned by
+    tests). Split-cell LUTs are computed per owning worker (m duplicate
+    (M, K) builds — in parallel, so they cost no wall; the sequential
+    router shares one build instead, see ``router.search``).
+
+    This is a measurement/deployment harness, not a distributed system:
+    real shards live on separate machines behind RPC with the same
+    k-sized reply contract. Workers hold no locks and share nothing
+    mutable; ``close()`` (or context exit) shuts them down. add_codes
+    after construction is NOT visible to the children (COW) — rebuild the
+    pool after index mutation."""
+
+    def __init__(self, router: "ShardedServingRouter") -> None:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        self.router = router
+        router._global_counts()  # build the merged histogram pre-fork
+        self._conns = []
+        self._procs = []
+        for i in range(len(router.shards)):
+            parent_conn, child_conn = ctx.Pipe()
+            p = ctx.Process(
+                target=_forked_shard_loop,
+                args=(child_conn, router, i),
+                daemon=True,
+            )
+            p.start()
+            child_conn.close()
+            self._conns.append(parent_conn)
+            self._procs.append(p)
+
+    def __enter__(self) -> "ForkedRouterPool":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def close(self) -> None:
+        for conn in self._conns:
+            try:
+                conn.send(None)
+                conn.close()
+            except (BrokenPipeError, OSError):
+                pass
+        for p in self._procs:
+            p.join(timeout=5)
+        self._conns, self._procs = [], []
+
+    def search(self, q: np.ndarray, quota: int = 1000, k: int = 10) -> list[tuple]:
+        """ADC-path search, answers identical to ``router.search(q, quota,
+        k)`` — the fan-out is the parallel part; plan + merge stay in the
+        parent (sub-ms at serving scale)."""
+        import bisect
+
+        r = self.router
+        q = np.asarray(q, dtype=np.float64)
+        model = r.model
+        if isinstance(model, LOPQModelPCA):
+            q = model.project_queries(q)[0]
+            model = model.lopq
+        d1, d2 = model.coarse_distances(q)
+        visited = list(multisequence_cells(d1, d2, r._global_counts(), quota))
+        lows = [lo for lo, _hi, _s in r.shards]
+        by_shard: dict[int, list[int]] = {}
+        for cell in visited:
+            owners = r._splits.get(cell)
+            if owners is not None:
+                for i in set(owners):
+                    by_shard.setdefault(i, []).append(cell)
+                continue
+            i = bisect.bisect_right(lows, cell) - 1
+            if i >= 0 and cell <= r.shards[i][1]:
+                by_shard.setdefault(i, []).append(cell)
+        for i, cells in by_shard.items():
+            self._conns[i].send((q, cells, int(k)))
+        all_ids, all_dists = [], []
+        for i in by_shard:
+            ids, dists = self._conns[i].recv()
+            if len(ids):
+                all_ids.append(ids)
+                all_dists.append(dists)
+        if not all_ids:
+            return []
+        ids = np.concatenate(all_ids)
+        dists = np.concatenate(all_dists)
         order = _topk_idx(dists, ids, k)
         return [(int(ids[i]), float(dists[i])) for i in order]

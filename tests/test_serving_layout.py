@@ -794,3 +794,66 @@ def test_router_single_cell_degenerate(spark, model, codes, queries_np):
         assert router.search(q, quota=QUOTA, k=TOP_K) == single.search(
             q, quota=QUOTA, k=TOP_K
         ), f"degenerate single-cell path diverged for qid={qid}"
+
+
+def test_split_owner_lists_rotate_across_cells():
+    """ADVICE r8: multiple split cells with the same m must land their
+    slices on DIFFERENT shard sets — without rotation every owner list
+    starts at shard 0, so shard 0 owns a slice of EVERY split cell and a
+    query visiting several split cells concentrates its work there."""
+    from columbiaimagesearch_spark.lopq.serving import _plan_shard_claims
+
+    # two fat cells (each > per_shard/4 of the total), same mass -> same m
+    hist = [(1, 4000), (2, 4000), (3, 100), (4, 100)]
+    _ranges, splits = _plan_shard_claims(hist, n_shards=8, last_cell=15)
+    assert set(splits) == {1, 2}
+    a, b = splits[1], splits[2]
+    assert len(set(a)) == len(a) and len(set(b)) == len(b)  # distinct owners
+    assert a != b, "owner lists must rotate across split cells"
+    # first slices of the two cells on different shards
+    assert a[0] != b[0]
+
+
+def test_split_slice_stats_telemetry(spark, model, codes):
+    """The CELL_SLICE_FACTOR cap telemetry: a single-cell degenerate
+    index caps m at n_shards; split_slice_stats must say so and report
+    the residual slice size (~rows/n_shards)."""
+    from columbiaimagesearch_spark.lopq.serving import ShardedServingRouter
+
+    one_cell = codes.withColumn("cell", F.lit(3))
+    router = ShardedServingRouter.build(model, one_cell, n_shards=4)
+    stats = router.split_slice_stats
+    assert stats["split_cells"] == 1
+    assert stats["capped_split_cells"] == 1  # m hit n_shards
+    n = codes.count()
+    assert 0 < stats["max_slice_rows"] <= n  # residual, visible
+    # roughly even slices: no slice more than 2x the fair share
+    assert stats["max_slice_rows"] <= 2 * (n // 4 + 1)
+
+
+def test_forked_pool_matches_sequential_router(spark, model, codes, queries_np):
+    """ForkedRouterPool (process-parallel fan-out, COW-shared arrays,
+    k-sized replies) must answer EXACTLY like the sequential router —
+    including through split cells (the skew path it exists to serve)."""
+    from columbiaimagesearch_spark.lopq.serving import (
+        ForkedRouterPool,
+        ServingSearcher,
+        ShardedServingRouter,
+    )
+
+    # skew a slice of rows into the hottest cell so splits exist
+    single = ServingSearcher(model).load_codes(codes)
+    hot = int(max(single.cell_counts, key=single.cell_counts.get))
+    skewed = codes.withColumn(
+        "cell",
+        F.when(F.col("id") % 3 == 1, F.lit(hot)).otherwise(F.col("cell")),
+    )
+    router = ShardedServingRouter.build(model, skewed, n_shards=4)
+    assert router._splits, "fixture must exercise the split path"
+    with ForkedRouterPool(router) as pool:
+        for qid, q in queries_np:
+            assert pool.search(q, quota=QUOTA, k=TOP_K) == router.search(
+                q, quota=QUOTA, k=TOP_K
+            ), f"forked pool diverged for qid={qid}"
+    # pool is closed; workers are gone
+    assert not pool._procs
