@@ -522,10 +522,14 @@ def curation_bench(spark, sf_dir: str, *, full: bool = False) -> dict:
 
     Two variants: the base chain (dedup -> repetition -> mixture -> split
     -> pack, comparable round-over-round since r2) and ``full=True``, which
-    additionally exercises the two stages the chain grew in r3 — PII
-    scrubbing as stage 0 and benchmark decontamination (suite = the same
-    doc_id % BENCH_MOD slice llm_decontaminate uses) — so the composed
-    chain a real pipeline would run has its own wall-time signal."""
+    additionally exercises the stages the chain grew later — PII scrubbing
+    as stage 0 and benchmark decontamination (suite = the same
+    doc_id % BENCH_MOD slice llm_decontaminate uses) since r3, plus the
+    FUZZY decontamination rung since r9 (reusing stage 1's shingle-hash
+    cache under the hashed contract — one text-hash pass serves dedup and
+    fuzzy together; expect a small r8->r9 step in curation_full's wall
+    from the added stage, not a regression) — so the composed chain a
+    real pipeline would run has its own wall-time signal."""
     from columbiaimagesearch_spark import curate as curate_mod
     from columbiaimagesearch_spark.sources import load_table
 
@@ -544,7 +548,8 @@ def curation_bench(spark, sf_dir: str, *, full: bool = False) -> dict:
     n_docs = docs.count()
     t0 = time.perf_counter()
     res = curate_mod.curate_docs(
-        docs, bench_docs, train_split_only=False, scrub_pii=full
+        docs, bench_docs, train_split_only=False, scrub_pii=full,
+        fuzzy_decontaminate=full,
     )
     res.packed.write.mode("overwrite").format("noop").save()
     secs = time.perf_counter() - t0

@@ -5,9 +5,10 @@
 
   [PII scrub] -> near-dup dedup (MinHash-LSH pairs -> connected
   components, keep the min-doc_id representative) -> [benchmark
-  decontamination] -> [exact-substring duplication filter] -> repetition
-  filter -> temperature mixture sampling -> train-split selection ->
-  sequence packing.  (Bracketed stages are opt-in flags.)
+  decontamination] -> [fuzzy benchmark decontamination, reusing stage 1's
+  shingle-hash cache] -> [exact-substring duplication filter] ->
+  repetition filter -> temperature mixture sampling -> train-split
+  selection -> sequence packing.  (Bracketed stages are opt-in flags.)
 
 Laziness: the mixture/split/pack stages are lazy DataFrames, but the
 expensive verdict pipelines run EAGERLY inside ``curate_docs``: stage 1's
@@ -51,6 +52,7 @@ def curate_docs(
     *,
     train_split_only: bool = True,
     scrub_pii: bool = False,
+    fuzzy_decontaminate: bool = False,
     drop_substring_dups: bool = False,
     pack_budget: int = packing.PACK_BUDGET,
     pack_shards: int = packing.PACK_SHARDS,
@@ -61,7 +63,17 @@ def curate_docs(
     ``scrub_pii=True`` redacts contact-like spans (emails / phones / IPs →
     typed placeholder tokens) as stage 0, BEFORE dedup/hygiene, so every
     downstream verdict — shingle hashes, n-gram overlaps, fingerprints —
-    is computed over the text that will actually be trained on."""
+    is computed over the text that will actually be trained on.
+
+    ``fuzzy_decontaminate=True`` (needs ``bench_docs``) adds the
+    near-duplicate decontamination rung after the exact 8-gram one:
+    paraphrased/lightly-edited eval leakage shares few exact 8-grams but
+    high shingle Jaccard (see ``hygiene.fuzzy_decontaminate_from``). This
+    is where the hashed contract pays composed: stage 1's persisted
+    shingle-hash relation is handed straight to the fuzzy stage
+    (``hashed_train=``), so the corpus text is shingle-hashed ONCE for
+    dedup and fuzzy decontamination together — the fuzzy stage re-runs
+    only the 24-permutation signature pass over the cached int arrays."""
     res = CurationResult()
     res.stages["input"] = docs
     if scrub_pii:
@@ -97,7 +109,11 @@ def curate_docs(
     )
     comp = dedup.connected_components(docs.select("doc_id"), pairs)
     bands.unpersist()
-    hashed.unpersist()
+    # hashed stays persisted through stage 2 when the fuzzy rung will
+    # reuse it (the hashed contract composed); otherwise it is dead here.
+    reuse_hashed = fuzzy_decontaminate and bench_docs is not None
+    if not reuse_hashed:
+        hashed.unpersist()
     losers = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
     docs = docs.join(losers, "doc_id", "left_anti")
     res.stages["after_dedup"] = docs
@@ -122,6 +138,28 @@ def curate_docs(
         )
         docs = docs.join(dirty, "doc_id", "left_anti")
     res.stages["after_decontam"] = docs
+
+    # 2a. fuzzy decontamination (opt-in): the near-duplicate rung the
+    # exact 8-gram stage is blind to. Reuses stage 1's persisted `hashed`
+    # relation as hashed_train (its pre-dedup superset rows only produce
+    # candidates for already-dropped ids, which the completeness left
+    # join over the CURRENT docs ignores); the bench suite is hashed once
+    # here, persisted for its two references (band table + hash sets),
+    # and both caches are consumed by the eager checkpoint below.
+    if reuse_hashed:
+        h_b = dedup.hashed_from(bench_docs)
+        fuzzy_dirty = (
+            hygiene.fuzzy_decontaminate_from(
+                docs, bench_docs, hashed_train=hashed, hashed_bench=h_b
+            )
+            .where(F.col("contaminated"))
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        h_b.unpersist()
+        hashed.unpersist()
+        docs = docs.join(fuzzy_dirty, "doc_id", "left_anti")
+        res.stages["after_fuzzy_decontam"] = docs
 
     # 2b. exact-substring duplication filter (optional): drop docs whose
     # duplicated-span coverage crosses the flag threshold — the Lee et al.

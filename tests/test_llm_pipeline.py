@@ -181,3 +181,64 @@ def test_minhash_refuses_exact_duplicate_flood(spark):
     # guard off: the flood is still correct (all 50x49/2 identical pairs)
     pairs = near_dup_pairs_from(flood).where("jaccard = 1.0").count()
     assert pairs >= 50 * 49 // 2
+
+
+def test_curation_with_fuzzy_decontam_drops_paraphrase(spark):
+    """fuzzy_decontaminate=True adds the near-duplicate decontamination
+    rung (reusing stage 1's shingle-hash cache): a train doc that edits
+    every 8th token of a bench doc shares NO exact 8-gram (the exact stage
+    keeps it) but must be dropped by the fuzzy stage; an unrelated doc
+    survives both. The planted paraphrase uses unique tokens so the
+    near-dup dedup stage cannot claim it first."""
+    from pyspark.sql import Row
+
+    base = [f"uq{i}x" for i in range(32)]
+    edited = list(base)
+    for p in (3, 11, 19, 27):  # max clean run 7 < 8 -> zero shared 8-grams
+        edited[p] = f"ed{p}z"
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    paraphrase_id = 900_001
+    planted = spark.createDataFrame(
+        [
+            Row(
+                doc_id=paraphrase_id,
+                text=" ".join(edited),
+                lang="en",
+                source="web",
+            )
+        ]
+    )
+    train = docs.unionByName(planted)
+    bench = spark.createDataFrame(
+        [Row(doc_id=1_000_001, text=" ".join(base))]
+    ).select("doc_id", "text")
+
+    exact_only = curate.curate_docs(train, bench, train_split_only=False)
+    fuzzy = curate.curate_docs(
+        train, bench, train_split_only=False, fuzzy_decontaminate=True
+    )
+    c = fuzzy.counts()
+    assert "after_fuzzy_decontam" in c
+    assert c["after_fuzzy_decontam"] <= c["after_decontam"]
+
+    def survives(res):
+        return (
+            res.stages[
+                "after_fuzzy_decontam"
+                if "after_fuzzy_decontam" in res.stages
+                else "after_decontam"
+            ]
+            .where(F.col("doc_id") == paraphrase_id)
+            .count()
+        )
+
+    assert survives(exact_only) == 1  # exact 8-gram stage is blind to it
+    assert survives(fuzzy) == 0  # the fuzzy rung catches it
+
+    # the fuzzy chain stays deterministic (content-keyed verdicts)
+    fuzzy2 = curate.curate_docs(
+        train, bench, train_split_only=False, fuzzy_decontaminate=True
+    )
+    assert fuzzy2.counts() == c
