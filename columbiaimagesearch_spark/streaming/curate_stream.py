@@ -9,9 +9,11 @@ without recomputing the corpus. Composition per batch:
      no-ops);
   2. per-doc hygiene verdicts for the fresh docs only: decontamination
      against the static benchmark state (eval suites change rarely;
-     re-registering one rewrites that state) and repetition stats —
-     both are pure per-doc content functions, so batch boundaries cannot
-     change them;
+     re-registering one rewrites that state), optionally the FUZZY
+     decontamination rung (r9 — max shingle-Jaccard vs the bench state;
+     candidates come only from bench band collisions, so it too is a
+     per-doc content function), and repetition stats — all pure per-doc
+     content functions, so batch boundaries cannot change them;
   3. the fresh docs flow through ``dedup_stream.dedup_batch_step`` —
      near-dup pairs accumulate incrementally (equivalence to the batch
      LSH is pinned by tests/test_dedup_stream.py);
@@ -57,8 +59,12 @@ from ..operators import hygiene
 from . import dedup_stream
 
 CURATE_DOC_SCHEMA = "doc_id long, text string, lang string, source string"
+# fuzzy_contaminated appended r9: state written by earlier rounds lacks the
+# column — the schema'd read surfaces it as NULL and curated_docs coalesces
+# to false, so old state keeps meaning "not fuzzy-checked", never "dropped"
 _VERDICT_SCHEMA = (
-    "doc_id long, lang string, source string, contaminated boolean, repetitive boolean"
+    "doc_id long, lang string, source string, contaminated boolean, "
+    "repetitive boolean, fuzzy_contaminated boolean"
 )
 _BENCH_SCHEMA = "doc_id long, text string"
 
@@ -87,14 +93,28 @@ def read_verdicts(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 def curate_batch_step(
-    spark: SparkSession, docs: DataFrame, state_dir: str, scrub_pii: bool = False
+    spark: SparkSession,
+    docs: DataFrame,
+    state_dir: str,
+    scrub_pii: bool = False,
+    fuzzy_decontaminate: bool = False,
 ) -> int:
     """One incremental step: hygiene-verdict + dedup the fresh docs of
     ``docs`` against state. Returns the number of fresh docs admitted.
 
     ``scrub_pii=True`` redacts contact spans BEFORE any verdict or shingle
     hash (stage 0 of the batch chain) — a per-doc content function, so
-    batch boundaries cannot change it."""
+    batch boundaries cannot change it.
+
+    ``fuzzy_decontaminate=True`` mirrors the batch chain's fuzzy rung
+    (``curate_docs(fuzzy_decontaminate=True)``): like the exact verdict,
+    a doc's max shingle-Jaccard against the STATIC bench state is a pure
+    per-doc content function (candidates come only from bench band
+    collisions, never from other train docs), so batch boundaries cannot
+    change it and the streamed survivor set still equals the batch
+    chain's. The fresh batch is shingle-hashed once under the hashed
+    contract (built, passed, consumed by the verdicts materialization,
+    unpersisted here)."""
     docs = docs.where(F.col("doc_id").isNotNull()).dropDuplicates(["doc_id"])
     if scrub_pii:
         docs = (
@@ -112,20 +132,39 @@ def curate_batch_step(
     bench = _read_state(spark, state_dir, "bench", _BENCH_SCHEMA)
     dec = hygiene.decontaminate_from(fresh, bench).select("doc_id", "contaminated")
     rep = hygiene.repetition_stats_from(fresh).select("doc_id", "repetitive")
+    h_t = None
+    if fuzzy_decontaminate:
+        from ..operators import dedup
+
+        h_t = dedup.hashed_from(fresh.select("doc_id", "text"))
+        fz = hygiene.fuzzy_decontaminate_from(
+            fresh,
+            bench,
+            hashed_train=h_t,
+            hashed_bench=dedup.hashed_from(bench, persist=False),
+        ).select("doc_id", F.col("contaminated").alias("fuzzy_contaminated"))
+    else:
+        fz = fresh.select("doc_id", F.lit(False).alias("fuzzy_contaminated"))
     verdicts = (
         fresh.select("doc_id", "lang", "source")
         .join(dec, "doc_id", "left")
         .join(rep, "doc_id", "left")
+        .join(fz, "doc_id", "left")
         .select(
             "doc_id",
             "lang",
             "source",
             F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
             F.coalesce(F.col("repetitive"), F.lit(False)).alias("repetitive"),
+            F.coalesce(F.col("fuzzy_contaminated"), F.lit(False)).alias(
+                "fuzzy_contaminated"
+            ),
         )
         .persist()
     )
     verdicts.count()  # materialize before any state path gains files
+    if h_t is not None:
+        h_t.unpersist()  # consumed by the verdicts materialization above
 
     dedup_stream.dedup_batch_step(spark, fresh.select("doc_id", "text"), state_dir)
     # verdicts (this step's claim table) land LAST — see module docstring
@@ -145,7 +184,12 @@ def curated_docs(spark: SparkSession, state_dir: str) -> DataFrame:
     comp = dedup.connected_components(verd.select("doc_id"), pairs)
     losers = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
     return (
-        verd.where(~F.col("contaminated") & ~F.col("repetitive"))
+        verd.where(
+            ~F.col("contaminated")
+            & ~F.col("repetitive")
+            # pre-r9 state rows read as NULL here -> kept (see schema note)
+            & ~F.coalesce(F.col("fuzzy_contaminated"), F.lit(False))
+        )
         .join(losers, "doc_id", "left_anti")
         .select("doc_id", "lang", "source")
     )
@@ -158,6 +202,7 @@ def run_incremental_curation(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     scrub_pii: bool = False,
+    fuzzy_decontaminate: bool = False,
 ) -> None:
     """Drain ``src_dir`` (JSONL doc drops, availableNow) through the
     incremental curation. Source offsets checkpoint with the query (ST3);
@@ -170,7 +215,11 @@ def run_incremental_curation(
     q = (
         stream.writeStream.foreachBatch(
             lambda batch_df, _bid: curate_batch_step(
-                spark, batch_df, state_dir, scrub_pii=scrub_pii
+                spark,
+                batch_df,
+                state_dir,
+                scrub_pii=scrub_pii,
+                fuzzy_decontaminate=fuzzy_decontaminate,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

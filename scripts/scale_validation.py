@@ -45,6 +45,7 @@ SUB_RE = re.compile(
 SRV_RE = re.compile(
     r"\[scale-serving\] router==replica @(?P<n>\d+) skewed rows: "
     r"queries=(?P<queries>\d+) mismatches=(?P<mismatches>\d+) "
+    r"pool_mismatches=(?P<pool_mismatches>\d+) "
     r"split_cells=(?P<split_cells>\d+) hot_slices=(?P<hot_slices>\d+) "
     r"hot_slice_max=(?P<hot_slice_max>\d+) of hot_total=(?P<hot_total>\d+) "
     r"reshard=(?P<reshard>[\d.]+)s"

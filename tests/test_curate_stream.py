@@ -130,3 +130,70 @@ def test_stream_scrub_pii_affects_dedup_hashes(spark, tmp_path):
     # the jaccard dips below threshold; either way the SCRUBBED run must
     # dominate (scrubbing can only merge, never split)
     assert len(raw_pairs) <= len(scrub_pairs)
+
+
+def test_streamed_fuzzy_curation_matches_batch(spark, tmp_path):
+    """fuzzy_decontaminate=True streamed in chunks == the batch chain with
+    the same flag: a planted paraphrase of a bench doc (every 8th token
+    edited - zero shared exact 8-grams) must be dropped by BOTH, and the
+    full survivor sets must agree exactly. The paraphrase lands in a
+    different chunk than unrelated docs so the verdict provably cannot
+    depend on batch composition."""
+    from columbiaimagesearch_spark import curate
+
+    base = [f"fz{i}q" for i in range(32)]
+    edited = list(base)
+    for p in (3, 11, 19, 27):
+        edited[p] = f"sw{p}y"
+    train_all, bench = _docs(spark)
+    paraphrase_id = 910_001
+    planted = spark.createDataFrame(
+        [(paraphrase_id, " ".join(edited), "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    bench_plus = bench.unionByName(
+        spark.createDataFrame(
+            [(1_000_003, " ".join(base), "en", "web")],
+            "doc_id long, text string, lang string, source string",
+        )
+    )
+    train = train_all.unionByName(planted)
+
+    rows = train.collect()
+    d = tmp_path / "drops"
+    d.mkdir()
+    n_chunks = 3
+    for c in range(n_chunks):
+        chunk = [r for i, r in enumerate(rows) if i % n_chunks == c]
+        (d / f"chunk-{c}.jsonl").write_text(
+            "\n".join(
+                json.dumps(
+                    {
+                        "doc_id": r["doc_id"],
+                        "text": r["text"],
+                        "lang": r["lang"],
+                        "source": r["source"],
+                    }
+                )
+                for r in chunk
+            )
+        )
+    state = str(tmp_path / "state")
+    register_benchmark(spark, bench_plus, state)
+    run_incremental_curation(
+        spark, str(d), state, str(tmp_path / "ckpt"), fuzzy_decontaminate=True
+    )
+    streamed = {int(r["doc_id"]) for r in curated_docs(spark, state).collect()}
+
+    batch = curate.curate_docs(
+        train, bench_plus, train_split_only=False, fuzzy_decontaminate=True
+    )
+    # compare at the pre-mixture stage: mixture/split are assembly
+    # decisions the stream deliberately leaves out
+    batch_set = {
+        int(r["doc_id"])
+        for r in batch.stages["after_repetition"].select("doc_id").collect()
+    }
+    assert paraphrase_id not in streamed
+    assert paraphrase_id not in batch_set
+    assert streamed == batch_set

@@ -100,9 +100,27 @@ def test_router_equals_replica_at_1m_skewed(spark):
         if got != want:
             mismatches += 1
     assert mismatches == 0, mismatches
+
+    # r9: the process-parallel fan-out (forked workers, COW-shared arrays,
+    # LOCAL top-k replies) must give the same answers at the scale where
+    # its k-sized-reply merge actually matters — the hot cell's ~42k-row
+    # slices each reply only 10 candidates here, and any defect in the
+    # local-topk-contains-global-topk argument would surface as a changed
+    # answer on some query
+    from columbiaimagesearch_spark.lopq.serving import ForkedRouterPool
+
+    pool_mismatches = 0
+    with ForkedRouterPool(router) as pool:
+        for q in qs:
+            if pool.search(q, quota=QUOTA, k=10) != skew_single.search(
+                q, quota=QUOTA, k=10
+            ):
+                pool_mismatches += 1
+    assert pool_mismatches == 0, pool_mismatches
     print(
         f"\n[scale-serving] router==replica @{N_INDEX} skewed rows: "
         f"queries={len(qs)} mismatches={mismatches} "
+        f"pool_mismatches={pool_mismatches} "
         f"split_cells={len(router._splits)} hot_slices={len(owners)} "
         f"hot_slice_max={slice_max} of hot_total={hot_total} "
         f"reshard={reshard_s:.1f}s"
