@@ -97,6 +97,9 @@ class ImageSearchService:
         # refresh is single-writer BY CONTRACT; the lock makes two
         # concurrent calls serialize instead of double-admitting a sha1
         self._refresh_lock = threading.Lock()
+        # optional ForkedRouterPool over a sharded searcher (see
+        # enable_parallel_pool); None = answer in-process
+        self._pool = None
 
     # -- build / refresh -----------------------------------------------------
     @staticmethod
@@ -134,15 +137,23 @@ class ImageSearchService:
         max_rows_per_shard: int | None = None,
         source_path: str | None = None,
         path_root: str | None = None,
+        parallel: bool = False,
     ) -> "ImageSearchService":
         """``n_shards`` > 1 backs the service with a
         :class:`~.lopq.serving.ShardedServingRouter` instead of one replica —
         the scale-out path past a single replica's snapshot budget. Each
-        shard loads ONLY its cell range's codes AND rerank vectors (the
-        per-replica residency envelope stays honest); the id -> sha1 map
-        stays service-resident like the reference's per-worker LMDB
-        metadata (at true scale it shards alongside the codes — each
-        worker's map covers its range)."""
+        shard loads ONLY the codes AND rerank vectors it owns (cell range
+        plus its slices of split fat cells — the per-replica residency
+        envelope stays honest); the id -> sha1 map stays service-resident
+        like the reference's per-worker LMDB metadata (at true scale it
+        shards alongside the codes — each worker's map covers its range).
+
+        ``parallel=True`` (needs ``n_shards`` > 1) additionally forks one
+        worker process per shard (:class:`~.lopq.serving.ForkedRouterPool`)
+        so the per-query fan-out runs concurrently — the deployment shape
+        whose wall is MAX per-shard work rather than total work; refresh
+        rebuilds the pool (forked children share the index copy-on-write
+        and cannot see post-fork mutations)."""
         from .lopq.encode import encode_dataframe
         from .lopq.model import LOPQModel
         from .lopq.serving import (
@@ -177,10 +188,16 @@ class ImageSearchService:
                         model, codes, n_shards,
                         max_rows_per_shard=per_shard_cap,
                     )
-                    for lo, hi, replica in searcher.shards:
-                        shard_ids = codes.where(
-                            F.col("cell").between(lo, hi)
-                        ).select("id")
+                    for i, (lo, hi, replica) in enumerate(searcher.shards):
+                        # ownership = cell range + this shard's slices of
+                        # split fat cells (the same predicates build used
+                        # for the codes), so rerank vectors shard exactly
+                        # like the codes they rerank
+                        pred = searcher._range_pred(lo, hi)
+                        slice_pred = searcher._slice_pred(i)
+                        if slice_pred is not None:
+                            pred = pred | slice_pred
+                        shard_ids = codes.where(pred).select("id")
                         replica.load_vectors(
                             ided.join(shard_ids, "id"),
                             id_col="id", vec_col="v",
@@ -200,9 +217,28 @@ class ImageSearchService:
         sha1_to_ids: dict[str, list[int]] = {}
         for r in meta:
             sha1_to_ids.setdefault(r["sha1"], []).append(int(r["id"]))
-        return cls(spark, model, searcher, id_to_sha1, sha1_to_ids,
-                   factory(), mode, images=images, source_path=source_path,
-                   fetcher=make_url_fetcher(path_root) if path_root else None)
+        svc = cls(spark, model, searcher, id_to_sha1, sha1_to_ids,
+                  factory(), mode, images=images, source_path=source_path,
+                  fetcher=make_url_fetcher(path_root) if path_root else None)
+        if parallel:
+            svc.enable_parallel_pool()
+        return svc
+
+    def enable_parallel_pool(self) -> None:
+        """(Re)fork one worker per shard and answer queries through the
+        process-parallel fan-out. Callable only on a sharded service; the
+        refresh path calls it again after mutating the index (COW children
+        never see post-fork adds)."""
+        from .lopq.serving import ForkedRouterPool, ShardedServingRouter
+
+        if not isinstance(self.searcher, ShardedServingRouter):
+            raise ValueError(
+                "parallel pool requires n_shards > 1 (a sharded service)"
+            )
+        old, self._pool = self._pool, None
+        if old is not None:
+            old.close()
+        self._pool = ForkedRouterPool(self.searcher)
 
     def refresh(self, new_images: DataFrame) -> int:
         """Index new images into the running service (the reference's
@@ -308,6 +344,12 @@ class ImageSearchService:
                 self.sha1_to_ids.setdefault(r["sha1"], []).append(int(r["id"]))
         finally:
             ided.unpersist()
+        if self._pool is not None:
+            # forked children hold the PRE-refresh index copy-on-write;
+            # re-fork so queries see the admitted rows (refresh is
+            # lock-serialized, so no query can race the swap mid-protocol
+            # — the pool's own per-query lock covers the in-flight one)
+            self.enable_parallel_pool()
         self.last_refresh = datetime.now()
         return self.searcher.n_items - before
 
@@ -326,19 +368,31 @@ class ImageSearchService:
         max_returned = int(opts.get("max_returned", DEFAULT_MAX_RETURNED))
         rerank_nb = int(opts.get("rerank_nb", 4 * max_returned))
         quota = min(1000 * max_returned, QUOTA_CAP)
-        if rerank_nb <= 0:
-            # pure-ADC path (the reference's rerank-off mode): search
-            # returns (id, adc_dist) 2-tuples — report the ADC distance
-            hits = self.searcher.search(
-                q, quota=quota, k=max_returned, rerank_nb=0
-            )
-            rows = [(int(i), float(d)) for i, d in hits]
-        else:
-            hits = self.searcher.search(
+        # the pool shares search()'s signature and answers (pinned by
+        # tests); rerank vectors are fetched PARENT-side either way. A
+        # query that grabbed the pool just as a refresh swapped it meets
+        # closed pipes — answer that one in-process (same result by the
+        # pool==router equality) instead of surfacing a 500.
+        engine = self._pool if self._pool is not None else self.searcher
+
+        def _run(eng):
+            if rerank_nb <= 0:
+                # pure-ADC path (the reference's rerank-off mode): search
+                # returns (id, adc_dist) 2-tuples — report the ADC distance
+                hits = eng.search(q, quota=quota, k=max_returned, rerank_nb=0)
+                return [(int(i), float(d)) for i, d in hits]
+            hits = eng.search(
                 q, quota=quota, k=max_returned, rerank_nb=rerank_nb,
                 fetch_vectors=self.searcher.resident_vectors,
             )
-            rows = [(int(i), float(ex)) for i, _adc, ex in hits]
+            return [(int(i), float(ex)) for i, _adc, ex in hits]
+
+        try:
+            rows = _run(engine)
+        except (OSError, EOFError):
+            if engine is self.searcher:
+                raise
+            rows = _run(self.searcher)
         if opts.get("near_dup"):
             th = float(opts.get("near_dup_th", DEFAULT_NEAR_DUP_TH))
             rows = [(i, d) for i, d in rows if d <= th]

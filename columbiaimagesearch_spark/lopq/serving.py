@@ -821,6 +821,9 @@ class ForkedRouterPool:
         ctx = mp.get_context("fork")
         self.router = router
         router._global_counts()  # build the merged histogram pre-fork
+        import threading
+
+        self._lock = threading.Lock()
         self._conns = []
         self._procs = []
         for i in range(len(router.shards)):
@@ -842,20 +845,36 @@ class ForkedRouterPool:
         self.close()
 
     def close(self) -> None:
-        for conn in self._conns:
-            try:
-                conn.send(None)
-                conn.close()
-            except (BrokenPipeError, OSError):
-                pass
-        for p in self._procs:
-            p.join(timeout=5)
-        self._conns, self._procs = [], []
+        # taking the query lock lets an in-flight search finish its
+        # send/recv protocol before the pipes go away (refresh-time swap)
+        with self._lock:
+            for conn in self._conns:
+                try:
+                    conn.send(None)
+                    conn.close()
+                except (BrokenPipeError, OSError):
+                    pass
+            for p in self._procs:
+                p.join(timeout=5)
+            self._conns, self._procs = [], []
 
-    def search(self, q: np.ndarray, quota: int = 1000, k: int = 10) -> list[tuple]:
-        """ADC-path search, answers identical to ``router.search(q, quota,
-        k)`` — the fan-out is the parallel part; plan + merge stay in the
-        parent (sub-ms at serving scale)."""
+    def search(
+        self,
+        q: np.ndarray,
+        quota: int = 1000,
+        k: int = 10,
+        rerank_nb: int = 0,
+        fetch_vectors=None,
+    ) -> list[tuple]:
+        """Same contract (and answers) as ``router.search`` — the fan-out
+        is the parallel part; plan, merge, and the exact rerank over the
+        k-ish shortlist stay in the parent (sub-ms at serving scale).
+        Workers reply their local top-``max(k, rerank_nb)``: the global
+        shortlist under (dist, id) order is a subset of that union, so
+        rerank inputs are identical to the sequential router's. The
+        per-query pipe protocol is serialized by a lock — concurrent
+        callers (e.g. a threaded HTTP server) queue here instead of
+        interleaving messages on the worker pipes."""
         import bisect
 
         r = self.router
@@ -877,17 +896,31 @@ class ForkedRouterPool:
             i = bisect.bisect_right(lows, cell) - 1
             if i >= 0 and cell <= r.shards[i][1]:
                 by_shard.setdefault(i, []).append(cell)
-        for i, cells in by_shard.items():
-            self._conns[i].send((q, cells, int(k)))
-        all_ids, all_dists = [], []
-        for i in by_shard:
-            ids, dists = self._conns[i].recv()
-            if len(ids):
-                all_ids.append(ids)
-                all_dists.append(dists)
+        nb = max(int(k), int(rerank_nb)) if rerank_nb else int(k)
+        with self._lock:
+            for i, cells in by_shard.items():
+                self._conns[i].send((q, cells, nb))
+            all_ids, all_dists = [], []
+            for i in by_shard:
+                ids, dists = self._conns[i].recv()
+                if len(ids):
+                    all_ids.append(ids)
+                    all_dists.append(dists)
         if not all_ids:
             return []
         ids = np.concatenate(all_ids)
         dists = np.concatenate(all_dists)
+        if rerank_nb:
+            keep = _topk_idx(dists, ids, int(rerank_nb))
+            short_ids, short_adc = ids[keep], dists[keep]
+            if fetch_vectors is None:
+                raise ValueError("pool rerank needs fetch_vectors(ids)")
+            X = np.asarray(fetch_vectors(short_ids), dtype=np.float64)
+            exact = ((X - q) ** 2).sum(axis=1)
+            top = np.lexsort((short_ids, exact))[:k]
+            return [
+                (int(short_ids[i]), float(short_adc[i]), float(exact[i]))
+                for i in top
+            ]
         order = _topk_idx(dists, ids, k)
         return [(int(ids[i]), float(dists[i])) for i in order]

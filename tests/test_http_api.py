@@ -503,3 +503,59 @@ def test_view_image_sha1_returns_bytes(spark, domain_images, server, service):
         raise AssertionError("expected HTTP 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_parallel_pool_service_same_answers_and_refresh(spark, domain_images):
+    """build(parallel=True, n_shards=2) answers byB64/bySHA1 through the
+    forked per-shard pool — identical to the sequential sharded service,
+    including the exact-rerank path — and refresh re-forks the pool so
+    queries see the admitted rows (COW children hold the pre-refresh
+    index)."""
+    from columbiaimagesearch_spark.sources import fixtures
+
+    sharded = http_api.ImageSearchService.build(
+        spark, domain_images, n_shards=2
+    )
+    pooled = http_api.ImageSearchService.build(
+        spark, domain_images, n_shards=2, parallel=True
+    )
+    assert pooled._pool is not None and pooled._pool._procs
+    try:
+        rows = domain_images.orderBy("sha1").limit(3).collect()
+        for row in rows:
+            b64 = base64.b64encode(bytes(row["content"])).decode()
+            a = sharded.search_b64_list([b64], {})["images"][0]
+            b = pooled.search_b64_list([b64], {})["images"][0]
+            assert a == b
+        # ADC-only mode through the pool too
+        sha1s = [r["sha1"] for r in rows]
+        assert sharded.search_sha1_list(
+            sha1s, {"rerank_nb": 0}
+        ) == pooled.search_sha1_list(sha1s, {"rerank_nb": 0})
+
+        new_images = fixtures.generate(n_images=215).to_spark(spark)["images"]
+        known_before = set(pooled.sha1_to_ids)
+        old_pool = pooled._pool
+        assert pooled.refresh(new_images) > 0
+        assert pooled._pool is not old_pool  # re-forked post-mutation
+        assert not old_pool._procs  # old workers shut down
+        probe = [
+            r for r in new_images.orderBy("sha1").collect()
+            if r["sha1"] not in known_before
+        ][0]
+        out = pooled.search_b64_list(
+            [base64.b64encode(bytes(probe["content"])).decode()], {}
+        )
+        sims = out["images"][0]["SimilarImages"]
+        assert sims["ImageSha1s"][0] == probe["sha1"]
+        assert sims["Distances"][0] == 0.0
+    finally:
+        pooled._pool.close()
+
+
+def test_parallel_pool_requires_sharded_service(spark, domain_images):
+    import pytest
+
+    single = http_api.ImageSearchService.build(spark, domain_images)
+    with pytest.raises(ValueError, match="n_shards"):
+        single.enable_parallel_pool()

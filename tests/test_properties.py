@@ -211,3 +211,61 @@ def test_union_find_matches_bfs_closure(edges):
         for x in comp:
             want[x] = m
     assert got == want
+
+
+@given(
+    hist=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=1, max_value=100_000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    n_shards=st.integers(min_value=2, max_value=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_shard_claim_planner_invariants(hist, n_shards):
+    """_plan_shard_claims structural invariants over arbitrary histograms
+    (the r9 owner-rotation change must never break these):
+    - exactly n_shards ranges tiling [0, last_cell] in order, no gaps;
+    - every histogram cell owned exactly once: by its containing range,
+      or (for split cells) by its owner list alone;
+    - split owner lists are DISTINCT shards, each in [0, n_shards);
+    - two split cells with the same owner-list length never share the
+      same first owner unless forced (m == n_shards) — the rotation."""
+    from columbiaimagesearch_spark.lopq.serving import _plan_shard_claims
+
+    hist = sorted(hist)
+    last_cell = 255
+    ranges, splits = _plan_shard_claims(hist, n_shards, last_cell)
+    assert len(ranges) == n_shards
+    # ordered tiling: lo of the first is 0; each next lo = prev hi + 1
+    assert ranges[0][0] == 0
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo2 == hi1 + 1
+    assert ranges[-1][1] == last_cell
+
+    for cell, _n in hist:
+        owning_ranges = [
+            i for i, (lo, hi) in enumerate(ranges) if lo <= cell <= hi
+        ]
+        if cell in splits:
+            owners = splits[cell]
+            assert len(set(owners)) == len(owners), owners
+            assert all(0 <= o < n_shards for o in owners)
+            assert 2 <= len(owners) <= n_shards
+        else:
+            assert len(owning_ranges) == 1, (cell, ranges)
+
+    by_m: dict[int, list[int]] = {}
+    for _cell, owners in sorted(splits.items()):
+        by_m.setdefault(len(owners), []).append(owners[0])
+    for m, firsts in by_m.items():
+        if m < n_shards and len(firsts) > 1:
+            # rotation de-correlates first owners across same-m split
+            # cells (consecutive rot offsets can only collide once the
+            # count exceeds n_shards)
+            expected_distinct = min(len(firsts), n_shards)
+            assert len(set(firsts)) >= min(2, expected_distinct), firsts

@@ -857,3 +857,43 @@ def test_forked_pool_matches_sequential_router(spark, model, codes, queries_np):
             ), f"forked pool diverged for qid={qid}"
     # pool is closed; workers are gone
     assert not pool._procs
+
+
+def test_forked_pool_rerank_matches_sequential_router(
+    spark, model, codes, queries_np
+):
+    """Pool rerank (workers reply local top-max(k, rerank_nb); parent
+    merges, fetches resident vectors, exact-sorts) must equal the
+    sequential router's rerank path tuple-for-tuple."""
+    from columbiaimagesearch_spark.lopq.serving import (
+        ForkedRouterPool,
+        ShardedServingRouter,
+    )
+    from columbiaimagesearch_spark.sources import load_table
+
+    router = ShardedServingRouter.build(model, codes, n_shards=4)
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    id_cells = {
+        int(r["id"]): int(r["cell"])
+        for r in codes.select("id", "cell").collect()
+    }
+    for r in emb.collect():
+        vid = int(r["vec_id"])
+        if vid in id_cells:
+            router.put_vector(
+                vid, np.asarray(r["embedding"], dtype=np.float64),
+                cell=id_cells[vid],
+            )
+    with ForkedRouterPool(router) as pool:
+        for qid, q in queries_np:
+            want = router.search(
+                q, quota=QUOTA, k=TOP_K, rerank_nb=4 * TOP_K,
+                fetch_vectors=router.resident_vectors,
+            )
+            got = pool.search(
+                q, quota=QUOTA, k=TOP_K, rerank_nb=4 * TOP_K,
+                fetch_vectors=router.resident_vectors,
+            )
+            assert got == want, f"pool rerank diverged for qid={qid}"
