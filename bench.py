@@ -14,7 +14,10 @@ one untimed warm-up pass runs every headline query first (JIT, codegen
 caches, parquet footers, OS page cache — measured 3-5x inflation on the
 first execution of the heavy queries), then each query runs
 $SPARK_GRAFT_BENCH_N timed passes (default 3) round-robin and the reported
-per-query number is the MEDIAN; "value" is the sum of medians.  Raw samples
+per-query number is the MEDIAN; "value" is the sum of medians. Queries
+whose first-n median exceeds SLOW_QUERY_SEC get EXTRA_SLOW_ROUNDS more
+round-robin samples (n=5 at the defaults) so their round-over-round deltas
+outrun the host noise their walls sit in. Raw samples
 are written to BENCH_RUNS.json (side file — kept out of the headline JSON
 line so the driver's tail capture never truncates it).
 
