@@ -345,6 +345,197 @@ def llm_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contamination_report_from(
+    train_docs: DataFrame,
+    bench_docs: DataFrame,
+    hashed_train: DataFrame | None = None,
+    hashed_bench: DataFrame | None = None,
+) -> DataFrame:
+    """Per-EVAL-doc leak report — the transpose of the decontamination
+    verdicts: for every benchmark document, how many train docs leak it
+    (exact 8-gram rung and fuzzy shingle-Jaccard rung) and the worst
+    candidate Jaccard seen. This is the artifact an eval owner reads to
+    decide which benchmark items are burnt — the per-train-doc verdicts
+    (``decontaminate_from`` / ``fuzzy_decontaminate_from``) decide what to
+    DROP; this decides what to stop TRUSTING.
+
+    Plan mirrors the verdict operators': bench n-grams/bands/hash sets and
+    both candidate relations broadcast; the corpus never shuffles anything
+    wider than (doc_id, bench_doc, scalar) candidate rows. The exact rung
+    here attributes hits to bench docs (the verdict form deliberately
+    distinct's them away), so a train gram shared by k eval docs emits k
+    candidate rows — bounded by the (tiny) suite, which is why the bench
+    side stays the build side everywhere. ``hashed_train``/``hashed_bench``
+    follow the same hashed contract as ``fuzzy_decontaminate_from``."""
+    from .dedup import JACCARD_THRESHOLD, bands_from, hashed_from
+
+    # exact rung, pair-attributed: per-doc-DISTINCT grams on both sides so
+    # the hit count is "distinct shared n-grams" (MIN_HITS semantics)
+    bench_g = ngram_rows(bench_docs, N_GRAM, distinct_per_doc=True).select(
+        F.col("doc_id").alias("bench_doc"), _hash60(F.col("ng")).alias("h")
+    )
+    train_g = ngram_rows(train_docs, N_GRAM, distinct_per_doc=True).select(
+        "doc_id", _hash60(F.col("ng")).alias("h")
+    )
+    pair_hits = (
+        train_g.join(F.broadcast(bench_g), "h")
+        .groupBy("doc_id", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("nh"))
+        .where(F.col("nh") >= MIN_HITS)
+    )
+    exact = pair_hits.groupBy("bench_doc").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_exact_leaks")
+    )
+
+    # fuzzy rung: same LSH candidates as fuzzy_decontaminate_from, grouped
+    # by the bench side; multi-band duplicate candidates agree on the
+    # Jaccard, so countDistinct/max absorb them without a pre-dedup
+    h_t = hashed_from(train_docs) if hashed_train is None else hashed_train
+    h_b = (
+        hashed_from(bench_docs, persist=False)
+        if hashed_bench is None
+        else hashed_bench
+    )
+    bb = bands_from(h_b).withColumnRenamed("doc_id", "bench_doc")
+    cands = (
+        bands_from(h_t)
+        .join(F.broadcast(bb), "band_key")
+        .select("doc_id", "bench_doc")
+    )
+    x = h_t.select("doc_id", F.col("hs").alias("hs_t"))
+    y = h_b.select(F.col("doc_id").alias("bench_doc"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_t", "hs_b")).cast("double")
+    sz = (F.size("hs_t") + F.size("hs_b")).cast("double")
+    scored = (
+        F.broadcast(cands)
+        .join(x, "doc_id")
+        .join(F.broadcast(y), "bench_doc")
+        .select("bench_doc", "doc_id", (inter / (sz - inter)).alias("jac"))
+    )
+    fuzzy = scored.groupBy("bench_doc").agg(
+        F.countDistinct(
+            F.when(F.col("jac") >= JACCARD_THRESHOLD, F.col("doc_id"))
+        )
+        .cast("bigint")
+        .alias("n_fuzzy_leaks"),
+        F.max("jac").alias("worst"),
+    )
+
+    worst0 = F.coalesce(F.col("worst"), F.lit(0.0))
+    return (
+        bench_docs.select(F.col("doc_id").alias("bench_doc"))
+        .join(F.broadcast(exact), "bench_doc", "left")
+        .join(F.broadcast(fuzzy), "bench_doc", "left")
+        .select(
+            "bench_doc",
+            F.coalesce(F.col("n_exact_leaks"), F.lit(0))
+            .cast("bigint")
+            .alias("n_exact_leaks"),
+            F.coalesce(F.col("n_fuzzy_leaks"), F.lit(0))
+            .cast("bigint")
+            .alias("n_fuzzy_leaks"),
+            F.round(worst0 + F.lit(1e-9), 4).alias("worst_jaccard"),
+        )
+    )
+
+
+def _contamination_report_oracle() -> str:
+    from .dedup import BASE_MINHASH_CTES_SQL, JACCARD_THRESHOLD
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+e AS (
+  SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w FROM w
+),
+l AS (
+  SELECT doc_id, w,
+         {", ".join(f"lead(w, {i}) OVER win AS w{i}" for i in range(1, N_GRAM))}
+  FROM e WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+ng AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(w || ' ' ||
+           {" || ' ' || ".join(f"w{i}" for i in range(1, N_GRAM))}), 1, 15)
+           AS BIGINT) AS h
+  FROM l WHERE w{N_GRAM - 1} IS NOT NULL
+),
+bench_g AS (
+  SELECT DISTINCT doc_id AS bench_doc, h FROM ng WHERE doc_id % {BENCH_MOD} = 0
+),
+train_g AS (
+  SELECT DISTINCT doc_id, h FROM ng WHERE doc_id % {BENCH_MOD} <> 0
+),
+pair_hits AS (
+  SELECT t.doc_id, b.bench_doc, COUNT(*) AS nh
+  FROM train_g t JOIN bench_g b USING (h) GROUP BY 1, 2
+),
+exact AS (
+  SELECT bench_doc, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_exact_leaks
+  FROM pair_hits WHERE nh >= {MIN_HITS} GROUP BY 1
+),
+{BASE_MINHASH_CTES_SQL.strip()},
+cands AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS bench_doc
+  FROM bands a JOIN bands b ON a.band_key = b.band_key
+  WHERE a.doc_id % {BENCH_MOD} <> 0 AND b.doc_id % {BENCH_MOD} = 0
+),
+verified AS (
+  SELECT c.bench_doc, c.doc_id,
+         CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS inter,
+         CAST(len(x.hs) + len(y.hs) AS DOUBLE) AS sz
+  FROM cands c
+  JOIN hh x ON x.doc_id = c.doc_id
+  JOIN hh y ON y.doc_id = c.bench_doc
+),
+fz AS (
+  SELECT bench_doc,
+         CAST(COUNT(DISTINCT CASE WHEN inter / (sz - inter)
+              >= {JACCARD_THRESHOLD} THEN doc_id END) AS BIGINT)
+           AS n_fuzzy_leaks,
+         MAX(inter / (sz - inter)) AS worst
+  FROM verified GROUP BY 1
+)
+SELECT d.doc_id AS bench_doc,
+       CAST(COALESCE(e.n_exact_leaks, 0) AS BIGINT) AS n_exact_leaks,
+       CAST(COALESCE(f.n_fuzzy_leaks, 0) AS BIGINT) AS n_fuzzy_leaks,
+       ROUND(COALESCE(f.worst, 0) + 1e-9, 4) AS worst_jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % {BENCH_MOD} = 0) d
+LEFT JOIN exact e ON e.bench_doc = d.doc_id
+LEFT JOIN fz f ON f.bench_doc = d.doc_id
+"""
+
+
+@register(
+    "llm_contamination_report",
+    survey_ops=("LLM-decontaminate", "A2", "A8"),
+    # Folded (driver=False): the 50-slot window is full and every tag here
+    # rides green driver rows (LLM-decontaminate on llm_decontaminate +
+    # llm_fuzzy_decontaminate, A2/A8 on many); local DuckDB parity + bench
+    # verify it, and a future rotation can swap it in.
+    doc="Per-eval-doc leak report (r9): for every benchmark document, the "
+    "count of train docs leaking it through the exact 8-gram rung and "
+    "through the fuzzy shingle-Jaccard rung, plus the worst candidate "
+    "Jaccard — the transpose of the decontamination verdicts (what to "
+    "stop trusting, not what to drop). Bench side broadcast everywhere.",
+    oracle=lambda sf_dir: _contamination_report_oracle(),
+    driver=False,
+)
+def llm_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bench_doc, n_exact_leaks, n_fuzzy_leaks, worst_jaccard) with
+    doc_id % BENCH_MOD == 0 standing in for the eval suite — the
+    oracle-checkable rendering of :func:`contamination_report_from`."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    is_bench = (F.col("doc_id") % BENCH_MOD) == 0
+    return contamination_report_from(
+        train.where(~is_bench), docs.where(is_bench)
+    )
+
+
 REPETITION_ORACLE_SQL = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents

@@ -462,3 +462,45 @@ def test_fuzzy_decontaminate_hashed_contract_reuses_caller_relations(spark):
     }
     assert got == self_built
     assert got[10][0] is True and got[11] == (False, 0.0)
+
+
+def test_contamination_report_attributes_leaks_per_bench_doc(spark):
+    """The report is the transpose of the verdicts: a bench doc with one
+    verbatim clone and one paraphrase in train shows exactly 1 exact leak
+    (the clone), 2 fuzzy leaks (clone jac=1.0 + paraphrase above
+    threshold), worst_jaccard 1.0; an unleaked bench doc reports zeros
+    and still appears (completeness)."""
+    from pyspark.sql import Row
+
+    base = [f"rp{i}t" for i in range(32)]
+    edited = list(base)
+    for p in (3, 11, 19, 27):
+        edited[p] = f"pp{p}u"
+    bench = spark.createDataFrame(
+        [
+            Row(doc_id=97, text=" ".join(base)),  # leaked
+            Row(doc_id=194, text=" ".join(f"cl{i}n" for i in range(32))),
+        ]
+    )
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=" ".join(base)),  # verbatim clone
+            Row(doc_id=11, text=" ".join(edited)),  # paraphrase
+            Row(doc_id=12, text=" ".join(f"zz{i}w" for i in range(32))),
+        ]
+    )
+    rows = {
+        int(r["bench_doc"]): r
+        for r in hygiene.contamination_report_from(train, bench).collect()
+    }
+    assert set(rows) == {97, 194}
+    leaked = rows[97]
+    assert leaked["n_exact_leaks"] == 1  # only the clone shares 8-grams
+    assert leaked["n_fuzzy_leaks"] == 2  # clone + paraphrase
+    assert leaked["worst_jaccard"] == 1.0
+    clean = rows[194]
+    assert (
+        clean["n_exact_leaks"],
+        clean["n_fuzzy_leaks"],
+        clean["worst_jaccard"],
+    ) == (0, 0, 0.0)

@@ -30,6 +30,7 @@ SPREAD_QUERIES = [
     "dedup_components",
     "llm_decontaminate",
     "llm_fuzzy_decontaminate",
+    "llm_contamination_report",
     "llm_pii_scrub",
     "text_repetition_stats",
     "text_boilerplate_ngrams",
@@ -61,7 +62,7 @@ def test_spread_invariant(spark, name, monkeypatch):
 # coverage cannot silently drift inside an already-listed module
 EXPECTED_SPREAD_SITES = {
     "operators/dedup.py": 5,
-    "operators/hygiene.py": 5,  # +1 r8: llm_fuzzy_decontaminate train scan
+    "operators/hygiene.py": 6,  # +1 r8 fuzzy train scan; +1 r9 contamination report
     "operators/textstats.py": 2,
     "operators/similarity.py": 1,
     "lopq/queries.py": 1,
