@@ -897,3 +897,41 @@ def test_forked_pool_rerank_matches_sequential_router(
                 fetch_vectors=router.resident_vectors,
             )
             assert got == want, f"pool rerank diverged for qid={qid}"
+
+
+def test_forked_pool_concurrent_queries_serialize_correctly(
+    spark, model, codes, queries_np
+):
+    """The HTTP layer serves from a ThreadingHTTPServer, so concurrent
+    threads WILL call pool.search simultaneously — the per-query lock
+    must serialize the pipe protocol (without it, two threads interleave
+    send/recv pairs and cross-wire answers). Hammer the pool from 8
+    threads and check every answer against the sequential router."""
+    import threading
+
+    from columbiaimagesearch_spark.lopq.serving import (
+        ForkedRouterPool,
+        ShardedServingRouter,
+    )
+
+    router = ShardedServingRouter.build(model, codes, n_shards=4)
+    want = {qid: router.search(q, quota=QUOTA, k=TOP_K) for qid, q in queries_np}
+    errors: list = []
+    with ForkedRouterPool(router) as pool:
+
+        def worker():
+            try:
+                for _ in range(5):
+                    for qid, q in queries_np:
+                        got = pool.search(q, quota=QUOTA, k=TOP_K)
+                        if got != want[qid]:
+                            errors.append((qid, got[:2], want[qid][:2]))
+            except Exception as e:  # noqa: BLE001 - surface to main thread
+                errors.append(repr(e))
+
+        threads = [threading.Thread(target=worker) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert not errors, errors[:3]
