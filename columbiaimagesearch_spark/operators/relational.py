@@ -1418,9 +1418,12 @@ _RANGE_BIN = 25.0  # bin width for the equi-join rewrite
     survey_ops=("X-range-join",),
     # Beyond-inventory showcase (X- tag), like the as-of join: the range
     # (inequality) join expressed as an equi-join so Catalyst picks a HASH
-    # join instead of BroadcastNestedLoopJoin. Promoted to the driver
-    # window in r5 (slot freed by folding the tag-redundant
-    # st1_count_batch_assembly) — second X-tag hash-checked row.
+    # join instead of BroadcastNestedLoopJoin. Held a driver row r5-r8
+    # (four hash-checked rounds vs DuckDB's native range join); folded r9
+    # with its as-of sibling so the round's new operator
+    # (llm_contamination_report) is not born folded — X- showcase tags
+    # need no driver carrier, and local parity + bench keep it verified.
+    driver=False,
     doc="Range join (point-in-interval): each event's value assigned to its "
     "[lo, hi) tier. The naive non-equi join plans as a nested-loop (every "
     "row probes every range); the REWRITE snaps both sides to fixed-width "
