@@ -53,6 +53,7 @@ def curate_docs(
     train_split_only: bool = True,
     scrub_pii: bool = False,
     fuzzy_decontaminate: bool = False,
+    contamination_report: bool = False,
     drop_substring_dups: bool = False,
     pack_budget: int = packing.PACK_BUDGET,
     pack_shards: int = packing.PACK_SHARDS,
@@ -73,7 +74,28 @@ def curate_docs(
     shingle-hash relation is handed straight to the fuzzy stage
     (``hashed_train=``), so the corpus text is shingle-hashed ONCE for
     dedup and fuzzy decontamination together — the fuzzy stage re-runs
-    only the 24-permutation signature pass over the cached int arrays."""
+    only the 24-permutation signature pass over the cached int arrays.
+
+    ``contamination_report=True`` (needs ``bench_docs``) additionally
+    emits the per-EVAL-doc leak report
+    (``hygiene.contamination_report_from``) over the DEDUPED corpus —
+    what the eval owner would face training on it before any
+    decontamination drop — as ``res.stages["contamination_report"]``,
+    reusing the same stage-1 shingle-hash cache (the report's fuzzy rung
+    re-runs only the signature pass; no extra corpus hash pass)."""
+    if (fuzzy_decontaminate or contamination_report) and bench_docs is None:
+        # an explicit opt-in with nothing to check against must fail
+        # loudly, not silently skip the stage the caller asked for
+        # (ADVICE r9: curate_docs(fuzzy_decontaminate=True) no-opped)
+        flag = (
+            "fuzzy_decontaminate"
+            if fuzzy_decontaminate
+            else "contamination_report"
+        )
+        raise ValueError(
+            f"{flag}=True requires bench_docs (the eval-benchmark suite "
+            "to check against); pass bench_docs or drop the flag"
+        )
     res = CurationResult()
     res.stages["input"] = docs
     if scrub_pii:
@@ -109,14 +131,31 @@ def curate_docs(
     )
     comp = dedup.connected_components(docs.select("doc_id"), pairs)
     bands.unpersist()
-    # hashed stays persisted through stage 2 when the fuzzy rung will
-    # reuse it (the hashed contract composed); otherwise it is dead here.
-    reuse_hashed = fuzzy_decontaminate and bench_docs is not None
+    # hashed stays persisted through stage 2 when the fuzzy rung and/or
+    # the contamination report will reuse it (the hashed contract
+    # composed); otherwise it is dead here.
+    reuse_hashed = fuzzy_decontaminate or contamination_report
     if not reuse_hashed:
         hashed.unpersist()
     losers = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
     docs = docs.join(losers, "doc_id", "left_anti")
     res.stages["after_dedup"] = docs
+
+    # 1a. per-eval-doc contamination report (opt-in): the trust-verdict
+    # transpose, over the DEDUPED corpus — what an eval owner faces
+    # before any decontamination drop. hashed is the PRE-dedup superset;
+    # the report's fuzzy rung scores whatever ids hashed_train carries
+    # (no completeness join to hide extras, unlike the verdict form), so
+    # the cache is narrowed to the current corpus with the same tiny
+    # losers anti-join that produced `docs` — still zero re-hash passes.
+    # Eagerly pinned (suite-sized rows) while the caches are hot; lazily
+    # it would re-hash the corpus after the unpersists below.
+    h_b = dedup.hashed_from(bench_docs) if reuse_hashed else None
+    if contamination_report:
+        h_cur = hashed.join(losers, "doc_id", "left_anti")
+        res.stages["contamination_report"] = hygiene.contamination_report_from(
+            docs, bench_docs, hashed_train=h_cur, hashed_bench=h_b
+        ).localCheckpoint(eager=True)
 
     # Stages 2-3 drop documents via EXPENSIVE verdict pipelines (the n-gram
     # decontamination explode+window, the repetition posexplode+window).
@@ -143,11 +182,11 @@ def curate_docs(
     # exact 8-gram stage is blind to. Reuses stage 1's persisted `hashed`
     # relation as hashed_train (its pre-dedup superset rows only produce
     # candidates for already-dropped ids, which the completeness left
-    # join over the CURRENT docs ignores); the bench suite is hashed once
-    # here, persisted for its two references (band table + hash sets),
-    # and both caches are consumed by the eager checkpoint below.
-    if reuse_hashed:
-        h_b = dedup.hashed_from(bench_docs)
+    # join over the CURRENT docs ignores); the bench suite was hashed
+    # once above, persisted for its references (band table + hash sets,
+    # and the report stage when both flags are on); both caches are
+    # consumed by the eager checkpoints and released below.
+    if fuzzy_decontaminate:
         fuzzy_dirty = (
             hygiene.fuzzy_decontaminate_from(
                 docs, bench_docs, hashed_train=hashed, hashed_bench=h_b
@@ -156,10 +195,11 @@ def curate_docs(
             .select("doc_id")
             .localCheckpoint(eager=True)
         )
-        h_b.unpersist()
-        hashed.unpersist()
         docs = docs.join(fuzzy_dirty, "doc_id", "left_anti")
         res.stages["after_fuzzy_decontam"] = docs
+    if reuse_hashed:
+        h_b.unpersist()
+        hashed.unpersist()
 
     # 2b. exact-substring duplication filter (optional): drop docs whose
     # duplicated-span coverage crosses the flag threshold — the Lee et al.

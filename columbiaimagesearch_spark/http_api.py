@@ -100,6 +100,10 @@ class ImageSearchService:
         # optional ForkedRouterPool over a sharded searcher (see
         # enable_parallel_pool); None = answer in-process
         self._pool = None
+        # remembered across pool discards: a broken pool is dropped by the
+        # fallback path, and refresh re-forks whenever parallel was asked
+        # for — even if the pool was None at refresh time
+        self._parallel = False
 
     # -- build / refresh -----------------------------------------------------
     @staticmethod
@@ -239,6 +243,21 @@ class ImageSearchService:
         if old is not None:
             old.close()
         self._pool = ForkedRouterPool(self.searcher)
+        self._parallel = True
+
+    def close(self) -> None:
+        """Tear the service down: shut the forked pool's workers down (each
+        COW-holds the index; without this they linger until process exit).
+        Idempotent; the service keeps answering in-process afterwards."""
+        pool, self._pool = self._pool, None
+        if pool is not None:
+            pool.close()
+
+    def __del__(self) -> None:  # best-effort straggler cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def refresh(self, new_images: DataFrame) -> int:
         """Index new images into the running service (the reference's
@@ -344,11 +363,14 @@ class ImageSearchService:
                 self.sha1_to_ids.setdefault(r["sha1"], []).append(int(r["id"]))
         finally:
             ided.unpersist()
-        if self._pool is not None:
+        if self._parallel:
             # forked children hold the PRE-refresh index copy-on-write;
             # re-fork so queries see the admitted rows (refresh is
             # lock-serialized, so no query can race the swap mid-protocol
-            # — the pool's own per-query lock covers the in-flight one)
+            # — in-flight queries drain through each worker's FIFO pipe
+            # before close()'s sentinel reaches it). `_parallel`, not
+            # `_pool is not None`: a pool dropped by the broken-pool
+            # fallback comes back at the next refresh
             self.enable_parallel_pool()
         self.last_refresh = datetime.now()
         return self.searcher.n_items - before
@@ -387,12 +409,32 @@ class ImageSearchService:
             )
             return [(int(i), float(ex)) for i, _adc, ex in hits]
 
+        from .lopq.serving import PoolBrokenError
+
         try:
             rows = _run(engine)
-        except (OSError, EOFError):
+        except (OSError, EOFError, PoolBrokenError):
             if engine is self.searcher:
                 raise
             rows = _run(self.searcher)
+            # The failed pool must not serve later queries (ADVICE r9: a
+            # dead-worker pool left installed kept answering). If it is
+            # still the installed one — a refresh-swap already replaced it
+            # otherwise — discard it and re-fork under the refresh lock
+            # (serializes concurrent fallbacks and refresh itself).
+            with self._refresh_lock:
+                if self._pool is engine:
+                    self._pool = None
+                    try:
+                        engine.close()
+                    except Exception:
+                        pass
+                    try:
+                        self.enable_parallel_pool()
+                    except Exception:
+                        # keep serving in-process; the next refresh
+                        # re-forks (self._parallel is still set)
+                        pass
         if opts.get("near_dup"):
             th = float(opts.get("near_dup_th", DEFAULT_NEAR_DUP_TH))
             rows = [(i, d) for i, d in rows if d <= th]

@@ -559,3 +559,48 @@ def test_parallel_pool_requires_sharded_service(spark, domain_images):
     single = http_api.ImageSearchService.build(spark, domain_images)
     with pytest.raises(ValueError, match="n_shards"):
         single.enable_parallel_pool()
+
+
+def test_broken_pool_is_discarded_and_reforked(spark, domain_images):
+    """ADVICE r9: a dead-worker pool must not stay installed. Kill the
+    pool's workers; the next query answers in-process (correct result),
+    and the service swaps in a FRESH pool — never the desynced one."""
+    import time as _time
+
+    pooled = http_api.ImageSearchService.build(
+        spark, domain_images, n_shards=2, parallel=True
+    )
+    sharded = http_api.ImageSearchService.build(
+        spark, domain_images, n_shards=2
+    )
+    try:
+        rows = domain_images.orderBy("sha1").limit(2).collect()
+        sha1s = [r["sha1"] for r in rows]
+        want = sharded.search_sha1_list(sha1s, {})
+        broken = pooled._pool
+        for p in broken._procs:
+            p.kill()
+        deadline = _time.time() + 10
+        while not broken._broken and _time.time() < deadline:
+            _time.sleep(0.05)
+        got = pooled.search_sha1_list(sha1s, {})
+        assert got == want  # fallback answered correctly
+        assert pooled._pool is not broken  # broken pool discarded
+        assert pooled._pool is not None and pooled._pool._procs  # re-forked
+        assert pooled.search_sha1_list(sha1s, {}) == want  # fresh pool serves
+    finally:
+        pooled.close()
+
+
+def test_service_close_shuts_pool_down(spark, domain_images):
+    """ADVICE r9: service teardown must close the pool (forked workers
+    each COW-hold the index; without close they linger to process exit)."""
+    pooled = http_api.ImageSearchService.build(
+        spark, domain_images, n_shards=2, parallel=True
+    )
+    procs = list(pooled._pool._procs)
+    assert procs
+    pooled.close()
+    assert pooled._pool is None
+    assert all(not p.is_alive() for p in procs)
+    pooled.close()  # idempotent

@@ -242,3 +242,65 @@ def test_curation_with_fuzzy_decontam_drops_paraphrase(spark):
         train, bench, train_split_only=False, fuzzy_decontaminate=True
     )
     assert fuzzy2.counts() == c
+
+
+def test_curate_opt_in_flags_without_bench_raise(spark):
+    """ADVICE r9: fuzzy_decontaminate=True (or contamination_report=True)
+    with no bench_docs silently no-opped an explicit opt-in — it must
+    raise instead."""
+    import pytest
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    with pytest.raises(ValueError, match="fuzzy_decontaminate"):
+        curate.curate_docs(docs, None, fuzzy_decontaminate=True)
+    with pytest.raises(ValueError, match="contamination_report"):
+        curate.curate_docs(docs, None, contamination_report=True)
+
+
+def test_curation_contamination_report_stage_matches_standalone(spark):
+    """contamination_report=True exposes the per-eval-doc leak report as
+    a chain stage, computed over the DEDUPED corpus from the shared
+    shingle-hash cache — it must equal the standalone operator run on the
+    same inputs (VERDICT r9 next-round #6), including when the fuzzy
+    decontamination rung runs in the same chain."""
+    from pyspark.sql import Row
+
+    from columbiaimagesearch_spark.operators import hygiene
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    # plant a verbatim clone of one bench doc so the report has a leak row
+    bench_text = " ".join(f"bq{i}w" for i in range(40))
+    train = docs.unionByName(
+        spark.createDataFrame(
+            [Row(doc_id=900_011, text=bench_text, lang="en", source="web")]
+        )
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=1_000_001, text=bench_text)]
+    ).select("doc_id", "text")
+
+    for fuzzy_flag in (False, True):
+        res = curate.curate_docs(
+            train, bench, train_split_only=False,
+            contamination_report=True, fuzzy_decontaminate=fuzzy_flag,
+        )
+        assert "contamination_report" in res.stages
+        got = sorted(
+            map(tuple, res.stages["contamination_report"].collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                hygiene.contamination_report_from(
+                    res.stages["after_dedup"], bench
+                ).collect(),
+            )
+        )
+        assert got == want
+        # the planted clone leaks its bench doc on both rungs
+        leak = dict((r[0], r) for r in got)[1_000_001]
+        assert leak[1] >= 1 and leak[2] >= 1

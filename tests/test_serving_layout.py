@@ -903,10 +903,11 @@ def test_forked_pool_concurrent_queries_serialize_correctly(
     spark, model, codes, queries_np
 ):
     """The HTTP layer serves from a ThreadingHTTPServer, so concurrent
-    threads WILL call pool.search simultaneously — the per-query lock
-    must serialize the pipe protocol (without it, two threads interleave
-    send/recv pairs and cross-wire answers). Hammer the pool from 8
-    threads and check every answer against the sequential router."""
+    threads WILL call pool.search simultaneously — requests are id-tagged
+    and multiplexed over the worker pipes (r10; the r9 pool-wide lock
+    serialized them), so replies must route back to exactly the query
+    that sent them. Hammer the pool from 8 threads and check every answer
+    against the sequential router."""
     import threading
 
     from columbiaimagesearch_spark.lopq.serving import (
@@ -935,3 +936,62 @@ def test_forked_pool_concurrent_queries_serialize_correctly(
         for t in threads:
             t.join()
     assert not errors, errors[:3]
+
+
+def test_forked_pool_worker_death_is_fatal(spark, model, codes, queries_np):
+    """ADVICE r9: a mid-protocol failure must be FATAL to the pool — a
+    desynced pipe can never serve another query. Kill one worker; the
+    pool must raise PoolBrokenError (never a silently partial answer) on
+    the next query touching it, and keep refusing afterwards."""
+    import time as _time
+
+    from columbiaimagesearch_spark.lopq.serving import (
+        ForkedRouterPool,
+        PoolBrokenError,
+        ShardedServingRouter,
+    )
+
+    router = ShardedServingRouter.build(model, codes, n_shards=4)
+    pool = ForkedRouterPool(router)
+    try:
+        _qid, q = queries_np[0]
+        assert pool.search(q, quota=QUOTA, k=TOP_K) == router.search(
+            q, quota=QUOTA, k=TOP_K
+        )
+        pool._procs[0].kill()
+        # the reader thread marks the pool broken on the worker's EOF;
+        # give it a beat, then every query must refuse loudly
+        deadline = _time.time() + 10
+        while not pool._broken and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert pool._broken, "worker death never marked the pool broken"
+        for _ in range(3):
+            with pytest.raises(PoolBrokenError):
+                pool.search(q, quota=QUOTA, k=TOP_K)
+    finally:
+        pool.close()
+    with pytest.raises(PoolBrokenError):
+        pool.search(queries_np[0][1], quota=QUOTA, k=TOP_K)
+
+
+def test_forked_pool_close_terminates_stragglers(spark, model, codes):
+    """ADVICE r9: close() must not leave a stuck worker COW-holding the
+    index. SIGSTOP one worker (it can neither drain the sentinel nor
+    exit); close() must escalate to terminate/kill and return with every
+    worker dead."""
+    import os
+    import signal
+
+    from columbiaimagesearch_spark.lopq.serving import (
+        ForkedRouterPool,
+        ShardedServingRouter,
+    )
+
+    router = ShardedServingRouter.build(model, codes, n_shards=4)
+    pool = ForkedRouterPool(router)
+    pool.JOIN_GRACE_S = 0.2  # don't wait the production grace in a test
+    victim = pool._procs[0]
+    os.kill(victim.pid, signal.SIGSTOP)
+    pool.close()
+    assert not victim.is_alive(), "close() left a stopped worker running"
+    assert not pool._procs
