@@ -319,9 +319,12 @@ LEFT JOIN agg a USING (doc_id)
 @register(
     "llm_fuzzy_decontaminate",
     survey_ops=("LLM-decontaminate", "DEDUP-minhash", "F9", "A8"),
-    # Rotated driver-visible in r9 (born folded in r8 — the round's only
-    # operator without a hash-checked driver row); t1/t2/j_asof folded to
-    # make room, all their non-showcase tags multiply driver-covered.
+    # Folded r10 after earning its hash-green driver row in r9: every tag
+    # multiply driver-covered (LLM-decontaminate via llm_decontaminate +
+    # llm_contamination_report, DEDUP-minhash via dedup_minhash_lsh_pairs,
+    # F9 via emb_lsh_near_dup_pairs, A8 broadly); slot freed for the
+    # j3/j6/st1 rotation back in. Still in the headline bench + parity.
+    driver=False,
     doc="Fuzzy decontamination: max exact shingle-Jaccard per train "
     "doc vs the eval suite over MinHash-LSH candidates — catches "
     "paraphrased/edited eval leakage that exact 8-gram overlap misses. "

@@ -94,11 +94,9 @@ def update_completeness(updates: DataFrame, features: DataFrame) -> DataFrame:
 @register(
     "st1_count_batch_assembly",
     survey_ops=("ST1", "A7", "C6"),
-    # Folded r5: every tag stays green on other driver rows (ST1 ->
-    # llm_seq_pack, A7 -> t5_ranked_output_assembly, C6 -> c_scalar_keys /
-    # text_token_stats); the freed slot promotes the range-join showcase.
-    # Still in the headline bench + local parity at every sf.
-    driver=False,
+    # Rotated back driver-visible r10 (folded r5 — among the oldest
+    # non-showcase folds; window rotation discipline). See j3's note for
+    # the specs folded in exchange.
     doc=f"Count-cut update batching: per event_type, ids in time order are "
     f"cut into batches of {BATCH_SIZE} (the count half of the reference's "
     "1000-or-600s trigger, extraction_checker.py:281-454); emits the "

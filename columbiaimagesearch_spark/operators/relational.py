@@ -294,10 +294,11 @@ def j2_explode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j3_anti_join_dedup",
     survey_ops=("J3", "F7"),
-    # Folded from the 50-slot driver window in round 4: J3 is driver-green via
-    # s6_merge_upsert and F7 via llm_decontaminate; still fully parity-checked
-    # locally (tests/test_oracle_parity.py) and runnable from bench.
-    driver=False,
+    # Rotated back driver-visible r10 (folded r4 — the oldest non-showcase
+    # fold carrying real §2 tags; window rotation discipline: every spec
+    # re-earns a hash-checked row periodically). c7/emb_l2_norms (freshly
+    # re-verified r9) and llm_fuzzy_decontaminate (driver-green r9) folded
+    # to make room, all their tags multiply driver-covered.
     doc="Dedup anti-join: incoming keys minus already-processed rows "
     "(extraction_checker.py:225-258 get_unprocessed_rows). Customers with no "
     "orders = unclaimed keys.",
@@ -370,7 +371,7 @@ def j4_ranked_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j6_cell_semi_join",
     survey_ops=("J6", "A2"),
-    driver=False,  # J6 driver-green via lopq_search_topk + ann_ivf_topk; A2 via a2_cell_histogram
+    # Rotated back driver-visible r10 (folded r4; see j3's rotation note).
     doc="Index-probe semi join: candidate cells select code buckets "
     "(lopq/lopq/search.py:125-135 + get_cell). Broadcast the tiny cell list; "
     "on a cell-partitioned codes table this prunes file groups entirely.",
@@ -1137,9 +1138,11 @@ def c_scalar_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "c7_cell_id_roundtrip",
     survey_ops=("C7", "C5"),
-    # Rotated back driver-visible r9 (oldest fold — no driver row since r5;
-    # the window invariant: every spec re-earns a hash-checked row
-    # periodically). t1/t2/j_asof folded to make room.
+    # Folded r10 after its r9 re-verification (hash-green CORRECTNESS_r09):
+    # C7 stays driver-covered via lopq_encode_codes' production codec and
+    # C5 via c_scalar_keys; slot freed for j3/j6/st1's rotation back in.
+    # Still parity-checked locally + in bench.
+    driver=False,
     doc="cell-id <-> coarse-pair codec (model.py:706-710: cell = c1*V + c2; "
     "inverse via div/mod) plus bbox-ish string pack/unpack (detector/utils.py).",
     oracle="""

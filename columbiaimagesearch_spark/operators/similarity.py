@@ -60,8 +60,10 @@ _COS_SQL = (
 @register(
     "emb_l2_norms",
     survey_ops=("C3", "C4"),
-    # Rotated back driver-visible r9 (no driver row since r5 — the oldest
-    # fold alongside c7_cell_id_roundtrip; window rotation discipline).
+    # Folded r10 after its r9 re-verification (hash-green CORRECTNESS_r09):
+    # C3/C4 stay driver-covered via emb_lsh_near_dup_pairs' in-kernel
+    # normalize + cast; slot freed for the j3/j6/st1 rotation.
+    driver=False,
     doc="L2 norm / normalization contract of the featurizer layer "
     "(featsio.py:13-22: features are stored L2-normalized float32).",
     oracle="""
