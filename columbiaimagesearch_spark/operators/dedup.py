@@ -697,6 +697,11 @@ def connected_components(
 @register(
     "dedup_components",
     survey_ops=("DEDUP-components", "A8", "J7"),
+    # Folded r10 (driver-green r1-r9) in exchange for dedup_cluster_stats
+    # entering at birth: DEDUP-components/A8 green there (same CC pipeline
+    # — a labeling error changes those hashes too), J7 via
+    # j7_incremental_add_anti. Still local-parity-checked + in bench.
+    driver=False,
     doc="Near-dup canonicalization: connected components over the verified "
     "MinHash-LSH pair graph via iterative min-label propagation (few rounds "
     "— cluster diameters are tiny); every doc maps to the smallest doc_id "
@@ -731,6 +736,84 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_size = F.count(F.lit(1)).over(Window.partitionBy("component"))
     return labels.select(
         "doc_id", "component", w_size.cast("bigint").alias("cluster_size")
+    )
+
+
+@register(
+    "dedup_cluster_stats",
+    survey_ops=("DEDUP-components", "A8", "A2"),
+    # NEW r10, driver-visible at birth (the r8/r9 lesson: new operators
+    # enter the window immediately); dedup_components folded in exchange —
+    # DEDUP-components stays covered here, J7 via j7_incremental_add_anti,
+    # and any labeling error changes these per-cluster hashes, so the CC
+    # machinery keeps a hash-checked driver row through this spec.
+    doc="Per-cluster dedup savings report: for every near-dup cluster of "
+    "2+ docs (connected components over the verified MinHash-LSH pair "
+    "graph), its size, total text chars, and the chars dedup saves by "
+    "keeping only the min-doc_id representative — the artifact a corpus "
+    "owner reads to see what near-dup dedup buys before running it. "
+    "Reference analogue: the update/index cardinality counters "
+    "(cufacesearch full_image_updates_stats) rendered at corpus-curation "
+    "grain. Scale: the pair graph is band-key-joined ints (never "
+    "all-pairs), label propagation is a handful of int-only rounds, and "
+    "the final agg is a partial+final hash agg on (component) — nothing "
+    "here widens with text size except the one length() scan.",
+    oracle=f"""
+WITH RECURSIVE {_PAIRS_CTES_SQL},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified
+  WHERE inter / (sz - inter) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+cc AS (
+  SELECT doc_id AS doc, doc_id AS root FROM documents
+  UNION
+  SELECT e.dst AS doc, cc.root
+  FROM cc JOIN edges e ON e.src = cc.doc
+),
+lab AS (
+  SELECT doc, MIN(root) AS component FROM cc GROUP BY doc
+)
+SELECT CAST(l.component AS BIGINT) AS component,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(d.text)) AS BIGINT) AS total_chars,
+       CAST(SUM(length(d.text))
+            - MAX(CASE WHEN d.doc_id = l.component
+                       THEN length(d.text) END) AS BIGINT) AS dup_chars
+FROM lab l JOIN documents d ON d.doc_id = l.doc
+GROUP BY l.component
+HAVING COUNT(*) >= 2
+""",
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(docs.select("doc_id"), pairs)
+    return (
+        labels.join(docs, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (
+                F.sum("n_chars")
+                - F.max(
+                    F.when(
+                        F.col("doc_id") == F.col("component"),
+                        F.col("n_chars"),
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("dup_chars"),
+        )
+        .where(F.col("n_docs") >= 2)
     )
 
 

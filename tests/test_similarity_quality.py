@@ -90,6 +90,44 @@ def test_connected_components_hand_graph(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
 
 
+def test_dedup_cluster_stats_consistent_with_components(spark):
+    """dedup_cluster_stats (r10) must be the exact per-cluster aggregation
+    of dedup_components' labeling joined with doc lengths: same multi-doc
+    components, sizes matching cluster_size, and dup_chars = total minus
+    the representative's chars (component IS the min doc_id, so its row
+    always exists)."""
+    from columbiaimagesearch_spark import registry
+    from columbiaimagesearch_spark.sources import load_table
+
+    specs = registry.all_specs()
+    stats = {
+        r["component"]: r
+        for r in specs["dedup_cluster_stats"].builder(spark, SF_SMOKE).collect()
+    }
+    labels = specs["dedup_components"].builder(spark, SF_SMOKE).collect()
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+    }
+    want: dict[int, dict] = {}
+    for r in labels:
+        if r["cluster_size"] >= 2:
+            w = want.setdefault(
+                r["component"], {"n_docs": 0, "total_chars": 0}
+            )
+            w["n_docs"] += 1
+            w["total_chars"] += lens[r["doc_id"]]
+    assert set(stats) == set(want)
+    for comp, w in want.items():
+        s = stats[comp]
+        assert s["n_docs"] == w["n_docs"]
+        assert s["total_chars"] == w["total_chars"]
+        assert s["dup_chars"] == w["total_chars"] - lens[comp]
+        assert 0 < s["dup_chars"] < s["total_chars"]
+
+
 def test_ann_cosine_matmul_matches_hof_form(spark):
     """The registered Arrow-matmul brute-force top-k and the JVM-HOF twin
     must agree bit-for-bit after the 4dp round — same ranks, ids, scores."""
