@@ -246,7 +246,10 @@ def serving_million_bench(
     p50/p99_parallel_router runs the same skewed queries through
     ForkedRouterPool (one forked worker per shard, COW-shared arrays,
     k-sized replies), so the slicing claim is a latency number again, not
-    only a row-count proxy."""
+    only a row-count proxy. r10 makes the tail measurement reproducible
+    (full-query-set COW warm-up, 128 skew queries, p90/p95 beside p99 —
+    SCALE.md §ForkedRouterPool) and adds the 8-thread concurrent
+    throughput pair (multiplexed pool vs sequential fan-out)."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -521,13 +524,22 @@ def serving_http_bench(spark, model, searcher, n_index: int,
     the (already-loaded) scale searcher — the same boundary the reference
     states its <1 s claim at (REST API, README.md:13). Expected shape:
     searcher latency + JSON/transport overhead. p50/p99 with the default
-    rerank path, p50_adc with rerank_nb=0."""
+    rerank path, p50_adc with rerank_nb=0.
+
+    r10 adds the concurrent pair at this boundary: 8 client threads
+    hammering byB64 (ADC path) against (a) an 8-shard sequential-fan-out
+    service and (b) the same shards behind ``enable_parallel_pool()`` —
+    the deployment shape VERDICT r9 #2 called out (a ThreadingHTTPServer
+    over the r9 lock-serialized pool degenerated to one query at a time;
+    the multiplexed pool must win END TO END, not only at the pool API)."""
     import base64 as b64mod
     import hashlib
+    import threading as _threading
     import urllib.request
 
     from columbiaimagesearch_spark import http_api
     from columbiaimagesearch_spark.lopq.model import LOPQModelPCA
+    from columbiaimagesearch_spark.lopq.serving import ShardedServingRouter
 
     lopq = model.lopq if isinstance(model, LOPQModelPCA) else model
     dim = 2 * lopq.half  # D = two coarse halves
@@ -539,10 +551,8 @@ def serving_http_bench(spark, model, searcher, n_index: int,
     )
     server = http_api.make_server(svc)
     http_api.serve_in_thread(server)
-    try:
-        host, port = server.server_address
-        url = f"http://{host}:{port}/{http_api.DEFAULT_ENDPOINT}/byB64"
 
+    def make_post(url: str):
         def post(payload: bytes, options: str | None = None) -> float:
             body = {"data": b64mod.b64encode(payload).decode()}
             if options:
@@ -556,6 +566,26 @@ def serving_http_bench(spark, model, searcher, n_index: int,
                 r.read()
             return (time.perf_counter() - t0) * 1000.0
 
+        return post
+
+    def http_qps(post, payloads, threads: int = 8) -> float:
+        def worker():
+            for p in payloads:
+                post(p, '{"rerank_nb": 0}')
+
+        ts = [_threading.Thread(target=worker) for _ in range(threads)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        return round(threads * len(payloads) / (time.perf_counter() - t0), 1)
+
+    try:
+        host, port = server.server_address
+        post = make_post(
+            f"http://{host}:{port}/{http_api.DEFAULT_ENDPOINT}/byB64"
+        )
         payloads = [
             hashlib.sha1(f"http-bench-{i}".encode()).digest()
             for i in range(n_queries)
@@ -563,7 +593,7 @@ def serving_http_bench(spark, model, searcher, n_index: int,
         post(payloads[0])  # warm (connection path, featurizer import)
         lat = sorted(post(p) for p in payloads)
         lat_adc = sorted(post(p, '{"rerank_nb": 0}') for p in payloads)
-        return {
+        out = {
             "p50": round(statistics.median(lat), 3),
             "p99": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 3),
             "p50_adc": round(statistics.median(lat_adc), 3),
@@ -571,6 +601,37 @@ def serving_http_bench(spark, model, searcher, n_index: int,
         }
     finally:
         server.shutdown()
+
+    # concurrent boundary pair: same 8-shard router behind both services
+    # (read-only, shareable); only the fan-out engine differs
+    router = ShardedServingRouter.from_replica(searcher, 8)
+    for parallel in (False, True):
+        s2 = http_api.ImageSearchService(
+            spark, model, router, id_to_sha1, sha1_to_ids,
+            _HashQueryModel(dim), "full_image",
+        )
+        if parallel:
+            s2.enable_parallel_pool()
+        srv2 = http_api.make_server(s2)
+        http_api.serve_in_thread(srv2)
+        try:
+            h2, p2 = srv2.server_address
+            post2 = make_post(
+                f"http://{h2}:{p2}/{http_api.DEFAULT_ENDPOINT}/byB64"
+            )
+            payloads = [
+                hashlib.sha1(f"http-conc-{i}".encode()).digest()
+                for i in range(n_queries)
+            ]
+            for p in payloads:  # warm (and COW pages when pooled)
+                post2(p, '{"rerank_nb": 0}')
+            key = "concurrent_qps_pool" if parallel else "concurrent_qps_router"
+            out[key] = http_qps(post2, payloads)
+        finally:
+            srv2.shutdown()
+            s2.close()
+    out["concurrent_threads"] = 8
+    return out
 
 
 def curation_bench(spark, sf_dir: str, *, full: bool = False) -> dict:
