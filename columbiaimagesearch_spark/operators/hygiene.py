@@ -513,10 +513,12 @@ LEFT JOIN fz f ON f.bench_doc = d.doc_id
 @register(
     "llm_contamination_report",
     survey_ops=("LLM-decontaminate", "A2", "A8"),
-    # Driver-visible from birth (r9): j_range_tier_assign (X- showcase,
-    # hash-checked r5-r8) folded to free the slot — the r8 fuzzy operator
-    # was born folded and the judge flagged exactly that pattern, so new
-    # operators now enter the window in their own round.
+    # Driver-visible from birth in r9; folded r10 after earning its
+    # hash-green row, freeing the slot for this round's second new
+    # operator (text_ngram_novelty) to enter at birth — the same
+    # earn-then-fold cycle as llm_fuzzy_decontaminate. Every tag stays
+    # multiply driver-covered (LLM-decontaminate via llm_decontaminate).
+    driver=False,
     doc="Per-eval-doc leak report (r9): for every benchmark document, the "
     "count of train docs leaking it through the exact 8-gram rung and "
     "through the fuzzy shingle-Jaccard rung, plus the worst candidate "
@@ -535,6 +537,107 @@ def llm_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_bench = (F.col("doc_id") % BENCH_MOD) == 0
     return contamination_report_from(
         train.where(~is_bench), docs.where(is_bench)
+    )
+
+
+NGRAM_NOVELTY_ORACLE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+e AS (
+  SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w FROM w
+),
+l AS (
+  SELECT doc_id, w,
+         {", ".join(f"lead(w, {i}) OVER win AS w{i}" for i in range(1, N_GRAM))}
+  FROM e WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+ng AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(w || ' ' ||
+           {" || ' ' || ".join(f"w{i}" for i in range(1, N_GRAM))}), 1, 15)
+           AS BIGINT) AS h
+  FROM l WHERE w{N_GRAM - 1} IS NOT NULL
+),
+f AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS first_doc FROM ng
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_seen
+  FROM f GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_seen, 0) AS BIGINT) AS n_seen,
+       ROUND(1.0 - COALESCE(CAST(p.n_seen AS DOUBLE) / p.n_grams, 0.0)
+             + 1e-9, 4) AS novelty
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+@register(
+    "text_ngram_novelty",
+    survey_ops=("DEDUP-ngram", "A2", "A8"),
+    # NEW r10, driver-visible at birth; llm_contamination_report (r9's
+    # newcomer, hash-green) folded in exchange — see its rotation note.
+    doc="Per-doc n-gram novelty score: the fraction of each document's "
+    "distinct word 8-grams whose FIRST corpus occurrence (min doc_id "
+    "over the gram's hash group) is the document itself — the standard "
+    "curation gradient between exact-substring dedup and keep-everything "
+    "(a doc that is 90% previously-seen text is boilerplate/near-dup "
+    "even when no single twin crosses the pair thresholds). Docs shorter "
+    "than the gram width score novelty 1.0 with zero grams. Scale: one "
+    "map-only gram-hash pass (array HOF, no token exchange), ONE "
+    "corpus-gram shuffle (window min over the 60-bit hash — grams of a "
+    "hash co-locate; per-doc-distinct grams bound a flood gram's group "
+    "at n_docs), then a map-side-combined per-doc agg of two ints. "
+    "Nothing downstream of the scan carries text.",
+    oracle=NGRAM_NOVELTY_ORACLE_SQL,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, n_seen, novelty) for every document — the
+    oracle-checkable rendering of :func:`ngram_novelty_from`."""
+    train = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    return ngram_novelty_from(train)
+
+
+def ngram_novelty_from(docs: DataFrame) -> DataFrame:
+    """Library form over any (doc_id, text) relation: per-doc distinct
+    8-gram counts and the fraction first seen in a LOWER-doc_id document
+    (novelty = 1 - n_seen/n_grams; short docs score 1.0 with 0 grams).
+    One gram-hash pass; see the registered spec's doc for the plan shape."""
+    from pyspark.sql import Window
+
+    g = ngram_rows(docs, N_GRAM, distinct_per_doc=True).select(
+        "doc_id", _hash60(F.col("ng")).alias("h")
+    )
+    per = (
+        g.withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("h"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_seen"),
+        )
+    )
+    ratio = F.when(
+        F.col("n_grams").isNotNull(),
+        F.col("n_seen").cast("double") / F.col("n_grams"),
+    ).otherwise(F.lit(0.0))
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_seen", F.lit(0)).cast("bigint").alias("n_seen"),
+        F.round(F.lit(1.0) - ratio + F.lit(1e-9), 4).alias("novelty"),
     )
 
 

@@ -504,3 +504,35 @@ def test_contamination_report_attributes_leaks_per_bench_doc(spark):
         clean["n_fuzzy_leaks"],
         clean["worst_jaccard"],
     ) == (0, 0, 0.0)
+
+
+def test_ngram_novelty_planted(spark):
+    """ngram_novelty_from hand-checked: a verbatim clone of an earlier doc
+    scores novelty 0 (every gram first seen at the original), a unique doc
+    scores 1.0, a half-copied doc lands in between, and a doc shorter than
+    the gram width scores 1.0 with zero grams."""
+    from pyspark.sql import Row
+
+    base = [f"nv{i}q" for i in range(32)]  # 32 words -> 25 distinct 8-grams
+    half = base[:16] + [f"hx{i}m" for i in range(16)]
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(base)),
+            Row(doc_id=2, text=" ".join(base)),  # clone of 1
+            Row(doc_id=3, text=" ".join(half)),  # first 16 words shared
+            Row(doc_id=4, text=" ".join(f"un{i}z" for i in range(32))),
+            Row(doc_id=5, text="too short"),  # < 8 words
+        ]
+    )
+    rows = {
+        int(r["doc_id"]): r for r in hygiene.ngram_novelty_from(docs).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert (rows[1]["n_grams"], rows[1]["n_seen"], rows[1]["novelty"]) == (25, 0, 1.0)
+    assert (rows[2]["n_grams"], rows[2]["n_seen"], rows[2]["novelty"]) == (25, 25, 0.0)
+    # doc 3 shares exactly the 9 grams fully inside base[:16] (positions
+    # 0..8 of the 8-gram window); its other 16 grams are new
+    assert rows[3]["n_grams"] == 25 and rows[3]["n_seen"] == 9
+    assert rows[3]["novelty"] == round(1 - 9 / 25 + 1e-9, 4)
+    assert (rows[4]["n_seen"], rows[4]["novelty"]) == (0, 1.0)
+    assert (rows[5]["n_grams"], rows[5]["n_seen"], rows[5]["novelty"]) == (0, 0, 1.0)

@@ -31,6 +31,7 @@ SPREAD_QUERIES = [
     "llm_decontaminate",
     "llm_fuzzy_decontaminate",
     "llm_contamination_report",
+    "text_ngram_novelty",
     "llm_pii_scrub",
     "text_repetition_stats",
     "text_boilerplate_ngrams",
@@ -62,7 +63,7 @@ def test_spread_invariant(spark, name, monkeypatch):
 # coverage cannot silently drift inside an already-listed module
 EXPECTED_SPREAD_SITES = {
     "operators/dedup.py": 5,
-    "operators/hygiene.py": 6,  # +1 r8 fuzzy train scan; +1 r9 contamination report
+    "operators/hygiene.py": 7,  # +1 r8 fuzzy; +1 r9 report; +1 r10 novelty
     "operators/textstats.py": 2,
     "operators/similarity.py": 1,
     "lopq/queries.py": 1,
