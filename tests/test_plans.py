@@ -155,6 +155,18 @@ def test_boilerplate_single_exchange(spark):
     assert explain.data_shuffles(plan) == 1, plan
 
 
+def test_ngram_novelty_two_exchanges_no_cartesian(spark):
+    plan = explain.formatted_plan(_q(spark, "text_ngram_novelty"))
+    # the gram relation must shuffle exactly ONCE (window min over the
+    # 60-bit hash — grams of a hash co-locate); the per-doc agg +
+    # completeness join add the doc_id exchange. A third keyed exchange
+    # means the gram relation is being joined back on itself (the
+    # two-pass agg+join shape this operator deliberately avoids — it
+    # would re-run the corpus gram-hash scan).
+    assert explain.data_shuffles(plan) == 2, plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
 def test_repetition_stats_is_map_only(spark):
     plan = explain.formatted_plan(_q(spark, "text_repetition_stats"))
     # repetition is a per-doc property: the stats must pipeline out of the
