@@ -55,6 +55,7 @@ def curate_docs(
     fuzzy_decontaminate: bool = False,
     contamination_report: bool = False,
     drop_substring_dups: bool = False,
+    min_novelty: float | None = None,
     pack_budget: int = packing.PACK_BUDGET,
     pack_shards: int = packing.PACK_SHARDS,
 ) -> CurationResult:
@@ -75,6 +76,15 @@ def curate_docs(
     (``hashed_train=``), so the corpus text is shingle-hashed ONCE for
     dedup and fuzzy decontamination together — the fuzzy stage re-runs
     only the 24-permutation signature pass over the cached int arrays.
+
+    ``min_novelty=x`` adds the n-gram novelty floor
+    (``hygiene.ngram_novelty_from``) after the substring stage: drop any
+    surviving doc whose distinct 8-grams are mostly first seen in an
+    earlier surviving doc (novelty < x) — the gradient filter for docs
+    that are largely previously-seen text without any single twin
+    crossing the pair thresholds. Computed over the CURRENT survivors, so
+    a cluster's kept representative scores high while its partial echoes
+    score low.
 
     ``contamination_report=True`` (needs ``bench_docs``) additionally
     emits the per-EVAL-doc leak report
@@ -221,6 +231,19 @@ def curate_docs(
         grams.unpersist()
         docs = docs.join(sub_ids, "doc_id", "left_anti")
         res.stages["after_substring_dedup"] = docs
+
+    # 2c. n-gram novelty floor (opt-in): same eager-drop-id discipline as
+    # the other verdict stages (the novelty pipeline shuffles the gram
+    # relation once; un-pinned it would re-run per downstream reference)
+    if min_novelty is not None:
+        nov_ids = (
+            hygiene.ngram_novelty_from(docs.select("doc_id", "text"))
+            .where(F.col("novelty") < F.lit(float(min_novelty)))
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        docs = docs.join(nov_ids, "doc_id", "left_anti")
+        res.stages["after_novelty"] = docs
 
     # 3. repetition filter
     rep = hygiene.repetition_stats_from(docs)

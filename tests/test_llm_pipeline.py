@@ -304,3 +304,49 @@ def test_curation_contamination_report_stage_matches_standalone(spark):
         # the planted clone leaks its bench doc on both rungs
         leak = dict((r[0], r) for r in got)[1_000_001]
         assert leak[1] >= 1 and leak[2] >= 1
+
+
+def test_curation_novelty_floor_drops_partial_echo(spark):
+    """min_novelty=x drops a doc that is largely previously-seen text
+    WITHOUT any single twin crossing the pair thresholds: a 40-word doc
+    copying the first 24 words of an earlier doc has shingle Jaccard
+    ~0.39 (survives MinHash dedup at threshold 0.5) but 8-gram novelty
+    ~0.485 (17 of its 33 grams first seen at the original). Unique docs
+    score 1.0 and survive."""
+    from pyspark.sql import Row
+
+    base = [f"nv{i}k" for i in range(40)]
+    echo = base[:24] + [f"eh{i}p" for i in range(16)]
+    rows = [
+        Row(doc_id=100, text=" ".join(base), lang="en", source="web"),
+        Row(doc_id=200, text=" ".join(echo), lang="en", source="web"),
+    ] + [
+        Row(
+            doc_id=300 + j,
+            text=" ".join(f"u{j}w{i}z" for i in range(40)),
+            lang="en",
+            source="web",
+        )
+        for j in range(10)
+    ]
+    docs = spark.createDataFrame(rows)
+
+    plain = curate.curate_docs(docs, None, train_split_only=False)
+    assert (
+        plain.stages["after_dedup"].where(F.col("doc_id") == 200).count() == 1
+    ), "echo doc must SURVIVE pair-threshold dedup for this test to bite"
+
+    floored = curate.curate_docs(
+        docs, None, train_split_only=False, min_novelty=0.6
+    )
+    assert "after_novelty" in floored.stages
+    surv = {r["doc_id"] for r in floored.stages["after_novelty"].collect()}
+    assert 200 not in surv  # the partial echo is gone
+    assert 100 in surv and all(300 + j in surv for j in range(10))
+    # deterministic: same inputs, same verdicts
+    again = curate.curate_docs(
+        docs, None, train_split_only=False, min_novelty=0.6
+    )
+    assert {
+        r["doc_id"] for r in again.stages["after_novelty"].collect()
+    } == surv
