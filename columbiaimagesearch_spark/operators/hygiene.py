@@ -641,6 +641,124 @@ def ngram_novelty_from(docs: DataFrame) -> DataFrame:
     )
 
 
+def _split_leakage_oracle() -> str:
+    from .dedup import _PAIRS_CTES_SQL, JACCARD_THRESHOLD
+    from .packing import TRAIN_UPTO, VAL_UPTO
+
+    bucket = (
+        "CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+        " AS BIGINT) % 1000"
+    )
+    return f"""
+WITH {_PAIRS_CTES_SQL},
+pairs AS (
+  SELECT doc_a, doc_b, ROUND(inter / (sz - inter), 4) AS jac
+  FROM verified WHERE inter / (sz - inter) >= {JACCARD_THRESHOLD}
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {bucket} < {TRAIN_UPTO} THEN 'train'
+              WHEN {bucket} < {VAL_UPTO} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+leaks AS (
+  SELECT CASE WHEN sa.split = 'train' THEN p.doc_b ELSE p.doc_a END AS doc_id,
+         p.jac
+  FROM pairs p
+  JOIN sp sa ON sa.doc_id = p.doc_a
+  JOIN sp sb ON sb.doc_id = p.doc_b
+  WHERE (sa.split = 'train') <> (sb.split = 'train')
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_train_twins, MAX(jac) AS mx
+  FROM leaks GROUP BY doc_id
+)
+SELECT s.doc_id, s.split,
+       CAST(COALESCE(a.n_train_twins, 0) AS BIGINT) AS n_train_twins,
+       COALESCE(a.mx, 0.0) AS max_jaccard,
+       COALESCE(a.n_train_twins, 0) > 0 AS leaked
+FROM sp s LEFT JOIN agg a USING (doc_id)
+WHERE s.split <> 'train'
+"""
+
+
+@register(
+    "llm_split_leakage",
+    survey_ops=("LLM-split", "DEDUP-minhash", "F9", "A8"),
+    # NEW r10, driver-visible at birth; llm_split_assign folded in
+    # exchange — this oracle embeds the IDENTICAL split-bucket SQL, so
+    # the split function keeps a hash-checked row transitively (a split
+    # error changes every heldout membership here), and LLM-split/F2 stay
+    # covered (F2 via f_predicate_bundle).
+    doc="Train->heldout split leakage report: for every val/test doc, the "
+    "count of TRAIN docs that near-duplicate it (the same verified "
+    "MinHash-LSH pairs as the dedup ladder) and the worst Jaccard — "
+    "eval-set hygiene INSIDE the corpus, the complement of benchmark "
+    "decontamination (external suites). A heldout doc with a train twin "
+    "inflates eval scores exactly like external contamination. Scale: "
+    "the pair relation is band-key-joined ints (never all-pairs); split "
+    "labels join onto the pair-sized relation, never the reverse; the "
+    "leak aggregate is heldout-leak-sized and broadcast back onto the "
+    "heldout completeness join.",
+    oracle=lambda sf_dir: _split_leakage_oracle(),
+)
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable rendering of :func:`split_leakage_from` over the
+    ``documents`` table (pairs from the registered LSH spec, so the one
+    spread-scan site is shared)."""
+    from .dedup import dedup_minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_leakage_from(docs, pairs=dedup_minhash_lsh_pairs(spark, sf_dir))
+
+
+def split_leakage_from(docs: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Library form over any (doc_id, text, lang) relation: per heldout
+    doc, its train near-dup twin count / worst Jaccard / leaked flag.
+    ``pairs`` (doc_a, doc_b, jaccard) defaults to the corpus's verified
+    MinHash-LSH pairs; pass a caller-owned relation to reuse caches."""
+    from .dedup import near_dup_pairs_from
+    from .packing import split_assign_from
+
+    splits = split_assign_from(docs).select("doc_id", "split")
+    if pairs is None:
+        pairs = near_dup_pairs_from(docs.select("doc_id", "text"))
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    leaks = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            (F.col("split_a") == "train") != (F.col("split_b") == "train")
+        )
+        .select(
+            F.when(F.col("split_a") == "train", F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_id"),
+            "jaccard",
+        )
+    )
+    agg = leaks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train_twins"),
+        F.max("jaccard").alias("mx"),
+    )
+    heldout = splits.where(F.col("split") != "train")
+    return heldout.join(F.broadcast(agg), "doc_id", "left").select(
+        "doc_id",
+        "split",
+        F.coalesce("n_train_twins", F.lit(0)).cast("bigint").alias(
+            "n_train_twins"
+        ),
+        F.coalesce("mx", F.lit(0.0)).alias("max_jaccard"),
+        (F.coalesce("n_train_twins", F.lit(0)) > 0).alias("leaked"),
+    )
+
+
 REPETITION_ORACLE_SQL = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents

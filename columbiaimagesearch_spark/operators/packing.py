@@ -79,6 +79,12 @@ LEFT JOIN (VALUES {", ".join(f"('{k}', {v})" for k, v in LANG_RATE_PERMILLE.item
 @register(
     "llm_split_assign",
     survey_ops=("LLM-split", "F2"),
+    # Folded r10 (driver-green r3-r9) in exchange for llm_split_leakage
+    # entering at birth: the leakage oracle embeds this exact split-bucket
+    # SQL, so the split function keeps a hash-checked driver row
+    # transitively; F2 green via f_predicate_bundle. Still in local
+    # parity + bench.
+    driver=False,
     doc="Reproducible train/val/test split + per-language stratified "
     "downsampling by two INDEPENDENT salted md5 buckets — a deterministic "
     "function of content keys, never of partitioning, so a 100 TB rescan "

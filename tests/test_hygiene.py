@@ -536,3 +536,46 @@ def test_ngram_novelty_planted(spark):
     assert rows[3]["novelty"] == round(1 - 9 / 25 + 1e-9, 4)
     assert (rows[4]["n_seen"], rows[4]["novelty"]) == (0, 1.0)
     assert (rows[5]["n_grams"], rows[5]["n_seen"], rows[5]["novelty"]) == (0, 0, 1.0)
+
+
+def test_split_leakage_planted_twin(spark):
+    """split_leakage_from hand-checked: give a known-heldout doc a
+    near-verbatim twin at a known-train doc_id (split membership comes
+    from the salted-hash split function itself, so the test discovers the
+    ids rather than assuming them); the heldout doc must report exactly
+    one train twin, and an unrelated heldout doc must report zero."""
+    from pyspark.sql import Row
+
+    from columbiaimagesearch_spark.operators import packing
+
+    ids = spark.createDataFrame(
+        [(i, "en") for i in range(100)], "doc_id bigint, lang string"
+    )
+    sp = {
+        int(r["doc_id"]): r["split"]
+        for r in packing.split_assign_from(ids).collect()
+    }
+    train_id = next(i for i in range(100) if sp[i] == "train")
+    held = [i for i in range(100) if sp[i] != "train"]
+    leak_id, clean_id = held[0], held[1]
+
+    base = [f"lk{i}t" for i in range(40)]
+    twin = list(base)
+    twin[39] = "edited"  # near-verbatim: shingle Jaccard just under 1.0
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=train_id, text=" ".join(base), lang="en"),
+            Row(doc_id=leak_id, text=" ".join(twin), lang="en"),
+            Row(doc_id=clean_id, text=" ".join(f"cz{i}o" for i in range(40)), lang="en"),
+        ]
+    )
+    rows = {
+        int(r["doc_id"]): r
+        for r in hygiene.split_leakage_from(docs).collect()
+    }
+    assert set(rows) == {leak_id, clean_id}  # heldout docs only
+    assert rows[leak_id]["leaked"] and rows[leak_id]["n_train_twins"] == 1
+    assert rows[leak_id]["max_jaccard"] > 0.9
+    assert not rows[clean_id]["leaked"]
+    assert rows[clean_id]["n_train_twins"] == 0
+    assert rows[clean_id]["max_jaccard"] == 0.0
