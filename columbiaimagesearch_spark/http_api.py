@@ -248,7 +248,11 @@ class ImageSearchService:
     def close(self) -> None:
         """Tear the service down: shut the forked pool's workers down (each
         COW-holds the index; without this they linger until process exit).
-        Idempotent; the service keeps answering in-process afterwards."""
+        Idempotent; the service keeps answering in-process afterwards —
+        including after a later ``refresh`` (``_parallel`` is cleared here
+        so refresh does NOT silently re-fork a pool behind a closed
+        service; call ``enable_parallel_pool()`` to opt back in)."""
+        self._parallel = False
         pool, self._pool = self._pool, None
         if pool is not None:
             pool.close()

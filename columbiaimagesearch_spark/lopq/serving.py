@@ -955,14 +955,30 @@ class ForkedRouterPool:
         """Shut the workers down. In-flight queries drain first (the
         shutdown sentinel queues BEHIND them in each worker's FIFO pipe);
         workers that outlive the join grace are terminated, then killed —
-        a stuck child never lingers holding the COW index (ADVICE r9)."""
+        a stuck child never lingers holding the COW index (ADVICE r9).
+
+        The sentinel send is BEST-EFFORT (ADVICE r10): a wedged worker
+        with a full pipe buffer must not block close() forever, so the
+        per-pipe lock is acquired with a bound and the pipe is checked
+        writable (select, zero wait) before sending — if either fails the
+        sentinel is skipped and the terminate/kill escalation below does
+        the job. New searches entering after this point are refused via
+        ``_closing`` (ADVICE r10: close() mutates the conn/lock lists, so
+        search() must not index into them mid-teardown)."""
+        import select
+
         self._closing = True
         for i, conn in enumerate(self._conns):
-            with self._send_locks[i]:
-                try:
+            if not self._send_locks[i].acquire(timeout=1.0):
+                continue  # a wedged sender holds the lock — skip, escalate
+            try:
+                _, writable, _ = select.select([], [conn], [], 0)
+                if writable:
                     conn.send(None)
-                except (BrokenPipeError, OSError):
-                    pass
+            except (BrokenPipeError, OSError, ValueError):
+                pass
+            finally:
+                self._send_locks[i].release()
         for p in self._procs:
             p.join(timeout=self.JOIN_GRACE_S)
         for p in self._procs:
@@ -1006,7 +1022,7 @@ class ForkedRouterPool:
         import bisect
 
         r = self.router
-        if self._broken:
+        if self._broken or self._closing:
             raise PoolBrokenError(
                 "pool is broken or closed; fork a fresh ForkedRouterPool"
             )
@@ -1032,17 +1048,27 @@ class ForkedRouterPool:
         req_id = next(self._req_counter)
         pending = _PendingQuery(set(by_shard))
         with self._pending_lock:
-            if self._broken:
+            if self._broken or self._closing:
                 raise PoolBrokenError(
                     "pool is broken or closed; fork a fresh ForkedRouterPool"
                 )
+            queue_depth = len(self._pending)
             if by_shard:
                 self._pending[req_id] = pending
         try:
             for i, cells in by_shard.items():
-                with self._send_locks[i]:
+                try:
+                    send_lock, conn = self._send_locks[i], self._conns[i]
+                except IndexError:
+                    # close() emptied the lists between our _closing check
+                    # and this send (ADVICE r10) — surface the documented
+                    # error, not an IndexError outside the contract
+                    raise PoolBrokenError(
+                        "pool closed mid-query; fork a fresh ForkedRouterPool"
+                    ) from None
+                with send_lock:
                     try:
-                        self._conns[i].send((req_id, q, cells, nb))
+                        conn.send((req_id, q, cells, nb))
                     except (BrokenPipeError, OSError) as e:
                         self._mark_broken(
                             PoolBrokenError(
@@ -1054,13 +1080,26 @@ class ForkedRouterPool:
                             f"send to pool worker {i} failed"
                         )
             if by_shard:
-                if not pending.event.wait(timeout=self.REPLY_TIMEOUT_S):
-                    self._mark_broken(
-                        PoolBrokenError(
-                            f"pool query {req_id} timed out after "
-                            f"{self.REPLY_TIMEOUT_S}s; the pool is broken"
+                # REPLY_TIMEOUT_S covers FIFO queue time too, so scale the
+                # deadline with the queue depth observed at registration —
+                # a deep backlog of healthy sub-ms queries must not read as
+                # a wedged worker (ADVICE r10).
+                deadline = self.REPLY_TIMEOUT_S * (1 + queue_depth)
+                if not pending.event.wait(timeout=deadline):
+                    # Re-check completeness under the lock before declaring
+                    # the pool broken: the final part may have landed in the
+                    # window between wait() timing out and this line — a
+                    # healthy pool with a complete answer must not be torn
+                    # down (ADVICE r10).
+                    with self._pending_lock:
+                        complete = len(pending.parts) == len(pending.expected)
+                    if not complete:
+                        self._mark_broken(
+                            PoolBrokenError(
+                                f"pool query {req_id} timed out after "
+                                f"{deadline}s; the pool is broken"
+                            )
                         )
-                    )
                 if pending.error is not None:
                     raise pending.error
         finally:

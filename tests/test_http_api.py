@@ -604,3 +604,28 @@ def test_service_close_shuts_pool_down(spark, domain_images):
     assert pooled._pool is None
     assert all(not p.is_alive() for p in procs)
     pooled.close()  # idempotent
+
+
+def test_refresh_after_close_stays_in_process(spark, domain_images):
+    """ADVICE r10: close() documents 'the service keeps answering
+    in-process afterwards' — so a later refresh() must NOT silently
+    re-fork a worker pool (resurrecting the COW-holding children close()
+    exists to reap). `_parallel` is cleared by close();
+    enable_parallel_pool() is the explicit opt-back-in."""
+    from columbiaimagesearch_spark.sources import fixtures
+
+    pooled = http_api.ImageSearchService.build(
+        spark, domain_images, n_shards=2, parallel=True
+    )
+    try:
+        pooled.close()
+        assert pooled._pool is None and not pooled._parallel
+        new_images = fixtures.generate(n_images=205).to_spark(spark)["images"]
+        assert pooled.refresh(new_images) > 0
+        assert pooled._pool is None  # refresh answered in-process, no re-fork
+        rows = domain_images.orderBy("sha1").limit(1).collect()
+        assert pooled.search_sha1_list([rows[0]["sha1"]], {})  # still serves
+        pooled.enable_parallel_pool()  # explicit opt-in resurrects the pool
+        assert pooled._pool is not None and pooled._parallel
+    finally:
+        pooled.close()

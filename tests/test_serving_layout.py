@@ -995,3 +995,66 @@ def test_forked_pool_close_terminates_stragglers(spark, model, codes):
     pool.close()
     assert not victim.is_alive(), "close() left a stopped worker running"
     assert not pool._procs
+
+
+def test_forked_pool_close_race_raises_pool_broken(spark, model, codes, queries_np):
+    """ADVICE r10: close() empties _conns/_send_locks while _broken was
+    only set at the very end — a search() racing close() could index the
+    emptied lists and leak an IndexError outside the documented
+    PoolBrokenError contract. Pin the contract: once _closing is set (and
+    even if _broken were somehow still False with the lists gone), search
+    raises PoolBrokenError, never IndexError."""
+    from columbiaimagesearch_spark.lopq.serving import (
+        ForkedRouterPool,
+        PoolBrokenError,
+        ShardedServingRouter,
+    )
+
+    router = ShardedServingRouter.build(model, codes, n_shards=2)
+    pool = ForkedRouterPool(router)
+    pool.close()
+    assert not pool._conns and not pool._send_locks
+    # simulate the mid-close interleaving the ADVICE describes: lists
+    # already cleared but the broken flag not yet observed by the caller
+    pool._broken = False
+    q = queries_np[0][1]
+    with pytest.raises(PoolBrokenError):
+        pool.search(q, quota=QUOTA, k=TOP_K)
+
+
+def test_forked_pool_close_survives_full_pipe_buffer(spark, model, codes):
+    """ADVICE r10: close() used to send the shutdown sentinel with a
+    blocking Connection.send() — a wedged (SIGSTOPped) worker whose pipe
+    buffer is FULL would block close() forever, never reaching the
+    terminate/kill escalation built for exactly that worker. Fill the
+    victim's pipe to the brim, then close(): it must return promptly with
+    every worker dead."""
+    import os
+    import select as _select
+    import signal
+    import time as _time
+
+    from columbiaimagesearch_spark.lopq.serving import (
+        ForkedRouterPool,
+        ShardedServingRouter,
+    )
+
+    router = ShardedServingRouter.build(model, codes, n_shards=2)
+    pool = ForkedRouterPool(router)
+    pool.JOIN_GRACE_S = 0.2
+    victim = pool._procs[0]
+    os.kill(victim.pid, signal.SIGSTOP)
+    conn = pool._conns[0]
+    junk = b"x" * 65536
+    for _ in range(1024):  # O/S pipe buffer is ~64KiB-1MiB; stop when full
+        _, writable, _ = _select.select([], [conn], [], 0)
+        if not writable:
+            break
+        conn.send_bytes(junk)
+    else:
+        pytest.skip("could not fill the pipe buffer")
+    t0 = _time.time()
+    pool.close()
+    elapsed = _time.time() - t0
+    assert not victim.is_alive(), "close() left the wedged worker running"
+    assert elapsed < 10, f"close() blocked {elapsed:.1f}s on a full pipe"
