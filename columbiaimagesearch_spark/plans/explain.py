@@ -92,7 +92,12 @@ def assert_no_cartesian(df: DataFrame) -> str:
 
 
 def data_shuffles(plan: str) -> int:
-    """Count shuffle Exchange nodes that move EXPANDED or KEYED data,
+    """``len(keyed_exchange_blocks(plan))`` — see there for the contract."""
+    return len(keyed_exchange_blocks(plan))
+
+
+def keyed_exchange_blocks(plan: str) -> list[str]:
+    """Detail blocks of shuffle Exchange nodes that move EXPANDED or KEYED data,
     excluding only the scan-spreading round-robin repartition that
     ``sources.parallelize_scan`` inserts on single-split sources: that
     exchange carries each input row once, directly off the scan, before
@@ -105,7 +110,12 @@ def data_shuffles(plan: str) -> int:
 
     Formatted-mode plans print a tree section, then one detail block per
     node (``(4) Exchange`` / ``Arguments: hashpartitioning(...)``); the
-    blocks classify the partitioning, the tree gives the position."""
+    blocks classify the partitioning, the tree gives the position.
+
+    Returning the BLOCKS (not just a count) lets payload assertions ride
+    the same exemption logic: a block's ``Input [...]`` line names every
+    column the exchange moves, so ``any("text#" in b for b in blocks)``
+    checks whether a wide column crosses a data shuffle."""
     import re
 
     sections = plan.split("\n\n")
@@ -133,7 +143,7 @@ def data_shuffles(plan: str) -> int:
                 return False
         return False
 
-    n = 0
+    out: list[str] = []
     for i, ln in enumerate(tree):
         m = re.search(r"(\S*Exchange) \((\d+)\)", ln)
         if not m or m.group(1) != "Exchange":
@@ -143,5 +153,5 @@ def data_shuffles(plan: str) -> int:
         # AQE-wrapped ones "RoundRobinPartitioning" — match both
         if "roundrobinpartitioning" in block.lower() and _scan_below(i):
             continue
-        n += 1
-    return n
+        out.append(block)
+    return out

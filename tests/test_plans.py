@@ -167,6 +167,54 @@ def test_ngram_novelty_two_exchanges_no_cartesian(spark):
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
 
 
+def test_split_leakage_broadcast_agg_no_text_shuffle(spark):
+    plan = explain.formatted_plan(_q(spark, "llm_split_leakage"))
+    # the docstring contract (hygiene.split_leakage_from): split labels
+    # join onto the PAIR-sized relation (never pairs onto a corpus-wide
+    # shuffle of text), and the per-doc leak aggregate BROADCASTS onto the
+    # heldout completeness join. Pin both: (a) the left joins that stitch
+    # the agg back are BroadcastHashJoins — a SortMergeJoin LeftOuter
+    # here means the corpus-sized heldout side started shuffling for a
+    # pair-sized build; (b) no keyed exchange carries the text column —
+    # text must die at the gram-hash scan (only the benign pre-expansion
+    # round-robin spread may move it, and keyed_exchange_blocks already
+    # excludes that one).
+    assert "BroadcastHashJoin LeftOuter" in plan, plan
+    assert "SortMergeJoin LeftOuter" not in plan, plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    carried = [b for b in explain.keyed_exchange_blocks(plan) if "text#" in b]
+    assert not carried, f"text crosses a data shuffle:\n{carried}\n{plan}"
+
+
+def test_cluster_stats_single_agg_no_text_shuffle(spark):
+    plan = explain.formatted_plan(_q(spark, "dedup_cluster_stats"))
+    # the docstring contract (dedup.dedup_cluster_stats): int-only label
+    # propagation (checkpoint-pinned, so it contributes no lineage here)
+    # + ONE partial/final hash aggregation on component; text is touched
+    # by exactly one length() scan and never shuffles. A second keyed
+    # exchange means the label join stopped broadcasting; any text-bearing
+    # exchange means the length() projection slid above a shuffle.
+    assert explain.data_shuffles(plan) == 1, plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    carried = [b for b in explain.keyed_exchange_blocks(plan) if "text#" in b]
+    assert not carried, f"text crosses a data shuffle:\n{carried}\n{plan}"
+
+
+def test_embedding_decontaminate_is_map_only(spark):
+    plan = explain.formatted_plan(_q(spark, "llm_embedding_decontaminate"))
+    # the docstring contract (hygiene.embedding_decontaminate_from): the
+    # bench side is a PYTHON broadcast probe dict, so no join relation may
+    # enter the plan at all, and the 100 TB corpus side runs one map-only
+    # Arrow pass — any Join node means the bench side became a plan
+    # relation (and with it a corpus-side shuffle risk); any keyed
+    # exchange means the probe stopped being map-side.
+    assert explain.data_shuffles(plan) == 0, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
 def test_repetition_stats_is_map_only(spark):
     plan = explain.formatted_plan(_q(spark, "text_repetition_stats"))
     # repetition is a per-doc property: the stats must pipeline out of the
