@@ -131,10 +131,8 @@ def lopq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a5_recall_stats",
     survey_ops=("A5", "V12", "T1"),
-    # Folded r8 after its r7 re-verification (VERDICT r7 next-round #5):
-    # A5 stays driver-green on lopq_eval_diagnostics, V12 on
-    # ann_cosine_topk, T1 on t1_distance_topk (rotated back in exchange).
-    driver=False,
+    # Rotated back driver-visible r11 (driver-green r7, folded r8 — the
+    # oldest fold in the window; VERDICT r10 next-round item 1).
     doc="Retrieval-quality harness (lopq/lopq/eval.py:92-142 get_recall): "
     "recall@{1,5,10} of the LOPQ searcher vs the exact brute-force ground "
     "truth (eval.py:7-38), computed as Spark joins/aggregations: truth = "

@@ -580,8 +580,11 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 @register(
     "text_ngram_novelty",
     survey_ops=("DEDUP-ngram", "A2", "A8"),
-    # NEW r10, driver-visible at birth; llm_contamination_report (r9's
-    # newcomer, hash-green) folded in exchange — see its rotation note.
+    # NEW r10, driver-visible at birth (hash-green r10); folded r11 for
+    # the rotation (see relational.py j3's note): DEDUP-ngram stays green
+    # on dedup_minhash_lsh_pairs, A2/A8 on many rows. Its 2-exchange plan
+    # shape stays pinned by tests/test_plans.py.
+    driver=False,
     doc="Per-doc n-gram novelty score: the fraction of each document's "
     "distinct word 8-grams whose FIRST corpus occurrence (min doc_id "
     "over the gram's hash group) is the document itself — the standard "
@@ -756,6 +759,216 @@ def split_leakage_from(docs: DataFrame, pairs: DataFrame | None = None) -> DataF
         ),
         F.coalesce("mx", F.lit(0.0)).alias("max_jaccard"),
         (F.coalesce("n_train_twins", F.lit(0)) > 0).alias("leaked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space decontamination (r11) — the paraphrase-robust rung of the
+# decontamination ladder: n-gram/Jaccard decontamination (llm_decontaminate /
+# llm_fuzzy_decontaminate above) is lexical, so a paraphrased benchmark doc
+# with low word overlap sails through. Embedding cosine catches it.
+# ---------------------------------------------------------------------------
+
+EMB_BENCH_MOD = 10  # vec_id % EMB_BENCH_MOD == 0 stands in for the eval suite
+EMB_DECON_COS = 0.40  # similarity.NEAR_DUP_COS — synthetic-corpus threshold
+EMB_DECON_MAX_BENCH_BYTES = 512 << 20  # loud refusal line for the broadcast
+
+
+def embedding_decontaminate_from(
+    corpus_vecs: DataFrame,
+    bench_vecs: DataFrame,
+    threshold: float = EMB_DECON_COS,
+    bands: int | None = None,
+    bits: int | None = None,
+    seed: int | None = None,
+    max_bench_bytes: int = EMB_DECON_MAX_BENCH_BYTES,
+) -> DataFrame:
+    """Per corpus vector: its benchmark near-twin count / best cosine /
+    contaminated flag, over any two (vec_id, v array<double>) relations.
+
+    Plan — the asymmetric rendering of the LSH family (the eval suite is
+    SMALL by definition; the corpus is the 100 TB side):
+
+    1. the bench side is collected once, band-keyed with the same seeded
+       sign-bit hyperplanes as ``similarity.emb_lsh_pairs_from``, and
+       BROADCAST as a {(band, key) -> bench rows} probe dict (a Python
+       broadcast, so no join relation enters the plan at all);
+    2. the corpus is scanned ONCE in a map-only Arrow pass: each vector
+       band-keys itself, probes the dict, and verifies the candidate
+       union by exact elementwise cosine in-kernel.
+
+    ZERO shuffles, zero joins, never all-pairs (plan-asserted): candidate
+    work per corpus row is O(colliding bench rows), and the completeness
+    contract (one output row per corpus vector) falls out of the map pass
+    for free. ``max_bench_bytes`` refuses loudly when the "bench" side is
+    too big to broadcast — at that size it is not an eval suite and the
+    symmetric ``emb_lsh_pairs_from`` self-join is the right tool. Knobs
+    omitted => derived from the BENCH count (the collision side) via
+    ``derive_lsh_knobs``; probe recall at ``threshold`` rides its band-OR
+    floor. C3/C4: the kernel L2-normalizes the float->double-cast
+    embeddings (featsio.py:13-22 contract).
+
+    Reference: decontamination has no counterpart in the reference engine;
+    the near-dup threshold filter is generic_searcher.py:43-45.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import LSH_SEED, _lsh_band_keys, derive_lsh_knobs
+
+    if seed is None:
+        seed = LSH_SEED
+    bench_pdf = bench_vecs.select("vec_id", "v").toPandas()
+    bench_pdf = bench_pdf.sort_values("vec_id").reset_index(drop=True)
+    B = np.array(list(bench_pdf["v"]), dtype=np.float64)
+    if B.size and B.nbytes > max_bench_bytes:
+        raise RuntimeError(
+            f"embedding_decontaminate_from: bench side is {B.nbytes >> 20} "
+            f"MiB > max_bench_bytes={max_bench_bytes >> 20} MiB; a relation "
+            "this large is a corpus, not an eval suite — use the symmetric "
+            "emb_lsh_pairs_from self-join (or raise max_bench_bytes)."
+        )
+    bench_ids = bench_pdf["vec_id"].to_numpy(dtype=np.int64)
+    if bands is None or bits is None:
+        d_bands, d_bits = derive_lsh_knobs(len(bench_ids), threshold=threshold)
+        bands = d_bands if bands is None else bands
+        bits = d_bits if bits is None else bits
+    lookup: dict[tuple[int, int], list[int]] = {}
+    if len(bench_ids):
+        bkeys = _lsh_band_keys(B, bands, bits, seed)
+        Bn = B / np.sqrt(np.einsum("ij,ij->i", B, B))[:, None]
+        for b in range(bands):
+            for i, k in enumerate(bkeys[:, b]):
+                lookup.setdefault((b, int(k)), []).append(i)
+    else:
+        Bn = B
+    spark = corpus_vecs.sparkSession
+    bc = spark.sparkContext.broadcast((Bn, lookup))
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Bn_w, lookup_w = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            Vn = V / np.sqrt(np.einsum("ij,ij->i", V, V))[:, None]
+            keys = _lsh_band_keys(V, bands, bits, seed)
+            out = []
+            for r, vid in enumerate(pdf["vec_id"].to_numpy()):
+                cand: set[int] = set()
+                for b in range(bands):
+                    cand.update(lookup_w.get((b, int(keys[r, b])), ()))
+                n, mx = 0, 0.0
+                if cand:
+                    # per-pair elementwise cosine — same reduction the
+                    # NumPy twin runs, so the oracle reproduces it bitwise
+                    cos = (Bn_w[sorted(cand)] * Vn[r]).sum(axis=1)
+                    hit = cos >= threshold
+                    n = int(hit.sum())
+                    if n:
+                        mx = float(np.round(cos[hit].max(), 4))
+                out.append((int(vid), n, mx, n > 0))
+            yield pd.DataFrame(
+                out,
+                columns=["vec_id", "n_bench_twins", "max_cos", "contaminated"],
+            )
+
+    return corpus_vecs.mapInPandas(
+        probe,
+        "vec_id bigint, n_bench_twins bigint, max_cos double, "
+        "contaminated boolean",
+    )
+
+
+def _embedding_decontaminate_oracle(sf_dir: str) -> str:
+    """NumPy twin over the fixture embeddings parquet: identical seeded
+    planes, band keys, candidate probe, and elementwise cosine as the
+    Spark kernel (the established twin-oracle pattern of
+    emb_lsh_near_dup_pairs)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..lopq.twin import values_sql
+    from .similarity import LSH_BANDS, LSH_BITS, LSH_SEED, _lsh_band_keys
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    is_bench = ids % EMB_BENCH_MOD == 0
+    border = np.argsort(ids[is_bench], kind="stable")
+    B, bench_ids = X[is_bench][border], ids[is_bench][border]
+    C, corpus_ids = X[~is_bench], ids[~is_bench]
+    bkeys = _lsh_band_keys(B, LSH_BANDS, LSH_BITS, LSH_SEED)
+    ckeys = _lsh_band_keys(C, LSH_BANDS, LSH_BITS, LSH_SEED)
+    Bn = B / np.sqrt(np.einsum("ij,ij->i", B, B))[:, None]
+    Cn = C / np.sqrt(np.einsum("ij,ij->i", C, C))[:, None]
+    lookup: dict[tuple[int, int], list[int]] = {}
+    for b in range(LSH_BANDS):
+        for i, k in enumerate(bkeys[:, b]):
+            lookup.setdefault((b, int(k)), []).append(i)
+    rows = []
+    for r in range(len(corpus_ids)):
+        cand: set[int] = set()
+        for b in range(LSH_BANDS):
+            cand.update(lookup.get((b, int(ckeys[r, b])), ()))
+        n, mx = 0, 0.0
+        if cand:
+            cos = (Bn[sorted(cand)] * Cn[r]).sum(axis=1)
+            hit = cos >= EMB_DECON_COS
+            n = int(hit.sum())
+            if n:
+                mx = float(np.round(cos[hit].max(), 4))
+        rows.append((int(corpus_ids[r]), n, mx, n > 0))
+    return values_sql(
+        sorted(rows),
+        [
+            ("vec_id", "BIGINT"),
+            ("n_bench_twins", "BIGINT"),
+            ("max_cos", "DOUBLE"),
+            ("contaminated", "BOOLEAN"),
+        ],
+    )
+
+
+@register(
+    "llm_embedding_decontaminate",
+    survey_ops=("LLM-decontaminate", "DEDUP-embedding", "F9", "C3", "C4"),
+    # NEW r11, driver-visible at birth (VERDICT r10 next-round item 5):
+    # the paraphrase-robust decontamination rung the lexical ladder lacks.
+    doc=f"Embedding-space benchmark decontamination: flag corpus vectors "
+    f"within cosine {EMB_DECON_COS} of any eval-suite vector (vec_id % "
+    f"{EMB_BENCH_MOD} == 0 stands in for the suite). The bench side is "
+    "band-keyed once and BROADCAST as a probe dict; the corpus runs ONE "
+    "map-only Arrow pass (band-key, probe, exact cosine verify in-kernel) "
+    "— zero shuffles, zero joins, never all-pairs (plan-asserted). "
+    "Oracle: NumPy twin (identical seeded planes + elementwise kernels).",
+    oracle=_embedding_decontaminate_oracle,
+)
+def llm_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    is_bench = (F.col("vec_id") % EMB_BENCH_MOD) == 0
+    # spread only the corpus branch: it carries the Arrow kernel; the bench
+    # branch is a one-shot driver collect (same asymmetry as
+    # llm_decontaminate's train-only spread, measured there)
+    corpus = (
+        load_table(spark, sf_dir, "embeddings", spread=True)
+        .where(~is_bench)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    bench = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(is_bench)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    from .similarity import LSH_BANDS, LSH_BITS
+
+    # fixture knobs EXPLICIT (the twin oracle reproduces exactly these);
+    # library callers omit them and get bench-count-derived knobs
+    return embedding_decontaminate_from(
+        corpus, bench, bands=LSH_BANDS, bits=LSH_BITS
     )
 
 

@@ -94,9 +94,10 @@ def update_completeness(updates: DataFrame, features: DataFrame) -> DataFrame:
 @register(
     "st1_count_batch_assembly",
     survey_ops=("ST1", "A7", "C6"),
-    # Rotated back driver-visible r10 (folded r5 — among the oldest
-    # non-showcase folds; window rotation discipline). See j3's note for
-    # the specs folded in exchange.
+    # Folded r11 after its fresh r10 green row (rotation discipline; see
+    # relational.py j3's note): ST1 stays green on llm_seq_pack, A7 on
+    # t5_ranked_output_assembly, C6 on c_scalar_keys / text_token_stats.
+    driver=False,
     doc=f"Count-cut update batching: per event_type, ids in time order are "
     f"cut into batches of {BATCH_SIZE} (the count half of the reference's "
     "1000-or-600s trigger, extraction_checker.py:281-454); emits the "

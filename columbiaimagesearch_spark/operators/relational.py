@@ -294,11 +294,12 @@ def j2_explode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j3_anti_join_dedup",
     survey_ops=("J3", "F7"),
-    # Rotated back driver-visible r10 (folded r4 — the oldest non-showcase
-    # fold carrying real §2 tags; window rotation discipline: every spec
-    # re-earns a hash-checked row periodically). c7/emb_l2_norms (freshly
-    # re-verified r9) and llm_fuzzy_decontaminate (driver-green r9) folded
-    # to make room, all their tags multiply driver-covered.
+    # Folded r11 right after its fresh r10 green row (rotation discipline:
+    # fold the freshest rows to free slots for the oldest folds). J3 stays
+    # green on s6_merge_upsert, F7 on llm_decontaminate. Slot goes to the
+    # r11 rotation (a5_recall_stats / a6_event_percentiles /
+    # t1_distance_topk) + the new llm_embedding_decontaminate.
+    driver=False,
     doc="Dedup anti-join: incoming keys minus already-processed rows "
     "(extraction_checker.py:225-258 get_unprocessed_rows). Customers with no "
     "orders = unclaimed keys.",
@@ -371,7 +372,9 @@ def j4_ranked_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j6_cell_semi_join",
     survey_ops=("J6", "A2"),
-    # Rotated back driver-visible r10 (folded r4; see j3's rotation note).
+    # Folded r11 after its fresh r10 green row (see j3's rotation note):
+    # J6 stays green on lopq_search_topk, A2 on many rows.
+    driver=False,
     doc="Index-probe semi join: candidate cells select code buckets "
     "(lopq/lopq/search.py:125-135 + get_cell). Broadcast the tiny cell list; "
     "on a cell-partitioned codes table this prunes file groups entirely.",
@@ -558,11 +561,10 @@ def a_rollup_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t1_distance_topk",
     survey_ops=("T1", "T6"),
-    # Folded r9 after its r8 re-verification (freshest driver row in the
-    # window): T1 stays green on j4_ranked_metadata_join / ann_cosine_topk /
-    # lopq_search_topk, T6 on s4_cursor_scan. Slot goes to the r9 rotation
-    # (llm_fuzzy_decontaminate / c7_cell_id_roundtrip / emb_l2_norms).
-    driver=False,
+    # Rotated back driver-visible r11 (folded r9; VERDICT r10 next-round
+    # item 1: the oldest non-showcase folds re-earn a hash-checked row).
+    # j3/j6/st1/text_ngram_novelty folded in exchange, all their tags
+    # multiply driver-covered.
     doc="Global sort+limit (search.py:206-215 sorts candidates by distance, "
     "cuts to limit). Spark plans TakeOrderedAndProject: per-partition top-k, "
     "then a k-row merge on the driver — no full sort at scale.",
@@ -1469,10 +1471,8 @@ def j_range_tier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a6_event_percentiles",
     survey_ops=("A6", "A2"),
-    # Driver-green r6 (hash-checked); folded r7 to rotate ann_ivf_topk back
-    # through the window. A6 stays green on w_event_windows, A2 on many
-    # rows; local parity + bench keep this spec verified.
-    driver=False,
+    # Rotated back driver-visible r11 (driver-green r6, folded r7 — one of
+    # the two oldest folds; see t1_distance_topk's rotation note).
     doc="Stream-metrics percentiles: exact p50/p95/p99 of event value per "
     "event_type (the monitoring rollup behind the reference's ingestion "
     "counters, kafka_image_processor push_*_stats). Spark's exact "

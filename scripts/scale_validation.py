@@ -42,6 +42,11 @@ SUB_RE = re.compile(
     r"missed=(?P<missed>\d+) extras=(?P<extras>\d+) wall=(?P<wall>[\d.]+)s "
     r"\| @(?P<n_small>\d+): wall=(?P<wall_s>[\d.]+)s \| ratio=(?P<ratio>[\d.]+)x"
 )
+DECON_RE = re.compile(
+    r"\[scale-knobs\] emb decon @(?P<n_corpus>\d+) corpus x (?P<n_bench>\d+) "
+    r"bench: knobs=\((?P<bands>\d+),(?P<bits>\d+)\) flagged=(?P<flagged>\d+) "
+    r"recall=(?P<recall>[\d.]+) extras=(?P<extras>\d+) wall=(?P<wall>[\d.]+)s"
+)
 SRV_RE = re.compile(
     r"\[scale-serving\] router==replica @(?P<n>\d+) skewed rows: "
     r"queries=(?P<queries>\d+) mismatches=(?P<mismatches>\d+) "
@@ -100,6 +105,12 @@ def main() -> int:
         record["substring"] = {
             k: (float(v) if "." in v else int(v)) for k, v in g.items()
         }
+    m = DECON_RE.search(out)
+    if m:
+        g = m.groupdict()
+        record["emb_decon"] = {
+            k: (float(v) if "." in v else int(v)) for k, v in g.items()
+        }
     m = SRV_RE.search(out)
     if m:
         g = m.groupdict()
@@ -108,7 +119,7 @@ def main() -> int:
         }
     if any(
         k not in record
-        for k in ("emb_lsh", "minhash", "substring", "serving_1m")
+        for k in ("emb_lsh", "minhash", "substring", "emb_decon", "serving_1m")
     ):
         sys.stderr.write(
             "scale_validation: pytest passed but the printed summaries did "

@@ -579,3 +579,96 @@ def test_split_leakage_planted_twin(spark):
     assert not rows[clean_id]["leaked"]
     assert rows[clean_id]["n_train_twins"] == 0
     assert rows[clean_id]["max_jaccard"] == 0.0
+
+
+def test_embedding_decontaminate_catches_planted_paraphrase(spark):
+    """The embedding rung exists to catch what the lexical ladder cannot:
+    a paraphrase has low n-gram overlap but near-identical embedding.
+    Plant near-copies of bench vectors (cos ~ 1.0) in a corpus of random
+    distractors: every plant must be flagged with the right twin count,
+    and every flag must agree with the brute-force ground truth (the
+    verify step makes false positives impossible; pin it anyway)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.RandomState(7)
+    d = 16
+    B = rng.randn(8, d)
+    plants = B[:4] + 1e-6 * rng.randn(4, d)  # paraphrases of bench 0..3
+    distract = rng.randn(20, d)
+    corpus = np.vstack([plants, distract])
+    bench_df = spark.createDataFrame(
+        [Row(vec_id=100 + i, v=[float(x) for x in row]) for i, row in enumerate(B)]
+    )
+    corpus_df = spark.createDataFrame(
+        [Row(vec_id=i, v=[float(x) for x in row]) for i, row in enumerate(corpus)]
+    )
+    got = {
+        int(r["vec_id"]): r
+        for r in hygiene.embedding_decontaminate_from(
+            corpus_df, bench_df
+        ).collect()
+    }
+    assert set(got) == set(range(len(corpus)))  # completeness: every row
+    # brute-force ground truth
+    Bn = B / np.sqrt((B * B).sum(1))[:, None]
+    Cn = corpus / np.sqrt((corpus * corpus).sum(1))[:, None]
+    cos = Cn @ Bn.T
+    truth_n = (cos >= hygiene.EMB_DECON_COS).sum(axis=1)
+    for i in range(4):  # the plants: cos ~ 1.0 -> band keys match surely
+        assert got[i]["contaminated"], f"planted paraphrase {i} missed"
+        assert got[i]["max_cos"] > 0.99
+    for i in range(len(corpus)):
+        # the probe can only UNDER-report vs truth (LSH recall), never over
+        assert got[i]["n_bench_twins"] <= int(truth_n[i])
+        if not truth_n[i]:
+            assert not got[i]["contaminated"], f"false positive at {i}"
+
+
+def test_embedding_decontaminate_recall_floor_on_fixture(spark):
+    """Probe recall vs brute force over the fixture embeddings at the
+    registered knobs: the LSH candidate step may drop borderline pairs
+    (band-OR recall < 1) but must stay above the family's floor, and
+    every reported twin must be a true twin."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    spec = __import__(
+        "columbiaimagesearch_spark.registry", fromlist=["all_specs"]
+    ).all_specs()["llm_embedding_decontaminate"]
+    got = {
+        int(r["vec_id"]): int(r["n_bench_twins"])
+        for r in spec.builder(spark, SF_SMOKE).collect()
+    }
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    Xn = X / np.sqrt((X * X).sum(1))[:, None]
+    is_bench = ids % hygiene.EMB_BENCH_MOD == 0
+    cos = Xn[~is_bench] @ Xn[is_bench].T
+    truth = {
+        int(i): int(n)
+        for i, n in zip(ids[~is_bench], (cos >= hygiene.EMB_DECON_COS).sum(1))
+    }
+    assert set(got) == set(truth)
+    found = sum(got.values())
+    true_pairs = sum(truth.values())
+    assert all(got[i] <= truth[i] for i in got), "probe over-reported"
+    assert true_pairs > 0, "fixture has no planted twins — test is vacuous"
+    assert found / true_pairs >= 0.7, (found, true_pairs)
+
+
+def test_embedding_decontaminate_refuses_oversized_bench(spark):
+    """A 'bench' side too big to broadcast is a corpus: refuse loudly and
+    point at the symmetric self-join instead of silently collecting GiBs
+    onto the driver."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, v=[float(x) for x in rng.randn(8)]) for i in range(64)]
+    )
+    with pytest.raises(RuntimeError, match="max_bench_bytes"):
+        hygiene.embedding_decontaminate_from(df, df, max_bench_bytes=64)

@@ -240,3 +240,56 @@ def test_substring_spans_scale_500k(spark):
     )
     small.unpersist()
     docs.unpersist()
+
+
+def test_embedding_decontaminate_scale_500k(spark):
+    """(r11) The embedding decontamination rung at scale shape: a 5k-vector
+    eval suite broadcast against a 495k-vector corpus in ONE map-only
+    pass. The corpus's last N_DUPS rows are noisy copies of bases
+    0..N_DUPS-1 (cos ~0.97), so with bench = those bases every planted
+    copy must flag at the production 0.9 threshold; knobs derive from the
+    BENCH count (the collision side). No shuffle, no join, no all-pairs —
+    wall is one corpus scan."""
+    from columbiaimagesearch_spark.operators.hygiene import (
+        embedding_decontaminate_from,
+    )
+
+    big = synth.gen_embeddings(spark, N_LARGE, N_DUPS).persist()
+    assert big.count() == N_LARGE
+    bench = big.where(F.col("vec_id") < N_DUPS)
+    corpus = big.where(F.col("vec_id") >= N_DUPS).select("vec_id", "v")
+    bands, bits = derive_lsh_knobs(N_DUPS, threshold=THRESHOLD)
+
+    def run(c):
+        t0 = time.perf_counter()
+        res = embedding_decontaminate_from(
+            c, bench.select("vec_id", "v"), threshold=THRESHOLD
+        )
+        agg = res.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("contaminated").cast("long")).alias("flagged"),
+        ).collect()[0]
+        hits = {
+            r["vec_id"]
+            for r in res.where(F.col("contaminated"))
+            .select("vec_id")
+            .collect()
+        }
+        return agg, hits, time.perf_counter() - t0
+
+    # warm the worker pool on a slice before the timed run (bench method)
+    run(corpus.limit(1000))
+    agg, hits, wall = run(corpus)
+    assert agg["n"] == N_LARGE - N_DUPS  # completeness: one row per vector
+    planted = {N_LARGE - N_DUPS + j for j in range(N_DUPS)}
+    recall = len(hits & planted) / len(planted)
+    extras = len(hits - planted)  # exact-verified, so extras = true random
+    # twins; at dim 32 a random cosine >= 0.9 is ~impossible
+    assert recall >= 0.95, recall
+    assert extras == 0, extras
+    print(
+        f"\n[scale-knobs] emb decon @{N_LARGE - N_DUPS} corpus x {N_DUPS} "
+        f"bench: knobs=({bands},{bits}) flagged={len(hits)} "
+        f"recall={recall:.4f} extras={extras} wall={wall:.1f}s"
+    )
+    big.unpersist()

@@ -38,6 +38,7 @@ SPREAD_QUERIES = [
     "text_quality_score",
     "text_langid",
     "emb_lsh_near_dup_pairs",
+    "llm_embedding_decontaminate",
     "lopq_eval_diagnostics",
 ]
 
@@ -63,7 +64,8 @@ def test_spread_invariant(spark, name, monkeypatch):
 # coverage cannot silently drift inside an already-listed module
 EXPECTED_SPREAD_SITES = {
     "operators/dedup.py": 5,
-    "operators/hygiene.py": 7,  # +1 r8 fuzzy; +1 r9 report; +1 r10 novelty
+    "operators/hygiene.py": 8,  # +1 r8 fuzzy; +1 r9 report; +1 r10 novelty;
+    # +1 r11 embedding decontamination (corpus branch)
     "operators/textstats.py": 2,
     "operators/similarity.py": 1,
     "lopq/queries.py": 1,
