@@ -54,6 +54,7 @@ def curate_docs(
     scrub_pii: bool = False,
     fuzzy_decontaminate: bool = False,
     contamination_report: bool = False,
+    cluster_stats: bool = False,
     drop_substring_dups: bool = False,
     min_novelty: float | None = None,
     pack_budget: int = packing.PACK_BUDGET,
@@ -85,6 +86,13 @@ def curate_docs(
     crossing the pair thresholds. Computed over the CURRENT survivors, so
     a cluster's kept representative scores high while its partial echoes
     score low.
+
+    ``cluster_stats=True`` additionally emits the per-cluster dedup
+    savings report (``dedup.cluster_stats_from`` — what stage 1's drop
+    buys, in docs and chars, per near-dup cluster) as
+    ``res.stages["cluster_stats"]``, off the SAME component labeling the
+    dedup stage already computed (no extra hash pass or label
+    propagation; the one addition is a length() scan + int agg).
 
     ``contamination_report=True`` (needs ``bench_docs``) additionally
     emits the per-EVAL-doc leak report
@@ -147,6 +155,13 @@ def curate_docs(
     reuse_hashed = fuzzy_decontaminate or contamination_report
     if not reuse_hashed:
         hashed.unpersist()
+    if cluster_stats:
+        # per-cluster dedup savings over the PRE-drop docs (post-PII if
+        # scrubbing ran — savings should measure the text we'd train on),
+        # reusing the checkpointed component labeling; lazy is fine here:
+        # comp is already pinned and docs at this point is scan + tiny
+        # anti-joins, so a later action re-runs one length scan + int agg
+        res.stages["cluster_stats"] = dedup.cluster_stats_from(docs, comp)
     losers = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
     docs = docs.join(losers, "doc_id", "left_anti")
     res.stages["after_dedup"] = docs

@@ -790,13 +790,25 @@ HAVING COUNT(*) >= 2
 """,
 )
 def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.length("text").cast("bigint").alias("n_chars")
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(docs.select("doc_id"), pairs)
+    return cluster_stats_from(docs, labels)
+
+
+def cluster_stats_from(docs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Library form over any (doc_id, text) relation plus a
+    (doc_id, component) labeling (e.g. :func:`connected_components`
+    output): per >=2-doc cluster, its member count / total chars / chars
+    dedup saves by keeping only the min-doc_id representative. ONE
+    length() projection is the only thing that touches text; the label
+    join and the partial/final hash agg move ints only (plan-asserted in
+    tests/test_plans.py)."""
+    d = docs.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
     return (
-        labels.join(docs, "doc_id")
+        labels.join(d, "doc_id")
         .groupBy("component")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -350,3 +350,39 @@ def test_curation_novelty_floor_drops_partial_echo(spark):
     assert {
         r["doc_id"] for r in again.stages["after_novelty"].collect()
     } == surv
+
+
+def test_curation_cluster_stats_stage_matches_standalone(spark):
+    """cluster_stats=True exposes the per-cluster dedup-savings report as
+    a chain stage off the SAME component labeling stage 1 already
+    computed (VERDICT r10 next-round #4) — it must equal the standalone
+    dedup_cluster_stats operator on the same corpus, and its dup_chars
+    must account exactly for the chars the dedup drop removed."""
+    from columbiaimagesearch_spark import registry
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    res = curate.curate_docs(docs, None, train_split_only=False,
+                             cluster_stats=True)
+    assert "cluster_stats" in res.stages
+    got = sorted(map(tuple, res.stages["cluster_stats"].collect()))
+    want = sorted(
+        map(
+            tuple,
+            registry.all_specs()["dedup_cluster_stats"]
+            .builder(spark, SF_SMOKE)
+            .collect(),
+        )
+    )
+    assert got == want
+    assert got, "fixture corpus has no >=2-doc clusters — test is vacuous"
+    # the savings ledger balances: sum(dup_chars) == chars dropped by dedup
+    dropped = (
+        res.stages["input"].join(
+            res.stages["after_dedup"].select("doc_id"), "doc_id", "left_anti"
+        )
+        .agg(F.sum(F.length("text")).cast("bigint"))
+        .collect()[0][0]
+    )
+    assert sum(r[3] for r in got) == dropped
