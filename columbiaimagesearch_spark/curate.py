@@ -53,6 +53,8 @@ def curate_docs(
     train_split_only: bool = True,
     scrub_pii: bool = False,
     fuzzy_decontaminate: bool = False,
+    doc_embeddings: DataFrame | None = None,
+    bench_embeddings: DataFrame | None = None,
     contamination_report: bool = False,
     cluster_stats: bool = False,
     drop_substring_dups: bool = False,
@@ -87,6 +89,17 @@ def curate_docs(
     a cluster's kept representative scores high while its partial echoes
     score low.
 
+    ``bench_embeddings`` (needs ``doc_embeddings``; both (doc_id, v
+    array<double>) relations) adds the EMBEDDING decontamination rung
+    after the lexical ones: paraphrased eval leakage with low n-gram
+    overlap but high embedding cosine
+    (``hygiene.embedding_decontaminate_from`` — the suite broadcast as a
+    band-key probe dict, one map-only pass over ``doc_embeddings``).
+    ``doc_embeddings`` may be the PRE-dedup superset: extra rows only
+    produce drop ids for already-dropped docs, which the anti-join
+    ignores — probing them map-side is cheaper than a corpus-sized
+    semi-join shuffle to trim them first.
+
     ``cluster_stats=True`` additionally emits the per-cluster dedup
     savings report (``dedup.cluster_stats_from`` — what stage 1's drop
     buys, in docs and chars, per near-dup cluster) as
@@ -101,6 +114,19 @@ def curate_docs(
     decontamination drop — as ``res.stages["contamination_report"]``,
     reusing the same stage-1 shingle-hash cache (the report's fuzzy rung
     re-runs only the signature pass; no extra corpus hash pass)."""
+    if (bench_embeddings is None) != (doc_embeddings is None):
+        # same loud-failure contract as the bench_docs flags below: an
+        # embedding rung with only one side supplied cannot run
+        have, need = (
+            ("bench_embeddings", "doc_embeddings")
+            if doc_embeddings is None
+            else ("doc_embeddings", "bench_embeddings")
+        )
+        raise ValueError(
+            f"{have} requires {need} (the embedding decontamination rung "
+            "needs both the corpus and the eval-suite embeddings); pass "
+            "both or neither"
+        )
     if (fuzzy_decontaminate or contamination_report) and bench_docs is None:
         # an explicit opt-in with nothing to check against must fail
         # loudly, not silently skip the stage the caller asked for
@@ -225,6 +251,30 @@ def curate_docs(
     if reuse_hashed:
         h_b.unpersist()
         hashed.unpersist()
+
+    # 2b'. embedding decontamination (opt-in): the paraphrase-robust rung
+    # — eval leakage with low lexical overlap but high embedding cosine.
+    # One map-only pass over doc_embeddings against the broadcast
+    # band-keyed suite; the drop-id set is eagerly pinned like every
+    # other verdict stage. doc_embeddings may be the pre-dedup superset
+    # (see the docstring) — the completeness rows it emits for dropped
+    # ids die in the anti-join.
+    if bench_embeddings is not None:
+        emb_dirty = (
+            hygiene.embedding_decontaminate_from(
+                doc_embeddings.select(
+                    F.col("doc_id").alias("vec_id"), "v"
+                ),
+                bench_embeddings.select(
+                    F.col("doc_id").alias("vec_id"), "v"
+                ),
+            )
+            .where(F.col("contaminated"))
+            .select(F.col("vec_id").alias("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+        docs = docs.join(emb_dirty, "doc_id", "left_anti")
+        res.stages["after_embedding_decontam"] = docs
 
     # 2b. exact-substring duplication filter (optional): drop docs whose
     # duplicated-span coverage crosses the flag threshold — the Lee et al.

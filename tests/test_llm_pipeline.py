@@ -386,3 +386,62 @@ def test_curation_cluster_stats_stage_matches_standalone(spark):
         .collect()[0][0]
     )
     assert sum(r[3] for r in got) == dropped
+
+
+def test_curation_embedding_decontam_drops_paraphrase(spark):
+    """The embedding rung inside the chain: a doc that is LEXICALLY clean
+    (unique words — no 8-gram or shingle overlap with the suite) but whose
+    embedding sits on top of a bench embedding must be dropped by
+    bench_embeddings=..., and only by it; the drop-id set must equal the
+    standalone operator's verdicts on the same relations. Passing one
+    side without the other fails loudly."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    from columbiaimagesearch_spark.operators import hygiene as hyg
+
+    rng = np.random.RandomState(11)
+    base = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    ).limit(50)
+    leak = spark.createDataFrame(
+        [Row(doc_id=900_021, text=" ".join(f"pp{i}k" for i in range(40)),
+             lang="en", source="web")]
+    )
+    docs = base.unionByName(leak)
+    bench_vec = rng.randn(16)
+    doc_emb = spark.createDataFrame(
+        [Row(doc_id=int(r["doc_id"]),
+             v=[float(x) for x in rng.randn(16)])
+         for r in base.collect()]
+        + [Row(doc_id=900_021,
+               v=[float(x) for x in bench_vec + 1e-6 * rng.randn(16)])]
+    )
+    bench_emb = spark.createDataFrame(
+        [Row(doc_id=1, v=[float(x) for x in bench_vec])]
+    )
+    res = curate.curate_docs(
+        docs, None, train_split_only=False,
+        doc_embeddings=doc_emb, bench_embeddings=bench_emb,
+    )
+    assert "after_embedding_decontam" in res.stages
+    before = {r["doc_id"] for r in res.stages["after_fuzzy_decontam"].collect()} \
+        if "after_fuzzy_decontam" in res.stages \
+        else {r["doc_id"] for r in res.stages["after_decontam"].collect()}
+    after = {r["doc_id"] for r in res.stages["after_embedding_decontam"].collect()}
+    assert 900_021 in before  # lexically clean: survived the lexical rungs
+    assert 900_021 not in after  # ... but the embedding rung caught it
+    # the stage's drop set equals the standalone operator's verdicts
+    want_dropped = {
+        r["vec_id"]
+        for r in hyg.embedding_decontaminate_from(
+            doc_emb.select(F.col("doc_id").alias("vec_id"), "v"),
+            bench_emb.select(F.col("doc_id").alias("vec_id"), "v"),
+        ).where(F.col("contaminated")).collect()
+    }
+    assert before - after == want_dropped & before
+    with pytest.raises(ValueError, match="doc_embeddings"):
+        curate.curate_docs(docs, None, bench_embeddings=bench_emb)
+    with pytest.raises(ValueError, match="bench_embeddings"):
+        curate.curate_docs(docs, None, doc_embeddings=doc_emb)
