@@ -774,6 +774,26 @@ EMB_DECON_COS = 0.40  # similarity.NEAR_DUP_COS — synthetic-corpus threshold
 EMB_DECON_MAX_BENCH_BYTES = 512 << 20  # loud refusal line for the broadcast
 
 
+class DeconProbeStats:
+    """Executor-side probe telemetry for
+    :func:`embedding_decontaminate_from` — the family's skew metric
+    (similarity.LshBucketStats pattern): the largest candidate set any
+    single corpus row verified. Per-row verify work is O(candidates), and
+    a degenerate SUITE (a mass of identical bench vectors in one band
+    bucket) makes every colliding corpus row verify the whole suite —
+    bounded by ``max_bench_bytes`` but worth exporting on a cluster run.
+    Create one, pass it in, run any action, read ``max_candidates``."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        from .similarity import _MaxAccumParam
+
+        self._acc = spark.sparkContext.accumulator(0, _MaxAccumParam())
+
+    @property
+    def max_candidates(self) -> int:
+        return int(self._acc.value)
+
+
 def embedding_decontaminate_from(
     corpus_vecs: DataFrame,
     bench_vecs: DataFrame,
@@ -782,6 +802,7 @@ def embedding_decontaminate_from(
     bits: int | None = None,
     seed: int | None = None,
     max_bench_bytes: int = EMB_DECON_MAX_BENCH_BYTES,
+    stats: "DeconProbeStats | None" = None,
 ) -> DataFrame:
     """Per corpus vector: its benchmark near-twin count / best cosine /
     contaminated flag, over any two (vec_id, v array<double>) relations.
@@ -846,6 +867,7 @@ def embedding_decontaminate_from(
         Bn = B
     spark = corpus_vecs.sparkSession
     bc = spark.sparkContext.broadcast((Bn, lookup))
+    acc = stats._acc if stats is not None else None
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Bn_w, lookup_w = bc.value
@@ -860,6 +882,8 @@ def embedding_decontaminate_from(
                 cand: set[int] = set()
                 for b in range(bands):
                     cand.update(lookup_w.get((b, int(keys[r, b])), ()))
+                if acc is not None:
+                    acc.add(len(cand))
                 n, mx = 0, 0.0
                 if cand:
                     # per-pair elementwise cosine — same reduction the

@@ -672,3 +672,30 @@ def test_embedding_decontaminate_refuses_oversized_bench(spark):
     )
     with pytest.raises(RuntimeError, match="max_bench_bytes"):
         hygiene.embedding_decontaminate_from(df, df, max_bench_bytes=64)
+
+
+def test_embedding_decontaminate_probe_telemetry(spark):
+    """DeconProbeStats observes the true max candidate-set size — a
+    degenerate SUITE (identical bench vectors piling into one bucket)
+    makes every colliding corpus row verify the whole suite; the metric a
+    cluster run should export (family pattern: LshBucketStats)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    clone = [1.0, 0.5, -0.25, 2.0, 0.1, -1.0, 0.7, 0.3]
+    bench = spark.createDataFrame(
+        [Row(vec_id=100 + i, v=clone) for i in range(30)]  # degenerate suite
+    )
+    rng = np.random.RandomState(5)
+    corpus = spark.createDataFrame(
+        [Row(vec_id=0, v=clone)]  # collides with ALL 30 suite rows
+        + [
+            Row(vec_id=1 + i, v=[float(x) for x in rng.randn(8)])
+            for i in range(20)
+        ]
+    )
+    stats = hygiene.DeconProbeStats(spark)
+    out = hygiene.embedding_decontaminate_from(corpus, bench, stats=stats)
+    rows = {int(r["vec_id"]): r for r in out.collect()}
+    assert stats.max_candidates == 30  # the clone row probed the whole suite
+    assert rows[0]["n_bench_twins"] == 30 and rows[0]["contaminated"]
