@@ -1,0 +1,180 @@
+"""Incremental embedding decontamination — the streaming twin of
+``llm_embedding_decontaminate`` (``hygiene.embedding_decontaminate_from``).
+
+A training pipeline featurizes crawl drops continuously; each drop must be
+checked against the (static) eval-suite embeddings without recomputing
+anything about the corpus so far. The batch operator is already the right
+per-batch shape — a verdict is a PURE function of (vector, suite, knobs):
+band-key the vector, probe the broadcast suite dict, verify by exact
+elementwise cosine. No cross-document state exists beyond the suite, so
+streamed ≡ batch is an exact SET equality over verdict rows for ANY batch
+chunking (asserted in tests/test_emb_decon_stream.py), and the per-batch
+cost is O(batch) regardless of how much has streamed before — strictly
+better than the dedup twins, whose band-table state grows with the corpus.
+
+State layout under ``state_dir``:
+  bench/      the registered suite (vec_id, v) — written once by
+              :func:`register_benchmark`
+  meta.json   threshold + banding knobs + seed, PINNED at registration
+              (the suite's band keys depend on them; a step with different
+              knobs would answer a different question against the same
+              state, so steps always read the pinned values)
+  verdicts/   accumulated (vec_id, n_bench_twins, max_cos, contaminated)
+              rows — also the CLAIM table (ST2/J3 idiom): a replayed batch
+              anti-joins itself away, so redeliveries are no-ops. One
+              table means one append per step — no cross-table crash
+              window to guard (contrast dedup_stream's append-order rule).
+
+Reference: no counterpart in the reference engine; the streaming claim
+idiom mirrors its updates-processed ledger (extraction_checker.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.hygiene import (
+    EMB_DECON_COS,
+    EMB_DECON_MAX_BENCH_BYTES,
+    embedding_decontaminate_from,
+)
+from ..operators.similarity import LSH_SEED, derive_lsh_knobs
+
+VEC_SCHEMA = "vec_id long, v array<double>"
+_VERDICT_SCHEMA = (
+    "vec_id long, n_bench_twins long, max_cos double, contaminated boolean"
+)
+
+
+def _path(state_dir: str, name: str) -> str:
+    return os.path.join(state_dir, name)
+
+
+def _read_state(
+    spark: SparkSession, state_dir: str, name: str, schema: str
+) -> DataFrame:
+    path = _path(state_dir, name)
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        spark.catalog.refreshByPath(path)  # see dedup_stream._read_state
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def _meta_path(state_dir: str) -> str:
+    return _path(state_dir, "meta.json")
+
+
+def register_benchmark(
+    spark: SparkSession,
+    bench_vecs: DataFrame,
+    state_dir: str,
+    threshold: float = EMB_DECON_COS,
+    bands: int | None = None,
+    bits: int | None = None,
+    seed: int = LSH_SEED,
+) -> None:
+    """Write the eval-suite embeddings the stream decontaminates against,
+    and PIN the verdict knobs (threshold, banding, seed) to the state dir.
+    Knobs omitted => derived from the suite count, exactly like the batch
+    library form — which is what makes streamed ≡ batch hold with both
+    sides on defaults. Re-registering overwrites suite AND knobs; verdicts
+    already accumulated under the old suite keep their old meaning (same
+    contract as curate_stream.register_benchmark)."""
+    bench = bench_vecs.select("vec_id", "v").persist()
+    n = bench.count()
+    if bands is None or bits is None:
+        d_bands, d_bits = derive_lsh_knobs(n, threshold=threshold)
+        bands = d_bands if bands is None else bands
+        bits = d_bits if bits is None else bits
+    bench.write.mode("overwrite").parquet(_path(state_dir, "bench"))
+    bench.unpersist()
+    with open(_meta_path(state_dir), "w") as fh:
+        json.dump(
+            {
+                "threshold": threshold,
+                "bands": int(bands),
+                "bits": int(bits),
+                "seed": int(seed),
+                "n_bench": int(n),
+            },
+            fh,
+        )
+
+
+def read_verdicts(spark: SparkSession, state_dir: str) -> DataFrame:
+    return _read_state(spark, state_dir, "verdicts", _VERDICT_SCHEMA)
+
+
+def emb_decon_batch_step(
+    spark: SparkSession,
+    vecs: DataFrame,
+    state_dir: str,
+    max_bench_bytes: int = EMB_DECON_MAX_BENCH_BYTES,
+) -> int:
+    """One incremental step: verdict every not-yet-claimed vector of
+    ``vecs`` against the registered suite, append the rows. Returns fresh
+    vectors admitted. Raises if no suite is registered — a decon stream
+    with nothing to check against is a configuration error, not a no-op
+    (the curate-chain ValueError contract)."""
+    if not os.path.exists(_meta_path(state_dir)):
+        raise ValueError(
+            "emb_decon_batch_step: no benchmark registered under "
+            f"{state_dir!r}; call register_benchmark first"
+        )
+    with open(_meta_path(state_dir)) as fh:
+        meta = json.load(fh)
+    vecs = vecs.where(F.col("vec_id").isNotNull()).dropDuplicates(["vec_id"])
+    claimed = read_verdicts(spark, state_dir).select("vec_id")
+    fresh = vecs.join(claimed, "vec_id", "left_anti").persist()
+    n_fresh = fresh.count()
+    if n_fresh == 0:
+        fresh.unpersist()
+        return 0
+    bench = _read_state(spark, state_dir, "bench", VEC_SCHEMA)
+    verdicts = embedding_decontaminate_from(
+        fresh,
+        bench,
+        threshold=meta["threshold"],
+        bands=meta["bands"],
+        bits=meta["bits"],
+        seed=meta["seed"],
+        max_bench_bytes=max_bench_bytes,
+    )
+    verdicts.write.mode("append").parquet(_path(state_dir, "verdicts"))
+    fresh.unpersist()
+    return n_fresh
+
+
+def run_incremental_emb_decon(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain ``src_dir`` (JSONL vector drops, availableNow) through the
+    incremental decontamination; offsets checkpoint with the query, the
+    verdict claim anti-join makes redeliveries no-ops. Register the suite
+    BEFORE starting (the step raises otherwise)."""
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, _bid: emb_decon_batch_step(
+                spark, batch_df, state_dir
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,110 @@
+"""Streamed embedding decontamination ≡ batch, exactly.
+
+A verdict is a pure function of (vector, registered suite, pinned knobs) —
+band-key, probe, exact elementwise cosine — so the accumulated verdict set
+over ANY chunking must equal the batch operator's output as an exact set of
+(vec_id, n_bench_twins, max_cos, contaminated) tuples, including the
+rounded score; and per-batch cost is O(batch) however much streamed before
+(no corpus-sized state, unlike the dedup twins)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from columbiaimagesearch_spark.operators.hygiene import (
+    EMB_BENCH_MOD,
+    embedding_decontaminate_from,
+)
+from columbiaimagesearch_spark.sources import load_table
+from columbiaimagesearch_spark.streaming import emb_decon_stream as edc
+
+from conftest import SF_SMOKE
+
+
+def _vecs(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    is_bench = (F.col("vec_id") % EMB_BENCH_MOD) == 0
+    return emb.where(~is_bench), emb.where(is_bench)
+
+
+def _rows(df):
+    return {
+        (r["vec_id"], r["n_bench_twins"], r["max_cos"], r["contaminated"])
+        for r in df.collect()
+    }
+
+
+def test_streamed_chunks_equal_batch(spark, tmp_path):
+    state = str(tmp_path / "state")
+    corpus, bench = _vecs(spark)
+    edc.register_benchmark(spark, bench, state)
+    n = corpus.count()
+    chunk = (n + 2) // 3
+    ids = sorted(r["vec_id"] for r in corpus.select("vec_id").collect())
+    admitted = 0
+    for i in range(3):
+        keep = set(ids[i * chunk : (i + 1) * chunk])
+        batch = corpus.where(F.col("vec_id").isin(keep))
+        admitted += edc.emb_decon_batch_step(spark, batch, state)
+    assert admitted == n
+    got = _rows(edc.read_verdicts(spark, state))
+    want = _rows(embedding_decontaminate_from(corpus, bench))
+    assert got == want
+    assert any(r[3] for r in want)  # the fixture plants real twins
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    state = str(tmp_path / "state")
+    corpus, bench = _vecs(spark)
+    edc.register_benchmark(spark, bench, state)
+    batch = corpus.where(F.col("vec_id") < 200)
+    n = batch.count()
+    assert edc.emb_decon_batch_step(spark, batch, state) == n
+    before = edc.read_verdicts(spark, state).count()
+    # crash-replay (ST2/ST4): the same drop again claims nothing
+    assert edc.emb_decon_batch_step(spark, batch, state) == 0
+    assert edc.read_verdicts(spark, state).count() == before
+
+
+def test_step_without_registered_suite_raises(spark, tmp_path):
+    corpus, _ = _vecs(spark)
+    with pytest.raises(ValueError, match="register_benchmark"):
+        edc.emb_decon_batch_step(spark, corpus, str(tmp_path / "state"))
+
+
+def test_runner_drains_drops_and_knobs_pin(spark, tmp_path):
+    """The availableNow runner drains JSONL drops through the step; the
+    knobs pinned at registration (derived from the SUITE count) are what
+    every step uses — restart against the same state dir changes
+    nothing."""
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    corpus, bench = _vecs(spark)
+    edc.register_benchmark(spark, bench, state)
+    with open(edc._meta_path(state)) as fh:
+        meta = json.load(fh)
+    assert meta["n_bench"] == bench.count()
+
+    rows = corpus.where(F.col("vec_id") < 120).collect()
+    half = len(rows) // 2
+    for i, part in enumerate([rows[:half], rows[half:]]):
+        with open(src / f"drop{i}.jsonl", "w") as fh:
+            for r in part:
+                fh.write(
+                    json.dumps({"vec_id": r["vec_id"], "v": list(r["v"])})
+                    + "\n"
+                )
+    edc.run_incremental_emb_decon(spark, str(src), state, ckpt)
+    assert edc.read_verdicts(spark, state).count() == len(rows)
+    # restart with no new files: checkpointed offsets + claim = no-op
+    edc.run_incremental_emb_decon(spark, str(src), state, ckpt)
+    assert edc.read_verdicts(spark, state).count() == len(rows)
+    with open(edc._meta_path(state)) as fh:
+        assert json.load(fh) == meta  # knobs untouched by the run
