@@ -794,6 +794,54 @@ class DeconProbeStats:
         return int(self._acc.value)
 
 
+def _build_probe(B, bands: int, bits: int, seed: int):
+    """(Bn, lookup) for a bench matrix: per-row L2-normalized vectors and
+    the {(band, key) -> row indices} candidate dict. Shared by the Spark
+    kernel and the NumPy twin oracle (the serving-ADC shared-kernel idiom:
+    one function, bitwise-identical both places)."""
+    import numpy as np
+
+    from .similarity import _lsh_band_keys
+
+    lookup: dict[tuple[int, int], list[int]] = {}
+    if not len(B):
+        return B, lookup
+    bkeys = _lsh_band_keys(B, bands, bits, seed)
+    Bn = B / np.sqrt(np.einsum("ij,ij->i", B, B))[:, None]
+    for b in range(bands):
+        for i, k in enumerate(bkeys[:, b]):
+            lookup.setdefault((b, int(k)), []).append(i)
+    return Bn, lookup
+
+
+def _probe_verdict_rows(
+    ids, Vn, keys, Bn, lookup, bands: int, threshold: float, acc=None
+) -> list[tuple]:
+    """Verdict rows (id, n_bench_twins, max_cos, contaminated) for one
+    block of corpus vectors against a built probe — candidate union over
+    the row's band keys, exact per-pair ELEMENTWISE cosine (per-row
+    reductions, bitwise identical under any batching), 4dp round. The one
+    place the verdict math lives; kernel and oracle both call it."""
+    import numpy as np
+
+    out = []
+    for r in range(len(ids)):
+        cand: set[int] = set()
+        for b in range(bands):
+            cand.update(lookup.get((b, int(keys[r, b])), ()))
+        if acc is not None:
+            acc.add(len(cand))
+        n, mx = 0, 0.0
+        if cand:
+            cos = (Bn[sorted(cand)] * Vn[r]).sum(axis=1)
+            hit = cos >= threshold
+            n = int(hit.sum())
+            if n:
+                mx = float(np.round(cos[hit].max(), 4))
+        out.append((int(ids[r]), n, mx, n > 0))
+    return out
+
+
 def embedding_decontaminate_from(
     corpus_vecs: DataFrame,
     bench_vecs: DataFrame,
@@ -856,15 +904,7 @@ def embedding_decontaminate_from(
         d_bands, d_bits = derive_lsh_knobs(len(bench_ids), threshold=threshold)
         bands = d_bands if bands is None else bands
         bits = d_bits if bits is None else bits
-    lookup: dict[tuple[int, int], list[int]] = {}
-    if len(bench_ids):
-        bkeys = _lsh_band_keys(B, bands, bits, seed)
-        Bn = B / np.sqrt(np.einsum("ij,ij->i", B, B))[:, None]
-        for b in range(bands):
-            for i, k in enumerate(bkeys[:, b]):
-                lookup.setdefault((b, int(k)), []).append(i)
-    else:
-        Bn = B
+    Bn, lookup = _build_probe(B, bands, bits, seed)
     spark = corpus_vecs.sparkSession
     bc = spark.sparkContext.broadcast((Bn, lookup))
     acc = stats._acc if stats is not None else None
@@ -877,23 +917,10 @@ def embedding_decontaminate_from(
             V = np.array(list(pdf["v"]), dtype=np.float64)
             Vn = V / np.sqrt(np.einsum("ij,ij->i", V, V))[:, None]
             keys = _lsh_band_keys(V, bands, bits, seed)
-            out = []
-            for r, vid in enumerate(pdf["vec_id"].to_numpy()):
-                cand: set[int] = set()
-                for b in range(bands):
-                    cand.update(lookup_w.get((b, int(keys[r, b])), ()))
-                if acc is not None:
-                    acc.add(len(cand))
-                n, mx = 0, 0.0
-                if cand:
-                    # per-pair elementwise cosine — same reduction the
-                    # NumPy twin runs, so the oracle reproduces it bitwise
-                    cos = (Bn_w[sorted(cand)] * Vn[r]).sum(axis=1)
-                    hit = cos >= threshold
-                    n = int(hit.sum())
-                    if n:
-                        mx = float(np.round(cos[hit].max(), 4))
-                out.append((int(vid), n, mx, n > 0))
+            out = _probe_verdict_rows(
+                pdf["vec_id"].to_numpy(), Vn, keys, Bn_w, lookup_w,
+                bands, threshold, acc,
+            )
             yield pd.DataFrame(
                 out,
                 columns=["vec_id", "n_bench_twins", "max_cos", "contaminated"],
@@ -924,29 +951,14 @@ def _embedding_decontaminate_oracle(sf_dir: str) -> str:
     X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
     is_bench = ids % EMB_BENCH_MOD == 0
     border = np.argsort(ids[is_bench], kind="stable")
-    B, bench_ids = X[is_bench][border], ids[is_bench][border]
+    B = X[is_bench][border]
     C, corpus_ids = X[~is_bench], ids[~is_bench]
-    bkeys = _lsh_band_keys(B, LSH_BANDS, LSH_BITS, LSH_SEED)
     ckeys = _lsh_band_keys(C, LSH_BANDS, LSH_BITS, LSH_SEED)
-    Bn = B / np.sqrt(np.einsum("ij,ij->i", B, B))[:, None]
     Cn = C / np.sqrt(np.einsum("ij,ij->i", C, C))[:, None]
-    lookup: dict[tuple[int, int], list[int]] = {}
-    for b in range(LSH_BANDS):
-        for i, k in enumerate(bkeys[:, b]):
-            lookup.setdefault((b, int(k)), []).append(i)
-    rows = []
-    for r in range(len(corpus_ids)):
-        cand: set[int] = set()
-        for b in range(LSH_BANDS):
-            cand.update(lookup.get((b, int(ckeys[r, b])), ()))
-        n, mx = 0, 0.0
-        if cand:
-            cos = (Bn[sorted(cand)] * Cn[r]).sum(axis=1)
-            hit = cos >= EMB_DECON_COS
-            n = int(hit.sum())
-            if n:
-                mx = float(np.round(cos[hit].max(), 4))
-        rows.append((int(corpus_ids[r]), n, mx, n > 0))
+    Bn, lookup = _build_probe(B, LSH_BANDS, LSH_BITS, LSH_SEED)
+    rows = _probe_verdict_rows(
+        corpus_ids, Cn, ckeys, Bn, lookup, LSH_BANDS, EMB_DECON_COS
+    )
     return values_sql(
         sorted(rows),
         [

@@ -274,3 +274,49 @@ def test_shard_claim_planner_invariants(hist, n_shards):
     for i in range(len(firsts) - w + 1):
         window = firsts[i : i + w]
         assert len(set(window)) == w, (firsts, n_shards)
+
+
+@given(
+    st.integers(min_value=0, max_value=100_000),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=8),
+)
+@settings(max_examples=50, deadline=None)
+def test_embedding_decon_probe_sound_and_complete_on_copies(
+    seed, n_bench, n_plants
+):
+    """The shared decon verdict kernel (hygiene._probe_verdict_rows — one
+    function serving the Spark kernel AND the twin oracle):
+    (a) SOUND — per-row twin counts never exceed the brute-force truth and
+        every max_cos is a true cosine of that row against some bench row
+        (the probe only prunes, the verify is exact);
+    (b) COMPLETE ON COPIES — an exact copy of a bench vector shares every
+        band key with it, so it is ALWAYS found, any knobs, any seed."""
+    import numpy as np
+
+    from columbiaimagesearch_spark.operators.hygiene import (
+        _build_probe,
+        _probe_verdict_rows,
+    )
+    from columbiaimagesearch_spark.operators.similarity import _lsh_band_keys
+
+    rng = np.random.default_rng(seed)
+    d, bands, bits = 8, 4, 3
+    threshold = 0.9
+    B = rng.standard_normal((n_bench, d))
+    plants = B[rng.integers(0, n_bench, n_plants)] if n_plants else np.empty((0, d))
+    C = np.vstack([plants, rng.standard_normal((10, d))])
+    ids = np.arange(len(C), dtype=np.int64)
+    Bn, lookup = _build_probe(B, bands, bits, 7)
+    Cn = C / np.sqrt(np.einsum("ij,ij->i", C, C))[:, None]
+    keys = _lsh_band_keys(C, bands, bits, 7)
+    rows = _probe_verdict_rows(ids, Cn, keys, Bn, lookup, bands, threshold)
+    truth = (Cn @ Bn.T) >= threshold if n_bench else np.zeros((len(C), 0), bool)
+    for vid, n, mx, flag in rows:
+        assert n <= int(truth[vid].sum())  # (a) never over-reports
+        assert flag == (n > 0)
+        if n:
+            cos_all = np.round(Cn[vid] @ Bn.T, 4)
+            assert any(abs(mx - c) < 1e-12 for c in cos_all)  # true cosine
+    for p in range(n_plants):  # (b) exact copies always found
+        assert rows[p][1] >= 1, rows[p]
