@@ -55,6 +55,7 @@ def curate_docs(
     fuzzy_decontaminate: bool = False,
     doc_embeddings: DataFrame | None = None,
     bench_embeddings: DataFrame | None = None,
+    embedding_exact: bool = False,
     contamination_report: bool = False,
     cluster_stats: bool = False,
     drop_substring_dups: bool = False,
@@ -98,7 +99,9 @@ def curate_docs(
     ``doc_embeddings`` may be the PRE-dedup superset: extra rows only
     produce drop ids for already-dropped docs, which the anti-join
     ignores — probing them map-side is cheaper than a corpus-sized
-    semi-join shuffle to trim them first.
+    semi-join shuffle to trim them first. ``embedding_exact=True``
+    verifies against the WHOLE suite instead of the LSH probe (recall
+    1.0, O(n_bench)/doc — see ``embedding_decontaminate_from``).
 
     ``cluster_stats=True`` additionally emits the per-cluster dedup
     savings report (``dedup.cluster_stats_from`` — what stage 1's drop
@@ -268,6 +271,7 @@ def curate_docs(
                 bench_embeddings.select(
                     F.col("doc_id").alias("vec_id"), "v"
                 ),
+                exact=embedding_exact,
             )
             .where(F.col("contaminated"))
             .select(F.col("vec_id").alias("doc_id"))

@@ -821,19 +821,29 @@ def _probe_verdict_rows(
     block of corpus vectors against a built probe — candidate union over
     the row's band keys, exact per-pair ELEMENTWISE cosine (per-row
     reductions, bitwise identical under any batching), 4dp round. The one
-    place the verdict math lives; kernel and oracle both call it."""
+    place the verdict math lives; kernel and oracle both call it.
+
+    ``lookup=None`` = EXACT mode: every bench row is a candidate for
+    every corpus row (``keys`` is then unused and may be None) — the
+    same verdict math without the LSH candidate pruning, so recall is
+    1.0 by construction at O(n_bench) verify work per row."""
     import numpy as np
 
+    all_idx = list(range(len(Bn))) if lookup is None else None
     out = []
     for r in range(len(ids)):
-        cand: set[int] = set()
-        for b in range(bands):
-            cand.update(lookup.get((b, int(keys[r, b])), ()))
+        if all_idx is not None:
+            cand_sorted = all_idx
+        else:
+            cand: set[int] = set()
+            for b in range(bands):
+                cand.update(lookup.get((b, int(keys[r, b])), ()))
+            cand_sorted = sorted(cand)
         if acc is not None:
-            acc.add(len(cand))
+            acc.add(len(cand_sorted))
         n, mx = 0, 0.0
-        if cand:
-            cos = (Bn[sorted(cand)] * Vn[r]).sum(axis=1)
+        if cand_sorted:
+            cos = (Bn[cand_sorted] * Vn[r]).sum(axis=1)
             hit = cos >= threshold
             n = int(hit.sum())
             if n:
@@ -851,6 +861,7 @@ def embedding_decontaminate_from(
     seed: int | None = None,
     max_bench_bytes: int = EMB_DECON_MAX_BENCH_BYTES,
     stats: "DeconProbeStats | None" = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Per corpus vector: its benchmark near-twin count / best cosine /
     contaminated flag, over any two (vec_id, v array<double>) relations.
@@ -874,8 +885,12 @@ def embedding_decontaminate_from(
     symmetric ``emb_lsh_pairs_from`` self-join is the right tool. Knobs
     omitted => derived from the BENCH count (the collision side) via
     ``derive_lsh_knobs``; probe recall at ``threshold`` rides its band-OR
-    floor. C3/C4: the kernel L2-normalizes the float->double-cast
-    embeddings (featsio.py:13-22 contract).
+    floor. ``exact=True`` skips the LSH pruning and verifies every corpus
+    row against the WHOLE suite — recall 1.0 by construction at
+    O(n_bench) per-row work, the right choice for small suites or
+    thresholds where sign-bit recall sags; same plan shape, same shared
+    verdict kernel. C3/C4: the kernel L2-normalizes the
+    float->double-cast embeddings (featsio.py:13-22 contract).
 
     Reference: decontamination has no counterpart in the reference engine;
     the near-dup threshold filter is generic_searcher.py:43-45.
@@ -904,7 +919,21 @@ def embedding_decontaminate_from(
         d_bands, d_bits = derive_lsh_knobs(len(bench_ids), threshold=threshold)
         bands = d_bands if bands is None else bands
         bits = d_bits if bits is None else bits
-    Bn, lookup = _build_probe(B, bands, bits, seed)
+    if exact:
+        # exhaustive verify against the (already-broadcast-sized) suite:
+        # recall 1.0 by construction, O(n_bench) elementwise work per
+        # corpus row, still one map-only pass. The right default when the
+        # suite is small or the threshold sits where sign-bit LSH recall
+        # sags (derive_lsh_knobs warns below ~0.5) — the probe's only job
+        # is to prune that per-row constant.
+        Bn = (
+            B / np.sqrt(np.einsum("ij,ij->i", B, B))[:, None]
+            if B.size
+            else B
+        )
+        lookup = None
+    else:
+        Bn, lookup = _build_probe(B, bands, bits, seed)
     spark = corpus_vecs.sparkSession
     bc = spark.sparkContext.broadcast((Bn, lookup))
     acc = stats._acc if stats is not None else None
@@ -916,7 +945,11 @@ def embedding_decontaminate_from(
                 continue
             V = np.array(list(pdf["v"]), dtype=np.float64)
             Vn = V / np.sqrt(np.einsum("ij,ij->i", V, V))[:, None]
-            keys = _lsh_band_keys(V, bands, bits, seed)
+            keys = (
+                None
+                if lookup_w is None
+                else _lsh_band_keys(V, bands, bits, seed)
+            )
             out = _probe_verdict_rows(
                 pdf["vec_id"].to_numpy(), Vn, keys, Bn_w, lookup_w,
                 bands, threshold, acc,

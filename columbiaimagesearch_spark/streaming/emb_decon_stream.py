@@ -78,12 +78,15 @@ def register_benchmark(
     bands: int | None = None,
     bits: int | None = None,
     seed: int = LSH_SEED,
+    exact: bool = False,
 ) -> None:
     """Write the eval-suite embeddings the stream decontaminates against,
     and PIN the verdict knobs (threshold, banding, seed) to the state dir.
     Knobs omitted => derived from the suite count, exactly like the batch
     library form — which is what makes streamed ≡ batch hold with both
-    sides on defaults. Re-registering overwrites suite AND knobs; verdicts
+    sides on defaults (``exact=True`` pins the exhaustive-verify mode —
+    recall 1.0, O(n_bench)/row — for every later step). Re-registering
+    overwrites suite AND knobs; verdicts
     already accumulated under the old suite keep their old meaning (same
     contract as curate_stream.register_benchmark)."""
     bench = bench_vecs.select("vec_id", "v").persist()
@@ -101,6 +104,7 @@ def register_benchmark(
                 "bands": int(bands),
                 "bits": int(bits),
                 "seed": int(seed),
+                "exact": bool(exact),
                 "n_bench": int(n),
             },
             fh,
@@ -145,6 +149,7 @@ def emb_decon_batch_step(
         bits=meta["bits"],
         seed=meta["seed"],
         max_bench_bytes=max_bench_bytes,
+        exact=meta.get("exact", False),
     )
     verdicts.write.mode("append").parquet(_path(state_dir, "verdicts"))
     fresh.unpersist()

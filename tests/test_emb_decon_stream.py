@@ -108,3 +108,24 @@ def test_runner_drains_drops_and_knobs_pin(spark, tmp_path):
     assert edc.read_verdicts(spark, state).count() == len(rows)
     with open(edc._meta_path(state)) as fh:
         assert json.load(fh) == meta  # knobs untouched by the run
+
+
+def test_exact_mode_pins_through_meta_and_dominates_probe(spark, tmp_path):
+    """register_benchmark(exact=True) pins exhaustive verify for every
+    step: streamed exact verdicts equal the batch exact operator, and the
+    totals dominate the probe mode's (the fixture has borderline twins
+    the sign-bit bands drop at this threshold)."""
+    corpus, bench = _vecs(spark)
+    state = str(tmp_path / "exact")
+    edc.register_benchmark(spark, bench, state, exact=True)
+    edc.emb_decon_batch_step(spark, corpus, state)
+    got = _rows(edc.read_verdicts(spark, state))
+    want = _rows(embedding_decontaminate_from(corpus, bench, exact=True))
+    assert got == want
+    probe_state = str(tmp_path / "probe")
+    edc.register_benchmark(spark, bench, probe_state)
+    edc.emb_decon_batch_step(spark, corpus, probe_state)
+    probe_total = sum(
+        r[1] for r in _rows(edc.read_verdicts(spark, probe_state))
+    )
+    assert sum(r[1] for r in got) > probe_total

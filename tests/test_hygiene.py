@@ -699,3 +699,65 @@ def test_embedding_decontaminate_probe_telemetry(spark):
     rows = {int(r["vec_id"]): r for r in out.collect()}
     assert stats.max_candidates == 30  # the clone row probed the whole suite
     assert rows[0]["n_bench_twins"] == 30 and rows[0]["contaminated"]
+
+
+def test_embedding_decontaminate_exact_mode_is_brute_force(spark, duck_smoke):
+    """exact=True verifies every corpus row against the whole suite:
+    verdicts must equal the brute-force ground truth EXACTLY (recall 1.0
+    by construction) and dominate the LSH probe's per-row counts. The
+    truth side here is INDEPENDENT — DuckDB's list_inner_product over the
+    same parquet — so this is a cross-engine check of the verdict math,
+    not a twin of it."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from columbiaimagesearch_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    is_bench = (F.col("vec_id") % hygiene.EMB_BENCH_MOD) == 0
+    corpus, bench = emb.where(~is_bench), emb.where(is_bench)
+    got = {
+        int(r["vec_id"]): r
+        for r in hygiene.embedding_decontaminate_from(
+            corpus, bench, exact=True
+        ).collect()
+    }
+    probe = {
+        int(r["vec_id"]): r
+        for r in hygiene.embedding_decontaminate_from(corpus, bench).collect()
+    }
+    truth = {
+        int(r[0]): (int(r[1]), float(r[2]) if r[2] is not None else 0.0)
+        for r in duck_smoke.execute(f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            n AS (SELECT vec_id,
+                         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS u
+                  FROM e)
+            SELECT c.vec_id,
+                   SUM(CASE WHEN list_inner_product(c.u, b.u)
+                            >= {hygiene.EMB_DECON_COS} THEN 1 ELSE 0 END),
+                   MAX(CASE WHEN list_inner_product(c.u, b.u)
+                            >= {hygiene.EMB_DECON_COS}
+                       THEN list_inner_product(c.u, b.u) END)
+            FROM n c, n b
+            WHERE c.vec_id % {hygiene.EMB_BENCH_MOD} != 0
+              AND b.vec_id % {hygiene.EMB_BENCH_MOD} = 0
+            GROUP BY c.vec_id
+        """).fetchall()
+    }
+    assert set(got) == set(truth)
+    for vid, (n_true, mx_true) in truth.items():
+        r = got[vid]
+        assert r["n_bench_twins"] == n_true, (vid, r, n_true)
+        if n_true:
+            # engines sum the dot product in different orders; both
+            # sides round to 4dp so any residual is last-ulp noise
+            assert abs(r["max_cos"] - round(mx_true, 4)) <= 1e-9
+        assert r["n_bench_twins"] >= probe[vid]["n_bench_twins"]  # dominates
+    n_exact = sum(r["n_bench_twins"] for r in got.values())
+    n_probe = sum(r["n_bench_twins"] for r in probe.values())
+    assert n_exact > n_probe  # the fixture's borderline pairs exist
