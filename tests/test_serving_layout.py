@@ -1058,3 +1058,50 @@ def test_forked_pool_close_survives_full_pipe_buffer(spark, model, codes):
     elapsed = _time.time() - t0
     assert not victim.is_alive(), "close() left the wedged worker running"
     assert elapsed < 10, f"close() blocked {elapsed:.1f}s on a full pipe"
+
+
+def test_forked_pool_late_complete_answer_not_marked_broken(
+    spark, model, codes, queries_np, monkeypatch
+):
+    """ADVICE r10: a wait() that times out AFTER the final part landed
+    (FIFO queue time, or the land-between-timeout-and-mark window) must
+    NOT tear down a healthy pool. Simulate it deterministically: patch
+    the pending event's wait() to let the real answer arrive, then report
+    timeout anyway — the completeness re-check must keep the pool alive
+    and the query must return the correct (router-equal) answer."""
+    import threading
+
+    from columbiaimagesearch_spark.lopq import serving as srv
+
+    router = srv.ShardedServingRouter.build(model, codes, n_shards=2)
+    pool = srv.ForkedRouterPool(router)
+
+    class _TimeoutButComplete(threading.Event):
+        def wait(self, timeout=None):
+            super().wait(timeout=30)  # the answer genuinely arrives...
+            return False  # ...but the caller sees a timeout
+
+    class _PatchedPending(srv._PendingQuery):
+        def __init__(self, expected):
+            super().__init__(expected)
+            self.event = _TimeoutButComplete()
+
+    monkeypatch.setattr(srv, "_PendingQuery", _PatchedPending)
+    try:
+        q = queries_np[0][1]
+        want = [
+            (i, round(d, 9)) for i, d in router.search(q, quota=QUOTA, k=TOP_K)
+        ]
+        got = [
+            (i, round(d, 9)) for i, d in pool.search(q, quota=QUOTA, k=TOP_K)
+        ]
+        assert got == want  # the complete late answer is returned
+        assert not pool._broken  # ...and the healthy pool survives
+        monkeypatch.setattr(srv, "_PendingQuery", srv._PendingQuery)
+        # and it keeps serving afterwards
+        got2 = [
+            (i, round(d, 9)) for i, d in pool.search(q, quota=QUOTA, k=TOP_K)
+        ]
+        assert got2 == want
+    finally:
+        pool.close()
