@@ -131,8 +131,10 @@ def lopq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a5_recall_stats",
     survey_ops=("A5", "V12", "T1"),
-    # Rotated back driver-visible r11 (driver-green r7, folded r8 — the
-    # oldest fold in the window; VERDICT r10 next-round item 1).
+    # Folded r12 after its fresh r11 green row (rotated back r11): A5 stays
+    # driver-green on lopq_eval_diagnostics, V12 on ann_cosine_topk, T1 on
+    # three rows. Slot goes to the r12 rotation (t2/a7/t4).
+    driver=False,
     doc="Retrieval-quality harness (lopq/lopq/eval.py:92-142 get_recall): "
     "recall@{1,5,10} of the LOPQ searcher vs the exact brute-force ground "
     "truth (eval.py:7-38), computed as Spark joins/aggregations: truth = "

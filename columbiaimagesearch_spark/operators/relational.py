@@ -459,7 +459,10 @@ def a2_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a7_update_batching",
     survey_ops=("A7", "C6"),
-    driver=False,  # A7+C6 driver-green via st1_count_batch_assembly (and C6 via c_scalar_keys)
+    # Rotated back driver-visible r12 (folded r9; VERDICT r11 next-round
+    # item 1: oldest non-showcase folds re-earn a hash-checked row).
+    # a5/a6/t1 folded in exchange, all freshly r11-green with every tag
+    # multiply driver-covered.
     doc="Update batching: accumulate ids per group, emit ordered id list "
     "(extraction_checker.py:281-454 batches sha1s into updates; "
     "comma-joined list_sha1s per hbase_indexer_minimal.py:40-48).",
@@ -561,10 +564,10 @@ def a_rollup_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t1_distance_topk",
     survey_ops=("T1", "T6"),
-    # Rotated back driver-visible r11 (folded r9; VERDICT r10 next-round
-    # item 1: the oldest non-showcase folds re-earn a hash-checked row).
-    # j3/j6/st1/text_ngram_novelty folded in exchange, all their tags
-    # multiply driver-covered.
+    # Folded r12 after its fresh r11 green row (rotated back r11): T1 stays
+    # driver-green on lopq_search_topk/ann_cosine_topk/j4_ranked_metadata_join,
+    # T6 on s4_cursor_scan. Slot goes to the r12 rotation (t2/a7/t4).
+    driver=False,
     doc="Global sort+limit (search.py:206-215 sorts candidates by distance, "
     "cuts to limit). Spark plans TakeOrderedAndProject: per-partition top-k, "
     "then a k-row merge on the driver — no full sort at scale.",
@@ -592,10 +595,8 @@ def t1_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t4_per_group_topk",
     survey_ops=("T4", "J5"),
-    # Folded from the 50-slot driver window in round 4: T4 is driver-green via
-    # lopq_search_rerank and J5 via ann_cosine_topk; still fully parity-checked
-    # locally (tests/test_oracle_parity.py) and runnable from bench.
-    driver=False,
+    # Rotated back driver-visible r12 (folded r4 — the longest-folded real-tag
+    # spec; VERDICT r11 next-round item 1).
     doc="Per-query rerank top-k: row_number over (partition by query order by "
     "distance) (searcher_lopqhbase.py:900-912 re-sort after exact rerank).",
     oracle="""
@@ -629,10 +630,8 @@ def t4_per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t2_quota_accumulation",
     survey_ops=("T2", "T3"),
-    # Folded r9 after its r8 re-verification (freshest driver row in the
-    # window): T2/T3 stay green on lopq_search_topk (the production
-    # multisequence traversal). Slot goes to the r9 rotation.
-    driver=False,
+    # Rotated back driver-visible r12 (folded r8; VERDICT r11 next-round
+    # item 1 names it first — T2/T3 were single-covered by lopq_search_topk).
     doc="Multi-sequence quota cutoff: visit cells in distance order until the "
     "running item count reaches quota (search.py:110-135). Rendered as a "
     "running-sum window with cutoff.",
@@ -1471,8 +1470,10 @@ def j_range_tier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a6_event_percentiles",
     survey_ops=("A6", "A2"),
-    # Rotated back driver-visible r11 (driver-green r6, folded r7 — one of
-    # the two oldest folds; see t1_distance_topk's rotation note).
+    # Folded r12 after its fresh r11 green row (rotated back r11): A6 stays
+    # driver-green on w_event_windows, A2 on 7+ rows. Slot goes to the r12
+    # rotation (t2/a7/t4).
+    driver=False,
     doc="Stream-metrics percentiles: exact p50/p95/p99 of event value per "
     "event_type (the monitoring rollup behind the reference's ingestion "
     "counters, kafka_image_processor push_*_stats). Spark's exact "
