@@ -799,15 +799,13 @@ def _build_probe(B, bands: int, bits: int, seed: int):
     the {(band, key) -> row indices} candidate dict. Shared by the Spark
     kernel and the NumPy twin oracle (the serving-ADC shared-kernel idiom:
     one function, bitwise-identical both places)."""
-    import numpy as np
-
-    from .similarity import _lsh_band_keys
+    from .similarity import _lsh_band_keys, l2_normalize_rows
 
     lookup: dict[tuple[int, int], list[int]] = {}
     if not len(B):
         return B, lookup
     bkeys = _lsh_band_keys(B, bands, bits, seed)
-    Bn = B / np.sqrt(np.einsum("ij,ij->i", B, B))[:, None]
+    Bn = l2_normalize_rows(B)
     for b in range(bands):
         for i, k in enumerate(bkeys[:, b]):
             lookup.setdefault((b, int(k)), []).append(i)
@@ -890,7 +888,11 @@ def embedding_decontaminate_from(
     O(n_bench) per-row work, the right choice for small suites or
     thresholds where sign-bit recall sags; same plan shape, same shared
     verdict kernel. C3/C4: the kernel L2-normalizes the
-    float->double-cast embeddings (featsio.py:13-22 contract).
+    float->double-cast embeddings (featsio.py:13-22 contract) via
+    ``similarity.l2_normalize_rows`` — an all-zero vector (either side)
+    is left at zero, so its cosine is exactly 0.0 and it is NEVER
+    flagged contaminated, by contract rather than by NaN accident
+    (pinned by a Hypothesis case including the zero vector).
 
     Reference: decontamination has no counterpart in the reference engine;
     the near-dup threshold filter is generic_searcher.py:43-45.
@@ -900,7 +902,12 @@ def embedding_decontaminate_from(
     import numpy as np
     import pandas as pd
 
-    from .similarity import LSH_SEED, _lsh_band_keys, derive_lsh_knobs
+    from .similarity import (
+        LSH_SEED,
+        _lsh_band_keys,
+        derive_lsh_knobs,
+        l2_normalize_rows,
+    )
 
     if seed is None:
         seed = LSH_SEED
@@ -926,11 +933,7 @@ def embedding_decontaminate_from(
         # suite is small or the threshold sits where sign-bit LSH recall
         # sags (derive_lsh_knobs warns below ~0.5) — the probe's only job
         # is to prune that per-row constant.
-        Bn = (
-            B / np.sqrt(np.einsum("ij,ij->i", B, B))[:, None]
-            if B.size
-            else B
-        )
+        Bn = l2_normalize_rows(B) if B.size else B
         lookup = None
     else:
         Bn, lookup = _build_probe(B, bands, bits, seed)
@@ -944,7 +947,7 @@ def embedding_decontaminate_from(
             if not len(pdf):
                 continue
             V = np.array(list(pdf["v"]), dtype=np.float64)
-            Vn = V / np.sqrt(np.einsum("ij,ij->i", V, V))[:, None]
+            Vn = l2_normalize_rows(V)
             keys = (
                 None
                 if lookup_w is None
@@ -977,7 +980,13 @@ def _embedding_decontaminate_oracle(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     from ..lopq.twin import values_sql
-    from .similarity import LSH_BANDS, LSH_BITS, LSH_SEED, _lsh_band_keys
+    from .similarity import (
+        LSH_BANDS,
+        LSH_BITS,
+        LSH_SEED,
+        _lsh_band_keys,
+        l2_normalize_rows,
+    )
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
@@ -987,7 +996,7 @@ def _embedding_decontaminate_oracle(sf_dir: str) -> str:
     B = X[is_bench][border]
     C, corpus_ids = X[~is_bench], ids[~is_bench]
     ckeys = _lsh_band_keys(C, LSH_BANDS, LSH_BITS, LSH_SEED)
-    Cn = C / np.sqrt(np.einsum("ij,ij->i", C, C))[:, None]
+    Cn = l2_normalize_rows(C)
     Bn, lookup = _build_probe(B, LSH_BANDS, LSH_BITS, LSH_SEED)
     rows = _probe_verdict_rows(
         corpus_ids, Cn, ckeys, Bn, lookup, LSH_BANDS, EMB_DECON_COS
@@ -1014,7 +1023,13 @@ def _embedding_decontaminate_oracle(sf_dir: str) -> str:
     "band-keyed once and BROADCAST as a probe dict; the corpus runs ONE "
     "map-only Arrow pass (band-key, probe, exact cosine verify in-kernel) "
     "— zero shuffles, zero joins, never all-pairs (plan-asserted). "
-    "Oracle: NumPy twin (identical seeded planes + elementwise kernels).",
+    "Oracle: NumPy twin (identical seeded planes + elementwise kernels). "
+    "INDEPENDENT cross-engine checks: exact mode vs DuckDB brute force "
+    "(tests/test_hygiene.py::test_embedding_decontaminate_exact_mode_is_"
+    "brute_force) and the probe path vs a full SQL reconstruction — "
+    "planes as a VALUES relation, band keys bit-packed in DuckDB, "
+    "verdict = brute force filtered by the band-collision join "
+    "(::test_embedding_decontaminate_probe_path_independent_duckdb).",
     oracle=_embedding_decontaminate_oracle,
 )
 def llm_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:

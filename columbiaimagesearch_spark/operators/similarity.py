@@ -57,6 +57,26 @@ _COS_SQL = (
 )
 
 
+def l2_normalize_rows(M: np.ndarray) -> np.ndarray:
+    """Row-wise L2 normalization with an explicit zero-norm contract.
+
+    A naive ``M / sqrt(einsum(M,M))`` turns an all-zero row into NaN,
+    and every cosine against it silently compares False — a zero vector
+    would read as "clean"/"no near-dup" by NaN accident (plus a NumPy
+    RuntimeWarning in the executor log). Here the zero row's norm is
+    clamped to 1.0 so the row STAYS all-zero: its cosine against
+    anything is exactly 0.0, deterministically below every positive
+    near-dup / contamination threshold in this package (NEAR_DUP_COS,
+    hygiene.EMB_DECON_COS). Contract: **zero vectors are never
+    near-duplicates and never contaminated** — by construction, not by
+    NaN. Nonzero rows are bitwise identical to the unguarded form (same
+    einsum / sqrt / divide), so every shared-kernel twin oracle keeps
+    agreeing bit-for-bit (featsio.py:13-22 normalization contract).
+    """
+    norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+    return M / np.where(norms == 0.0, 1.0, norms)[:, None]
+
+
 @register(
     "emb_l2_norms",
     survey_ops=("C3", "C4"),
@@ -161,7 +181,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     qmat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    qmat_n = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat_n = l2_normalize_rows(qmat)
     sc = spark.sparkContext
     b_q = sc.broadcast((qids, qmat_n))
 
@@ -169,7 +189,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bqids, bq = b_q.value
         for pdf in it:
             cmat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            cmat_n = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            cmat_n = l2_normalize_rows(cmat)
             sims = bq @ cmat_n.T  # (n_q, batch)
             n_q, n_c = sims.shape
             yield pd.DataFrame(
@@ -232,7 +252,7 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         V = np.array(list(pdf["v"]), dtype=np.float64)
-        Vn = V / np.sqrt(np.einsum("ij,ij->i", V, V))[:, None]
+        Vn = l2_normalize_rows(V)
         C = Vn @ Vn.T
         ia, ib = np.triu_indices(len(pdf), k=1)
         keep = C[ia, ib] >= NEAR_DUP_COS
@@ -464,7 +484,7 @@ def _bucket_cos_pairs(
     the twin and any Arrow batching), threshold, 4dp round."""
     order = np.argsort(ids, kind="stable")
     ids, V = ids[order], V[order]
-    Vn = V / np.sqrt(np.einsum("ij,ij->i", V, V))[:, None]
+    Vn = l2_normalize_rows(V)
     ia, ib = np.triu_indices(len(ids), k=1)
     if not len(ia):
         return []

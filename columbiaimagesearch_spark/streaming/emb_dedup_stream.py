@@ -97,13 +97,15 @@ def _verify_pairs_fn(threshold: float):
     here carries the bitwise-identical cos_sim."""
 
     def _verify_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..operators.similarity import l2_normalize_rows
+
         for pdf in batches:
             if not len(pdf):
                 continue
             A = np.array(list(pdf["va"]), dtype=np.float64)
             B = np.array(list(pdf["vb"]), dtype=np.float64)
-            An = A / np.sqrt(np.einsum("ij,ij->i", A, A))[:, None]
-            Bn = B / np.sqrt(np.einsum("ij,ij->i", B, B))[:, None]
+            An = l2_normalize_rows(A)
+            Bn = l2_normalize_rows(B)
             cos = np.einsum("ij,ij->i", An, Bn)
             keep = cos >= threshold
             yield pd.DataFrame(

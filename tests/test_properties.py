@@ -320,3 +320,59 @@ def test_embedding_decon_probe_sound_and_complete_on_copies(
             assert any(abs(mx - c) < 1e-12 for c in cos_all)  # true cosine
     for p in range(n_plants):  # (b) exact copies always found
         assert rows[p][1] >= 1, rows[p]
+
+
+@given(
+    st.integers(min_value=0, max_value=100_000),
+    st.integers(min_value=1, max_value=10),
+    st.booleans(),
+)
+@settings(max_examples=50, deadline=None)
+def test_l2_normalize_rows_zero_norm_contract(seed, n, zero_bench_row):
+    """similarity.l2_normalize_rows — THE row normalization every embedding
+    kernel and twin shares — pins the zero-vector contract:
+    (a) nonzero rows are BITWISE identical to the unguarded einsum form
+        (so no oracle hash can move);
+    (b) an all-zero row stays all-zero (no NaN anywhere), so its cosine
+        against anything is exactly 0.0 — below every positive threshold:
+        zero vectors are never near-duplicates and never contaminated,
+        whether the zero lands on the corpus side or the bench side."""
+    import numpy as np
+
+    from columbiaimagesearch_spark.operators.hygiene import (
+        _build_probe,
+        _probe_verdict_rows,
+    )
+    from columbiaimagesearch_spark.operators.similarity import (
+        _lsh_band_keys,
+        l2_normalize_rows,
+    )
+
+    rng = np.random.default_rng(seed)
+    d, bands, bits = 8, 4, 3
+    M = rng.standard_normal((n, d))
+    M[0] = 0.0  # plant the zero vector
+    Mn = l2_normalize_rows(M)
+    assert np.isfinite(Mn).all()  # (b) no NaN/inf ever
+    assert (Mn[0] == 0.0).all()  # zero row stays zero
+    nz = M[1:]
+    if len(nz):
+        unguarded = nz / np.sqrt(np.einsum("ij,ij->i", nz, nz))[:, None]
+        assert (l2_normalize_rows(nz) == unguarded).all()  # (a) bitwise
+
+    # end-to-end through the shared decon verdict kernel, zero on either
+    # side, probe AND exact mode: the zero row is never flagged
+    B = rng.standard_normal((4, d))
+    if zero_bench_row:
+        B[0] = 0.0
+    Bn, lookup = _build_probe(B, bands, bits, 7)
+    Cn = l2_normalize_rows(M)
+    keys = _lsh_band_keys(M, bands, bits, 7)
+    for lk in (lookup, None):  # probe mode, then exact mode
+        rows = _probe_verdict_rows(
+            np.arange(n, dtype=np.int64), Cn, keys, Bn, lk, bands, 0.4
+        )
+        vid, twins, mx, flag = rows[0]
+        assert not flag and twins == 0 and mx == 0.0, (lk is None, rows[0])
+        for _vid, _n, _mx, _flag in rows:
+            assert not np.isnan(_mx)
