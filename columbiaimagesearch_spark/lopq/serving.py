@@ -867,6 +867,11 @@ class ForkedRouterPool:
     # many seconds marks the pool broken (deadlock guard; a healthy
     # worker's per-query work is single-digit ms).
     REPLY_TIMEOUT_S = 60.0
+    # Deadline = REPLY_TIMEOUT_S * (1 + min(per-target queue depth, CAP)):
+    # the depth term absorbs FIFO queue time under concurrent load, the
+    # cap bounds how long a truly wedged worker can hide behind backlog
+    # (worst case (1+CAP)*60 s = 5 min, vs unbounded pool-wide scaling).
+    DEADLINE_DEPTH_CAP = 4
     # close(): how long to wait for a worker to exit on its own before
     # escalating to terminate/kill
     JOIN_GRACE_S = 5.0
@@ -1052,7 +1057,19 @@ class ForkedRouterPool:
                 raise PoolBrokenError(
                     "pool is broken or closed; fork a fresh ForkedRouterPool"
                 )
-            queue_depth = len(self._pending)
+            # Per-TARGET-worker FIFO depth (ADVICE r11): the pool-wide
+            # len(self._pending) counted in-flight queries to ALL shards,
+            # so under concurrent serving load a genuinely wedged worker
+            # was detected only after 60*(1+N) s — tens of minutes of hung
+            # queries. Only queries still OWING a reply from one of this
+            # query's target shards actually queue ahead of us on those
+            # pipes; everything else is irrelevant to our wait.
+            targets = set(by_shard)
+            queue_depth = sum(
+                1
+                for p in self._pending.values()
+                if any(i in p.expected and i not in p.parts for i in targets)
+            )
             if by_shard:
                 self._pending[req_id] = pending
         try:
@@ -1081,10 +1098,14 @@ class ForkedRouterPool:
                         )
             if by_shard:
                 # REPLY_TIMEOUT_S covers FIFO queue time too, so scale the
-                # deadline with the queue depth observed at registration —
-                # a deep backlog of healthy sub-ms queries must not read as
-                # a wedged worker (ADVICE r10).
-                deadline = self.REPLY_TIMEOUT_S * (1 + queue_depth)
+                # deadline with the PER-TARGET queue depth observed at
+                # registration — a deep backlog of healthy sub-ms queries
+                # must not read as a wedged worker (ADVICE r10) — but cap
+                # the multiplier: the 60 s base already covers ~60k queued
+                # sub-ms queries per step, so an uncapped depth only delays
+                # wedge detection (ADVICE r11).
+                depth = min(queue_depth, self.DEADLINE_DEPTH_CAP)
+                deadline = self.REPLY_TIMEOUT_S * (1 + depth)
                 if not pending.event.wait(timeout=deadline):
                     # Re-check completeness under the lock before declaring
                     # the pool broken: the final part may have landed in the

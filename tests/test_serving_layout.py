@@ -1086,6 +1086,7 @@ def test_forked_pool_late_complete_answer_not_marked_broken(
             super().__init__(expected)
             self.event = _TimeoutButComplete()
 
+    orig_pending = srv._PendingQuery
     monkeypatch.setattr(srv, "_PendingQuery", _PatchedPending)
     try:
         q = queries_np[0][1]
@@ -1097,11 +1098,84 @@ def test_forked_pool_late_complete_answer_not_marked_broken(
         ]
         assert got == want  # the complete late answer is returned
         assert not pool._broken  # ...and the healthy pool survives
-        monkeypatch.setattr(srv, "_PendingQuery", srv._PendingQuery)
+        # restore the ORIGINAL class (ADVICE r11: re-reading the attr here
+        # returned the already-patched _PatchedPending, so this leg was a
+        # no-op and re-ran the patched path) — the follow-up query below
+        # must exercise the normal wait path
+        monkeypatch.setattr(srv, "_PendingQuery", orig_pending)
         # and it keeps serving afterwards
         got2 = [
             (i, round(d, 9)) for i, d in pool.search(q, quota=QUOTA, k=TOP_K)
         ]
         assert got2 == want
     finally:
+        pool.close()
+
+
+def test_forked_pool_deadline_per_target_depth_and_capped(
+    spark, model, codes, queries_np, monkeypatch
+):
+    """ADVICE r11: the reply deadline must scale with the queue depth of
+    THIS query's target workers, capped — not the pool-wide in-flight
+    count. Otherwise a genuinely wedged worker under concurrent load is
+    detected only after 60*(1+N) s. Pin all three legs deterministically
+    by planting fake pending entries and recording the wait() timeout:
+    (a) an idle pool waits exactly REPLY_TIMEOUT_S;
+    (b) in-flight queries that owe nothing (parts complete) or owe only
+        NON-target shards do not scale the deadline;
+    (c) a deep backlog on the target shards scales it but never past
+        REPLY_TIMEOUT_S * (1 + DEADLINE_DEPTH_CAP)."""
+    import threading
+
+    from columbiaimagesearch_spark.lopq import serving as srv
+
+    router = srv.ShardedServingRouter.build(model, codes, n_shards=2)
+    pool = srv.ForkedRouterPool(router)
+    recorded = []
+
+    class _RecordingEvent(threading.Event):
+        def wait(self, timeout=None):
+            recorded.append(timeout)
+            return super().wait(timeout=timeout)
+
+    class _PatchedPending(srv._PendingQuery):
+        def __init__(self, expected):
+            super().__init__(expected)
+            self.event = _RecordingEvent()
+
+    monkeypatch.setattr(srv, "_PendingQuery", _PatchedPending)
+    base = srv.ForkedRouterPool.REPLY_TIMEOUT_S
+    cap = srv.ForkedRouterPool.DEADLINE_DEPTH_CAP
+    all_shards = set(range(len(router.shards)))
+    try:
+        q = queries_np[0][1]
+        # (a) idle pool
+        pool.search(q, quota=QUOTA, k=TOP_K)
+        assert recorded[-1] == base
+
+        # (b) noise that must NOT scale the deadline: a completed-but-not-
+        # yet-popped query, and one owing a reply only from a shard no
+        # real query targets
+        done = srv._PendingQuery(set(all_shards))
+        for i in all_shards:
+            done.parts[i] = ((), ())
+        foreign = srv._PendingQuery({99})
+        with pool._pending_lock:
+            pool._pending[-1] = done
+            pool._pending[-2] = foreign
+        pool.search(q, quota=QUOTA, k=TOP_K)
+        assert recorded[-1] == base
+
+        # (c) a deep backlog owing replies from EVERY shard scales the
+        # deadline, capped
+        with pool._pending_lock:
+            for j in range(cap + 10):
+                pool._pending[-10 - j] = srv._PendingQuery(set(all_shards))
+        pool.search(q, quota=QUOTA, k=TOP_K)
+        assert recorded[-1] == base * (1 + cap)
+        assert not pool._broken
+    finally:
+        with pool._pending_lock:
+            for key in [k for k in pool._pending if k < 0]:
+                pool._pending.pop(key)
         pool.close()
