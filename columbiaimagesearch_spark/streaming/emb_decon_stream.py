@@ -88,7 +88,17 @@ def register_benchmark(
     recall 1.0, O(n_bench)/row — for every later step). Re-registering
     overwrites suite AND knobs; verdicts
     already accumulated under the old suite keep their old meaning (same
-    contract as curate_stream.register_benchmark)."""
+    contract as curate_stream.register_benchmark).
+
+    Crash safety (ADVICE r11): meta.json is written to a temp file and
+    os.rename'd into place AFTER the bench parquet lands, so a crash
+    mid-RE-registration can never leave the NEW suite paired with the OLD
+    pinned knobs (or a truncated meta.json) — suite and knobs update
+    observably together, keeping the 'knobs pinned at registration'
+    contract. (rename within one directory is atomic on POSIX; the
+    worst crash window leaves old-suite/old-knobs or new-suite/old-knobs
+    with the rename still pending — both self-consistent states the next
+    register_benchmark overwrites.)"""
     bench = bench_vecs.select("vec_id", "v").persist()
     n = bench.count()
     if bands is None or bits is None:
@@ -97,7 +107,9 @@ def register_benchmark(
         bits = d_bits if bits is None else bits
     bench.write.mode("overwrite").parquet(_path(state_dir, "bench"))
     bench.unpersist()
-    with open(_meta_path(state_dir), "w") as fh:
+    meta_path = _meta_path(state_dir)
+    tmp_path = meta_path + ".tmp"
+    with open(tmp_path, "w") as fh:
         json.dump(
             {
                 "threshold": threshold,
@@ -109,6 +121,9 @@ def register_benchmark(
             },
             fh,
         )
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp_path, meta_path)
 
 
 def read_verdicts(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -129,3 +129,42 @@ def test_exact_mode_pins_through_meta_and_dominates_probe(spark, tmp_path):
         r[1] for r in _rows(edc.read_verdicts(spark, probe_state))
     )
     assert sum(r[1] for r in got) > probe_total
+
+
+def test_register_benchmark_updates_meta_atomically(spark, tmp_path, monkeypatch):
+    """ADVICE r11: re-registration must never pair the NEW suite with the
+    OLD knobs (or a truncated meta.json). meta.json is written to a temp
+    file and renamed AFTER the bench parquet lands — simulate a crash
+    between the two by failing the rename: the OLD meta must still parse
+    and carry the OLD knobs, and no half-written meta is visible. A later
+    uncrashed re-registration then lands the new pair together."""
+    import os
+
+    state = str(tmp_path / "state")
+    _corpus, bench = _vecs(spark)
+    edc.register_benchmark(spark, bench, state, bands=4, bits=3)
+    with open(edc._meta_path(state)) as fh:
+        old = json.load(fh)
+    assert (old["bands"], old["bits"]) == (4, 3)
+
+    real_rename = os.rename
+
+    def crash_rename(src, dst):
+        if dst.endswith("meta.json"):
+            raise OSError("simulated crash before meta rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crash_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        edc.register_benchmark(spark, bench, state, bands=9, bits=5)
+    monkeypatch.undo()
+
+    with open(edc._meta_path(state)) as fh:
+        after_crash = json.load(fh)  # still valid JSON — never truncated
+    assert after_crash == old  # old knobs intact, not the half-new pair
+
+    edc.register_benchmark(spark, bench, state, bands=9, bits=5)
+    with open(edc._meta_path(state)) as fh:
+        fresh = json.load(fh)
+    assert (fresh["bands"], fresh["bits"]) == (9, 5)
+    assert not os.path.exists(edc._meta_path(state) + ".tmp")
