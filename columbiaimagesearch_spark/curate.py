@@ -4,9 +4,12 @@
 (doc_id, text, lang, source) relation:
 
   [PII scrub] -> near-dup dedup (MinHash-LSH pairs -> connected
-  components, keep the min-doc_id representative) -> [benchmark
+  components, keep the min-doc_id representative) -> [embedding near-dup
+  dedup: the SemDeDup-style semantic rung over doc_embeddings, same
+  pairs -> components -> representative idiom] -> [benchmark
   decontamination] -> [fuzzy benchmark decontamination, reusing stage 1's
-  shingle-hash cache] -> [exact-substring duplication filter] ->
+  shingle-hash cache] -> [embedding decontamination] ->
+  [exact-substring duplication filter] ->
   repetition filter -> temperature mixture sampling -> train-split
   selection -> sequence packing.  (Bracketed stages are opt-in flags.)
 
@@ -30,7 +33,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .operators import dedup, hygiene, packing
+from .operators import dedup, hygiene, packing, similarity
 
 
 @dataclass
@@ -56,6 +59,8 @@ def curate_docs(
     doc_embeddings: DataFrame | None = None,
     bench_embeddings: DataFrame | None = None,
     embedding_exact: bool = False,
+    embedding_dedup: bool = False,
+    require_embedding_coverage: bool = False,
     contamination_report: bool = False,
     cluster_stats: bool = False,
     drop_substring_dups: bool = False,
@@ -99,9 +104,29 @@ def curate_docs(
     ``doc_embeddings`` may be the PRE-dedup superset: extra rows only
     produce drop ids for already-dropped docs, which the anti-join
     ignores — probing them map-side is cheaper than a corpus-sized
-    semi-join shuffle to trim them first. ``embedding_exact=True``
-    verifies against the WHOLE suite instead of the LSH probe (recall
-    1.0, O(n_bench)/doc — see ``embedding_decontaminate_from``).
+    semi-join shuffle to trim them first. It may also be a SUBSET: a
+    surviving doc with NO embedding row emits no verdict and silently
+    skips every embedding stage (decontamination AND embedding dedup) —
+    it can never be dropped by them. That is the documented contract;
+    when the pipeline must not tolerate the gap (a safety stage), pass
+    ``require_embedding_coverage=True`` and the chain counts survivors
+    without an embedding row at the FIRST embedding rung and raises
+    ``ValueError`` when any exist (one extra anti-join count job; later
+    rungs see only subsets of the checked set, so one check covers all).
+    ``embedding_exact=True`` verifies against the WHOLE suite instead of
+    the LSH probe (recall 1.0, O(n_bench)/doc — see
+    ``embedding_decontaminate_from``).
+
+    ``embedding_dedup=True`` (needs ``doc_embeddings``) adds the
+    SemDeDup-style semantic dedup rung after the lexical one: drop every
+    non-representative of an embedding-cosine near-dup cluster
+    (paraphrases / re-renders that share too few shingles for MinHash).
+    Composed from the library forms — ``similarity.emb_lsh_pairs_from``
+    over the survivors' embeddings, then ``dedup.connected_components``,
+    keep each cluster's min-doc_id member — exactly stage 1's idiom, so
+    the chain stage equals the standalone composition (pinned by test).
+    When both embedding rungs are enabled the (doc_id, v) projection is
+    persisted so the two rungs share ONE scan of ``doc_embeddings``.
 
     ``cluster_stats=True`` additionally emits the per-cluster dedup
     savings report (``dedup.cluster_stats_from`` — what stage 1's drop
@@ -117,18 +142,31 @@ def curate_docs(
     decontamination drop — as ``res.stages["contamination_report"]``,
     reusing the same stage-1 shingle-hash cache (the report's fuzzy rung
     re-runs only the signature pass; no extra corpus hash pass)."""
-    if (bench_embeddings is None) != (doc_embeddings is None):
-        # same loud-failure contract as the bench_docs flags below: an
-        # embedding rung with only one side supplied cannot run
-        have, need = (
-            ("bench_embeddings", "doc_embeddings")
-            if doc_embeddings is None
-            else ("doc_embeddings", "bench_embeddings")
-        )
+    # same loud-failure contract as the bench_docs flags below: an
+    # embedding stage that cannot run (or an argument nothing consumes)
+    # must fail at the call, not silently skip
+    if bench_embeddings is not None and doc_embeddings is None:
         raise ValueError(
-            f"{have} requires {need} (the embedding decontamination rung "
-            "needs both the corpus and the eval-suite embeddings); pass "
-            "both or neither"
+            "bench_embeddings requires doc_embeddings (the embedding "
+            "decontamination rung needs both the corpus and the "
+            "eval-suite embeddings); pass both or neither"
+        )
+    if embedding_dedup and doc_embeddings is None:
+        raise ValueError(
+            "embedding_dedup=True requires doc_embeddings (the semantic "
+            "dedup rung clusters the corpus embeddings); pass "
+            "doc_embeddings or drop the flag"
+        )
+    if doc_embeddings is not None and bench_embeddings is None and not embedding_dedup:
+        raise ValueError(
+            "doc_embeddings was passed but nothing consumes it: pass "
+            "bench_embeddings (embedding decontamination) and/or "
+            "embedding_dedup=True (semantic dedup), or drop it"
+        )
+    if require_embedding_coverage and doc_embeddings is None:
+        raise ValueError(
+            "require_embedding_coverage=True needs doc_embeddings (there "
+            "is no embedding stage to cover); pass it or drop the flag"
         )
     if (fuzzy_decontaminate or contamination_report) and bench_docs is None:
         # an explicit opt-in with nothing to check against must fail
@@ -211,6 +249,72 @@ def curate_docs(
             docs, bench_docs, hashed_train=h_cur, hashed_bench=h_b
         ).localCheckpoint(eager=True)
 
+    # Shared embedding projection: when BOTH embedding rungs run (1b dedup
+    # + 2b' decontamination) the (vec_id, v) relation is persisted so the
+    # two rungs cost one doc_embeddings scan between them; single-rung
+    # calls stay unpersisted (one scan either way — a cache would only add
+    # memory pressure). At 100 TB prefer re-scanning parquet over caching
+    # a corpus-sized relation: drop the persist, both rungs remain one
+    # scan each.
+    emb_proj = None
+    if doc_embeddings is not None:
+        emb_proj = doc_embeddings.select(F.col("doc_id").alias("vec_id"), "v")
+        if embedding_dedup and bench_embeddings is not None:
+            emb_proj = emb_proj.persist()
+        if require_embedding_coverage:
+            # opt-in coverage contract (see docstring): every CURRENT
+            # survivor must carry an embedding row before the first
+            # embedding rung runs — later rungs see subsets, so one
+            # check covers both. One int-keyed anti-join count job.
+            n_uncovered = docs.join(
+                doc_embeddings.select("doc_id"), "doc_id", "left_anti"
+            ).count()
+            if n_uncovered:
+                raise ValueError(
+                    f"require_embedding_coverage: {n_uncovered} surviving "
+                    "docs have no doc_embeddings row and would silently "
+                    "skip the embedding stage(s); supply their embeddings "
+                    "or drop the flag to accept the documented subset "
+                    "behavior"
+                )
+
+    # 1b. embedding near-dup dedup (opt-in): the SemDeDup-style semantic
+    # rung — drop every non-representative of an embedding-cosine cluster
+    # (paraphrases / re-renders whose shingle overlap is too low for
+    # stage 1). Same pairs -> components -> min-id-representative idiom
+    # as stage 1, composed from the library forms, so the chain stage
+    # equals the standalone composition (pinned by test). Plan shape: the
+    # LSH band self-join stays int-keyed (band, key) rows; TEXT never
+    # enters the stage — docs is touched only by the final int anti-join.
+    # The survivors' ids are SEMI-JOINED onto the embeddings first (one
+    # int-keyed join of (id, vec) rows): a pre-dedup superset row could
+    # otherwise win a cluster's min-id representative slot while being
+    # already dropped — its surviving twin would be dropped with nothing
+    # kept. Docs WITHOUT an embedding row never enter a cluster and
+    # always survive this stage (the subset contract above).
+    if embedding_dedup:
+        emb_cur = emb_proj.join(
+            docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        )
+        emb_pairs = similarity.emb_lsh_pairs_from(emb_cur).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        comp_e = dedup.connected_components(
+            emb_cur.select(F.col("vec_id").alias("doc_id")), emb_pairs
+        )
+        # Eager pin (unlike stage 1, whose comp nodes are the cheap docs
+        # id scan): comp_e references emb_cur — the doc_embeddings scan +
+        # survivor semi-join — lazily, and docs is re-referenced by every
+        # later stage with no subplan sharing; unpinned, each downstream
+        # action would re-scan the embeddings once per reference.
+        e_losers = (
+            comp_e.where(F.col("doc_id") != F.col("component"))
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        docs = docs.join(e_losers, "doc_id", "left_anti")
+        res.stages["after_embedding_dedup"] = docs
+
     # Stages 2-3 drop documents via EXPENSIVE verdict pipelines (the n-gram
     # decontamination explode+window, the repetition posexplode+window).
     # Their drop-id sets are eagerly pinned before joining: `docs` is
@@ -265,9 +369,7 @@ def curate_docs(
     if bench_embeddings is not None:
         emb_dirty = (
             hygiene.embedding_decontaminate_from(
-                doc_embeddings.select(
-                    F.col("doc_id").alias("vec_id"), "v"
-                ),
+                emb_proj,
                 bench_embeddings.select(
                     F.col("doc_id").alias("vec_id"), "v"
                 ),
@@ -279,6 +381,11 @@ def curate_docs(
         )
         docs = docs.join(emb_dirty, "doc_id", "left_anti")
         res.stages["after_embedding_decontam"] = docs
+    if emb_proj is not None and embedding_dedup and bench_embeddings is not None:
+        # both rungs' drop-id sets are eagerly pinned by now (stage 1b's
+        # components checkpoint + the verdict checkpoint above) — the
+        # shared cache is consumed and must not outlive this call
+        emb_proj.unpersist()
 
     # 2b. exact-substring duplication filter (optional): drop docs whose
     # duplicated-span coverage crosses the flag threshold — the Lee et al.

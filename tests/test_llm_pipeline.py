@@ -445,3 +445,136 @@ def test_curation_embedding_decontam_drops_paraphrase(spark):
         curate.curate_docs(docs, None, bench_embeddings=bench_emb)
     with pytest.raises(ValueError, match="bench_embeddings"):
         curate.curate_docs(docs, None, doc_embeddings=doc_emb)
+
+
+def test_curation_embedding_dedup_equals_standalone_composition(spark):
+    """VERDICT r11 item 5: curate_docs(embedding_dedup=True) — the
+    SemDeDup-style semantic dedup rung. Plant a 3-doc embedding cluster
+    (near-identical vectors, lexically unrelated texts): the chain must
+    keep exactly the min-doc_id representative and drop the other two,
+    and the stage's drop set must EQUAL the standalone
+    emb_lsh_pairs_from -> connected_components -> losers composition on
+    the same inputs (the survivors' embeddings). Docs WITHOUT an
+    embedding row always survive the stage (the subset contract)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from columbiaimagesearch_spark.operators import dedup, similarity
+
+    rng = np.random.RandomState(23)
+    base = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    ).limit(40)
+    twins = spark.createDataFrame(
+        [
+            Row(doc_id=900_000 + i,
+                text=" ".join(f"tw{i}x{j}q" for j in range(30)),
+                lang="en", source="web")
+            for i in range(3)
+        ]
+    )
+    docs = base.unionByName(twins)
+    base_ids = [int(r["doc_id"]) for r in base.collect()]
+    no_emb_id = base_ids[0]  # this doc gets NO embedding row
+
+    # one-hot embeddings: base docs are pairwise EXACTLY orthogonal
+    # (cos 0.0 — random d=16 Gaussians reach cos 0.63 > NEAR_DUP_COS and
+    # would form accidental clusters), twins share a distinct axis with
+    # tiny noise (cos ~ 1.0 among themselves, ~1e-6 vs every base doc)
+    d = 64
+
+    def one_hot(axis, noise=0.0):
+        v = np.zeros(d)
+        v[axis] = 1.0
+        if noise:
+            v = v + noise * rng.randn(d)
+        return [float(x) for x in v]
+
+    doc_emb = spark.createDataFrame(
+        [
+            Row(doc_id=i, v=one_hot(j))
+            for j, i in enumerate(base_ids[1:])
+        ]
+        + [
+            Row(doc_id=900_000 + i, v=one_hot(60, noise=1e-6))
+            for i in range(3)
+        ]
+    )
+    res = curate.curate_docs(
+        docs, None, train_split_only=False,
+        doc_embeddings=doc_emb, embedding_dedup=True,
+    )
+    assert "after_embedding_dedup" in res.stages
+    before = {r["doc_id"] for r in res.stages["after_dedup"].collect()}
+    after = {r["doc_id"] for r in res.stages["after_embedding_dedup"].collect()}
+    assert {900_001, 900_002}.isdisjoint(after)  # non-representatives drop
+    assert 900_000 in after  # min-doc_id representative survives
+    assert no_emb_id in after  # no embedding row -> never dropped here
+
+    # the chain stage EQUALS the standalone composition on the same inputs
+    emb_cur = doc_emb.select(F.col("doc_id").alias("vec_id"), "v").join(
+        res.stages["after_dedup"].select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+    )
+    pairs = similarity.emb_lsh_pairs_from(emb_cur).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = dedup.connected_components(
+        emb_cur.select(F.col("vec_id").alias("doc_id")), pairs
+    )
+    want_losers = {
+        r["doc_id"]
+        for r in comp.where(F.col("doc_id") != F.col("component")).collect()
+    }
+    assert before - after == want_losers
+
+
+def test_curation_embedding_coverage_and_arg_contracts(spark):
+    """ADVICE r11 curate.py: a doc_embeddings SUBSET silently skips the
+    embedding stages for uncovered docs — the documented contract — and
+    require_embedding_coverage=True turns the gap into a loud ValueError
+    naming the count. Plus the new argument-consumption contracts."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    rng = np.random.RandomState(5)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    ).limit(20)
+    ids = [int(r["doc_id"]) for r in docs.collect()]
+    full_emb = spark.createDataFrame(
+        [Row(doc_id=i, v=[float(x) for x in rng.randn(16)]) for i in ids]
+    )
+    bench_emb = spark.createDataFrame(
+        [Row(doc_id=1, v=[float(x) for x in rng.randn(16)])]
+    )
+    # full coverage passes the check
+    res = curate.curate_docs(
+        docs, None, train_split_only=False,
+        doc_embeddings=full_emb, bench_embeddings=bench_emb,
+        require_embedding_coverage=True,
+    )
+    assert "after_embedding_decontam" in res.stages
+    # a subset raises with the uncovered count (survivors of dedup minus
+    # covered ids; the 20-doc fixture slice has no dup clusters)
+    subset = full_emb.where(F.col("doc_id") != ids[0])
+    with pytest.raises(ValueError, match="1 surviving docs"):
+        curate.curate_docs(
+            docs, None, train_split_only=False,
+            doc_embeddings=subset, bench_embeddings=bench_emb,
+            require_embedding_coverage=True,
+        )
+    # ...and without the flag the same subset runs (documented behavior)
+    res2 = curate.curate_docs(
+        docs, None, train_split_only=False,
+        doc_embeddings=subset, bench_embeddings=bench_emb,
+    )
+    assert "after_embedding_decontam" in res2.stages
+    # argument-consumption contracts
+    with pytest.raises(ValueError, match="embedding_dedup=True requires"):
+        curate.curate_docs(docs, None, embedding_dedup=True)
+    with pytest.raises(ValueError, match="nothing consumes"):
+        curate.curate_docs(docs, None, doc_embeddings=full_emb)
+    with pytest.raises(ValueError, match="require_embedding_coverage=True needs"):
+        curate.curate_docs(docs, None, require_embedding_coverage=True)
