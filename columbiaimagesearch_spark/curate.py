@@ -125,8 +125,10 @@ def curate_docs(
     over the survivors' embeddings, then ``dedup.connected_components``,
     keep each cluster's min-doc_id member — exactly stage 1's idiom, so
     the chain stage equals the standalone composition (pinned by test).
-    When both embedding rungs are enabled the (doc_id, v) projection is
-    persisted so the two rungs share ONE scan of ``doc_embeddings``.
+    Whenever this rung runs, the (doc_id, v) projection is persisted —
+    the pairs/components composition evaluates its input three times, and
+    the decon rung (when also enabled) reads the same cache, so both
+    rungs together still cost ONE scan of ``doc_embeddings``.
 
     ``cluster_stats=True`` additionally emits the per-cluster dedup
     savings report (``dedup.cluster_stats_from`` — what stage 1's drop
@@ -167,6 +169,13 @@ def curate_docs(
         raise ValueError(
             "require_embedding_coverage=True needs doc_embeddings (there "
             "is no embedding stage to cover); pass it or drop the flag"
+        )
+    if embedding_exact and bench_embeddings is None:
+        raise ValueError(
+            "embedding_exact=True needs bench_embeddings (it selects the "
+            "exhaustive-verify mode of the embedding DECONTAMINATION "
+            "rung, which is not running); pass bench_embeddings or drop "
+            "the flag"
         )
     if (fuzzy_decontaminate or contamination_report) and bench_docs is None:
         # an explicit opt-in with nothing to check against must fail
@@ -249,34 +258,39 @@ def curate_docs(
             docs, bench_docs, hashed_train=h_cur, hashed_bench=h_b
         ).localCheckpoint(eager=True)
 
-    # Shared embedding projection: when BOTH embedding rungs run (1b dedup
-    # + 2b' decontamination) the (vec_id, v) relation is persisted so the
-    # two rungs cost one doc_embeddings scan between them; single-rung
-    # calls stay unpersisted (one scan either way — a cache would only add
-    # memory pressure). At 100 TB prefer re-scanning parquet over caching
-    # a corpus-sized relation: drop the persist, both rungs remain one
-    # scan each.
+    # Shared embedding projection. Persist rules, per consumer count:
+    # the dedup rung (1b) alone evaluates its input THREE times (the
+    # derive_lsh_knobs count, the pairs checkpoint inside
+    # connected_components, and the components' lazy nodes join at the
+    # loser pin), so whenever 1b runs, emb_proj is persisted; when the
+    # decon rung (2b') also runs it reads the same cache, so both rungs
+    # cost one doc_embeddings scan between them. A decon-ONLY call scans
+    # exactly once (the map-only verdict pass) and stays unpersisted — a
+    # cache there would only add memory pressure. At 100 TB prefer
+    # re-scanning parquet over caching a corpus-sized relation: drop the
+    # persist and pay one scan per consumer instead.
     emb_proj = None
     if doc_embeddings is not None:
         emb_proj = doc_embeddings.select(F.col("doc_id").alias("vec_id"), "v")
-        if embedding_dedup and bench_embeddings is not None:
+        if embedding_dedup:
             emb_proj = emb_proj.persist()
-        if require_embedding_coverage:
-            # opt-in coverage contract (see docstring): every CURRENT
-            # survivor must carry an embedding row before the first
-            # embedding rung runs — later rungs see subsets, so one
-            # check covers both. One int-keyed anti-join count job.
-            n_uncovered = docs.join(
-                doc_embeddings.select("doc_id"), "doc_id", "left_anti"
-            ).count()
-            if n_uncovered:
-                raise ValueError(
-                    f"require_embedding_coverage: {n_uncovered} surviving "
-                    "docs have no doc_embeddings row and would silently "
-                    "skip the embedding stage(s); supply their embeddings "
-                    "or drop the flag to accept the documented subset "
-                    "behavior"
-                )
+
+    def _check_embedding_coverage() -> None:
+        # opt-in coverage contract (see docstring), invoked by whichever
+        # embedding rung runs FIRST against the survivors at that point —
+        # later rungs see only subsets, so one check covers both. One
+        # int-keyed anti-join count job.
+        n_uncovered = docs.join(
+            doc_embeddings.select("doc_id"), "doc_id", "left_anti"
+        ).count()
+        if n_uncovered:
+            raise ValueError(
+                f"require_embedding_coverage: {n_uncovered} surviving "
+                "docs have no doc_embeddings row and would silently "
+                "skip the embedding stage(s); supply their embeddings "
+                "or drop the flag to accept the documented subset "
+                "behavior"
+            )
 
     # 1b. embedding near-dup dedup (opt-in): the SemDeDup-style semantic
     # rung — drop every non-representative of an embedding-cosine cluster
@@ -293,6 +307,8 @@ def curate_docs(
     # kept. Docs WITHOUT an embedding row never enter a cluster and
     # always survive this stage (the subset contract above).
     if embedding_dedup:
+        if require_embedding_coverage:
+            _check_embedding_coverage()
         emb_cur = emb_proj.join(
             docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
         )
@@ -314,6 +330,11 @@ def curate_docs(
         )
         docs = docs.join(e_losers, "doc_id", "left_anti")
         res.stages["after_embedding_dedup"] = docs
+        if bench_embeddings is None:
+            # last embedding consumer: the loser pin above materialized
+            # everything that reads emb_proj — release the cache here
+            # (the both-rungs path releases after the decon pin instead)
+            emb_proj.unpersist()
 
     # Stages 2-3 drop documents via EXPENSIVE verdict pipelines (the n-gram
     # decontamination explode+window, the repetition posexplode+window).
@@ -367,6 +388,10 @@ def curate_docs(
     # (see the docstring) — the completeness rows it emits for dropped
     # ids die in the anti-join.
     if bench_embeddings is not None:
+        if require_embedding_coverage and not embedding_dedup:
+            # first (and only) embedding rung of this call — check the
+            # survivors that actually reach it, not an earlier superset
+            _check_embedding_coverage()
         emb_dirty = (
             hygiene.embedding_decontaminate_from(
                 emb_proj,
@@ -381,7 +406,7 @@ def curate_docs(
         )
         docs = docs.join(emb_dirty, "doc_id", "left_anti")
         res.stages["after_embedding_decontam"] = docs
-    if emb_proj is not None and embedding_dedup and bench_embeddings is not None:
+    if embedding_dedup and bench_embeddings is not None:
         # both rungs' drop-id sets are eagerly pinned by now (stage 1b's
         # components checkpoint + the verdict checkpoint above) — the
         # shared cache is consumed and must not outlive this call

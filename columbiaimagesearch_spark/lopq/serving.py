@@ -1064,6 +1064,11 @@ class ForkedRouterPool:
             # queries. Only queries still OWING a reply from one of this
             # query's target shards actually queue ahead of us on those
             # pipes; everything else is irrelevant to our wait.
+            # Cost note: this scan is O(len(_pending) * targets) under the
+            # lock, but every _pending entry is a CALLER THREAD blocked in
+            # this method — the dict is bounded by the serving layer's
+            # thread pool (single digits), not by queued work, so the scan
+            # is a few dict probes, not a hot-path hazard.
             targets = set(by_shard)
             queue_depth = sum(
                 1

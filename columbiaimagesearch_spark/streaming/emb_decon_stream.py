@@ -13,12 +13,16 @@ cost is O(batch) regardless of how much has streamed before — strictly
 better than the dedup twins, whose band-table state grows with the corpus.
 
 State layout under ``state_dir``:
-  bench/      the registered suite (vec_id, v) — written once by
-              :func:`register_benchmark`
-  meta.json   threshold + banding knobs + seed, PINNED at registration
-              (the suite's band keys depend on them; a step with different
-              knobs would answer a different question against the same
-              state, so steps always read the pinned values)
+  bench_vN/   the registered suite (vec_id, v) — a fresh VERSIONED dir
+              per :func:`register_benchmark` call; the live one is the
+              one meta.json names (superseded dirs are garbage-collected
+              after the meta commit, best-effort)
+  meta.json   threshold + banding knobs + seed + the live suite dir,
+              PINNED together at registration (the suite's band keys
+              depend on the knobs; a step with different knobs would
+              answer a different question against the same state, so
+              steps always read the pinned values). The meta rename is
+              the atomic COMMIT POINT for suite+knobs as a unit.
   verdicts/   accumulated (vec_id, n_bench_twins, max_cos, contaminated)
               rows — also the CLAIM table (ST2/J3 idiom): a replayed batch
               anti-joins itself away, so redeliveries are no-ops. One
@@ -90,22 +94,38 @@ def register_benchmark(
     already accumulated under the old suite keep their old meaning (same
     contract as curate_stream.register_benchmark).
 
-    Crash safety (ADVICE r11): meta.json is written to a temp file and
-    os.rename'd into place AFTER the bench parquet lands, so a crash
-    mid-RE-registration can never leave the NEW suite paired with the OLD
-    pinned knobs (or a truncated meta.json) — suite and knobs update
-    observably together, keeping the 'knobs pinned at registration'
-    contract. (rename within one directory is atomic on POSIX; the
-    worst crash window leaves old-suite/old-knobs or new-suite/old-knobs
-    with the rename still pending — both self-consistent states the next
-    register_benchmark overwrites.)"""
+    Crash safety (ADVICE r11): the suite parquet lands in a FRESH
+    versioned dir (``bench_vN``) that nothing references yet, then
+    meta.json — which names that dir alongside the knobs — is written to
+    a temp file, fsynced, and os.rename'd into place. The rename is the
+    single atomic commit point for (suite, knobs) AS A UNIT: a crash
+    anywhere before it leaves the OLD meta referencing the OLD, untouched
+    suite dir with the OLD knobs — never a new suite under old knobs and
+    never a truncated meta.json. Superseded suite dirs are
+    garbage-collected after the commit (best-effort; a crash there
+    strands an unreferenced dir, never an inconsistent pair)."""
+    import re
+    import shutil
+
     bench = bench_vecs.select("vec_id", "v").persist()
     n = bench.count()
     if bands is None or bits is None:
         d_bands, d_bits = derive_lsh_knobs(n, threshold=threshold)
         bands = d_bands if bands is None else bands
         bits = d_bits if bits is None else bits
-    bench.write.mode("overwrite").parquet(_path(state_dir, "bench"))
+    try:
+        stale = [
+            d for d in os.listdir(state_dir)
+            if re.fullmatch(r"bench(_v\d+)?", d)
+        ]
+    except FileNotFoundError:
+        stale = []
+    version = 1 + max(
+        (int(d[len("bench_v"):]) for d in stale if d.startswith("bench_v")),
+        default=-1,
+    )
+    bench_dir = f"bench_v{version}"
+    bench.write.mode("overwrite").parquet(_path(state_dir, bench_dir))
     bench.unpersist()
     meta_path = _meta_path(state_dir)
     tmp_path = meta_path + ".tmp"
@@ -118,12 +138,16 @@ def register_benchmark(
                 "seed": int(seed),
                 "exact": bool(exact),
                 "n_bench": int(n),
+                "bench_dir": bench_dir,
+                "suite_version": version,
             },
             fh,
         )
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp_path, meta_path)
+    for d in stale:  # superseded suites (and any legacy "bench" dir)
+        shutil.rmtree(_path(state_dir, d), ignore_errors=True)
 
 
 def read_verdicts(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -155,7 +179,8 @@ def emb_decon_batch_step(
     if n_fresh == 0:
         fresh.unpersist()
         return 0
-    bench = _read_state(spark, state_dir, "bench", VEC_SCHEMA)
+    # the live suite is the dir meta names ("bench" = pre-r12 state dirs)
+    bench = _read_state(spark, state_dir, meta.get("bench_dir", "bench"), VEC_SCHEMA)
     verdicts = embedding_decontaminate_from(
         fresh,
         bench,

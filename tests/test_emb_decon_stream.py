@@ -133,19 +133,24 @@ def test_exact_mode_pins_through_meta_and_dominates_probe(spark, tmp_path):
 
 def test_register_benchmark_updates_meta_atomically(spark, tmp_path, monkeypatch):
     """ADVICE r11: re-registration must never pair the NEW suite with the
-    OLD knobs (or a truncated meta.json). meta.json is written to a temp
-    file and renamed AFTER the bench parquet lands — simulate a crash
-    between the two by failing the rename: the OLD meta must still parse
-    and carry the OLD knobs, and no half-written meta is visible. A later
-    uncrashed re-registration then lands the new pair together."""
+    OLD knobs (or a truncated meta.json). The new suite lands in a fresh
+    versioned dir nothing references, and the meta.json rename is the
+    single commit point for (suite dir, knobs) — simulate a crash between
+    the parquet write and the rename: the OLD meta must still parse,
+    carry the OLD knobs, and reference the OLD suite dir (still on disk,
+    untouched), so a step after the crash answers under the old pair. A
+    later uncrashed re-registration then lands the new pair together and
+    garbage-collects the superseded suite."""
     import os
 
     state = str(tmp_path / "state")
-    _corpus, bench = _vecs(spark)
-    edc.register_benchmark(spark, bench, state, bands=4, bits=3)
+    corpus, bench = _vecs(spark)
+    small_bench = bench.limit(3)
+    edc.register_benchmark(spark, small_bench, state, bands=4, bits=3)
     with open(edc._meta_path(state)) as fh:
         old = json.load(fh)
     assert (old["bands"], old["bits"]) == (4, 3)
+    old_suite = edc._path(state, old["bench_dir"])
 
     real_rename = os.rename
 
@@ -156,15 +161,29 @@ def test_register_benchmark_updates_meta_atomically(spark, tmp_path, monkeypatch
 
     monkeypatch.setattr(os, "rename", crash_rename)
     with pytest.raises(OSError, match="simulated crash"):
+        # a LARGER suite with different knobs — the dangerous re-pairing
         edc.register_benchmark(spark, bench, state, bands=9, bits=5)
     monkeypatch.undo()
 
     with open(edc._meta_path(state)) as fh:
         after_crash = json.load(fh)  # still valid JSON — never truncated
     assert after_crash == old  # old knobs intact, not the half-new pair
+    assert os.path.isdir(old_suite)  # ...and they reference the OLD suite
+    # a post-crash step runs against the OLD (suite, knobs) pair: its
+    # verdicts equal the batch operator's under exactly those arguments
+    n = edc.emb_decon_batch_step(spark, corpus, state)
+    assert n == corpus.count()
+    got = _rows(edc.read_verdicts(spark, state))
+    want = _rows(
+        embedding_decontaminate_from(corpus, small_bench, bands=4, bits=3)
+    )
+    assert got == want
 
     edc.register_benchmark(spark, bench, state, bands=9, bits=5)
     with open(edc._meta_path(state)) as fh:
         fresh = json.load(fh)
     assert (fresh["bands"], fresh["bits"]) == (9, 5)
+    assert fresh["bench_dir"] != old["bench_dir"]
+    assert os.path.isdir(edc._path(state, fresh["bench_dir"]))
+    assert not os.path.isdir(old_suite)  # superseded suite collected
     assert not os.path.exists(edc._meta_path(state) + ".tmp")

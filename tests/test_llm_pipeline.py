@@ -578,3 +578,51 @@ def test_curation_embedding_coverage_and_arg_contracts(spark):
         curate.curate_docs(docs, None, doc_embeddings=full_emb)
     with pytest.raises(ValueError, match="require_embedding_coverage=True needs"):
         curate.curate_docs(docs, None, require_embedding_coverage=True)
+
+
+def test_curation_coverage_checked_at_first_embedding_rung(spark):
+    """The coverage check must count the survivors that actually REACH the
+    first embedding rung, not an earlier superset: a doc that lexical
+    decontamination (stage 2) drops before the embedding rung may lack an
+    embedding row without tripping require_embedding_coverage — and
+    embedding_exact without a decon rung to consume it fails loudly."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    rng = np.random.RandomState(3)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    ).limit(20)
+    ids = [int(r["doc_id"]) for r in docs.collect()]
+    # the leak doc shares its text verbatim with the bench suite -> stage
+    # 2's exact 8-gram rung drops it BEFORE the embedding rung runs
+    leak_text = " ".join(f"lk{j}w" for j in range(40))
+    leak = spark.createDataFrame(
+        [Row(doc_id=900_077, text=leak_text, lang="en", source="web")]
+    )
+    docs = docs.unionByName(leak)
+    bench_docs = spark.createDataFrame(
+        [Row(doc_id=1, text=leak_text)]
+    )
+    emb = spark.createDataFrame(  # covers everyone EXCEPT the leak doc
+        [Row(doc_id=i, v=[float(x) for x in rng.randn(16)]) for i in ids]
+    )
+    bench_emb = spark.createDataFrame(
+        [Row(doc_id=1, v=[float(x) for x in rng.randn(16)])]
+    )
+    res = curate.curate_docs(
+        docs, bench_docs, train_split_only=False,
+        doc_embeddings=emb, bench_embeddings=bench_emb,
+        require_embedding_coverage=True,
+    )
+    after2 = {r["doc_id"] for r in res.stages["after_decontam"].collect()}
+    assert 900_077 not in after2  # the lexical rung dropped it first
+    assert "after_embedding_decontam" in res.stages  # and no ValueError
+
+    # embedding_exact with nothing to consume it fails at the call
+    with pytest.raises(ValueError, match="embedding_exact=True needs"):
+        curate.curate_docs(
+            docs, None, doc_embeddings=emb, embedding_dedup=True,
+            embedding_exact=True,
+        )
