@@ -529,6 +529,13 @@ def emb_lsh_near_dup_pairs_oracle(sf_dir: str) -> str:
     survey_ops=("F9", "DEDUP-embedding", "C3", "C4"),
     # Promoted to the driver window r6 (rotation: the label-free scale path
     # of embedding dedup had never earned a hash-checked driver row).
+    # Folded r12 (driver-green r6-r11) in exchange for llm_embedding_dedup
+    # entering at birth: that spec runs the SAME banding/verify kernel (a
+    # pairs error changes its labels too), and every tag here stays
+    # multiply driver-covered (F9/DEDUP-embedding/C3/C4 on
+    # llm_embedding_decontaminate AND llm_embedding_dedup). Still
+    # local-parity-checked + in the bench headline.
+    driver=False,
     doc="Label-free embedding near-dup via random-hyperplane LSH (Charikar "
     "2002): each vector hashes to LSH_BANDS sign-bit band keys map-side, "
     "candidate pairs form ONLY inside (band, key) buckets "
@@ -655,4 +662,100 @@ def emb_lsh_pairs_from(
 
     return banded.groupBy("band", "key").applyInPandas(
         bucket_pairs, "vec_a bigint, vec_b bigint, cos_sim double"
+    )
+
+
+def _emb_dedup_labels_oracle(sf_dir: str) -> str:
+    """Half twin, half independent: the PAIR relation is the NumPy twin
+    (identical seeded planes + elementwise kernels — the established
+    emb_lsh_near_dup_pairs_oracle idiom, r6), but the LABELING is an
+    INDEPENDENT recursive-CTE transitive closure DuckDB computes over
+    those pairs — a different algorithm (closure to fixpoint in SQL) from
+    the Spark side's union-find / iterative min-label propagation, so a
+    components bug cannot cancel out between the two engines."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..lopq.twin import values_sql
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    keys = _lsh_band_keys(X)
+    pairs: set[tuple] = set()
+    for b in range(LSH_BANDS):
+        for key in np.unique(keys[:, b]):
+            mask = keys[:, b] == key
+            pairs.update(_bucket_cos_pairs(ids[mask], X[mask]))
+    if not pairs:
+        # no near-dup edges: every vector is its own singleton component
+        return (
+            "SELECT vec_id, CAST(vec_id AS BIGINT) AS component, "
+            "TRUE AS kept FROM embeddings"
+        )
+    pairs_sql = values_sql(
+        sorted((a, b) for a, b, _ in pairs),
+        [("vec_a", "BIGINT"), ("vec_b", "BIGINT")],
+    )
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+cc AS (
+  SELECT vec_id AS vec, vec_id AS root FROM embeddings
+  UNION
+  SELECT e.dst AS vec, cc.root FROM cc JOIN edges e ON e.src = cc.vec
+)
+SELECT vec AS vec_id, CAST(MIN(root) AS BIGINT) AS component,
+       (vec = MIN(root)) AS kept
+FROM cc GROUP BY vec
+"""
+
+
+@register(
+    "llm_embedding_dedup",
+    survey_ops=("DEDUP-embedding", "DEDUP-components", "F9", "C3", "C4"),
+    # NEW r12, driver-visible at birth (the r8/r9 lesson; same exchange
+    # idiom as r10's dedup_cluster_stats-for-dedup_components swap):
+    # emb_lsh_near_dup_pairs folds in exchange — this spec runs the SAME
+    # banding/verify kernel (a pairs error changes these labels too), so
+    # the LSH machinery keeps a hash-checked driver row through this spec,
+    # while the labeling HALF of the oracle is genuinely independent
+    # (recursive-CTE closure vs union-find/min-label propagation).
+    doc="SemDeDup-style semantic dedup labeling — the driver-visible form "
+    "of the curate_docs(embedding_dedup=True) chain rung: LSH near-dup "
+    "pairs over the embeddings (same seeded sign-bit banding as "
+    "emb_lsh_near_dup_pairs), connected components, and per-vector "
+    "(component, kept) where kept marks the min-id representative each "
+    "cluster retains (singletons keep themselves). Reference analogue: "
+    "the near-dup threshold filter (generic_searcher.py:43-45) promoted "
+    "to a corpus-curation labeling. Scale: band self-join moves int keys "
+    "+ vectors once per band (never all-pairs), components move (id, "
+    "label) ints only, and the output is one row per vector — text never "
+    "enters the plan. Oracle: NumPy-twin pairs + INDEPENDENT recursive-"
+    "CTE transitive closure in DuckDB.",
+    oracle=_emb_dedup_labels_oracle,
+)
+def llm_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # fixture knobs EXPLICIT (the twin oracle reproduces exactly these);
+    # the curate chain rung omits them and gets corpus-derived knobs
+    pairs = emb_lsh_pairs_from(emb, bands=LSH_BANDS, bits=LSH_BITS).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = connected_components(
+        emb.select(F.col("vec_id").alias("doc_id")), pairs
+    )
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("component").cast("bigint").alias("component"),
+        (F.col("doc_id") == F.col("component")).alias("kept"),
     )

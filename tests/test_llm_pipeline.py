@@ -626,3 +626,32 @@ def test_curation_coverage_checked_at_first_embedding_rung(spark):
             docs, None, doc_embeddings=emb, embedding_dedup=True,
             embedding_exact=True,
         )
+
+
+def test_llm_embedding_dedup_labeling_semantics(spark):
+    """The driver-visible form of the embedding-dedup rung (NEW r12):
+    one row per vector, component = min vec_id reachable through the
+    LSH near-dup graph, kept marks exactly the representative — and the
+    labeling is CONSISTENT with the pair relation it derives from (every
+    near-dup pair shares a component; components are never orphaned of
+    their own min id)."""
+    from columbiaimagesearch_spark.operators.similarity import (
+        emb_lsh_near_dup_pairs,
+        llm_embedding_dedup,
+    )
+
+    labels = llm_embedding_dedup(spark, SF_SMOKE).collect()
+    n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert len(labels) == n_vecs
+    assert len({r["vec_id"] for r in labels}) == n_vecs
+    comp_of = {r["vec_id"]: r["component"] for r in labels}
+    members: dict[int, list[int]] = {}
+    for r in labels:
+        members.setdefault(r["component"], []).append(r["vec_id"])
+        assert r["kept"] == (r["vec_id"] == r["component"])
+    for comp, vecs in members.items():
+        assert comp == min(vecs)  # min-id representative, present in own cluster
+    pairs = emb_lsh_near_dup_pairs(spark, SF_SMOKE).collect()
+    assert pairs, "fixture should plant near-dup pairs"
+    for p in pairs:
+        assert comp_of[p["vec_a"]] == comp_of[p["vec_b"]]

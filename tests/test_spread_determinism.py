@@ -38,6 +38,7 @@ SPREAD_QUERIES = [
     "text_quality_score",
     "text_langid",
     "emb_lsh_near_dup_pairs",
+    "llm_embedding_dedup",
     "llm_embedding_decontaminate",
     "lopq_eval_diagnostics",
 ]
@@ -67,7 +68,7 @@ EXPECTED_SPREAD_SITES = {
     "operators/hygiene.py": 8,  # +1 r8 fuzzy; +1 r9 report; +1 r10 novelty;
     # +1 r11 embedding decontamination (corpus branch)
     "operators/textstats.py": 2,
-    "operators/similarity.py": 1,
+    "operators/similarity.py": 2,  # +1 r12 llm_embedding_dedup
     "lopq/queries.py": 1,
 }
 
