@@ -371,3 +371,20 @@ def test_parallelize_scan_spreads_single_split_only(spark):
     ev = load_table(spark, SF_SMOKE, "events", spread=True)
     assert ev.rdd.getNumPartitions() == target
     assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_llm_embedding_dedup_labeling_is_broadcast_only(spark):
+    plan = explain.formatted_plan(_q(spark, "llm_embedding_dedup"))
+    # the docstring contract (similarity.llm_embedding_dedup): after the
+    # bounded pairs job, attaching (component, kept) labels to the corpus
+    # is a BROADCAST hash join of the tiny in-edge label relation onto the
+    # vector ids — zero data shuffles in the returned plan (the one keyed
+    # exchange of the stage lives inside the already-materialized pairs
+    # job), no sort-merge, no cartesian, and vectors/text never enter the
+    # output plan (ids and labels only).
+    assert explain.data_shuffles(plan) == 0, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    carried = [b for b in explain.keyed_exchange_blocks(plan) if "v#" in b]
+    assert not carried, f"vectors cross a data shuffle:\n{carried}\n{plan}"
