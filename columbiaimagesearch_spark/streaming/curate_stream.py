@@ -46,6 +46,19 @@ curated snapshot at assembly time. PII scrubbing IS per-doc and
 batch-invariant, so ``scrub_pii=True`` mirrors the batch chain's stage 0:
 every downstream verdict and shingle hash is computed over the scrubbed
 text.
+
+The EMBEDDING rungs (``curate_docs(embedding_dedup=True)`` /
+``bench_embeddings=``) also stay out of this twin — not because they
+aren't incremental (both are), but because they consume a SEPARATE input
+stream: doc_embeddings arrive on the featurizer's schedule, lagging the
+text drops this twin claims. They have their own incremental twins over
+the embedding drop stream — ``emb_decon_stream`` (per-drop verdicts
+against the registered suite, O(batch)/step) and ``emb_dedup_stream``
+(band-table state, streamed pairs ≡ batch pairs) — and the SemDeDup
+representative selection, like the exact-substring filter above, is a
+corpus-global decision (a later drop can join and re-root a cluster), so
+it is applied over the curated snapshot at assembly time:
+``connected_components`` over the accumulated pair state, keep min-id.
 """
 
 from __future__ import annotations

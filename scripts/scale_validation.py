@@ -47,6 +47,11 @@ DECON_RE = re.compile(
     r"bench: knobs=\((?P<bands>\d+),(?P<bits>\d+)\) flagged=(?P<flagged>\d+) "
     r"recall=(?P<recall>[\d.]+) extras=(?P<extras>\d+) wall=(?P<wall>[\d.]+)s"
 )
+DEDUP_RE = re.compile(
+    r"\[scale-knobs\] emb dedup @(?P<n>\d+): clusters=(?P<clusters>\d+) "
+    r"collapsed=(?P<collapsed>\d+) missed=(?P<missed>\d+) "
+    r"extras=(?P<extras>\d+) wall=(?P<wall>[\d.]+)s"
+)
 SRV_RE = re.compile(
     r"\[scale-serving\] router==replica @(?P<n>\d+) skewed rows: "
     r"queries=(?P<queries>\d+) mismatches=(?P<mismatches>\d+) "
@@ -111,6 +116,12 @@ def main() -> int:
         record["emb_decon"] = {
             k: (float(v) if "." in v else int(v)) for k, v in g.items()
         }
+    m = DEDUP_RE.search(out)
+    if m:
+        g = m.groupdict()
+        record["emb_dedup"] = {
+            k: (float(v) if "." in v else int(v)) for k, v in g.items()
+        }
     m = SRV_RE.search(out)
     if m:
         g = m.groupdict()
@@ -119,7 +130,14 @@ def main() -> int:
         }
     if any(
         k not in record
-        for k in ("emb_lsh", "minhash", "substring", "emb_decon", "serving_1m")
+        for k in (
+            "emb_lsh",
+            "minhash",
+            "substring",
+            "emb_decon",
+            "emb_dedup",
+            "serving_1m",
+        )
     ):
         sys.stderr.write(
             "scale_validation: pytest passed but the printed summaries did "

@@ -293,3 +293,54 @@ def test_embedding_decontaminate_scale_500k(spark):
         f"recall={recall:.4f} extras={extras} wall={wall:.1f}s"
     )
     big.unpersist()
+
+
+def test_embedding_dedup_labeling_scale_500k(spark):
+    """(r12) The SemDeDup labeling (llm_embedding_dedup / the
+    curate_docs(embedding_dedup=True) stage) at scale shape: derived-knob
+    LSH pairs over 500k vectors, connected components, drop every
+    non-min-id cluster member. The planted structure is 5k two-vector
+    clusters {base b, copy off+b} (cos ~0.97): every collapsed cluster
+    must keep exactly the base (the min id), and nothing outside the
+    planted copies may drop (extras = false merges — a chained bridge
+    between two clusters would surface here). Wall = the pairs pass plus
+    one bounded edge collect and a broadcast label join."""
+    from columbiaimagesearch_spark.operators.dedup import connected_components
+
+    big = synth.gen_embeddings(spark, N_LARGE, N_DUPS).persist()
+    assert big.count() == N_LARGE
+    small = synth.gen_embeddings(spark, N_SMALL, N_DUPS // 10).persist()
+    small.count()
+
+    def run(vecs):
+        t0 = time.perf_counter()
+        pairs = emb_lsh_pairs_from(vecs, threshold=THRESHOLD).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        labels = connected_components(
+            vecs.select(F.col("vec_id").alias("doc_id")), pairs
+        )
+        drops = {
+            int(r["doc_id"]): int(r["component"])
+            for r in labels.where(
+                F.col("doc_id") != F.col("component")
+            ).collect()
+        }
+        return drops, time.perf_counter() - t0
+
+    run(small)  # warm the worker pool + codegen (bench methodology)
+    drops, wall = run(big)
+    off = N_LARGE - N_DUPS
+    planted = {off + b: b for b in range(N_DUPS)}
+    collapsed = sum(1 for d, c in drops.items() if planted.get(d) == c)
+    missed = N_DUPS - collapsed
+    extras = {d: c for d, c in drops.items() if planted.get(d) != c}
+    assert collapsed / N_DUPS >= 0.95, collapsed
+    assert not extras, extras
+    print(
+        f"\n[scale-knobs] emb dedup @{N_LARGE}: clusters={N_DUPS} "
+        f"collapsed={collapsed} missed={missed} extras={len(extras)} "
+        f"wall={wall:.1f}s"
+    )
+    small.unpersist()
+    big.unpersist()
