@@ -190,289 +190,320 @@ def curate_docs(
             f"{flag}=True requires bench_docs (the eval-benchmark suite "
             "to check against); pass bench_docs or drop the flag"
         )
-    res = CurationResult()
-    res.stages["input"] = docs
-    if scrub_pii:
-        scrubbed = hygiene.scrub_pii_from(docs)
-        docs = scrubbed.drop("text", "n_email", "n_ip", "n_phone").withColumnRenamed(
-            "scrubbed", "text"
+    # Error-path cache hygiene (review r12): every cache this call
+    # creates must die WITH the call, including when a stage raises (the
+    # minhash/LSH max_bucket refusals, the require_embedding_coverage
+    # ValueError, any Spark action error) — otherwise each failed attempt
+    # strands a corpus-sized cache entry (docs' lineage differs per call,
+    # so plan canonicalization never dedupes the leaked copies) and
+    # retries accumulate executor memory pressure. Persist sites register
+    # with _track; the normal-path releases use _release (identity match
+    # — DataFrame __eq__ builds a Column); the except arm below releases
+    # whatever is still live and re-raises.
+    caches: list[DataFrame] = []
+
+    def _track(df: DataFrame) -> DataFrame:
+        caches.append(df)
+        return df
+
+    def _release(df: DataFrame) -> None:
+        for i, x in enumerate(caches):
+            if x is df:
+                del caches[i]
+                break
+        df.unpersist()
+
+    try:
+        res = CurationResult()
+        res.stages["input"] = docs
+        if scrub_pii:
+            scrubbed = hygiene.scrub_pii_from(docs)
+            docs = scrubbed.drop("text", "n_email", "n_ip", "n_phone").withColumnRenamed(
+                "scrubbed", "text"
+            )
+            # Materialize the scrubbed relation ONCE: every later stage
+            # re-references `docs` (shingle hashing, component nodes, the
+            # repetition/mixture/split joins, packing), and without truncation
+            # each of those scans re-runs the regexp scrub over the full text
+            # column — measured 3.3x wall on the composed chain. Like stage
+            # 1's components, stage 0 is therefore eager; on a cluster where
+            # executor loss matters, swap for checkpoint() with a checkpoint
+            # dir.
+            docs = docs.localCheckpoint(eager=True)
+            res.stages["after_pii_scrub"] = docs
+
+        # 1. near-dup dedup: drop everything but each cluster's min doc_id.
+        # We own the shingle-hash cache here: connected_components eagerly
+        # checkpoints the pairs, so the hashed relation is consumed by the time
+        # it returns and can be unpersisted (no leaked cache per curate call).
+        hashed = _track(dedup.hashed_from(docs))
+        # max_bucket: an exact-duplicate flood refuses loudly here (naming the
+        # linear exact-hash rung) instead of a quadratic self-join. We own the
+        # band cache too: the guard's eager agg materializes it, the pair
+        # self-join reads it back (one signature pass instead of three), and
+        # connected_components' checkpoint means both caches are consumed on
+        # return.
+        bands = _track(dedup.bands_from(hashed).persist())
+        pairs = dedup.near_dup_pairs_from(
+            docs, hashed=hashed, max_bucket=dedup.MINHASH_MAX_BUCKET, bands=bands
         )
-        # Materialize the scrubbed relation ONCE: every later stage
-        # re-references `docs` (shingle hashing, component nodes, the
-        # repetition/mixture/split joins, packing), and without truncation
-        # each of those scans re-runs the regexp scrub over the full text
-        # column — measured 3.3x wall on the composed chain. Like stage
-        # 1's components, stage 0 is therefore eager; on a cluster where
-        # executor loss matters, swap for checkpoint() with a checkpoint
-        # dir.
-        docs = docs.localCheckpoint(eager=True)
-        res.stages["after_pii_scrub"] = docs
+        comp = dedup.connected_components(docs.select("doc_id"), pairs)
+        _release(bands)
+        # hashed stays persisted through stage 2 when the fuzzy rung and/or
+        # the contamination report will reuse it (the hashed contract
+        # composed); otherwise it is dead here.
+        reuse_hashed = fuzzy_decontaminate or contamination_report
+        if not reuse_hashed:
+            _release(hashed)
+        if cluster_stats:
+            # per-cluster dedup savings over the PRE-drop docs (post-PII if
+            # scrubbing ran — savings should measure the text we'd train on),
+            # reusing the checkpointed component labeling; lazy is fine here:
+            # comp is already pinned and docs at this point is scan + tiny
+            # anti-joins, so a later action re-runs one length scan + int agg
+            res.stages["cluster_stats"] = dedup.cluster_stats_from(docs, comp)
+        losers = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
+        docs = docs.join(losers, "doc_id", "left_anti")
+        res.stages["after_dedup"] = docs
 
-    # 1. near-dup dedup: drop everything but each cluster's min doc_id.
-    # We own the shingle-hash cache here: connected_components eagerly
-    # checkpoints the pairs, so the hashed relation is consumed by the time
-    # it returns and can be unpersisted (no leaked cache per curate call).
-    hashed = dedup.hashed_from(docs)
-    # max_bucket: an exact-duplicate flood refuses loudly here (naming the
-    # linear exact-hash rung) instead of a quadratic self-join. We own the
-    # band cache too: the guard's eager agg materializes it, the pair
-    # self-join reads it back (one signature pass instead of three), and
-    # connected_components' checkpoint means both caches are consumed on
-    # return.
-    bands = dedup.bands_from(hashed).persist()
-    pairs = dedup.near_dup_pairs_from(
-        docs, hashed=hashed, max_bucket=dedup.MINHASH_MAX_BUCKET, bands=bands
-    )
-    comp = dedup.connected_components(docs.select("doc_id"), pairs)
-    bands.unpersist()
-    # hashed stays persisted through stage 2 when the fuzzy rung and/or
-    # the contamination report will reuse it (the hashed contract
-    # composed); otherwise it is dead here.
-    reuse_hashed = fuzzy_decontaminate or contamination_report
-    if not reuse_hashed:
-        hashed.unpersist()
-    if cluster_stats:
-        # per-cluster dedup savings over the PRE-drop docs (post-PII if
-        # scrubbing ran — savings should measure the text we'd train on),
-        # reusing the checkpointed component labeling; lazy is fine here:
-        # comp is already pinned and docs at this point is scan + tiny
-        # anti-joins, so a later action re-runs one length scan + int agg
-        res.stages["cluster_stats"] = dedup.cluster_stats_from(docs, comp)
-    losers = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
-    docs = docs.join(losers, "doc_id", "left_anti")
-    res.stages["after_dedup"] = docs
+        # 1a. per-eval-doc contamination report (opt-in): the trust-verdict
+        # transpose, over the DEDUPED corpus — what an eval owner faces
+        # before any decontamination drop. hashed is the PRE-dedup superset;
+        # the report's fuzzy rung scores whatever ids hashed_train carries
+        # (no completeness join to hide extras, unlike the verdict form), so
+        # the cache is narrowed to the current corpus with the same tiny
+        # losers anti-join that produced `docs` — still zero re-hash passes.
+        # Eagerly pinned (suite-sized rows) while the caches are hot; lazily
+        # it would re-hash the corpus after the unpersists below.
+        h_b = _track(dedup.hashed_from(bench_docs)) if reuse_hashed else None
+        if contamination_report:
+            h_cur = hashed.join(losers, "doc_id", "left_anti")
+            res.stages["contamination_report"] = hygiene.contamination_report_from(
+                docs, bench_docs, hashed_train=h_cur, hashed_bench=h_b
+            ).localCheckpoint(eager=True)
 
-    # 1a. per-eval-doc contamination report (opt-in): the trust-verdict
-    # transpose, over the DEDUPED corpus — what an eval owner faces
-    # before any decontamination drop. hashed is the PRE-dedup superset;
-    # the report's fuzzy rung scores whatever ids hashed_train carries
-    # (no completeness join to hide extras, unlike the verdict form), so
-    # the cache is narrowed to the current corpus with the same tiny
-    # losers anti-join that produced `docs` — still zero re-hash passes.
-    # Eagerly pinned (suite-sized rows) while the caches are hot; lazily
-    # it would re-hash the corpus after the unpersists below.
-    h_b = dedup.hashed_from(bench_docs) if reuse_hashed else None
-    if contamination_report:
-        h_cur = hashed.join(losers, "doc_id", "left_anti")
-        res.stages["contamination_report"] = hygiene.contamination_report_from(
-            docs, bench_docs, hashed_train=h_cur, hashed_bench=h_b
-        ).localCheckpoint(eager=True)
+        # Shared embedding projection. Persist rules, per consumer count:
+        # the dedup rung (1b) alone evaluates its input THREE times (the
+        # derive_lsh_knobs count, the pairs checkpoint inside
+        # connected_components, and the components' lazy nodes join at the
+        # loser pin), so whenever 1b runs, emb_proj is persisted; when the
+        # decon rung (2b') also runs it reads the same cache, so both rungs
+        # cost one doc_embeddings scan between them. A decon-ONLY call scans
+        # exactly once (the map-only verdict pass) and stays unpersisted — a
+        # cache there would only add memory pressure. At 100 TB prefer
+        # re-scanning parquet over caching a corpus-sized relation: drop the
+        # persist and pay one scan per consumer instead.
+        emb_proj = None
+        if doc_embeddings is not None:
+            emb_proj = doc_embeddings.select(F.col("doc_id").alias("vec_id"), "v")
+            if embedding_dedup:
+                emb_proj = _track(emb_proj.persist())
 
-    # Shared embedding projection. Persist rules, per consumer count:
-    # the dedup rung (1b) alone evaluates its input THREE times (the
-    # derive_lsh_knobs count, the pairs checkpoint inside
-    # connected_components, and the components' lazy nodes join at the
-    # loser pin), so whenever 1b runs, emb_proj is persisted; when the
-    # decon rung (2b') also runs it reads the same cache, so both rungs
-    # cost one doc_embeddings scan between them. A decon-ONLY call scans
-    # exactly once (the map-only verdict pass) and stays unpersisted — a
-    # cache there would only add memory pressure. At 100 TB prefer
-    # re-scanning parquet over caching a corpus-sized relation: drop the
-    # persist and pay one scan per consumer instead.
-    emb_proj = None
-    if doc_embeddings is not None:
-        emb_proj = doc_embeddings.select(F.col("doc_id").alias("vec_id"), "v")
+        def _check_embedding_coverage() -> None:
+            # opt-in coverage contract (see docstring), invoked by whichever
+            # embedding rung runs FIRST against the survivors at that point —
+            # later rungs see only subsets, so one check covers both. One
+            # int-keyed anti-join count job.
+            n_uncovered = docs.join(
+                doc_embeddings.select("doc_id"), "doc_id", "left_anti"
+            ).count()
+            if n_uncovered:
+                raise ValueError(
+                    f"require_embedding_coverage: {n_uncovered} surviving "
+                    "docs have no doc_embeddings row and would silently "
+                    "skip the embedding stage(s); supply their embeddings "
+                    "or drop the flag to accept the documented subset "
+                    "behavior"
+                )
+
+        # 1b. embedding near-dup dedup (opt-in): the SemDeDup-style semantic
+        # rung — drop every non-representative of an embedding-cosine cluster
+        # (paraphrases / re-renders whose shingle overlap is too low for
+        # stage 1). Same pairs -> components -> min-id-representative idiom
+        # as stage 1, composed from the library forms, so the chain stage
+        # equals the standalone composition (pinned by test). Plan shape: the
+        # LSH band self-join stays int-keyed (band, key) rows; TEXT never
+        # enters the stage — docs is touched only by the final int anti-join.
+        # The survivors' ids are SEMI-JOINED onto the embeddings first (one
+        # int-keyed join of (id, vec) rows): a pre-dedup superset row could
+        # otherwise win a cluster's min-id representative slot while being
+        # already dropped — its surviving twin would be dropped with nothing
+        # kept. Docs WITHOUT an embedding row never enter a cluster and
+        # always survive this stage (the subset contract above).
         if embedding_dedup:
-            emb_proj = emb_proj.persist()
-
-    def _check_embedding_coverage() -> None:
-        # opt-in coverage contract (see docstring), invoked by whichever
-        # embedding rung runs FIRST against the survivors at that point —
-        # later rungs see only subsets, so one check covers both. One
-        # int-keyed anti-join count job.
-        n_uncovered = docs.join(
-            doc_embeddings.select("doc_id"), "doc_id", "left_anti"
-        ).count()
-        if n_uncovered:
-            raise ValueError(
-                f"require_embedding_coverage: {n_uncovered} surviving "
-                "docs have no doc_embeddings row and would silently "
-                "skip the embedding stage(s); supply their embeddings "
-                "or drop the flag to accept the documented subset "
-                "behavior"
+            if require_embedding_coverage:
+                _check_embedding_coverage()
+            emb_cur = emb_proj.join(
+                docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
             )
-
-    # 1b. embedding near-dup dedup (opt-in): the SemDeDup-style semantic
-    # rung — drop every non-representative of an embedding-cosine cluster
-    # (paraphrases / re-renders whose shingle overlap is too low for
-    # stage 1). Same pairs -> components -> min-id-representative idiom
-    # as stage 1, composed from the library forms, so the chain stage
-    # equals the standalone composition (pinned by test). Plan shape: the
-    # LSH band self-join stays int-keyed (band, key) rows; TEXT never
-    # enters the stage — docs is touched only by the final int anti-join.
-    # The survivors' ids are SEMI-JOINED onto the embeddings first (one
-    # int-keyed join of (id, vec) rows): a pre-dedup superset row could
-    # otherwise win a cluster's min-id representative slot while being
-    # already dropped — its surviving twin would be dropped with nothing
-    # kept. Docs WITHOUT an embedding row never enter a cluster and
-    # always survive this stage (the subset contract above).
-    if embedding_dedup:
-        if require_embedding_coverage:
-            _check_embedding_coverage()
-        emb_cur = emb_proj.join(
-            docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
-        )
-        emb_pairs = similarity.emb_lsh_pairs_from(emb_cur).select(
-            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-        )
-        comp_e = dedup.connected_components(
-            emb_cur.select(F.col("vec_id").alias("doc_id")), emb_pairs
-        )
-        # Eager pin (unlike stage 1, whose comp nodes are the cheap docs
-        # id scan): comp_e references emb_cur — the doc_embeddings scan +
-        # survivor semi-join — lazily, and docs is re-referenced by every
-        # later stage with no subplan sharing; unpinned, each downstream
-        # action would re-scan the embeddings once per reference.
-        e_losers = (
-            comp_e.where(F.col("doc_id") != F.col("component"))
-            .select("doc_id")
-            .localCheckpoint(eager=True)
-        )
-        docs = docs.join(e_losers, "doc_id", "left_anti")
-        res.stages["after_embedding_dedup"] = docs
-        if bench_embeddings is None:
-            # last embedding consumer: the loser pin above materialized
-            # everything that reads emb_proj — release the cache here
-            # (the both-rungs path releases after the decon pin instead)
-            emb_proj.unpersist()
-
-    # Stages 2-3 drop documents via EXPENSIVE verdict pipelines (the n-gram
-    # decontamination explode+window, the repetition posexplode+window).
-    # Their drop-id sets are eagerly pinned before joining: `docs` is
-    # referenced by every later stage (repetition input AND join left side,
-    # mixture, split, pack) and Spark shares no subplans across those
-    # references — an un-truncated verdict pipeline in docs' lineage
-    # re-executes once per reference (measured 3.3x wall on the composed
-    # chain with decontamination on). Pinned, docs stays "scan + tiny
-    # anti-joins", cheap to recompute anywhere.
-
-    # 2. decontamination (skipped when no benchmark suite is supplied)
-    if bench_docs is not None:
-        verdicts = hygiene.decontaminate_from(docs, bench_docs)
-        dirty = (
-            verdicts.where(F.col("contaminated"))
-            .select("doc_id")
-            .localCheckpoint(eager=True)
-        )
-        docs = docs.join(dirty, "doc_id", "left_anti")
-    res.stages["after_decontam"] = docs
-
-    # 2a. fuzzy decontamination (opt-in): the near-duplicate rung the
-    # exact 8-gram stage is blind to. Reuses stage 1's persisted `hashed`
-    # relation as hashed_train (its pre-dedup superset rows only produce
-    # candidates for already-dropped ids, which the completeness left
-    # join over the CURRENT docs ignores); the bench suite was hashed
-    # once above, persisted for its references (band table + hash sets,
-    # and the report stage when both flags are on); both caches are
-    # consumed by the eager checkpoints and released below.
-    if fuzzy_decontaminate:
-        fuzzy_dirty = (
-            hygiene.fuzzy_decontaminate_from(
-                docs, bench_docs, hashed_train=hashed, hashed_bench=h_b
+            emb_pairs = similarity.emb_lsh_pairs_from(emb_cur).select(
+                F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
             )
-            .where(F.col("contaminated"))
-            .select("doc_id")
-            .localCheckpoint(eager=True)
-        )
-        docs = docs.join(fuzzy_dirty, "doc_id", "left_anti")
-        res.stages["after_fuzzy_decontam"] = docs
-    if reuse_hashed:
-        h_b.unpersist()
-        hashed.unpersist()
-
-    # 2b'. embedding decontamination (opt-in): the paraphrase-robust rung
-    # — eval leakage with low lexical overlap but high embedding cosine.
-    # One map-only pass over doc_embeddings against the broadcast
-    # band-keyed suite; the drop-id set is eagerly pinned like every
-    # other verdict stage. doc_embeddings may be the pre-dedup superset
-    # (see the docstring) — the completeness rows it emits for dropped
-    # ids die in the anti-join.
-    if bench_embeddings is not None:
-        if require_embedding_coverage and not embedding_dedup:
-            # first (and only) embedding rung of this call — check the
-            # survivors that actually reach it, not an earlier superset
-            _check_embedding_coverage()
-        emb_dirty = (
-            hygiene.embedding_decontaminate_from(
-                emb_proj,
-                bench_embeddings.select(
-                    F.col("doc_id").alias("vec_id"), "v"
-                ),
-                exact=embedding_exact,
+            comp_e = dedup.connected_components(
+                emb_cur.select(F.col("vec_id").alias("doc_id")), emb_pairs
             )
-            .where(F.col("contaminated"))
-            .select(F.col("vec_id").alias("doc_id"))
-            .localCheckpoint(eager=True)
+            # Eager pin (unlike stage 1, whose comp nodes are the cheap docs
+            # id scan): comp_e references emb_cur — the doc_embeddings scan +
+            # survivor semi-join — lazily, and docs is re-referenced by every
+            # later stage with no subplan sharing; unpinned, each downstream
+            # action would re-scan the embeddings once per reference.
+            e_losers = (
+                comp_e.where(F.col("doc_id") != F.col("component"))
+                .select("doc_id")
+                .localCheckpoint(eager=True)
+            )
+            docs = docs.join(e_losers, "doc_id", "left_anti")
+            res.stages["after_embedding_dedup"] = docs
+            if bench_embeddings is None:
+                # last embedding consumer: the loser pin above materialized
+                # everything that reads emb_proj — release the cache here
+                # (the both-rungs path releases after the decon pin instead)
+                _release(emb_proj)
+
+        # Stages 2-3 drop documents via EXPENSIVE verdict pipelines (the n-gram
+        # decontamination explode+window, the repetition posexplode+window).
+        # Their drop-id sets are eagerly pinned before joining: `docs` is
+        # referenced by every later stage (repetition input AND join left side,
+        # mixture, split, pack) and Spark shares no subplans across those
+        # references — an un-truncated verdict pipeline in docs' lineage
+        # re-executes once per reference (measured 3.3x wall on the composed
+        # chain with decontamination on). Pinned, docs stays "scan + tiny
+        # anti-joins", cheap to recompute anywhere.
+
+        # 2. decontamination (skipped when no benchmark suite is supplied)
+        if bench_docs is not None:
+            verdicts = hygiene.decontaminate_from(docs, bench_docs)
+            dirty = (
+                verdicts.where(F.col("contaminated"))
+                .select("doc_id")
+                .localCheckpoint(eager=True)
+            )
+            docs = docs.join(dirty, "doc_id", "left_anti")
+        res.stages["after_decontam"] = docs
+
+        # 2a. fuzzy decontamination (opt-in): the near-duplicate rung the
+        # exact 8-gram stage is blind to. Reuses stage 1's persisted `hashed`
+        # relation as hashed_train (its pre-dedup superset rows only produce
+        # candidates for already-dropped ids, which the completeness left
+        # join over the CURRENT docs ignores); the bench suite was hashed
+        # once above, persisted for its references (band table + hash sets,
+        # and the report stage when both flags are on); both caches are
+        # consumed by the eager checkpoints and released below.
+        if fuzzy_decontaminate:
+            fuzzy_dirty = (
+                hygiene.fuzzy_decontaminate_from(
+                    docs, bench_docs, hashed_train=hashed, hashed_bench=h_b
+                )
+                .where(F.col("contaminated"))
+                .select("doc_id")
+                .localCheckpoint(eager=True)
+            )
+            docs = docs.join(fuzzy_dirty, "doc_id", "left_anti")
+            res.stages["after_fuzzy_decontam"] = docs
+        if reuse_hashed:
+            _release(h_b)
+            _release(hashed)
+
+        # 2b'. embedding decontamination (opt-in): the paraphrase-robust rung
+        # — eval leakage with low lexical overlap but high embedding cosine.
+        # One map-only pass over doc_embeddings against the broadcast
+        # band-keyed suite; the drop-id set is eagerly pinned like every
+        # other verdict stage. doc_embeddings may be the pre-dedup superset
+        # (see the docstring) — the completeness rows it emits for dropped
+        # ids die in the anti-join.
+        if bench_embeddings is not None:
+            if require_embedding_coverage and not embedding_dedup:
+                # first (and only) embedding rung of this call — check the
+                # survivors that actually reach it, not an earlier superset
+                _check_embedding_coverage()
+            emb_dirty = (
+                hygiene.embedding_decontaminate_from(
+                    emb_proj,
+                    bench_embeddings.select(
+                        F.col("doc_id").alias("vec_id"), "v"
+                    ),
+                    exact=embedding_exact,
+                )
+                .where(F.col("contaminated"))
+                .select(F.col("vec_id").alias("doc_id"))
+                .localCheckpoint(eager=True)
+            )
+            docs = docs.join(emb_dirty, "doc_id", "left_anti")
+            res.stages["after_embedding_decontam"] = docs
+        if embedding_dedup and bench_embeddings is not None:
+            # both rungs' drop-id sets are eagerly pinned by now (stage 1b's
+            # components checkpoint + the verdict checkpoint above) — the
+            # shared cache is consumed and must not outlive this call
+            _release(emb_proj)
+
+        # 2b. exact-substring duplication filter (optional): drop docs whose
+        # duplicated-span coverage crosses the flag threshold — the Lee et al.
+        # exact-substring tier, run AFTER near-dup cluster removal so a doc is
+        # not double-penalized for spans its dropped near-dup twins carried.
+        if drop_substring_dups:
+            # own the gram cache (same discipline as `hashed` above): the
+            # eager localCheckpoint consumes the spans, so the grams relation
+            # is dead afterwards and must not outlive this call as a cache
+            # entry — docs' lineage differs per curate() invocation, so plan
+            # canonicalization would never dedupe the leaked entries
+            grams = _track(dedup.grams_from(docs.select("doc_id", "text")).persist())
+            sub_ids = (
+                dedup.substring_spans_from(docs.select("doc_id", "text"), grams=grams)
+                .where(F.col("flagged"))
+                .select("doc_id")
+                .localCheckpoint(eager=True)
+            )
+            _release(grams)
+            docs = docs.join(sub_ids, "doc_id", "left_anti")
+            res.stages["after_substring_dedup"] = docs
+
+        # 2c. n-gram novelty floor (opt-in): same eager-drop-id discipline as
+        # the other verdict stages (the novelty pipeline shuffles the gram
+        # relation once; un-pinned it would re-run per downstream reference)
+        if min_novelty is not None:
+            nov_ids = (
+                hygiene.ngram_novelty_from(docs.select("doc_id", "text"))
+                .where(F.col("novelty") < F.lit(float(min_novelty)))
+                .select("doc_id")
+                .localCheckpoint(eager=True)
+            )
+            docs = docs.join(nov_ids, "doc_id", "left_anti")
+            res.stages["after_novelty"] = docs
+
+        # 3. repetition filter
+        rep = hygiene.repetition_stats_from(docs)
+        rep_ids = (
+            rep.where(F.col("repetitive")).select("doc_id").localCheckpoint(eager=True)
         )
-        docs = docs.join(emb_dirty, "doc_id", "left_anti")
-        res.stages["after_embedding_decontam"] = docs
-    if embedding_dedup and bench_embeddings is not None:
-        # both rungs' drop-id sets are eagerly pinned by now (stage 1b's
-        # components checkpoint + the verdict checkpoint above) — the
-        # shared cache is consumed and must not outlive this call
-        emb_proj.unpersist()
+        docs = docs.join(rep_ids, "doc_id", "left_anti")
+        res.stages["after_repetition"] = docs
 
-    # 2b. exact-substring duplication filter (optional): drop docs whose
-    # duplicated-span coverage crosses the flag threshold — the Lee et al.
-    # exact-substring tier, run AFTER near-dup cluster removal so a doc is
-    # not double-penalized for spans its dropped near-dup twins carried.
-    if drop_substring_dups:
-        # own the gram cache (same discipline as `hashed` above): the
-        # eager localCheckpoint consumes the spans, so the grams relation
-        # is dead afterwards and must not outlive this call as a cache
-        # entry — docs' lineage differs per curate() invocation, so plan
-        # canonicalization would never dedupe the leaked entries
-        grams = dedup.grams_from(docs.select("doc_id", "text")).persist()
-        sub_ids = (
-            dedup.substring_spans_from(docs.select("doc_id", "text"), grams=grams)
-            .where(F.col("flagged"))
-            .select("doc_id")
-            .localCheckpoint(eager=True)
+        # 4./5. mixture keep + split: per-doc content-hash verdicts, joined in
+        # one pass (mixture weights reflect the CURATED per-source counts)
+        mix = packing.mixture_sample_from(docs.select("doc_id", "source")).select(
+            "doc_id", "keep"
         )
-        grams.unpersist()
-        docs = docs.join(sub_ids, "doc_id", "left_anti")
-        res.stages["after_substring_dedup"] = docs
-
-    # 2c. n-gram novelty floor (opt-in): same eager-drop-id discipline as
-    # the other verdict stages (the novelty pipeline shuffles the gram
-    # relation once; un-pinned it would re-run per downstream reference)
-    if min_novelty is not None:
-        nov_ids = (
-            hygiene.ngram_novelty_from(docs.select("doc_id", "text"))
-            .where(F.col("novelty") < F.lit(float(min_novelty)))
-            .select("doc_id")
-            .localCheckpoint(eager=True)
+        split = packing.split_assign_from(docs.select("doc_id", "lang")).select(
+            "doc_id", "split"
         )
-        docs = docs.join(nov_ids, "doc_id", "left_anti")
-        res.stages["after_novelty"] = docs
+        docs = docs.join(mix, "doc_id").where(F.col("keep")).drop("keep")
+        docs = docs.join(split, "doc_id")
+        if train_split_only:
+            docs = docs.where(F.col("split") == "train")
+        docs = docs.drop("split")
+        res.stages["after_mix_split"] = docs
+        res.survivors = docs
 
-    # 3. repetition filter
-    rep = hygiene.repetition_stats_from(docs)
-    rep_ids = (
-        rep.where(F.col("repetitive")).select("doc_id").localCheckpoint(eager=True)
-    )
-    docs = docs.join(rep_ids, "doc_id", "left_anti")
-    res.stages["after_repetition"] = docs
-
-    # 4./5. mixture keep + split: per-doc content-hash verdicts, joined in
-    # one pass (mixture weights reflect the CURATED per-source counts)
-    mix = packing.mixture_sample_from(docs.select("doc_id", "source")).select(
-        "doc_id", "keep"
-    )
-    split = packing.split_assign_from(docs.select("doc_id", "lang")).select(
-        "doc_id", "split"
-    )
-    docs = docs.join(mix, "doc_id").where(F.col("keep")).drop("keep")
-    docs = docs.join(split, "doc_id")
-    if train_split_only:
-        docs = docs.where(F.col("split") == "train")
-    docs = docs.drop("split")
-    res.stages["after_mix_split"] = docs
-    res.survivors = docs
-
-    # 6. pack the survivors into fixed-budget sequences
-    res.packed = packing.seq_pack_from(docs, pack_budget, pack_shards)
-    return res
+        # 6. pack the survivors into fixed-budget sequences
+        res.packed = packing.seq_pack_from(docs, pack_budget, pack_shards)
+        return res
+    except BaseException:
+        for c in caches:
+            try:
+                c.unpersist()
+            except Exception:
+                pass
+        raise
 
 
 def write_training_shards(

@@ -179,8 +179,32 @@ def emb_decon_batch_step(
     if n_fresh == 0:
         fresh.unpersist()
         return 0
-    # the live suite is the dir meta names ("bench" = pre-r12 state dirs)
-    bench = _read_state(spark, state_dir, meta.get("bench_dir", "bench"), VEC_SCHEMA)
+    # The live suite is the dir meta names ("bench" = pre-r12 state dirs)
+    # — read it STRICTLY (review r12): _read_state's empty-DataFrame
+    # fallback is right for the verdicts table (no verdicts yet is a
+    # state), but wrong here — a step that read meta just before a
+    # concurrent register_benchmark committed a new suite and
+    # garbage-collected this dir would verdict the whole batch against an
+    # EMPTY suite, mark everything clean, and the claim table would make
+    # that answer permanent. Fail loudly instead; the replayed step reads
+    # the new (suite, knobs) pair consistently. (A deletion racing the
+    # Spark read itself still fails loudly — FileNotFound at the action.)
+    bench_dir = meta.get("bench_dir", "bench")
+    bpath = _path(state_dir, bench_dir)
+    if not (
+        os.path.isdir(bpath)
+        and any(f.endswith(".parquet") for f in os.listdir(bpath))
+    ):
+        fresh.unpersist()
+        raise RuntimeError(
+            f"emb_decon_batch_step: meta.json names suite dir {bench_dir!r} "
+            "but it is missing or empty — a concurrent register_benchmark "
+            "superseded and garbage-collected it after this step read the "
+            "old meta. Nothing was claimed; re-run the step to verdict "
+            "against the new (suite, knobs) pair."
+        )
+    spark.catalog.refreshByPath(bpath)
+    bench = spark.read.schema(VEC_SCHEMA).parquet(bpath)
     verdicts = embedding_decontaminate_from(
         fresh,
         bench,

@@ -187,3 +187,28 @@ def test_register_benchmark_updates_meta_atomically(spark, tmp_path, monkeypatch
     assert os.path.isdir(edc._path(state, fresh["bench_dir"]))
     assert not os.path.isdir(old_suite)  # superseded suite collected
     assert not os.path.exists(edc._meta_path(state) + ".tmp")
+
+
+def test_step_refuses_gc_raced_suite_dir(spark, tmp_path):
+    """Review r12: a step whose meta read raced a re-registration (old
+    suite dir garbage-collected before this step's suite read) must FAIL
+    LOUDLY and claim nothing — _read_state's empty-DataFrame fallback
+    would otherwise verdict the whole batch against an EMPTY suite, mark
+    everything clean, and the claim table would make that permanent."""
+    import shutil
+
+    corpus, bench = _vecs(spark)
+    state = str(tmp_path / "state")
+    edc.register_benchmark(spark, bench, state)
+    with open(edc._meta_path(state)) as fh:
+        bench_dir = json.load(fh)["bench_dir"]
+    shutil.rmtree(edc._path(state, bench_dir))  # the gc'd-dir race state
+    with pytest.raises(RuntimeError, match="superseded and garbage-collected"):
+        edc.emb_decon_batch_step(spark, corpus, state)
+    # nothing was claimed: after re-registration the replay verdicts the
+    # FULL batch against the new suite, equal to the batch operator
+    edc.register_benchmark(spark, bench, state)
+    assert edc.emb_decon_batch_step(spark, corpus, state) == corpus.count()
+    assert _rows(edc.read_verdicts(spark, state)) == _rows(
+        embedding_decontaminate_from(corpus, bench)
+    )

@@ -655,3 +655,36 @@ def test_llm_embedding_dedup_labeling_semantics(spark):
     assert pairs, "fixture should plant near-dup pairs"
     for p in pairs:
         assert comp_of[p["vec_a"]] == comp_of[p["vec_b"]]
+
+
+def test_curation_releases_caches_on_stage_error(spark):
+    """Review r12: a FAILED curate call must not strand cache entries.
+    A 4100-identical-doc flood trips stage 1's MinHash max_bucket refusal
+    at the exact moment the shingle-hash and band caches are live and
+    MATERIALIZED (the guard's eager aggregation is what builds them);
+    pre-fix they leaked for the session, and each retried call stranded a
+    fresh copy (per-call lineage — plan canonicalization never dedupes
+    them). Pin: no persistent-RDD id NEW since the call survives the
+    raise (set difference, not a count — the session's periodic GC may
+    concurrently evict DEAD entries from earlier tests, so the global
+    count can legitimately drop mid-test)."""
+    import pytest
+    from pyspark.sql import Row
+
+    jsc = spark.sparkContext._jsc
+
+    def _ids():
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = _ids()
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text="the very same flood text " * 12,
+                lang="en", source="web")
+            for i in range(4_100)
+        ]
+    )
+    with pytest.raises(RuntimeError, match="max_bucket"):
+        curate.curate_docs(docs, None, train_split_only=False)
+    leaked = _ids() - before
+    assert not leaked, leaked
