@@ -95,7 +95,19 @@ def _read_state(spark: SparkSession, state_dir: str, name: str, schema: str) -> 
 
 
 def register_benchmark(spark: SparkSession, bench_docs: DataFrame, state_dir: str) -> None:
-    """(Re)write the benchmark suite the stream decontaminates against."""
+    """(Re)write the benchmark suite the stream decontaminates against.
+
+    A stream with NO registered suite runs dedup/repetition only and
+    flags nothing as contaminated — the batch chain's optional-bench
+    semantics (``curate_docs(docs, None)``), NOT an error like the
+    knob-pinned embedding twin (contrast
+    ``emb_decon_stream.register_benchmark``, whose suite+knobs commit is
+    versioned+atomic because a step there is meaningless without one).
+    Consequence of that fallback: re-register only BETWEEN steps — this
+    is one plain overwrite, so a step racing it can list the dir mid-swap
+    and silently verdict its batch against an empty/partial suite. If
+    suites must rotate under a live stream, port the versioned-dir +
+    meta-rename idiom from emb_decon_stream."""
     bench_docs.select("doc_id", "text").write.mode("overwrite").parquet(
         _path(state_dir, "bench")
     )
