@@ -59,14 +59,29 @@ def _path(state_dir: str, name: str) -> str:
 
 
 def _read_state(
-    spark: SparkSession, state_dir: str, name: str, schema: str
+    spark: SparkSession, state_dir: str, name: str, schema: str,
+    strict: bool = False,
 ) -> DataFrame:
+    """``strict=False`` (the verdicts table): a missing dir IS a state —
+    no verdicts yet — and reads as an empty relation. ``strict=True``
+    (the suite dir a step's meta names): missing/empty means a concurrent
+    re-registration garbage-collected it, and silently reading an empty
+    suite would verdict the batch clean FOREVER (review r12) — raise."""
     path = _path(state_dir, name)
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
+    try:
+        has = os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        )
+    except FileNotFoundError:  # dir deleted between isdir and listdir
+        has = False
+    if has:
         spark.catalog.refreshByPath(path)  # see dedup_stream._read_state
         return spark.read.schema(schema).parquet(path)
+    if strict:
+        raise RuntimeError(
+            f"state relation {name!r} under {state_dir!r} is missing or "
+            "empty"
+        )
     return spark.createDataFrame([], schema)
 
 
@@ -175,49 +190,64 @@ def emb_decon_batch_step(
     vecs = vecs.where(F.col("vec_id").isNotNull()).dropDuplicates(["vec_id"])
     claimed = read_verdicts(spark, state_dir).select("vec_id")
     fresh = vecs.join(claimed, "vec_id", "left_anti").persist()
-    n_fresh = fresh.count()
-    if n_fresh == 0:
-        fresh.unpersist()
-        return 0
-    # The live suite is the dir meta names ("bench" = pre-r12 state dirs)
-    # — read it STRICTLY (review r12): _read_state's empty-DataFrame
-    # fallback is right for the verdicts table (no verdicts yet is a
-    # state), but wrong here — a step that read meta just before a
-    # concurrent register_benchmark committed a new suite and
-    # garbage-collected this dir would verdict the whole batch against an
-    # EMPTY suite, mark everything clean, and the claim table would make
-    # that answer permanent. Fail loudly instead; the replayed step reads
-    # the new (suite, knobs) pair consistently. (A deletion racing the
-    # Spark read itself still fails loudly — FileNotFound at the action.)
-    bench_dir = meta.get("bench_dir", "bench")
-    bpath = _path(state_dir, bench_dir)
-    if not (
-        os.path.isdir(bpath)
-        and any(f.endswith(".parquet") for f in os.listdir(bpath))
-    ):
-        fresh.unpersist()
-        raise RuntimeError(
-            f"emb_decon_batch_step: meta.json names suite dir {bench_dir!r} "
-            "but it is missing or empty — a concurrent register_benchmark "
-            "superseded and garbage-collected it after this step read the "
-            "old meta. Nothing was claimed; re-run the step to verdict "
-            "against the new (suite, knobs) pair."
+    # try/finally (review r12): any raise below — the gc-race refusals,
+    # a FileNotFound when a deletion races the Spark read itself, a
+    # verdict/write error — must release the batch-sized cache, or each
+    # raced/replayed step strands another entry (the same error-path
+    # cache-leak class curate_docs guards against).
+    try:
+        n_fresh = fresh.count()
+        if n_fresh == 0:
+            return 0
+        # The live suite is the dir meta names ("bench" = pre-r12 state
+        # dirs) — read it STRICTLY (review r12): _read_state's
+        # empty-DataFrame fallback is right for the verdicts table (no
+        # verdicts yet is a state), but wrong here — a step that read
+        # meta just before a concurrent register_benchmark committed a
+        # new suite and garbage-collected this dir would verdict the
+        # whole batch against an EMPTY suite, mark everything clean, and
+        # the claim table would make that answer permanent.
+        bench_dir = meta.get("bench_dir", "bench")
+        try:
+            bench = _read_state(
+                spark, state_dir, bench_dir, VEC_SCHEMA, strict=True
+            )
+        except RuntimeError as e:
+            raise RuntimeError(
+                f"emb_decon_batch_step: meta.json names suite dir "
+                f"{bench_dir!r} but {e} — a concurrent register_benchmark "
+                "superseded and garbage-collected it after this step read "
+                "the old meta. Nothing was claimed; re-run the step to "
+                "verdict against the new (suite, knobs) pair."
+            ) from None
+        # Completeness check (review r12): an rmtree IN PROGRESS at
+        # listing time leaves some part files visible — a silently
+        # PARTIAL suite, the same permanent-wrong-verdict failure as the
+        # empty one. meta pinned the registered row count; anything else
+        # means this dir is being superseded mid-read.
+        want = meta.get("n_bench")
+        got = bench.count()
+        if want is not None and got != want:
+            raise RuntimeError(
+                f"emb_decon_batch_step: suite dir {bench_dir!r} holds "
+                f"{got} vectors but meta.json pinned n_bench={want} — a "
+                "concurrent register_benchmark is deleting it mid-read. "
+                "Nothing was claimed; re-run the step."
+            )
+        verdicts = embedding_decontaminate_from(
+            fresh,
+            bench,
+            threshold=meta["threshold"],
+            bands=meta["bands"],
+            bits=meta["bits"],
+            seed=meta["seed"],
+            max_bench_bytes=max_bench_bytes,
+            exact=meta.get("exact", False),
         )
-    spark.catalog.refreshByPath(bpath)
-    bench = spark.read.schema(VEC_SCHEMA).parquet(bpath)
-    verdicts = embedding_decontaminate_from(
-        fresh,
-        bench,
-        threshold=meta["threshold"],
-        bands=meta["bands"],
-        bits=meta["bits"],
-        seed=meta["seed"],
-        max_bench_bytes=max_bench_bytes,
-        exact=meta.get("exact", False),
-    )
-    verdicts.write.mode("append").parquet(_path(state_dir, "verdicts"))
-    fresh.unpersist()
-    return n_fresh
+        verdicts.write.mode("append").parquet(_path(state_dir, "verdicts"))
+        return n_fresh
+    finally:
+        fresh.unpersist()
 
 
 def run_incremental_emb_decon(

@@ -212,3 +212,32 @@ def test_step_refuses_gc_raced_suite_dir(spark, tmp_path):
     assert _rows(edc.read_verdicts(spark, state)) == _rows(
         embedding_decontaminate_from(corpus, bench)
     )
+
+
+def test_step_refuses_partially_deleted_suite_dir(spark, tmp_path):
+    """Review r12 follow-up: an rmtree IN PROGRESS when the step lists
+    the suite dir leaves some part files visible — a silently PARTIAL
+    suite. The step pins the read row count against meta's n_bench and
+    refuses on mismatch, claiming nothing."""
+    import glob
+    import os
+
+    corpus, bench = _vecs(spark)
+    state = str(tmp_path / "state")
+    edc.register_benchmark(spark, bench.repartition(4), state)
+    with open(edc._meta_path(state)) as fh:
+        meta = json.load(fh)
+    parts = sorted(
+        glob.glob(edc._path(state, meta["bench_dir"]) + "/*.parquet")
+    )
+    assert len(parts) >= 2, "need a multi-part suite to simulate the race"
+    os.remove(parts[0])  # the mid-rmtree race state
+    with pytest.raises(RuntimeError, match="n_bench"):
+        edc.emb_decon_batch_step(spark, corpus, state)
+    assert edc.read_verdicts(spark, state).count() == 0  # nothing claimed
+    # recovery: a fresh registration verdicts the full batch, == batch op
+    edc.register_benchmark(spark, bench, state)
+    assert edc.emb_decon_batch_step(spark, corpus, state) == corpus.count()
+    assert _rows(edc.read_verdicts(spark, state)) == _rows(
+        embedding_decontaminate_from(corpus, bench)
+    )
