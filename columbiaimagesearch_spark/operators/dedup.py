@@ -747,6 +747,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DEDUP-components stays covered here, J7 via j7_incremental_add_anti,
     # and any labeling error changes these per-cluster hashes, so the CC
     # machinery keeps a hash-checked driver row through this spec.
+    # Folded r12 after TWO held driver-green rows (r10+r11) in exchange
+    # for s_format_roundtrips entering at birth: DEDUP-components stays
+    # driver-covered on llm_embedding_dedup (the same component-labeling
+    # machinery, NEW r12), A8 on 7+ rows, A2 on a2_cell_histogram. Still
+    # local-parity-checked + in bench.
+    driver=False,
     doc="Per-cluster dedup savings report: for every near-dup cluster of "
     "2+ docs (connected components over the verified MinHash-LSH pair "
     "graph), its size, total text chars, and the chars dedup saves by "

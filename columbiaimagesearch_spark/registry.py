@@ -110,6 +110,7 @@ def all_specs() -> dict[str, QuerySpec]:
         textstats,
     )
     from .lopq import queries as lopq_queries  # noqa: F401
+    from .sources import formats as _formats  # noqa: F401
 
     with_oracle = {n: s for n, s in _REGISTRY.items() if s.oracle is not None}
     rows_only = {n: s for n, s in _REGISTRY.items() if s.oracle is None}

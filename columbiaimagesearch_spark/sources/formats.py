@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..registry import register
+
 
 def feats_tsv_schema(dim: int) -> T.StructType:
     fields = [
@@ -75,22 +77,44 @@ def write_feats_tsv(df: DataFrame, path: str, dim: int) -> None:
 _XVEC_KIND = {"fvecs": ("f", 4, "array<float>"), "ivecs": ("i", 4, "array<int>")}
 
 
+def xvecs_bytes(vectors, kind: str = "fvecs") -> bytes:
+    """Encode vectors into the xvecs byte layout (``int32 dim`` + packed
+    little-endian values per record) — the ONE encoder, shared by the
+    file writer and the ``s_format_roundtrips`` driver kernel so the
+    driver row exercises the same bytes the files carry."""
+    fmt, _, _ = _XVEC_KIND[kind]
+    parts = []
+    for vec in vectors:
+        parts.append(struct.pack("<i", len(vec)))
+        parts.append(np.asarray(vec, dtype=f"<{fmt}4").tobytes())
+    return b"".join(parts)
+
+
+def parse_xvecs_blob(blob: bytes, kind: str = "fvecs") -> list[np.ndarray]:
+    """Decode one xvecs blob into per-record arrays — the ONE decoder,
+    shared by ``read_xvecs``'s per-file kernel and the roundtrip spec."""
+    fmt, width, _ = _XVEC_KIND[kind]
+    out: list[np.ndarray] = []
+    off, n = 0, len(blob)
+    while off + 4 <= n:
+        (dim,) = struct.unpack_from("<i", blob, off)
+        off += 4
+        out.append(np.frombuffer(blob, dtype=f"<{fmt}4", count=dim, offset=off))
+        off += dim * width
+    return out
+
+
 def read_xvecs(spark: SparkSession, path: str, kind: str = "fvecs") -> DataFrame:
     """(file, row_id, vec) from .fvecs/.ivecs files (SIFT1M layout)."""
-    fmt, width, arr_type = _XVEC_KIND[kind]
+    _, _, arr_type = _XVEC_KIND[kind]
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for path_, blob in zip(pdf["path"], pdf["content"]):
-                out, off, row = [], 0, 0
-                n = len(blob)
-                while off + 4 <= n:
-                    (dim,) = struct.unpack_from("<i", blob, off)
-                    off += 4
-                    vec = np.frombuffer(blob, dtype=f"<{fmt}4", count=dim, offset=off)
-                    off += dim * width
-                    out.append((path_, row, vec.tolist()))
-                    row += 1
+                out = [
+                    (path_, row, vec.tolist())
+                    for row, vec in enumerate(parse_xvecs_blob(blob, kind))
+                ]
                 yield pd.DataFrame(out, columns=["file", "row_id", "vec"])
 
     return (
@@ -103,8 +127,113 @@ def read_xvecs(spark: SparkSession, path: str, kind: str = "fvecs") -> DataFrame
 
 def write_xvecs(vectors: np.ndarray, path: str, kind: str = "fvecs") -> None:
     """Local-file writer (driver-side, bench fixture generation only)."""
-    fmt, _, _ = _XVEC_KIND[kind]
     with open(path, "wb") as fh:
-        for vec in vectors:
-            fh.write(struct.pack("<i", len(vec)))
-            fh.write(np.asarray(vec, dtype=f"<{fmt}4").tobytes())
+        fh.write(xvecs_bytes(vectors, kind))
+
+
+def feats_tsv_line(row: dict, dim: int) -> str:
+    """One raw TSV feature line in featsio field order — the order comes
+    from :func:`feats_tsv_schema` itself, so this kernel and the Spark
+    CSV scan cannot drift apart. Floats are emitted with ``repr`` (the
+    shortest round-trip decimal); the reference format carries no
+    quoting/escaping, so string fields must not contain tabs."""
+    out = []
+    for f in feats_tsv_schema(dim).fields:
+        v = row[f.name]
+        out.append(repr(v) if isinstance(v, float) else str(v))
+    return "\t".join(out)
+
+
+def parse_feats_tsv_line(line: str, dim: int) -> dict:
+    """Inverse of :func:`feats_tsv_line`: split + type per the same
+    schema (IntegerType -> int, DoubleType -> float, else str)."""
+    fields = feats_tsv_schema(dim).fields
+    vals = line.split("\t")
+    if len(vals) != len(fields):
+        raise ValueError(
+            f"feats TSV line has {len(vals)} fields, schema expects "
+            f"{len(fields)}"
+        )
+    typed: dict = {}
+    for f, v in zip(fields, vals):
+        if isinstance(f.dataType, T.IntegerType):
+            typed[f.name] = int(v)
+        elif isinstance(f.dataType, T.DoubleType):
+            typed[f.name] = float(v)
+        else:
+            typed[f.name] = v
+    return typed
+
+
+@register(
+    "s_format_roundtrips",
+    survey_ops=("S12", "S14"),
+    # NEW r12: the two interchange codecs had only local pytest coverage
+    # (VERDICT r11 'Corr: local'); this row drives them through the
+    # driver's DuckDB oracle. dedup_cluster_stats folded in exchange
+    # (driver-green r10 AND r11; DEDUP-components stays driver-covered on
+    # llm_embedding_dedup — the same component labeling — A8 on 7+ rows,
+    # A2 on a2_cell_histogram and others).
+    doc="Interchange-codec roundtrip verification, driver-oracle form of "
+    "S12/S14: every embedding vector is encoded to the xvecs byte layout "
+    "and decoded back through the SAME shared helpers the file "
+    "reader/writer use (lopq/lopq/utils.py:64-131), and a synthetic "
+    "featsio TSV line (sha1/url/path/bbox + features, field order taken "
+    "from feats_tsv_schema — featurizer/featsio.py:57-124) is formatted "
+    "and parsed back. The kernel emits per-vector MISMATCH COUNTS "
+    "(bitwise for float32, exact for ints/strings); the DuckDB oracle "
+    "independently pins ids, dims, and zero mismatches — any codec bug "
+    "(endianness, offset walk, field order, float formatting) surfaces "
+    "as a nonzero count or a broken dim. Scale: map-only, one Arrow pass "
+    "over the vectors, nothing shuffles.",
+    oracle="""
+SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+       CAST(0 AS BIGINT) AS xvecs_mismatch,
+       CAST(0 AS BIGINT) AS tsv_mismatch
+FROM embeddings
+""",
+)
+def s_format_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            vecs = [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+            back = parse_xvecs_blob(xvecs_bytes(vecs))
+            rows = []
+            for vid, v, b in zip(ids, vecs, back):
+                x_mm = (
+                    int((b != v).sum())
+                    if len(b) == len(v)
+                    else max(len(b), len(v))
+                )
+                meta = {
+                    "sha1": f"{int(vid):040X}",
+                    "url": f"http://img.example/{int(vid)}",
+                    "img_path": f"/data/{int(vid)}.jpg",
+                    "left": int(vid) % 100,
+                    "top": int(vid) % 71,
+                    "right": int(vid) % 100 + 32,
+                    "bottom": int(vid) % 71 + 32,
+                }
+                for i, x in enumerate(v):
+                    meta[f"f{i}"] = float(x)
+                parsed = parse_feats_tsv_line(
+                    feats_tsv_line(meta, len(v)), len(v)
+                )
+                t_mm = sum(1 for k in meta if parsed[k] != meta[k])
+                rows.append((int(vid), len(v), x_mm, t_mm))
+            yield pd.DataFrame(
+                rows,
+                columns=["vec_id", "dim", "xvecs_mismatch", "tsv_mismatch"],
+            )
+
+    return emb.mapInPandas(
+        roundtrip,
+        "vec_id bigint, dim int, xvecs_mismatch bigint, tsv_mismatch bigint",
+    )

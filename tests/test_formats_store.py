@@ -106,3 +106,47 @@ def test_model_store_pca_roundtrip(spark, tmp_path_factory):
     # identical original-space query projection end-to-end
     q = X[:3]
     np.testing.assert_array_equal(back.project_queries(q), pm.project_queries(q))
+
+
+def test_format_roundtrip_kernel_detects_corruption():
+    """The s_format_roundtrips driver row (NEW r12) emits mismatch counts
+    from the SHARED codec helpers — prove the counts are actually
+    sensitive: a clean roundtrip is bitwise exact, a single flipped
+    payload byte surfaces in the xvecs compare, a swapped TSV field
+    surfaces in the parse compare, and an embedded tab (the raw format
+    carries no escaping) fails loudly at parse."""
+    import pytest
+
+    from columbiaimagesearch_spark.sources.formats import (
+        feats_tsv_line,
+        parse_feats_tsv_line,
+        parse_xvecs_blob,
+        xvecs_bytes,
+    )
+
+    vecs = [np.arange(4, dtype=np.float32), np.ones(3, dtype=np.float32)]
+    blob = xvecs_bytes(vecs)
+    back = parse_xvecs_blob(blob)
+    assert len(back) == 2
+    assert all(len(a) == len(b) and (a == b).all() for a, b in zip(vecs, back))
+    bad = bytearray(blob)
+    bad[7] ^= 0x40  # one bit of record 0's first float32 payload
+    back_bad = parse_xvecs_blob(bytes(bad))
+    assert any(
+        len(a) != len(b) or (a != b).any() for a, b in zip(vecs, back_bad)
+    )
+
+    dim = 3
+    meta = {
+        "sha1": "AB" * 20, "url": "http://img.example/1",
+        "img_path": "/data/1.jpg", "left": 1, "top": 2, "right": 33,
+        "bottom": 34, "f0": 0.125, "f1": -2.5, "f2": 1e-7,
+    }
+    line = feats_tsv_line(meta, dim)
+    assert parse_feats_tsv_line(line, dim) == meta
+    parts = line.split("\t")
+    parts[7], parts[8] = parts[8], parts[7]  # swap f0/f1: order drift
+    swapped = parse_feats_tsv_line("\t".join(parts), dim)
+    assert sum(1 for k in meta if swapped[k] != meta[k]) == 2
+    with pytest.raises(ValueError, match="fields"):
+        parse_feats_tsv_line(line + "\textra", dim)
