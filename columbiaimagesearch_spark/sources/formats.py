@@ -126,9 +126,12 @@ def read_xvecs(spark: SparkSession, path: str, kind: str = "fvecs") -> DataFrame
 
 
 def write_xvecs(vectors: np.ndarray, path: str, kind: str = "fvecs") -> None:
-    """Local-file writer (driver-side, bench fixture generation only)."""
+    """Local-file writer (driver-side, bench fixture generation only).
+    Streams per-record through the shared encoder — a SIFT1M-scale file
+    must not be materialized in memory before the first byte lands."""
     with open(path, "wb") as fh:
-        fh.write(xvecs_bytes(vectors, kind))
+        for vec in vectors:
+            fh.write(xvecs_bytes([vec], kind))
 
 
 def feats_tsv_line(row: dict, dim: int) -> str:
@@ -180,12 +183,20 @@ def parse_feats_tsv_line(line: str, dim: int) -> dict:
     "reader/writer use (lopq/lopq/utils.py:64-131), and a synthetic "
     "featsio TSV line (sha1/url/path/bbox + features, field order taken "
     "from feats_tsv_schema — featurizer/featsio.py:57-124) is formatted "
-    "and parsed back. The kernel emits per-vector MISMATCH COUNTS "
-    "(bitwise for float32, exact for ints/strings); the DuckDB oracle "
-    "independently pins ids, dims, and zero mismatches — any codec bug "
-    "(endianness, offset walk, field order, float formatting) surfaces "
-    "as a nonzero count or a broken dim. Scale: map-only, one Arrow pass "
-    "over the vectors, nothing shuffles.",
+    "and parsed back through the LINE-contract kernel "
+    "(feats_tsv_line/parse_feats_tsv_line), which a local bridging test "
+    "pins field-for-field against the real Spark CSV read path on real "
+    "files (tests/test_formats_store.py::"
+    "test_tsv_line_kernel_matches_spark_csv_path) — so the driver row "
+    "covers the reader transitively, not just the contract. The kernel "
+    "emits per-vector MISMATCH COUNTS (bitwise uint32 views for float32 "
+    "— an IEEE compare would miss -0.0; exact for ints/strings) and "
+    "REFUSES a record-count drift (a phantom record would truncate the "
+    "zip silently); the DuckDB oracle independently pins ids, dims, and "
+    "zero mismatches — any codec bug (endianness, offset walk, field "
+    "order, float formatting) surfaces as a nonzero count, a broken "
+    "dim, or a loud raise. Scale: map-only, one Arrow pass over the "
+    "vectors, nothing shuffles.",
     oracle="""
 SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
        CAST(0 AS BIGINT) AS xvecs_mismatch,
@@ -205,10 +216,20 @@ def s_format_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf["vec_id"].to_numpy()
             vecs = [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
             back = parse_xvecs_blob(xvecs_bytes(vecs))
+            if len(back) != len(vecs):
+                # a phantom/missing RECORD would silently truncate the zip
+                # below and report 0 mismatches — fail the query instead
+                raise ValueError(
+                    f"xvecs roundtrip decoded {len(back)} records from "
+                    f"{len(vecs)} encoded vectors"
+                )
             rows = []
             for vid, v, b in zip(ids, vecs, back):
+                # BITWISE via uint32 views (the doc's contract): an IEEE
+                # value compare would pass -0.0 == 0.0 and miss a
+                # sign-bit-of-zero corruption
                 x_mm = (
-                    int((b != v).sum())
+                    int((b.view(np.uint32) != v.view(np.uint32)).sum())
                     if len(b) == len(v)
                     else max(len(b), len(v))
                 )

@@ -135,6 +135,19 @@ def test_format_roundtrip_kernel_detects_corruption():
     assert any(
         len(a) != len(b) or (a != b).any() for a, b in zip(vecs, back_bad)
     )
+    # sign-of-zero corruption is invisible to an IEEE value compare but
+    # NOT to the uint32-view compare the driver kernel uses
+    zbad = bytearray(blob)
+    zbad[7] ^= 0x80  # 0.0 -> -0.0 in record 0
+    zback = parse_xvecs_blob(bytes(zbad))
+    assert (zback[0] == vecs[0]).all()  # IEEE compare is blind to it...
+    assert (
+        zback[0].view(np.uint32) != vecs[0].view(np.uint32)
+    ).any()  # ...the bitwise view is not
+    # a phantom trailing record parses as one extra entry — the driver
+    # kernel refuses on the record-count drift instead of zip-truncating
+    phantom = parse_xvecs_blob(blob + xvecs_bytes([np.zeros(0, np.float32)]))
+    assert len(phantom) == len(vecs) + 1
 
     dim = 3
     meta = {
@@ -150,3 +163,35 @@ def test_format_roundtrip_kernel_detects_corruption():
     assert sum(1 for k in meta if swapped[k] != meta[k]) == 2
     with pytest.raises(ValueError, match="fields"):
         parse_feats_tsv_line(line + "\textra", dim)
+
+
+def test_tsv_line_kernel_matches_spark_csv_path(spark, tmp_path_factory, feats_df):
+    """Ties the two S12 codecs together (review r12): the driver row
+    (s_format_roundtrips) pins the LINE-contract kernel
+    (feats_tsv_line/parse_feats_tsv_line); this test pins that kernel
+    against the REAL Spark CSV path on real files — parse every raw line
+    write_feats_tsv produced with the kernel and compare field-for-field
+    against read_feats_tsv's output, so a regression in EITHER codec
+    (column order, cast, float formatting drift) breaks the agreement."""
+    from columbiaimagesearch_spark.sources.formats import parse_feats_tsv_line
+
+    path = str(tmp_path_factory.mktemp("tsv_bridge") / "feats")
+    write_feats_tsv(feats_df, path, DIM)
+    kernel = {}
+    for r in spark.read.text(path).collect():
+        d = parse_feats_tsv_line(r["value"], DIM)
+        kernel[d["sha1"].upper()] = d
+    via_spark = {r["sha1"]: r for r in read_feats_tsv(spark, path, DIM).collect()}
+    assert set(kernel) == set(via_spark)
+    for sha1, d in kernel.items():
+        r = via_spark[sha1]
+        assert d["url"] == r["url"] and d["img_path"] == r["img_path"]
+        assert (d["left"], d["top"], d["right"], d["bottom"]) == (
+            r["bbox"]["left"], r["bbox"]["top"],
+            r["bbox"]["right"], r["bbox"]["bottom"],
+        )
+        # identical VALUES: Java's and Python's float parse are both
+        # correctly-rounded, so the same text must land on the same float
+        got = np.array(r["feature"], dtype=np.float32)
+        want = np.array([d[f"f{i}"] for i in range(DIM)], dtype=np.float32)
+        np.testing.assert_array_equal(got, want)
