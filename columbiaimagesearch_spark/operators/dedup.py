@@ -153,13 +153,10 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard_pairs",
     survey_ops=("DEDUP-ngram", "F9"),
-    # Folded r6 (rotation: emb_lsh_near_dup_pairs and friends enter the
-    # 50-slot window). DEDUP-ngram stays driver-green on
-    # dedup_minhash_lsh_pairs (MinHash over the SAME word-bigram shingle
-    # sets = the n-gram Jaccard estimator), F9 on dedup_substring_spans /
-    # emb_lsh_near_dup_pairs; this exact rung remains DuckDB-parity-checked
-    # locally and benched in the second tier.
-    driver=False,
+    # Rotated back driver-visible r13 (folded r6; VERDICT r12 next-round
+    # item 1: the r6 folds re-earn a hash-checked row). DEDUP-ngram remains
+    # doubly covered via dedup_minhash_lsh_pairs (MinHash over the SAME
+    # word-bigram shingle sets), F9 quadruply covered.
     doc="n-gram Jaccard near-dup pairs (brute-force): distinct word-bigram "
     "sets, all pairs i<j, Jaccard >= 0.2. The small-N ground truth that "
     "validates the MinHash-LSH scale path.",

@@ -459,10 +459,11 @@ def a2_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a7_update_batching",
     survey_ops=("A7", "C6"),
-    # Rotated back driver-visible r12 (folded r9; VERDICT r11 next-round
-    # item 1: oldest non-showcase folds re-earn a hash-checked row).
-    # a5/a6/t1 folded in exchange, all freshly r11-green with every tag
-    # multiply driver-covered.
+    # Folded r13 after a fresh r12 green (rotation: the r6 folds
+    # text_quality_score / dedup_ngram_jaccard_pairs / emb_near_dup_pairs
+    # re-enter the 50-slot window). A7 stays driver-green on
+    # t5_ranked_output_assembly, C6 on c_scalar_keys / text_token_stats.
+    driver=False,
     doc="Update batching: accumulate ids per group, emit ordered id list "
     "(extraction_checker.py:281-454 batches sha1s into updates; "
     "comma-joined list_sha1s per hbase_indexer_minimal.py:40-48).",
@@ -595,8 +596,11 @@ def t1_distance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t4_per_group_topk",
     survey_ops=("T4", "J5"),
-    # Rotated back driver-visible r12 (folded r4 — the longest-folded real-tag
-    # spec; VERDICT r11 next-round item 1).
+    # Folded r13 after a fresh r12 green (rotation; folded instead of
+    # s_format_roundtrips, which is the SOLE S12/S14 carrier and cannot
+    # fold). T4/J5 stay triply covered on ann_cosine_topk /
+    # lopq_search_rerank (+ each other's row).
+    driver=False,
     doc="Per-query rerank top-k: row_number over (partition by query order by "
     "distance) (searcher_lopqhbase.py:900-912 re-sort after exact rerank).",
     oracle="""
@@ -630,8 +634,9 @@ def t4_per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t2_quota_accumulation",
     survey_ops=("T2", "T3"),
-    # Rotated back driver-visible r12 (folded r8; VERDICT r11 next-round
-    # item 1 names it first — T2/T3 were single-covered by lopq_search_topk).
+    # Folded r13 after a fresh r12 green (rotation). T2/T3 stay
+    # driver-green on lopq_search_topk.
+    driver=False,
     doc="Multi-sequence quota cutoff: visit cells in distance order until the "
     "running item count reaches quota (search.py:110-135). Rendered as a "
     "running-sum window with cutoff.",

@@ -217,11 +217,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_near_dup_pairs",
     survey_ops=("F9", "DEDUP-embedding", "C3", "C4"),
-    # Folded r6 (rotation): F9/DEDUP-embedding/C3/C4 are driver-green on
-    # emb_lsh_near_dup_pairs (same cosine kernel, same float->double cast,
-    # label-free banding instead of label blocking). Local DuckDB parity +
-    # bench keep this label-blocked rendering verified.
-    driver=False,
+    # Rotated back driver-visible r13 (folded r6; VERDICT r12 next-round
+    # item 1). F9/DEDUP-embedding/C3/C4 stay multiply covered via
+    # llm_embedding_decontaminate / llm_embedding_dedup.
     doc="Embedding-cosine near-duplicate pairs, label-blocked (the near-dup "
     "distance filter generic_searcher.py:43-45 applied pairwise; blocking "
     "key stands in for the coarse cell at scale). Carries C3/C4: the "

@@ -61,10 +61,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_quality_score",
     survey_ops=("TXT-quality",),
-    # Folded r6 (rotation): TXT-quality is driver-green on corpus_report,
-    # which aggregates these same per-doc quality expressions. Local DuckDB
-    # parity + bench keep this per-doc rendering verified.
-    driver=False,
+    # Rotated back driver-visible r13 (folded r6 — oldest fold; VERDICT r12
+    # next-round item 1). TXT-quality stays doubly covered via corpus_report.
     doc="Quality scoring: length/space/alpha ratios and mean token length — "
     "the cheap heuristics used to pre-filter web text before training.",
     oracle="""
