@@ -101,6 +101,15 @@ def parse_xvecs_blob(blob: bytes, kind: str = "fvecs") -> list[np.ndarray]:
         off += 4
         out.append(np.frombuffer(blob, dtype=f"<{fmt}4", count=dim, offset=off))
         off += dim * width
+    if off != n:
+        # Refuse-on-drift: a file truncated inside a record's dim header
+        # (1-3 trailing bytes) must surface loudly, not silently lose the
+        # tail record. (Truncation inside a PAYLOAD already raises via
+        # np.frombuffer's count check above.)
+        raise ValueError(
+            f"xvecs blob has {n - off} trailing bytes after record "
+            f"{len(out)} — truncated dim header?"
+        )
     return out
 
 
@@ -247,7 +256,19 @@ def s_format_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
                 parsed = parse_feats_tsv_line(
                     feats_tsv_line(meta, len(v)), len(v)
                 )
-                t_mm = sum(1 for k in meta if parsed[k] != meta[k])
+                # Float fields compare BITWISE (same discipline as the
+                # uint32 xvecs view): NaN roundtrips textually but
+                # NaN != NaN would flag a spurious mismatch, and an IEEE
+                # compare would miss -0.0 vs 0.0.
+                t_mm = sum(
+                    1
+                    for k in meta
+                    if (
+                        struct.pack("<d", parsed[k]) != struct.pack("<d", meta[k])
+                        if isinstance(meta[k], float)
+                        else parsed[k] != meta[k]
+                    )
+                )
                 rows.append((int(vid), len(v), x_mm, t_mm))
             yield pd.DataFrame(
                 rows,
