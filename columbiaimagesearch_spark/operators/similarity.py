@@ -663,41 +663,81 @@ def emb_lsh_pairs_from(
     )
 
 
+def lsh_keys_cte_sql(d: int, bands: int = LSH_BANDS, bits: int = LSH_BITS,
+                     seed: int = LSH_SEED) -> str:
+    """DuckDB CTE body reconstructing the sign-bit band keys in SQL ONLY:
+    the seeded hyperplanes are model PARAMETERS materialized as a VALUES
+    relation; sign bits come from DuckDB's own ``list_inner_product``, and
+    each band key bit-packs MSB-first (plane ``b*bits + i`` carries weight
+    ``2^(bits-1-i)`` — the same convention as :func:`_lsh_band_keys`'s
+    shift-or loop, but re-derived by a different engine). Assumes an
+    ``e(vec_id, v DOUBLE[])`` CTE is already in scope."""
+    planes = _lsh_planes(d, bands, bits, seed)
+    vals = ", ".join(
+        f"({pid}, [{', '.join(repr(float(x)) for x in p)}]::DOUBLE[])"
+        for pid, p in enumerate(planes)
+    )
+    return f"""
+planes(pid, p) AS (VALUES {vals}),
+bits AS (
+  SELECT e.vec_id, planes.pid // {bits} AS band,
+         planes.pid % {bits} AS biti,
+         CASE WHEN list_inner_product(e.v, planes.p) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM e, planes
+),
+keys AS (
+  SELECT vec_id, band,
+         CAST(SUM(bit * (1 << ({bits} - 1 - biti))) AS BIGINT) AS key
+  FROM bits GROUP BY vec_id, band
+)"""
+
+
 def _emb_dedup_labels_oracle(sf_dir: str) -> str:
-    """Half twin, half independent: the PAIR relation is the NumPy twin
-    (identical seeded planes + elementwise kernels — the established
-    emb_lsh_near_dup_pairs_oracle idiom, r6), but the LABELING is an
-    INDEPENDENT recursive-CTE transitive closure DuckDB computes over
-    those pairs — a different algorithm (closure to fixpoint in SQL) from
-    the Spark side's union-find / iterative min-label propagation, so a
-    components bug cannot cancel out between the two engines."""
+    """SQL-only END TO END (VERDICT r12 next-round #3; closes the last
+    shared-kernel twin half): DuckDB re-derives the band keys from the
+    VALUES-materialized hyperplanes (:func:`lsh_keys_cte_sql` — the same
+    idiom the probe-path decon check uses, tests/test_hygiene.py), emits
+    the pair relation as a band-key collision join filtered by its OWN
+    zero-safe cosine (``list_inner_product`` over normalized lists,
+    mirroring the l2_normalize_rows zero-norm contract: a zero vector
+    stays zero, cos 0.0, never a near-dup), and labels components with
+    the recursive-CTE transitive closure. Zero shared NumPy kernels —
+    only the seeded planes (model parameters) cross engines, so a
+    banding, verification, or components bug cannot cancel out."""
     import os
 
     import pyarrow.parquet as pq
 
-    from ..lopq.twin import values_sql
-
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-    keys = _lsh_band_keys(X)
-    pairs: set[tuple] = set()
-    for b in range(LSH_BANDS):
-        for key in np.unique(keys[:, b]):
-            mask = keys[:, b] == key
-            pairs.update(_bucket_cos_pairs(ids[mask], X[mask]))
-    if not pairs:
-        # no near-dup edges: every vector is its own singleton component
-        return (
-            "SELECT vec_id, CAST(vec_id AS BIGINT) AS component, "
-            "TRUE AS kept FROM embeddings"
+    first = next(
+        pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).iter_batches(
+            batch_size=1, columns=["embedding"]
         )
-    pairs_sql = values_sql(
-        sorted((a, b) for a, b, _ in pairs),
-        [("vec_a", "BIGINT"), ("vec_b", "BIGINT")],
     )
+    d = len(first.column("embedding")[0])
     return f"""
-WITH RECURSIVE pairs AS ({pairs_sql}),
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{lsh_keys_cte_sql(d)},
+n AS (
+  SELECT vec_id,
+         CASE WHEN list_inner_product(v, v) = 0 THEN v
+              ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+         END AS u
+  FROM e
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.vec_a, c.vec_b
+  FROM cand c
+  JOIN n na ON na.vec_id = c.vec_a
+  JOIN n nb ON nb.vec_id = c.vec_b
+  WHERE list_inner_product(na.u, nb.u) >= {NEAR_DUP_COS}
+),
 edges AS (
   SELECT vec_a AS src, vec_b AS dst FROM pairs
   UNION ALL
@@ -734,8 +774,10 @@ FROM cc GROUP BY vec
     "to a corpus-curation labeling. Scale: band self-join moves int keys "
     "+ vectors once per band (never all-pairs), components move (id, "
     "label) ints only, and the output is one row per vector — text never "
-    "enters the plan. Oracle: NumPy-twin pairs + INDEPENDENT recursive-"
-    "CTE transitive closure in DuckDB.",
+    "enters the plan. Oracle: SQL-only end to end (r13) — DuckDB "
+    "re-derives band keys from VALUES-materialized planes, emits pairs "
+    "via its own collision join + zero-safe cosine, and labels with a "
+    "recursive-CTE closure; no shared NumPy kernels.",
     oracle=_emb_dedup_labels_oracle,
 )
 def llm_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

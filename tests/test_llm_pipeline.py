@@ -657,6 +657,66 @@ def test_llm_embedding_dedup_labeling_semantics(spark):
         assert comp_of[p["vec_a"]] == comp_of[p["vec_b"]]
 
 
+def test_emb_dedup_oracle_sql_pairs_match_kernel(duck_smoke):
+    """Attribution leg for the SQL-only llm_embedding_dedup oracle (r13,
+    VERDICT r12 next-round #3): the oracle's PAIR relation — band-key
+    collision join over SQL-derived keys + DuckDB's own zero-safe cosine
+    — must equal the distributed kernel's banded pair set exactly. With
+    this leg green, any driver-row mismatch is attributable to the
+    labeling, not the banding/verify math; with the labeling's closure
+    already independent, the oracle shares NO NumPy kernels."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from columbiaimagesearch_spark.operators.similarity import (
+        LSH_BANDS,
+        NEAR_DUP_COS,
+        _bucket_cos_pairs,
+        _lsh_band_keys,
+        lsh_keys_cte_sql,
+    )
+
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    keys = _lsh_band_keys(X)
+    kernel_pairs = set()
+    for b in range(LSH_BANDS):
+        for key in np.unique(keys[:, b]):
+            m = keys[:, b] == key
+            kernel_pairs.update(
+                (a, c) for a, c, _ in _bucket_cos_pairs(ids[m], X[m])
+            )
+    assert kernel_pairs, "fixture should plant near-dup pairs"
+    sql_pairs = {
+        (int(a), int(b))
+        for a, b in duck_smoke.execute(f"""
+            WITH
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            {lsh_keys_cte_sql(X.shape[1])},
+            n AS (
+              SELECT vec_id,
+                     CASE WHEN list_inner_product(v, v) = 0 THEN v
+                          ELSE list_transform(
+                              v, x -> x / sqrt(list_inner_product(v, v)))
+                     END AS u
+              FROM e
+            ),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM keys a JOIN keys b
+                ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+            )
+            SELECT c.vec_a, c.vec_b FROM cand c
+            JOIN n na ON na.vec_id = c.vec_a
+            JOIN n nb ON nb.vec_id = c.vec_b
+            WHERE list_inner_product(na.u, nb.u) >= {NEAR_DUP_COS}
+        """).fetchall()
+    }
+    assert sql_pairs == kernel_pairs
+
+
 def test_curation_releases_caches_on_stage_error(spark):
     """Review r12: a FAILED curate call must not strand cache entries.
     A 4100-identical-doc flood trips stage 1's MinHash max_bucket refusal
