@@ -4,7 +4,8 @@
 (doc_id, text, lang, source) relation:
 
   [PII scrub] -> near-dup dedup (MinHash-LSH pairs -> connected
-  components, keep the min-doc_id representative) -> [embedding near-dup
+  components, keep one representative per cluster — min-doc_id by
+  default, longest/score via ``keep=``) -> [embedding near-dup
   dedup: the SemDeDup-style semantic rung over doc_embeddings, same
   pairs -> components -> representative idiom] -> [benchmark
   decontamination] -> [fuzzy benchmark decontamination, reusing stage 1's
@@ -60,6 +61,7 @@ def curate_docs(
     bench_embeddings: DataFrame | None = None,
     embedding_exact: bool = False,
     embedding_dedup: bool = False,
+    keep: str | tuple[str, str] = "min_id",
     require_embedding_coverage: bool = False,
     contamination_report: bool = False,
     cluster_stats: bool = False,
@@ -129,6 +131,17 @@ def curate_docs(
     the pairs/components composition evaluates its input three times, and
     the decon rung (when also enabled) reads the same cache, so both
     rungs together still cost ONE scan of ``doc_embeddings``.
+
+    ``keep`` picks which member each near-dup cluster RETAINS, on BOTH
+    dedup rungs (lexical stage 1 and the embedding rung):
+    ``"min_id"`` (default — the oracle form), ``"longest"`` (most text
+    characters), or ``("score", col)`` (largest ``docs[col]``). Ties
+    always break toward the smallest doc_id, so curation stays
+    deterministic under every policy (see ``dedup.dedup_losers_from``).
+    The scored policies add ONE int/score-column hash agg per rung —
+    text still never shuffles. ``cluster_stats`` always reports the
+    min-id form (its dup_chars is defined against the oracle
+    representative), independent of ``keep``.
 
     ``cluster_stats=True`` additionally emits the per-cluster dedup
     savings report (``dedup.cluster_stats_from`` — what stage 1's drop
@@ -262,7 +275,13 @@ def curate_docs(
             # comp is already pinned and docs at this point is scan + tiny
             # anti-joins, so a later action re-runs one length scan + int agg
             res.stages["cluster_stats"] = dedup.cluster_stats_from(docs, comp)
-        losers = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
+        losers = dedup.dedup_losers_from(comp, docs, keep)
+        if keep != "min_id":
+            # scored policies add a join+agg over docs; docs (and losers,
+            # via the report stage) are re-referenced downstream with no
+            # subplan sharing — pin the small id set like the verdict
+            # stages do. The min_id path stays the lazy cheap filter.
+            losers = losers.localCheckpoint(eager=True)
         docs = docs.join(losers, "doc_id", "left_anti")
         res.stages["after_dedup"] = docs
 
@@ -346,11 +365,10 @@ def curate_docs(
             # id scan): comp_e references emb_cur — the doc_embeddings scan +
             # survivor semi-join — lazily, and docs is re-referenced by every
             # later stage with no subplan sharing; unpinned, each downstream
-            # action would re-scan the embeddings once per reference.
-            e_losers = (
-                comp_e.where(F.col("doc_id") != F.col("component"))
-                .select("doc_id")
-                .localCheckpoint(eager=True)
+            # action would re-scan the embeddings once per reference. The
+            # keep policy applies here too (same helper as stage 1).
+            e_losers = dedup.dedup_losers_from(comp_e, docs, keep).localCheckpoint(
+                eager=True
             )
             docs = docs.join(e_losers, "doc_id", "left_anti")
             res.stages["after_embedding_dedup"] = docs

@@ -799,6 +799,92 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_stats_from(docs, labels)
 
 
+def dedup_losers_from(
+    labels: DataFrame,
+    docs: DataFrame | None = None,
+    keep: str | tuple[str, str] = "min_id",
+) -> DataFrame:
+    """(doc_id) rows a dedup rung DROPS under the representative keep
+    policy (VERDICT r12 next-round #4) — shared by the lexical and the
+    embedding rung of ``curate_docs``. ``labels`` is a
+    (doc_id, component) relation (:func:`connected_components` output).
+
+    Policies:
+
+    - ``"min_id"`` (default — the oracle/driver form): keep each
+      cluster's min doc_id. The component label IS that id, so this path
+      is the plain inequality filter with no extra join or agg.
+    - ``"longest"``: keep the member with the most text characters;
+      needs ``docs`` with (doc_id, text). What real curation pipelines
+      usually want — SemDeDup keeps the lowest-loss member, the
+      reference's near-dup filter keeps the query side
+      (generic_searcher.py:43-45).
+    - ``("score", col)``: keep the member with the LARGEST ``docs[col]``
+      (a quality score, a loss negated, ...).
+
+    Determinism: ties break toward the SMALLEST doc_id — the winner is
+    ``min(struct(-score, doc_id))`` per component — so ``"min_id"`` is
+    exactly the scored policy with a constant score, and the same corpus
+    picks the same representatives on any cluster geometry. Scores must
+    be NaN-free (Spark orders NaN above every double, so a NaN row would
+    LOSE every tie yet never error — coalesce upstream).
+
+    Plan shape (the 100 TB contract): the score is projected map-side
+    (``length(text)`` / the score column over ``docs``), so only
+    (doc_id, component, score) ints/doubles cross the ONE extra hash
+    agg + rep join this policy adds — text never shuffles, exactly like
+    the min_id path."""
+    if keep == "min_id":
+        return labels.where(F.col("doc_id") != F.col("component")).select(
+            "doc_id"
+        )
+    if keep == "longest":
+        score = F.length("text").cast("double")
+        needed = "text"
+    elif (
+        isinstance(keep, tuple)
+        and len(keep) == 2
+        and keep[0] == "score"
+        and isinstance(keep[1], str)
+    ):
+        score = F.col(keep[1]).cast("double")
+        needed = keep[1]
+    else:
+        raise ValueError(
+            f"unknown keep policy {keep!r}: expected 'min_id', 'longest', "
+            "or ('score', <column>)"
+        )
+    if docs is None:
+        raise ValueError(
+            f"keep policy {keep!r} needs the docs relation to score "
+            "representatives; pass docs or use keep='min_id'"
+        )
+    if needed not in docs.columns:
+        raise ValueError(
+            f"keep policy {keep!r} needs docs column {needed!r}; docs has "
+            f"{docs.columns}"
+        )
+    scored = docs.select("doc_id", score.alias("_keep_score"))
+    reps = (
+        labels.join(scored, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_keep_score")).alias("neg_score"),
+                    F.col("doc_id").alias("rep_id"),
+                )
+            ).alias("r")
+        )
+        .select("component", F.col("r.rep_id").alias("rep_id"))
+    )
+    return (
+        labels.join(reps, "component")
+        .where(F.col("doc_id") != F.col("rep_id"))
+        .select("doc_id")
+    )
+
+
 def cluster_stats_from(docs: DataFrame, labels: DataFrame) -> DataFrame:
     """Library form over any (doc_id, text) relation plus a
     (doc_id, component) labeling (e.g. :func:`connected_components`

@@ -657,6 +657,140 @@ def test_llm_embedding_dedup_labeling_semantics(spark):
         assert comp_of[p["vec_a"]] == comp_of[p["vec_b"]]
 
 
+def test_dedup_losers_keep_policy_unit(spark):
+    """dedup_losers_from (r13, VERDICT r12 next-round #4): the scored
+    policies pick max-score per component with ties broken toward the
+    SMALLEST doc_id (so min_id == scored-with-constant), and the arg
+    contracts fail loudly."""
+    import pytest
+    from pyspark.sql import Row
+
+    from columbiaimagesearch_spark.operators import dedup
+
+    labels = spark.createDataFrame(
+        [Row(doc_id=i, component=c) for i, c in
+         [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)]]
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aa", quality=0.5),
+            Row(doc_id=2, text="aaaa", quality=0.5),   # longest in comp 1
+            Row(doc_id=3, text="aaa", quality=0.9),    # best quality in comp 1
+            Row(doc_id=7, text="bb", quality=0.1),
+            Row(doc_id=8, text="bb", quality=0.1),     # all-tied comp 7
+            Row(doc_id=9, text="c", quality=0.0),      # singleton
+        ]
+    )
+
+    def losers(keep):
+        return {
+            r["doc_id"]
+            for r in dedup.dedup_losers_from(labels, docs, keep).collect()
+        }
+
+    assert losers("min_id") == {2, 3, 8}
+    assert losers("longest") == {1, 3, 8}       # 2 wins comp 1; tie -> 7
+    assert losers(("score", "quality")) == {1, 2, 8}  # 3 wins; tie -> 7
+    with pytest.raises(ValueError, match="keep policy"):
+        dedup.dedup_losers_from(labels, docs, "best")
+    with pytest.raises(ValueError, match="needs the docs"):
+        dedup.dedup_losers_from(labels, None, "longest")
+    with pytest.raises(ValueError, match="column"):
+        dedup.dedup_losers_from(labels, docs, ("score", "missing"))
+
+
+def test_curation_keep_policy_chain_equals_standalone(spark):
+    """The keep policy applied through curate_docs, BOTH rungs: a planted
+    lexical near-dup cluster and a planted embedding cluster each keep
+    their LONGEST member (not the min id), docs outside clusters are
+    untouched, and each stage's drop set EQUALS the standalone
+    pairs -> components -> dedup_losers_from(keep) composition on the
+    same inputs — the same chain-equality pattern the min_id rungs pin."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from columbiaimagesearch_spark.operators import dedup, similarity
+
+    base = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    ).limit(40)
+    shared = " ".join(f"kp{j}w" for j in range(60))
+    lex = [
+        Row(doc_id=910_000, text=shared, lang="en", source="web"),
+        Row(doc_id=910_001, text=shared + " extr1 extr2 extr3 extr4 extr5",
+            lang="en", source="web"),  # LONGEST lexical twin, not min id
+        Row(doc_id=910_002, text=shared + " extr1", lang="en", source="web"),
+    ]
+    emb_twins = [
+        Row(doc_id=920_000, text=" ".join(f"em{j}a" for j in range(20)),
+            lang="en", source="web"),
+        Row(doc_id=920_001, text=" ".join(f"em{j}b" for j in range(35)),
+            lang="en", source="web"),  # LONGEST embedding twin, not min id
+    ]
+    docs = base.unionByName(spark.createDataFrame(lex + emb_twins))
+    d = 64
+    rng = np.random.RandomState(5)
+    base_ids = [int(r["doc_id"]) for r in base.collect()]
+
+    def one_hot(axis, noise=0.0):
+        v = np.zeros(d)
+        v[axis] = 1.0
+        if noise:
+            v = v + noise * rng.randn(d)
+        return [float(x) for x in v]
+
+    doc_emb = spark.createDataFrame(
+        [Row(doc_id=i, v=one_hot(j)) for j, i in enumerate(base_ids)]
+        + [Row(doc_id=920_000 + i, v=one_hot(62, noise=1e-6)) for i in range(2)]
+    )
+    res = curate.curate_docs(
+        docs, None, train_split_only=False, keep="longest",
+        doc_embeddings=doc_emb, embedding_dedup=True,
+    )
+    input_ids = {r["doc_id"] for r in res.stages["input"].collect()}
+    after_lex = {r["doc_id"] for r in res.stages["after_dedup"].collect()}
+    after_emb = {
+        r["doc_id"] for r in res.stages["after_embedding_dedup"].collect()
+    }
+    # lexical rung: longest twin survives, both shorter twins drop
+    assert 910_001 in after_lex
+    assert {910_000, 910_002}.isdisjoint(after_lex)
+    # embedding rung: longest twin survives, the (min-id!) shorter drops
+    assert 920_001 in after_emb
+    assert 920_000 not in after_emb
+
+    # standalone equality, lexical rung
+    hashed = dedup.hashed_from(docs)
+    pairs = dedup.near_dup_pairs_from(
+        docs, hashed=hashed, max_bucket=dedup.MINHASH_MAX_BUCKET
+    )
+    comp = dedup.connected_components(docs.select("doc_id"), pairs)
+    want_lex = {
+        r["doc_id"]
+        for r in dedup.dedup_losers_from(comp, docs, "longest").collect()
+    }
+    assert input_ids - after_lex == want_lex
+
+    # standalone equality, embedding rung (over the lexical survivors)
+    emb_cur = doc_emb.select(F.col("doc_id").alias("vec_id"), "v").join(
+        res.stages["after_dedup"].select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+    )
+    e_pairs = similarity.emb_lsh_pairs_from(emb_cur).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp_e = dedup.connected_components(
+        emb_cur.select(F.col("vec_id").alias("doc_id")), e_pairs
+    )
+    want_emb = {
+        r["doc_id"]
+        for r in dedup.dedup_losers_from(
+            comp_e, res.stages["after_dedup"], "longest"
+        ).collect()
+    }
+    assert after_lex - after_emb == want_emb
+
+
 def test_emb_dedup_oracle_sql_pairs_match_kernel(duck_smoke):
     """Attribution leg for the SQL-only llm_embedding_dedup oracle (r13,
     VERDICT r12 next-round #3): the oracle's PAIR relation — band-key
