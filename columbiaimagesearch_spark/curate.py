@@ -203,16 +203,23 @@ def curate_docs(
             f"{flag}=True requires bench_docs (the eval-benchmark suite "
             "to check against); pass bench_docs or drop the flag"
         )
-    # Error-path cache hygiene (review r12): every cache this call
-    # creates must die WITH the call, including when a stage raises (the
-    # minhash/LSH max_bucket refusals, the require_embedding_coverage
-    # ValueError, any Spark action error) — otherwise each failed attempt
-    # strands a corpus-sized cache entry (docs' lineage differs per call,
-    # so plan canonicalization never dedupes the leaked copies) and
-    # retries accumulate executor memory pressure. Persist sites register
-    # with _track; the normal-path releases use _release (identity match
-    # — DataFrame __eq__ builds a Column); the except arm below releases
-    # whatever is still live and re-raises.
+    # Error-path cache hygiene (review r12): every persist() cache this
+    # call creates must die WITH the call, including when a stage raises
+    # (the minhash/LSH max_bucket refusals, the
+    # require_embedding_coverage ValueError, any Spark action error) —
+    # otherwise each failed attempt strands a corpus-sized cache entry
+    # (docs' lineage differs per call, so plan canonicalization never
+    # dedupes the leaked copies) and retries accumulate executor memory
+    # pressure. Persist sites register with _track; the normal-path
+    # releases use _release (identity match — DataFrame __eq__ builds a
+    # Column); the except arm below releases whatever is still live and
+    # re-raises. Scope (ADVICE r12): this guarantee covers persist()
+    # entries only — the ones the cache manager pins indefinitely. The
+    # eagerly localCheckpoint()ed verdict/loser relations created before
+    # a failure are NOT tracked; their blocks are reclaimed by the
+    # ContextCleaner when the Python/JVM refs drop (the session's 45 s
+    # periodic GC bounds the wait), which is acceptable for id-set-sized
+    # pins but is a weaker, delayed release.
     caches: list[DataFrame] = []
 
     def _track(df: DataFrame) -> DataFrame:

@@ -209,9 +209,16 @@ def emb_decon_batch_step(
         # the claim table would make that answer permanent.
         bench_dir = meta.get("bench_dir", "bench")
         try:
+            # SNAPSHOT the suite before validating it (ADVICE r12): the
+            # count below and the verdict pass must see the SAME rows — a
+            # lazy read would re-scan the parquet after the count, so a
+            # registration racing between the two could still disrupt the
+            # step (loudly, since dirs are versioned, but a validated
+            # snapshot removes the window entirely). The suite is
+            # bench-sized; the pin is reclaimed by the ContextCleaner.
             bench = _read_state(
                 spark, state_dir, bench_dir, VEC_SCHEMA, strict=True
-            )
+            ).localCheckpoint(eager=True)
         except RuntimeError as e:
             raise RuntimeError(
                 f"emb_decon_batch_step: meta.json names suite dir "
@@ -224,10 +231,21 @@ def emb_decon_batch_step(
         # listing time leaves some part files visible — a silently
         # PARTIAL suite, the same permanent-wrong-verdict failure as the
         # empty one. meta pinned the registered row count; anything else
-        # means this dir is being superseded mid-read.
+        # means this dir is being superseded mid-read. A meta WITHOUT the
+        # pin (a legacy pre-r12 registration) cannot make the guarantee —
+        # refuse it rather than silently skipping the check (ADVICE r12):
+        # a partially deleted legacy dir could otherwise verdict a batch
+        # against a partial suite and the claim table makes it permanent.
         want = meta.get("n_bench")
+        if want is None:
+            raise RuntimeError(
+                "emb_decon_batch_step: meta.json carries no n_bench pin "
+                "(legacy registration) — the suite-completeness check "
+                "cannot run. Re-register the benchmark to upgrade the "
+                "state dir; nothing was claimed."
+            )
         got = bench.count()
-        if want is not None and got != want:
+        if got != want:
             raise RuntimeError(
                 f"emb_decon_batch_step: suite dir {bench_dir!r} holds "
                 f"{got} vectors but meta.json pinned n_bench={want} — a "

@@ -241,3 +241,27 @@ def test_step_refuses_partially_deleted_suite_dir(spark, tmp_path):
     assert _rows(edc.read_verdicts(spark, state)) == _rows(
         embedding_decontaminate_from(corpus, bench)
     )
+
+
+def test_step_refuses_legacy_meta_without_n_bench_pin(spark, tmp_path):
+    """ADVICE r12: a legacy meta (pre-r12, no n_bench) cannot make the
+    suite-completeness guarantee — the step must REFUSE it rather than
+    silently skipping the check, because a partially deleted legacy dir
+    would otherwise verdict a batch against a partial suite permanently.
+    Re-registration upgrades the state dir and recovers."""
+    corpus, bench = _vecs(spark)
+    state = str(tmp_path / "state")
+    edc.register_benchmark(spark, bench, state)
+    with open(edc._meta_path(state)) as fh:
+        meta = json.load(fh)
+    del meta["n_bench"]  # the legacy registration shape
+    with open(edc._meta_path(state), "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(RuntimeError, match="no n_bench pin"):
+        edc.emb_decon_batch_step(spark, corpus, state)
+    assert edc.read_verdicts(spark, state).count() == 0  # nothing claimed
+    edc.register_benchmark(spark, bench, state)  # upgrade path
+    assert edc.emb_decon_batch_step(spark, corpus, state) == corpus.count()
+    assert _rows(edc.read_verdicts(spark, state)) == _rows(
+        embedding_decontaminate_from(corpus, bench)
+    )
