@@ -62,7 +62,19 @@ SRV_RE = re.compile(
 )
 
 
-def main() -> int:
+_SECTIONS = {
+    "emb_lsh": LSH_RE,
+    "minhash": MH_RE,
+    "substring": SUB_RE,
+    "emb_decon": DECON_RE,
+    "emb_dedup": DEDUP_RE,
+    "serving_1m": SRV_RE,
+}
+_WALLED = ("emb_lsh", "minhash", "substring", "emb_decon", "emb_dedup")
+
+
+def _run_once() -> tuple[dict, float, int]:
+    """One bracketed pytest run -> (parsed sections, calib mean, rc)."""
     calib_pre = cpu_calibration_sec()
     proc = subprocess.run(
         [
@@ -80,65 +92,84 @@ def main() -> int:
         text=True,
     )
     calib_post = cpu_calibration_sec()
-    out = proc.stdout
-    sys.stdout.write(out)
+    sys.stdout.write(proc.stdout)
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr[-4000:])
-        return proc.returncode
+        return {}, 0.0, proc.returncode
+    sections: dict = {"calib": {"pre": calib_pre, "post": calib_post}}
+    for name, rx in _SECTIONS.items():
+        m = rx.search(proc.stdout)
+        if m:
+            sections[name] = {
+                k: (float(v) if "." in v else int(v))
+                for k, v in m.groupdict().items()
+            }
+    calib_mean = (calib_pre + calib_post) / 2.0
+    # Self-attribution leg 1 (VERDICT r12 #5): record wall/calib with
+    # every wall — a host-drift-inflated wall shows up in calib too,
+    # while a plan regression inflates wall_per_calib itself.
+    if calib_mean > 0:
+        for k in _WALLED:
+            if k in sections and "wall" in sections[k]:
+                sections[k]["wall_per_calib"] = round(
+                    sections[k]["wall"] / calib_mean, 2
+                )
+        if "serving_1m" in sections and "reshard" in sections["serving_1m"]:
+            sections["serving_1m"]["reshard_per_calib"] = round(
+                sections["serving_1m"]["reshard"] / calib_mean, 2
+            )
+    return sections, calib_mean, 0
+
+
+def _previous_record() -> dict:
+    path = REPO / "SCALE_RUNS.jsonl"
+    if not path.exists():
+        return {}
+    lines = [ln for ln in path.read_text().splitlines() if ln.strip()]
+    return json.loads(lines[-1]) if lines else {}
+
+
+def main() -> int:
+    sections, _, rc = _run_once()
+    if rc != 0:
+        return rc
+
+    # Self-attribution leg 2 (VERDICT r12 #5 — the bench second tier's
+    # resample idiom): any wall >2x the PREVIOUS line's same-section wall
+    # is re-sampled once and the faster section kept. Recalls/counts are
+    # deterministic (knob-pinned), so either run's section carries the
+    # same correctness payload; only the n=1 wall is being adjudicated.
+    prev = _previous_record()
+    suspects = [
+        k
+        for k in _WALLED
+        if k in sections
+        and "wall" in sections[k]
+        and isinstance(prev.get(k), dict)
+        and "wall" in prev[k]
+        and sections[k]["wall"] > 2.0 * prev[k]["wall"]
+    ]
+    if suspects:
+        sys.stdout.write(
+            f"scale_validation: walls {suspects} exceed 2x the previous "
+            "line — re-sampling once (host-drift adjudication)\n"
+        )
+        sections2, _, rc2 = _run_once()
+        if rc2 != 0:
+            return rc2
+        for k in suspects:
+            if k in sections2 and sections2[k]["wall"] < sections[k]["wall"]:
+                sections[k] = sections2[k]
+        sections["calib_resample"] = sections2.get("calib")
 
     record: dict = {
         "date": datetime.date.today().isoformat(),
-        "calib": {"pre": calib_pre, "post": calib_post},
         "pytest": "tests/test_scale_knobs.py + tests/test_scale_serving.py "
         "(SPARK_GRAFT_SLOW=1)",
+        "resampled": suspects,
+        **sections,
     }
-    m = LSH_RE.search(out)
-    if m:
-        g = m.groupdict()
-        record["emb_lsh"] = {
-            k: (float(v) if "." in v else int(v)) for k, v in g.items()
-        }
-    m = MH_RE.search(out)
-    if m:
-        g = m.groupdict()
-        record["minhash"] = {
-            k: (float(v) if "." in v else int(v)) for k, v in g.items()
-        }
-    m = SUB_RE.search(out)
-    if m:
-        g = m.groupdict()
-        record["substring"] = {
-            k: (float(v) if "." in v else int(v)) for k, v in g.items()
-        }
-    m = DECON_RE.search(out)
-    if m:
-        g = m.groupdict()
-        record["emb_decon"] = {
-            k: (float(v) if "." in v else int(v)) for k, v in g.items()
-        }
-    m = DEDUP_RE.search(out)
-    if m:
-        g = m.groupdict()
-        record["emb_dedup"] = {
-            k: (float(v) if "." in v else int(v)) for k, v in g.items()
-        }
-    m = SRV_RE.search(out)
-    if m:
-        g = m.groupdict()
-        record["serving_1m"] = {
-            k: (float(v) if "." in v else int(v)) for k, v in g.items()
-        }
-    if any(
-        k not in record
-        for k in (
-            "emb_lsh",
-            "minhash",
-            "substring",
-            "emb_decon",
-            "emb_dedup",
-            "serving_1m",
-        )
-    ):
+    if any(k not in record for k in _SECTIONS):
         sys.stderr.write(
             "scale_validation: pytest passed but the printed summaries did "
             "not match the expected format — NOT writing a partial artifact "
