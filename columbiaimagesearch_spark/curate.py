@@ -141,7 +141,12 @@ def curate_docs(
     The scored policies add ONE int/score-column hash agg per rung —
     text still never shuffles. ``cluster_stats`` always reports the
     min-id form (its dup_chars is defined against the oracle
-    representative), independent of ``keep``.
+    representative), independent of ``keep``. The incremental streaming
+    twin (``streaming/curate_stream.py``) implements ``min_id`` only:
+    its claim-table model is first-writer-wins, and a scored policy
+    would need a later, better member to retroactively resurrect an
+    already-dropped doc — batch≡stream equality is therefore pinned at
+    the default policy.
 
     ``cluster_stats=True`` additionally emits the per-cluster dedup
     savings report (``dedup.cluster_stats_from`` — what stage 1's drop
