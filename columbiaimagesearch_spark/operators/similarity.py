@@ -494,29 +494,57 @@ def _bucket_cos_pairs(
     ]
 
 
-def emb_lsh_near_dup_pairs_oracle(sf_dir: str) -> str:
-    """NumPy twin: identical plane generation, bucketing, and per-pair
-    verification over the parquet embeddings (float->float64 cast matches
-    the Spark side's CAST)."""
+def _embeddings_dim(sf_dir: str) -> int:
+    """Dim of the embeddings table's vector column (metadata-cheap read:
+    one one-row batch, one column)."""
     import os
 
     import pyarrow.parquet as pq
 
-    from ..lopq.twin import values_sql
-
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-    keys = _lsh_band_keys(X)
-    pairs: set[tuple] = set()
-    for b in range(LSH_BANDS):
-        for key in np.unique(keys[:, b]):
-            mask = keys[:, b] == key
-            pairs.update(_bucket_cos_pairs(ids[mask], X[mask]))
-    return values_sql(
-        sorted(pairs),
-        [("vec_a", "BIGINT"), ("vec_b", "BIGINT"), ("cos_sim", "DOUBLE")],
+    first = next(
+        pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).iter_batches(
+            batch_size=1, columns=["embedding"]
+        )
     )
+    return len(first.column("embedding")[0])
+
+
+def emb_lsh_near_dup_pairs_oracle(sf_dir: str) -> str:
+    """SQL-only (r13; previously the NumPy twin): DuckDB re-derives the
+    band keys from the VALUES-materialized seeded planes
+    (:func:`lsh_keys_cte_sql`), forms candidates as a band-key collision
+    join, and verifies with its OWN zero-safe cosine — the same
+    reconstruction the llm_embedding_dedup oracle uses, so the only
+    cross-engine artifact is the plane parameters. The Spark side's
+    min-band single emission and the SQL DISTINCT produce the same pair
+    set (each qualifying pair appears exactly once either way), and the
+    kept cosine is value-identical in every bucket (computed from the
+    same float64 vectors), so ROUND(...,4) agrees (the
+    emb_near_dup_pairs rounding-parity precedent)."""
+    d = _embeddings_dim(sf_dir)
+    return f"""
+WITH
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{lsh_keys_cte_sql(d)},
+n AS (
+  SELECT vec_id,
+         CASE WHEN list_inner_product(v, v) = 0 THEN v
+              ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+         END AS u
+  FROM e
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       ROUND(list_inner_product(na.u, nb.u), 4) AS cos_sim
+FROM cand c
+JOIN n na ON na.vec_id = c.vec_a
+JOIN n nb ON nb.vec_id = c.vec_b
+WHERE list_inner_product(na.u, nb.u) >= {NEAR_DUP_COS}
+"""
 
 
 @register(
@@ -540,8 +568,9 @@ def emb_lsh_near_dup_pairs_oracle(sf_dir: str) -> str:
     "(applyInPandas: one in-bucket pairwise pass, vectors shuffle once "
     "per band, never per pair), verified by exact cosine and deduped "
     "across bands. The scale path when no blocking label exists — the "
-    "complement of emb_near_dup_pairs' label blocking. Oracle: NumPy twin "
-    "(identical seeded planes + elementwise kernels).",
+    "complement of emb_near_dup_pairs' label blocking. Oracle: SQL-only "
+    "(r13) — VALUES-planes band keys + collision join + DuckDB's own "
+    "zero-safe cosine; no shared NumPy kernels.",
     oracle=emb_lsh_near_dup_pairs_oracle,
 )
 def emb_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,16 +734,7 @@ def _emb_dedup_labels_oracle(sf_dir: str) -> str:
     the recursive-CTE transitive closure. Zero shared NumPy kernels —
     only the seeded planes (model parameters) cross engines, so a
     banding, verification, or components bug cannot cancel out."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    first = next(
-        pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).iter_batches(
-            batch_size=1, columns=["embedding"]
-        )
-    )
-    d = len(first.column("embedding")[0])
+    d = _embeddings_dim(sf_dir)
     return f"""
 WITH RECURSIVE
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
