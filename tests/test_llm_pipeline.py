@@ -699,6 +699,57 @@ def test_dedup_losers_keep_policy_unit(spark):
         dedup.dedup_losers_from(labels, docs, ("score", "missing"))
 
 
+def test_dedup_losers_keep_policy_matches_python_model(spark):
+    """Randomized model equivalence for dedup_losers_from: on a seeded
+    random labeling with duplicate scores (ties), negative scores, and
+    singleton components, the Spark result equals a plain-python
+    reference (winner = lexicographic min of (-score, doc_id)), and the
+    min_id policy equals the scored policy with a CONSTANT score — the
+    determinism contract stated in the docstring."""
+    import random
+
+    from pyspark.sql import Row
+
+    from columbiaimagesearch_spark.operators import dedup
+
+    rng = random.Random(77)
+    n = 200
+    comps = sorted(rng.sample(range(1, n + 1), 30))
+    rows, scores = [], {}
+    for i in range(1, n + 1):
+        c = max((x for x in comps if x <= i), default=i)
+        rows.append(Row(doc_id=i, component=c))
+        # coarse grid -> plenty of exact ties; negatives included
+        scores[i] = float(rng.choice([-2, -1, 0, 1, 2])) / 2.0
+    labels = spark.createDataFrame(rows)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, q=scores[i], c0=1.0) for i in range(1, n + 1)]
+    )
+
+    def model(score_of):
+        winners = {}
+        for r in rows:
+            key = (-score_of(r.doc_id), r.doc_id)
+            if r.component not in winners or key < winners[r.component]:
+                winners[r.component] = key
+        keep = {k[1] for k in winners.values()}
+        return {r.doc_id for r in rows} - keep
+
+    got_scored = {
+        r["doc_id"]
+        for r in dedup.dedup_losers_from(labels, docs, ("score", "q")).collect()
+    }
+    assert got_scored == model(lambda i: scores[i])
+    got_min = {
+        r["doc_id"] for r in dedup.dedup_losers_from(labels, None, "min_id").collect()
+    }
+    got_const = {
+        r["doc_id"]
+        for r in dedup.dedup_losers_from(labels, docs, ("score", "c0")).collect()
+    }
+    assert got_min == got_const == model(lambda i: 0.0)
+
+
 def test_curation_keep_policy_chain_equals_standalone(spark):
     """The keep policy applied through curate_docs, BOTH rungs: a planted
     lexical near-dup cluster and a planted embedding cluster each keep
