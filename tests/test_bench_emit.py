@@ -111,3 +111,59 @@ def test_final_line_is_last_and_valid_json():
     for ln in lines:
         json.loads(ln)
     assert json.loads(lines[-1])["metric"] == "headline_query_wall_seconds"
+
+
+def test_scale_validation_resample_guard(tmp_path, monkeypatch):
+    """scripts/scale_validation.py (r13): any section wall >2x the
+    previous SCALE_RUNS line's triggers exactly ONE re-run, the faster
+    section is kept, and the names land under 'resampled'; an in-envelope
+    run appends without re-running. Exercised with stubbed _run_once
+    payloads — the guard logic, not the Spark suite."""
+    import importlib.util
+    import sys
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_validation", Path(__file__).parent.parent / "scripts" / "scale_validation.py"
+    )
+    sv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sv)
+    monkeypatch.setattr(sv, "REPO", tmp_path)
+
+    def sections(mh_wall):
+        base = {"calib": {"pre": 0.3, "post": 0.3}}
+        for k in sv._WALLED:
+            base[k] = {"wall": 10.0, "recall": 0.9, "wall_per_calib": 33.3}
+        base["minhash"] = {"wall": mh_wall, "recall": 0.9,
+                           "wall_per_calib": round(mh_wall / 0.3, 2)}
+        base["serving_1m"] = {"reshard": 0.2, "mismatches": 0}
+        return base
+
+    prev = {"date": "2026-08-15", "minhash": {"wall": 15.0}}
+    for k in sv._WALLED:
+        prev.setdefault(k, {"wall": 10.0})
+    (tmp_path / "SCALE_RUNS.jsonl").write_text(json.dumps(prev) + "\n")
+
+    runs = iter([(sections(64.7), 0.3, 0), (sections(11.6), 0.3, 0)])
+    calls = []
+    monkeypatch.setattr(
+        sv, "_run_once", lambda: (calls.append(1), next(runs))[1]
+    )
+    assert sv.main() == 0
+    assert len(calls) == 2  # one resample, not more
+    lines = (tmp_path / "SCALE_RUNS.jsonl").read_text().splitlines()
+    rec = json.loads(lines[-1])
+    assert rec["resampled"] == ["minhash"]
+    assert rec["minhash"]["wall"] == 11.6  # the faster section won
+    assert rec["emb_lsh"]["wall"] == 10.0  # untouched sections kept
+    assert rec["calib_resample"] == {"pre": 0.3, "post": 0.3}
+
+    # in-envelope run: no re-run, resampled empty
+    calls.clear()
+    runs = iter([(sections(14.0), 0.3, 0)])
+    assert sv.main() == 0
+    assert len(calls) == 1
+    rec = json.loads(
+        (tmp_path / "SCALE_RUNS.jsonl").read_text().splitlines()[-1]
+    )
+    assert rec["resampled"] == [] and rec["minhash"]["wall"] == 14.0
