@@ -195,6 +195,11 @@ def curate_docs(
             "rung, which is not running); pass bench_embeddings or drop "
             "the flag"
         )
+    # keep-policy contract checked EAGERLY (review r13): the policy shape
+    # and its score column need only `keep` and docs.columns — failing
+    # here beats failing after the corpus-sized scrub/hash/components
+    # stages have already run
+    dedup.validate_keep_policy(keep, docs)
     if (fuzzy_decontaminate or contamination_report) and bench_docs is None:
         # an explicit opt-in with nothing to check against must fail
         # loudly, not silently skip the stage the caller asked for

@@ -799,6 +799,46 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_stats_from(docs, labels)
 
 
+def validate_keep_policy(
+    keep: str | tuple[str, str], docs: DataFrame | None
+):
+    """Validate a representative keep policy EAGERLY (callable before any
+    corpus-sized work — ``curate_docs`` runs it at entry so a typo'd
+    policy or missing score column fails at the call, not hours into the
+    chain) and return the score Column for the scored policies (None for
+    ``"min_id"``). Raises ValueError with the same contracts
+    :func:`dedup_losers_from` documents."""
+    if keep == "min_id":
+        return None
+    if keep == "longest":
+        needed = "text"
+    elif (
+        isinstance(keep, tuple)
+        and len(keep) == 2
+        and keep[0] == "score"
+        and isinstance(keep[1], str)
+    ):
+        needed = keep[1]
+    else:
+        raise ValueError(
+            f"unknown keep policy {keep!r}: expected 'min_id', 'longest', "
+            "or ('score', <column>)"
+        )
+    if docs is None:
+        raise ValueError(
+            f"keep policy {keep!r} needs the docs relation to score "
+            "representatives; pass docs or use keep='min_id'"
+        )
+    if needed not in docs.columns:
+        raise ValueError(
+            f"keep policy {keep!r} needs docs column {needed!r}; docs has "
+            f"{docs.columns}"
+        )
+    if keep == "longest":
+        return F.length("text").cast("double")
+    return F.col(needed).cast("double")
+
+
 def dedup_losers_from(
     labels: DataFrame,
     docs: DataFrame | None = None,
@@ -825,9 +865,17 @@ def dedup_losers_from(
     Determinism: ties break toward the SMALLEST doc_id — the winner is
     ``min(struct(-score, doc_id))`` per component — so ``"min_id"`` is
     exactly the scored policy with a constant score, and the same corpus
-    picks the same representatives on any cluster geometry. Scores must
-    be NaN-free (Spark orders NaN above every double, so a NaN row would
-    LOSE every tie yet never error — coalesce upstream).
+    picks the same representatives on any cluster geometry. A NULL score
+    (null text, null score column) is coalesced to -inf: Spark's struct
+    min would otherwise sort the NULL FIRST and silently crown the
+    unscored member, the inverse of any sane policy — with the coalesce
+    it loses to every scored member and an all-null cluster falls back
+    to min doc_id. Scores must be NaN-free (Spark orders NaN above every
+    double, so a NaN row would LOSE every tie yet never error — coalesce
+    upstream). A labeled member with NO ``docs`` row at all is unscored:
+    it can neither win a representative slot nor be dropped (the rep
+    join is inner), so pass the SAME relation the labeling was built
+    from — ``curate_docs`` does, by construction.
 
     Plan shape (the 100 TB contract): the score is projected map-side
     (``length(text)`` / the score column over ``docs``), so only
@@ -838,33 +886,12 @@ def dedup_losers_from(
         return labels.where(F.col("doc_id") != F.col("component")).select(
             "doc_id"
         )
-    if keep == "longest":
-        score = F.length("text").cast("double")
-        needed = "text"
-    elif (
-        isinstance(keep, tuple)
-        and len(keep) == 2
-        and keep[0] == "score"
-        and isinstance(keep[1], str)
-    ):
-        score = F.col(keep[1]).cast("double")
-        needed = keep[1]
-    else:
-        raise ValueError(
-            f"unknown keep policy {keep!r}: expected 'min_id', 'longest', "
-            "or ('score', <column>)"
-        )
-    if docs is None:
-        raise ValueError(
-            f"keep policy {keep!r} needs the docs relation to score "
-            "representatives; pass docs or use keep='min_id'"
-        )
-    if needed not in docs.columns:
-        raise ValueError(
-            f"keep policy {keep!r} needs docs column {needed!r}; docs has "
-            f"{docs.columns}"
-        )
-    scored = docs.select("doc_id", score.alias("_keep_score"))
+    score = validate_keep_policy(keep, docs)
+    # NULL never wins (see docstring): struct min sorts null first
+    scored = docs.select(
+        "doc_id",
+        F.coalesce(score, F.lit(float("-inf"))).alias("_keep_score"),
+    )
     reps = (
         labels.join(scored, "doc_id")
         .groupBy("component")

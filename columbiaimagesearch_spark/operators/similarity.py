@@ -504,46 +504,40 @@ def _embeddings_dim(sf_dir: str) -> int:
     first = next(
         pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).iter_batches(
             batch_size=1, columns=["embedding"]
-        )
+        ),
+        None,
     )
+    if first is None or len(first) == 0:
+        raise ValueError(
+            f"embeddings.parquet under {sf_dir!r} has no rows — cannot "
+            "derive the vector dim for the SQL oracle's plane relation"
+        )
     return len(first.column("embedding")[0])
 
 
 def emb_lsh_near_dup_pairs_oracle(sf_dir: str) -> str:
     """SQL-only (r13; previously the NumPy twin): DuckDB re-derives the
-    band keys from the VALUES-materialized seeded planes
-    (:func:`lsh_keys_cte_sql`), forms candidates as a band-key collision
-    join, and verifies with its OWN zero-safe cosine — the same
-    reconstruction the llm_embedding_dedup oracle uses, so the only
-    cross-engine artifact is the plane parameters. The Spark side's
-    min-band single emission and the SQL DISTINCT produce the same pair
-    set (each qualifying pair appears exactly once either way), and the
-    kept cosine is value-identical in every bucket (computed from the
-    same float64 vectors), so ROUND(...,4) agrees (the
-    emb_near_dup_pairs rounding-parity precedent)."""
+    band keys from the VALUES-materialized seeded planes, forms
+    candidates as a band-key collision join, and verifies with its OWN
+    zero-safe cosine (:func:`lsh_pairs_cte_sql` — the same composition
+    the llm_embedding_dedup oracle uses), so the only cross-engine
+    artifact is the plane parameters. The Spark side's min-band single
+    emission and the SQL DISTINCT produce the same pair SET (each
+    qualifying pair appears exactly once either way). Cross-engine
+    float assumption, stated plainly: DuckDB's list_inner_product sums
+    sequentially while the NumPy kernel reduces elementwise-then-sum, so
+    a projection within an ulp of the 0 sign boundary, or a cosine
+    within an ulp of the threshold / a ROUND(.,4) halfway point, COULD
+    band or round differently per engine. No fixture value sits on such
+    a boundary (verified exactly equal, cosines included, at sf0.001 and
+    sf0.01 — the same tolerance the emb_near_dup_pairs SQL oracle has
+    ridden green since r6); a fixture regeneration that lands on one
+    would surface as a loud hash mismatch, not silent corruption."""
     d = _embeddings_dim(sf_dir)
     return f"""
 WITH
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-{lsh_keys_cte_sql(d)},
-n AS (
-  SELECT vec_id,
-         CASE WHEN list_inner_product(v, v) = 0 THEN v
-              ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
-         END AS u
-  FROM e
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM keys a JOIN keys b
-    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-)
-SELECT c.vec_a, c.vec_b,
-       ROUND(list_inner_product(na.u, nb.u), 4) AS cos_sim
-FROM cand c
-JOIN n na ON na.vec_id = c.vec_a
-JOIN n nb ON nb.vec_id = c.vec_b
-WHERE list_inner_product(na.u, nb.u) >= {NEAR_DUP_COS}
+{lsh_pairs_cte_sql(d)}
+SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_sim FROM pairs
 """
 
 
@@ -722,23 +716,20 @@ keys AS (
 )"""
 
 
-def _emb_dedup_labels_oracle(sf_dir: str) -> str:
-    """SQL-only END TO END (VERDICT r12 next-round #3; closes the last
-    shared-kernel twin half): DuckDB re-derives the band keys from the
-    VALUES-materialized hyperplanes (:func:`lsh_keys_cte_sql` — the same
-    idiom the probe-path decon check uses, tests/test_hygiene.py), emits
-    the pair relation as a band-key collision join filtered by its OWN
-    zero-safe cosine (``list_inner_product`` over normalized lists,
-    mirroring the l2_normalize_rows zero-norm contract: a zero vector
-    stays zero, cos 0.0, never a near-dup), and labels components with
-    the recursive-CTE transitive closure. Zero shared NumPy kernels —
-    only the seeded planes (model parameters) cross engines, so a
-    banding, verification, or components bug cannot cancel out."""
-    d = _embeddings_dim(sf_dir)
+def lsh_pairs_cte_sql(d: int, bands: int = LSH_BANDS, bits: int = LSH_BITS,
+                      seed: int = LSH_SEED,
+                      threshold: float = NEAR_DUP_COS) -> str:
+    """DuckDB CTE chain ending in ``pairs(vec_a, vec_b, cos)`` — the
+    WHOLE SQL-only reconstruction of the banded near-dup pair relation
+    (keys from :func:`lsh_keys_cte_sql`, zero-safe normalization
+    mirroring the l2_normalize_rows contract, band-key collision
+    candidates, cosine-verified pairs). ONE definition composed by both
+    SQL oracles (emb_lsh_near_dup_pairs, llm_embedding_dedup) and the
+    attribution test, so a threshold or zero-norm fix cannot silently
+    apply to one and not the others. Assumes an ``embeddings`` view."""
     return f"""
-WITH RECURSIVE
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-{lsh_keys_cte_sql(d)},
+{lsh_keys_cte_sql(d, bands, bits, seed)},
 n AS (
   SELECT vec_id,
          CASE WHEN list_inner_product(v, v) = 0 THEN v
@@ -752,12 +743,28 @@ cand AS (
     ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
 ),
 pairs AS (
-  SELECT c.vec_a, c.vec_b
+  SELECT c.vec_a, c.vec_b, list_inner_product(na.u, nb.u) AS cos
   FROM cand c
   JOIN n na ON na.vec_id = c.vec_a
   JOIN n nb ON nb.vec_id = c.vec_b
-  WHERE list_inner_product(na.u, nb.u) >= {NEAR_DUP_COS}
-),
+  WHERE list_inner_product(na.u, nb.u) >= {threshold}
+)"""
+
+
+def _emb_dedup_labels_oracle(sf_dir: str) -> str:
+    """SQL-only END TO END (VERDICT r12 next-round #3; closes the last
+    shared-kernel twin half): DuckDB re-derives the band keys from the
+    VALUES-materialized hyperplanes, emits the pair relation as a
+    band-key collision join filtered by its OWN zero-safe cosine
+    (:func:`lsh_pairs_cte_sql` — the same idiom the probe-path decon
+    check uses, tests/test_hygiene.py), and labels components with the
+    recursive-CTE transitive closure. Zero shared NumPy kernels — only
+    the seeded planes (model parameters) cross engines, so a banding,
+    verification, or components bug cannot cancel out."""
+    d = _embeddings_dim(sf_dir)
+    return f"""
+WITH RECURSIVE
+{lsh_pairs_cte_sql(d)},
 edges AS (
   SELECT vec_a AS src, vec_b AS dst FROM pairs
   UNION ALL

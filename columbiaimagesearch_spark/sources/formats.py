@@ -98,6 +98,14 @@ def parse_xvecs_blob(blob: bytes, kind: str = "fvecs") -> list[np.ndarray]:
     off, n = 0, len(blob)
     while off + 4 <= n:
         (dim,) = struct.unpack_from("<i", blob, off)
+        if dim < 0:
+            # A corrupt negative dim would make np.frombuffer read "all
+            # remaining bytes" (count=-1 semantics) and then move the
+            # cursor BACKWARDS — an infinite loop, not an error. Refuse.
+            raise ValueError(
+                f"xvecs blob record {len(out)} has negative dim {dim} at "
+                f"offset {off} — corrupt header"
+            )
         off += 4
         out.append(np.frombuffer(blob, dtype=f"<{fmt}4", count=dim, offset=off))
         off += dim * width

@@ -149,6 +149,7 @@ def main() -> int:
         and "wall" in prev[k]
         and sections[k]["wall"] > 2.0 * prev[k]["wall"]
     ]
+    resample_failed = False
     if suspects:
         sys.stdout.write(
             f"scale_validation: walls {suspects} exceed 2x the previous "
@@ -156,17 +157,26 @@ def main() -> int:
         )
         sections2, _, rc2 = _run_once()
         if rc2 != 0:
-            return rc2
-        for k in suspects:
-            if k in sections2 and sections2[k]["wall"] < sections[k]["wall"]:
-                sections[k] = sections2[k]
-        sections["calib_resample"] = sections2.get("calib")
+            # the FIRST run passed every test and parsed every section —
+            # a flaky adjudication re-run must not discard it; append it
+            # with the suspects marked un-adjudicated instead
+            sys.stderr.write(
+                "scale_validation: adjudication re-run failed — appending "
+                "the first (valid, merely slower) run un-adjudicated\n"
+            )
+            resample_failed = True
+        else:
+            for k in suspects:
+                if k in sections2 and sections2[k]["wall"] < sections[k]["wall"]:
+                    sections[k] = sections2[k]
+            sections["calib_resample"] = sections2.get("calib")
 
     record: dict = {
         "date": datetime.date.today().isoformat(),
         "pytest": "tests/test_scale_knobs.py + tests/test_scale_serving.py "
         "(SPARK_GRAFT_SLOW=1)",
         "resampled": suspects,
+        **({"resample_failed": True} if resample_failed else {}),
         **sections,
     }
     if any(k not in record for k in _SECTIONS):

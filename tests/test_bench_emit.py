@@ -167,3 +167,15 @@ def test_scale_validation_resample_guard(tmp_path, monkeypatch):
         (tmp_path / "SCALE_RUNS.jsonl").read_text().splitlines()[-1]
     )
     assert rec["resampled"] == [] and rec["minhash"]["wall"] == 14.0
+
+    # a FAILED adjudication re-run must still append the valid first run
+    # (review r13), marked un-adjudicated — not discard it
+    calls.clear()
+    runs = iter([(sections(64.7), 0.3, 0), ({}, 0.0, 1)])
+    assert sv.main() == 0
+    assert len(calls) == 2
+    rec = json.loads(
+        (tmp_path / "SCALE_RUNS.jsonl").read_text().splitlines()[-1]
+    )
+    assert rec["resampled"] == ["minhash"] and rec["resample_failed"] is True
+    assert rec["minhash"]["wall"] == 64.7  # the first run's value, kept

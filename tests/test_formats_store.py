@@ -119,6 +119,11 @@ def test_xvecs_golden_byte_layout(spark):
     # trailing garbage inside a dim header refuses loudly (refuse-on-drift)
     with pytest.raises(ValueError, match="trailing"):
         parse_xvecs_blob(GOLDEN_FVECS + b"\x01\x00")
+    # a corrupt NEGATIVE dim refuses instead of looping forever (review
+    # r13: np.frombuffer reads-all on count<0 and the cursor moves
+    # backwards — an infinite loop, not an error, without the guard)
+    with pytest.raises(ValueError, match="negative dim"):
+        parse_xvecs_blob(_struct.pack("<i", -1) + b"\x00\x00\x00\x00")
     # the checked-in files ARE the literals (guards fixture regeneration
     # drift) and read back through the real Spark binaryFile path
     data = Path(__file__).parent / "data"

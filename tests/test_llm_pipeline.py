@@ -698,6 +698,38 @@ def test_dedup_losers_keep_policy_unit(spark):
     with pytest.raises(ValueError, match="column"):
         dedup.dedup_losers_from(labels, docs, ("score", "missing"))
 
+    # NULL scores must LOSE, never win (review r13: Spark's struct min
+    # sorts null FIRST, which would silently crown the unscored member)
+    docs_null = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=None, quality=None),
+            Row(doc_id=2, text="aa", quality=0.1),
+            Row(doc_id=3, text=None, quality=None),
+            Row(doc_id=7, text=None, quality=None),   # all-null comp 7
+            Row(doc_id=8, text=None, quality=None),
+            Row(doc_id=9, text="c", quality=0.0),
+        ]
+    )
+    for keep in ("longest", ("score", "quality")):
+        got = {
+            r["doc_id"]
+            for r in dedup.dedup_losers_from(labels, docs_null, keep).collect()
+        }
+        # comp 1: only doc 2 is scored -> it wins; comp 7: all null ->
+        # min-id fallback keeps 7; singleton 9 survives
+        assert got == {1, 3, 8}, (keep, got)
+
+    # curate_docs validates the policy EAGERLY at entry (review r13):
+    # a typo'd policy or missing score column fails before any
+    # corpus-sized stage runs — these raise without a single Spark job
+    chain_docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a", lang="en", source="web")]
+    )
+    with pytest.raises(ValueError, match="keep policy"):
+        curate.curate_docs(chain_docs, None, keep="longset")
+    with pytest.raises(ValueError, match="column"):
+        curate.curate_docs(chain_docs, None, keep=("score", "missing"))
+
 
 def test_dedup_losers_keep_policy_matches_python_model(spark):
     """Randomized model equivalence for dedup_losers_from: on a seeded
@@ -855,10 +887,9 @@ def test_emb_dedup_oracle_sql_pairs_match_kernel(duck_smoke):
 
     from columbiaimagesearch_spark.operators.similarity import (
         LSH_BANDS,
-        NEAR_DUP_COS,
         _bucket_cos_pairs,
         _lsh_band_keys,
-        lsh_keys_cte_sql,
+        lsh_pairs_cte_sql,
     )
 
     t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
@@ -875,29 +906,10 @@ def test_emb_dedup_oracle_sql_pairs_match_kernel(duck_smoke):
     assert kernel_pairs, "fixture should plant near-dup pairs"
     sql_pairs = {
         (int(a), int(b))
-        for a, b in duck_smoke.execute(f"""
-            WITH
-            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                  FROM embeddings),
-            {lsh_keys_cte_sql(X.shape[1])},
-            n AS (
-              SELECT vec_id,
-                     CASE WHEN list_inner_product(v, v) = 0 THEN v
-                          ELSE list_transform(
-                              v, x -> x / sqrt(list_inner_product(v, v)))
-                     END AS u
-              FROM e
-            ),
-            cand AS (
-              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-              FROM keys a JOIN keys b
-                ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-            )
-            SELECT c.vec_a, c.vec_b FROM cand c
-            JOIN n na ON na.vec_id = c.vec_a
-            JOIN n nb ON nb.vec_id = c.vec_b
-            WHERE list_inner_product(na.u, nb.u) >= {NEAR_DUP_COS}
-        """).fetchall()
+        for a, b in duck_smoke.execute(
+            f"WITH {lsh_pairs_cte_sql(X.shape[1])} "
+            "SELECT vec_a, vec_b FROM pairs"
+        ).fetchall()
     }
     assert sql_pairs == kernel_pairs
 
