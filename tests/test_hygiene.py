@@ -825,31 +825,18 @@ def test_embedding_decontaminate_probe_path_independent_duckdb(spark, duck_smoke
         LSH_BITS,
         LSH_SEED,
         _lsh_band_keys,
-        _lsh_planes,
+        lsh_keys_cte_sql,
     )
     from columbiaimagesearch_spark.sources import load_table
 
     mod, thr = hygiene.EMB_BENCH_MOD, hygiene.EMB_DECON_COS
-    planes = _lsh_planes(64, LSH_BANDS, LSH_BITS, LSH_SEED)
-    vals = ", ".join(
-        f"({pid}, [{', '.join(repr(float(x)) for x in p)}]::DOUBLE[])"
-        for pid, p in enumerate(planes)
-    )
+    # the shared SQL reconstruction (review r13: one definition, composed
+    # here and by the similarity oracles); leg 1 below still checks it
+    # against the INDEPENDENT numpy kernel, so a helper bug cannot
+    # self-confirm
     keys_cte = f"""
         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        planes(pid, p) AS (VALUES {vals}),
-        bits AS (
-          SELECT e.vec_id, planes.pid // {LSH_BITS} AS band,
-                 planes.pid % {LSH_BITS} AS biti,
-                 CASE WHEN list_inner_product(e.v, planes.p) > 0
-                      THEN 1 ELSE 0 END AS bit
-          FROM e, planes
-        ),
-        keys AS (
-          SELECT vec_id, band,
-                 CAST(SUM(bit * (1 << ({LSH_BITS} - 1 - biti))) AS BIGINT) AS key
-          FROM bits GROUP BY vec_id, band
-        )
+        {lsh_keys_cte_sql(64, LSH_BANDS, LSH_BITS, LSH_SEED)}
     """
     # leg 1: DuckDB's banding == the numpy kernel's (attributes any later
     # mismatch: a key disagreement would be a sign-boundary ulp, a verdict
