@@ -3,9 +3,9 @@
 ``curate_docs`` chains the SURVEY §7.0 operator families over any
 (doc_id, text, lang, source) relation:
 
-  [PII scrub] -> near-dup dedup (MinHash-LSH pairs -> connected
-  components, keep one representative per cluster — min-doc_id by
-  default, longest/score via ``keep=``) -> [embedding near-dup
+  [PII scrub] -> [quality floor] -> near-dup dedup (MinHash-LSH pairs ->
+  connected components, keep one representative per cluster — min-doc_id
+  by default, longest/score via ``keep=``) -> [embedding near-dup
   dedup: the SemDeDup-style semantic rung over doc_embeddings, same
   pairs -> components -> representative idiom] -> [benchmark
   decontamination] -> [fuzzy benchmark decontamination, reusing stage 1's
@@ -34,7 +34,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .operators import dedup, hygiene, packing, similarity
+from .operators import dedup, hygiene, packing, similarity, textstats
 
 
 @dataclass
@@ -56,6 +56,7 @@ def curate_docs(
     *,
     train_split_only: bool = True,
     scrub_pii: bool = False,
+    quality_filter: bool = False,
     fuzzy_decontaminate: bool = False,
     doc_embeddings: DataFrame | None = None,
     bench_embeddings: DataFrame | None = None,
@@ -131,6 +132,17 @@ def curate_docs(
     the pairs/components composition evaluates its input three times, and
     the decon rung (when also enabled) reads the same cache, so both
     rungs together still cost ONE scan of ``doc_embeddings``.
+
+    ``quality_filter=True`` adds the Gopher/C4-style quality floor as
+    stage 0b (after the PII scrub, so the gate scores the text that will
+    be trained on; BEFORE dedup, so the expensive hash/band/component
+    stages never see the rejects — at 100 TB the win is their input
+    size): drop every doc failing ``textstats.quality_gate`` (length in
+    [50, 10000] chars, alpha ratio > 0.5 — the same gate
+    ``text_quality_score``'s passes_filter and ``corpus_report``'s
+    pass_rate report, one shared definition). Map-only codegen'd string
+    expressions; the drop-id set is eagerly pinned like every verdict
+    stage.
 
     ``keep`` picks which member each near-dup cluster RETAINS, on BOTH
     dedup rungs (lexical stage 1 and the embedding rung):
@@ -261,6 +273,21 @@ def curate_docs(
             # dir.
             docs = docs.localCheckpoint(eager=True)
             res.stages["after_pii_scrub"] = docs
+
+        # 0b. quality floor (opt-in; see docstring): the cheap map-only
+        # gate runs before the hash/band/component stages so they never
+        # scan the rejects. Drop-id set eagerly pinned — the gate is two
+        # regex passes over text, re-run per downstream docs reference
+        # otherwise.
+        if quality_filter:
+            qual_ids = (
+                textstats.quality_verdicts_from(docs.select("doc_id", "text"))
+                .where(~F.col("passes_filter"))
+                .select("doc_id")
+                .localCheckpoint(eager=True)
+            )
+            docs = docs.join(qual_ids, "doc_id", "left_anti")
+            res.stages["after_quality_filter"] = docs
 
         # 1. near-dup dedup: drop everything but each cluster's min doc_id.
         # We own the shingle-hash cache here: connected_components eagerly

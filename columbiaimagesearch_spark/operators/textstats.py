@@ -29,6 +29,38 @@ def _tok(col):
     return F.split(col, " ")
 
 
+# The Gopher/C4-style quality gate thresholds — ONE definition shared by
+# text_quality_score's passes_filter, corpus_report's pass_rate, and the
+# curate_docs(quality_filter=True) stage, so the three surfaces cannot
+# drift apart.
+QUALITY_MIN_CHARS = 50
+QUALITY_MAX_CHARS = 10_000
+QUALITY_MIN_ALPHA = 0.5
+
+
+def quality_gate():
+    """Boolean Column: does the row's ``text`` pass the quality floor
+    (length in [QUALITY_MIN_CHARS, QUALITY_MAX_CHARS], alpha ratio >
+    QUALITY_MIN_ALPHA)? Codegen'd string expressions only — map-only,
+    no shuffle, no Python."""
+    n_chars = F.length("text")
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+        / n_chars
+    )
+    return n_chars.between(QUALITY_MIN_CHARS, QUALITY_MAX_CHARS) & (
+        alpha_ratio > QUALITY_MIN_ALPHA
+    )
+
+
+def quality_verdicts_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, passes_filter) over any (doc_id, text) relation — the
+    :func:`quality_gate` as a library verdict form, consumed by
+    ``curate_docs(quality_filter=True)`` and equal by construction to
+    ``text_quality_score``'s passes_filter column (pinned by test)."""
+    return docs.select("doc_id", quality_gate().alias("passes_filter"))
+
+
 @register(
     "text_token_stats",
     survey_ops=("TXT-tokens", "C6"),
@@ -99,7 +131,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1e-9),
             4,
         ).alias("mean_token_len"),
-        (n_chars.between(50, 10000) & (alpha_ratio > 0.5)).alias("passes_filter"),
+        quality_gate().alias("passes_filter"),
     )
 
 
@@ -302,30 +334,23 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accumulation whose rounded value the DuckDB oracle pins — keep the
     # scan's native partitioning (see parallelize_scan's contract)
     docs = load_table(spark, sf_dir, "documents")
-    n_chars = F.length("text")
     alpha_ratio = (
-        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double") / n_chars
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+        / F.length("text")
     )
     per_doc = docs.select(
         "source",
         "lang",
         F.size(_tok(F.col("text"))).alias("n_tokens"),
-        n_chars.alias("n_chars"),
+        # the shared gate, evaluated while text is still in scope
+        F.when(quality_gate(), F.lit(1.0)).otherwise(F.lit(0.0)).alias("pass_flag"),
         alpha_ratio.alias("alpha_ratio"),
     )
     return per_doc.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.round(
-            F.sum(
-                F.when(
-                    F.col("n_chars").between(50, 10000)
-                    & (F.col("alpha_ratio") > 0.5),
-                    F.lit(1.0),
-                ).otherwise(F.lit(0.0))
-            )
-            / F.count(F.lit(1))
-            + F.lit(1e-9),
+            F.sum("pass_flag") / F.count(F.lit(1)) + F.lit(1e-9),
             4,
         ).alias("pass_rate"),
         F.round(F.avg("alpha_ratio") + F.lit(1e-9), 4).alias("avg_alpha"),

@@ -657,6 +657,66 @@ def test_llm_embedding_dedup_labeling_semantics(spark):
         assert comp_of[p["vec_a"]] == comp_of[p["vec_b"]]
 
 
+def test_curation_quality_filter_stage(spark):
+    """curate_docs(quality_filter=True) (r13): the Gopher/C4-style
+    quality floor as stage 0b — drops exactly the docs failing the
+    SHARED textstats.quality_gate (too short / too long / low alpha
+    ratio), before dedup ever hashes them; the gate is the same one
+    text_quality_score's passes_filter reports (consistency pinned on
+    the real fixture); flag off -> no stage."""
+    from pyspark.sql import Row
+
+    from columbiaimagesearch_spark.operators import textstats
+
+    base = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    ).limit(30)
+    planted = [
+        Row(doc_id=930_000, text="too short", lang="en", source="web"),
+        Row(doc_id=930_001, text="1234567890 " * 20, lang="en", source="web"),
+        Row(doc_id=930_002, text="x" * 20_000, lang="en", source="web"),
+        Row(doc_id=930_003,
+            text=" ".join(f"goodword{j}" for j in range(40)),
+            lang="en", source="web"),
+    ]
+    docs = base.unionByName(spark.createDataFrame(planted))
+    res = curate.curate_docs(docs, None, train_split_only=False,
+                             quality_filter=True)
+    assert "after_quality_filter" in res.stages
+    after = {r["doc_id"] for r in res.stages["after_quality_filter"].collect()}
+    assert {930_000, 930_001, 930_002}.isdisjoint(after)  # gate failers drop
+    assert 930_003 in after
+    # the stage's drop set EQUALS the standalone verdict form
+    want_drop = {
+        r["doc_id"]
+        for r in textstats.quality_verdicts_from(docs.select("doc_id", "text"))
+        .where(~F.col("passes_filter"))
+        .collect()
+    }
+    input_ids = {r["doc_id"] for r in docs.collect()}
+    assert input_ids - after == want_drop
+    # flag off -> no stage
+    res_off = curate.curate_docs(docs, None, train_split_only=False)
+    assert "after_quality_filter" not in res_off.stages
+
+    # consistency: the library verdict equals text_quality_score's
+    # passes_filter column on the real fixture (one shared gate)
+    from columbiaimagesearch_spark.operators.textstats import text_quality_score
+
+    tq = {
+        r["doc_id"]: r["passes_filter"]
+        for r in text_quality_score(spark, SF_SMOKE).collect()
+    }
+    fixture_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    lv = {
+        r["doc_id"]: r["passes_filter"]
+        for r in textstats.quality_verdicts_from(fixture_docs).collect()
+    }
+    assert tq == lv
+
+
 def test_dedup_losers_keep_policy_unit(spark):
     """dedup_losers_from (r13, VERDICT r12 next-round #4): the scored
     policies pick max-score per component with ties broken toward the
