@@ -122,6 +122,7 @@ def curate_batch_step(
     docs: DataFrame,
     state_dir: str,
     scrub_pii: bool = False,
+    quality_filter: bool = False,
     fuzzy_decontaminate: bool = False,
 ) -> int:
     """One incremental step: hygiene-verdict + dedup the fresh docs of
@@ -130,6 +131,14 @@ def curate_batch_step(
     ``scrub_pii=True`` redacts contact spans BEFORE any verdict or shingle
     hash (stage 0 of the batch chain) — a per-doc content function, so
     batch boundaries cannot change it.
+
+    ``quality_filter=True`` mirrors the batch chain's stage 0b
+    (``curate_docs(quality_filter=True)``): docs failing
+    ``textstats.quality_gate`` are dropped BEFORE any verdict, claim, or
+    dedup hash — another pure per-doc content function (gate over the
+    post-scrub text, exactly the batch order), so the streamed survivor
+    set equals the batch chain's and a rejected doc never enters state
+    (each redelivery re-rejects it for free, map-side).
 
     ``fuzzy_decontaminate=True`` mirrors the batch chain's fuzzy rung
     (``curate_docs(fuzzy_decontaminate=True)``): like the exact verdict,
@@ -147,6 +156,10 @@ def curate_batch_step(
             .drop("text", "n_email", "n_ip", "n_phone")
             .withColumnRenamed("scrubbed", "text")
         )
+    if quality_filter:
+        from ..operators import textstats
+
+        docs = docs.where(textstats.quality_gate())
     seen = read_verdicts(spark, state_dir)
     fresh = docs.join(seen, "doc_id", "left_anti").persist()
     n_fresh = fresh.count()
@@ -227,6 +240,7 @@ def run_incremental_curation(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     scrub_pii: bool = False,
+    quality_filter: bool = False,
     fuzzy_decontaminate: bool = False,
 ) -> None:
     """Drain ``src_dir`` (JSONL doc drops, availableNow) through the
@@ -244,6 +258,7 @@ def run_incremental_curation(
                 batch_df,
                 state_dir,
                 scrub_pii=scrub_pii,
+                quality_filter=quality_filter,
                 fuzzy_decontaminate=fuzzy_decontaminate,
             )
         )

@@ -197,3 +197,52 @@ def test_streamed_fuzzy_curation_matches_batch(spark, tmp_path):
     assert paraphrase_id not in streamed
     assert paraphrase_id not in batch_set
     assert streamed == batch_set
+
+
+def test_streamed_quality_filter_matches_batch(spark, tmp_path):
+    """quality_filter=True streamed in chunks == the batch chain with the
+    same flag (r13 stage 0b): the gate is a pure per-doc content
+    function, so batch boundaries cannot change it, rejected docs never
+    enter the claim or dedup state, and the streamed survivor set equals
+    curate_docs(quality_filter=True)'s after_repetition stage."""
+    from pyspark.sql import Row
+
+    from columbiaimagesearch_spark import curate
+
+    train, bench = _docs(spark)
+    planted = spark.createDataFrame(
+        [
+            Row(doc_id=940_000, text="too short", lang="en", source="web"),
+            Row(doc_id=940_001, text="9876543210 " * 20, lang="en",
+                source="web"),
+        ]
+    )
+    train = train.unionByName(planted)
+    rows = train.collect()
+    d = tmp_path / "drops"
+    d.mkdir()
+    for c in range(2):
+        chunk = [r for i, r in enumerate(rows) if i % 2 == c]
+        (d / f"chunk-{c}.jsonl").write_text(
+            "\n".join(
+                json.dumps(
+                    {"doc_id": r["doc_id"], "text": r["text"],
+                     "lang": r["lang"], "source": r["source"]}
+                )
+                for r in chunk
+            )
+        )
+    state = str(tmp_path / "state")
+    register_benchmark(spark, bench, state)
+    run_incremental_curation(
+        spark, str(d), state, str(tmp_path / "ckpt"), quality_filter=True
+    )
+    streamed = {int(r["doc_id"]) for r in curated_docs(spark, state).collect()}
+    assert {940_000, 940_001}.isdisjoint(streamed)  # gate failers rejected
+    res = curate.curate_docs(
+        train, bench, train_split_only=False, quality_filter=True
+    )
+    batch = {
+        int(r["doc_id"]) for r in res.stages["after_repetition"].collect()
+    }
+    assert streamed == batch
