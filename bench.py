@@ -651,8 +651,11 @@ def curation_bench(spark, sf_dir: str, *, full: bool = False) -> dict:
     FUZZY decontamination rung since r9 (reusing stage 1's shingle-hash
     cache under the hashed contract — one text-hash pass serves dedup and
     fuzzy together; expect a small r8->r9 step in curation_full's wall
-    from the added stage, not a regression) — so the composed chain a
-    real pipeline would run has its own wall-time signal."""
+    from the added stage, not a regression), plus the QUALITY floor as
+    stage 0b since r13 (map-only gate; it SHRINKS the later stages'
+    input, so expect curation_full's wall flat-to-down, and its survivor
+    mix to change once, at r13) — so the composed chain a real pipeline
+    would run has its own wall-time signal."""
     from columbiaimagesearch_spark import curate as curate_mod
     from columbiaimagesearch_spark.sources import load_table
 
@@ -672,7 +675,7 @@ def curation_bench(spark, sf_dir: str, *, full: bool = False) -> dict:
     t0 = time.perf_counter()
     res = curate_mod.curate_docs(
         docs, bench_docs, train_split_only=False, scrub_pii=full,
-        fuzzy_decontaminate=full,
+        quality_filter=full, fuzzy_decontaminate=full,
     )
     res.packed.write.mode("overwrite").format("noop").save()
     secs = time.perf_counter() - t0
