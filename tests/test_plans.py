@@ -124,6 +124,24 @@ def test_merge_upsert_broadcasts_source_keys(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
+def test_quality_gate_is_map_only_codegen(spark):
+    """The curate quality floor's verdict form (r13): pure codegen'd
+    string expressions over the scan — zero shuffles, zero joins, no
+    Python (MapInPandas) anywhere. The gate is the stage's whole cost at
+    100 TB, so any exchange or Arrow boundary appearing here is a
+    regression of its map-only contract."""
+    from columbiaimagesearch_spark.operators.textstats import quality_verdicts_from
+    from columbiaimagesearch_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    plan = explain.formatted_plan(quality_verdicts_from(docs))
+    assert explain.data_shuffles(plan) == 0, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+    # formatted mode marks codegen'd nodes with "[codegen id : N]"
+    assert "codegen id" in plan, plan
+
+
 def test_simhash_is_map_only(spark):
     plan = explain.formatted_plan(_q(spark, "dedup_simhash"))
     # a simhash is a per-doc property: the votes must compute inside one
