@@ -225,16 +225,27 @@ class ServingSearcher:
         self._counts_cache = None
         return self
 
-    def add_codes(self, codes: DataFrame) -> "ServingSearcher":
+    def add_codes(
+        self, codes: DataFrame, n_rows: int | None = None
+    ) -> "ServingSearcher":
         """Incremental add with (cell, id) dedup (J7 semantics,
         search.py:340-364). Shares the snapshot budget with load_codes.
+
+        ``n_rows``: a caller-supplied UPPER BOUND on the incoming row
+        count, skipping this method's own codes.count() job. The sharded
+        router passes its histogram-derived per-shard bound (review r13:
+        its all-or-nothing pre-check already ran one cell-histogram job;
+        re-counting each shard's filtered slice doubled the Spark-job
+        count of every incremental add).
 
         One pass per touched cell: the incoming batch is grouped by cell,
         deduped against the resident ids with ``np.isin`` (and against
         itself — first occurrence wins, matching the row-order semantics of
         the previous per-row path), then appended with a single concat
         (VERDICT r2 "wrong" #2: no per-row np.append/vstack)."""
-        self._check_budget(codes.count(), self.n_items)
+        self._check_budget(
+            codes.count() if n_rows is None else n_rows, self.n_items
+        )
         M = self.model.lopq.M if isinstance(self.model, LOPQModelPCA) else self.model.M
         grouped = self._group_codes_pdf(
             codes.select("cell", "id", "fine").toPandas(), M
@@ -605,6 +616,7 @@ class ShardedServingRouter:
             int(r["cell"]): int(r["n"])
             for r in codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
         }
+        incoming_by_shard = []
         for i, (lo, hi, s) in enumerate(self.shards):
             incoming = sum(
                 n
@@ -620,12 +632,15 @@ class ShardedServingRouter:
                 if i in owners
             )
             s._check_budget(incoming, s.n_items)
+            incoming_by_shard.append(incoming)
         for i, (lo, hi, s) in enumerate(self.shards):
             pred = self._range_pred(lo, hi)
             slice_pred = self._slice_pred(i)
             if slice_pred is not None:
                 pred = pred | slice_pred
-            s.add_codes(codes.where(pred))
+            # pass the histogram-derived bound: the replica's own count()
+            # per filtered slice is redundant with the pre-check above
+            s.add_codes(codes.where(pred), n_rows=incoming_by_shard[i])
         self._global_counts_cache = None
         return self
 

@@ -680,9 +680,12 @@ def connected_components(
         # one |graph|-row join, so doubling it is cheap).
         import warnings
 
+        # NB: `changed` is bound only when the loop body ran; max_iter<=0
+        # reaches this else-branch with zero rounds executed
         warnings.warn(
             f"connected_components did not converge within max_iter="
-            f"{max_iter} rounds ({changed} labels still changing): "
+            f"{max_iter} rounds "
+            f"({changed if max_iter > 0 else 'all'} labels still changing): "
             "components may be split — re-run with a larger max_iter",
             RuntimeWarning,
             stacklevel=2,
@@ -1010,7 +1013,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["doc_id", "simhash_bits"])
 
-    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    # NULL-text docs are dropped, matching the oracle (review r13): DuckDB's
+    # unnest(string_split(NULL)) yields zero token rows so the doc is absent
+    # from the oracle output, while the kernel's (text or '') fallback would
+    # emit a signature row — a latent row-count divergence on any corpus
+    # with nullable text (the fixture has none, so output is unchanged).
+    docs = (
+        load_table(spark, sf_dir, "documents", spread=True)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
     return docs.mapInPandas(simhash, "doc_id bigint, simhash_bits string")
 
 

@@ -16,18 +16,19 @@ with the two hygiene gates every serious pretraining pipeline runs:
   the standard trade for not shipping raw text through a shuffle.
 - ``text_repetition_stats``: per-document duplicate/top n-gram fractions
   (n = 1, 2, 3) — the Gopher-style repetition signals used to drop
-  boilerplate and degenerate generations. One posexplode + one window by
-  doc_id, then the three gram sizes stack into a single (doc_id, n, gram)
-  relation so every aggregate shares one shuffle chain keyed by doc_id;
-  after the window's hash-partition by doc_id, the downstream groupBys
-  re-use that partitioning (no extra Exchange by doc_id).
+  boilerplate and degenerate generations. A per-doc property, so it runs
+  as ONE Arrow ``mapInPandas`` batch with zero shuffle, pipelined out of
+  the scan (the r4 rewrite; the original posexplode + window form
+  shuffled every token of the corpus by doc_id).
 
-Both are deliberately built on posexplode + window ``lead`` rather than
-array HOFs: slicing an array column inside ``transform`` re-evaluates the
-underlying ``split`` per element after Catalyst's projection collapse
-(O(len²) per doc — the known HOF-inlining trap), while the explode form
-is O(len) and its shuffle carries (doc_id, pos, word) rows that partial
-aggregation collapses immediately.
+Plan-shape history (the r4 lesson this module carries): n-gram pairing
+is map-only via array HOFs (``ngram_rows`` — Catalyst materializes the
+``split`` in a Project under the Generate, so the HOF does not
+re-evaluate it per element; the known project-collapse O(len²) trap
+applies to expressions inlined into the lambda, not to this shape),
+and the decontamination groupBy(doc_id) IS a real exchange — one,
+keyed by doc_id, carrying 60-bit int rows that partial aggregation
+collapses map-side (plan-asserted in tests/test_plans.py).
 
 All three (decontaminate, repetition stats, boilerplate n-grams) are
 registered driver-visible since round 3 — three TPC-H showcase slots whose
@@ -148,9 +149,10 @@ def decontaminate_from(train_docs: DataFrame, bench_docs: DataFrame) -> DataFram
     # ONE pass over the train n-grams: left-join the broadcast (distinct)
     # bench hashes — no row multiplication — then count totals and distinct
     # hits in the same aggregation. Splitting totals/hits into two
-    # aggregations would execute the whole explode+window n-gram pipeline
-    # twice (measured ~2x wall on this query). The groupBy(doc_id) reuses
-    # the window's hash-partitioning — no extra Exchange.
+    # aggregations would execute the whole map-only n-gram pipeline twice
+    # (measured ~2x wall on this query). The groupBy(doc_id) is the plan's
+    # ONE keyed exchange — (doc_id, 60-bit int) rows, partial-aggregated
+    # map-side before the shuffle.
     flagged = train.join(F.broadcast(bench), "h", "left")
     return flagged.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_ngrams"),
@@ -195,6 +197,36 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_bench = (F.col("doc_id") % BENCH_MOD) == 0
     return decontaminate_from(train.where(~is_bench), docs.where(is_bench))
+
+
+def _fuzzy_scored_pairs(h_t, h_b):
+    """(doc_id, bench_doc, jac): LSH band-collision candidates scored by
+    exact shingle Jaccard — the ONE candidate+verify plan shared by
+    ``fuzzy_decontaminate_from`` and ``contamination_report_from``
+    (review r13: previously duplicated verbatim, so the r8
+    broadcast-direction fix had to live in two places). The bench side
+    is broadcast everywhere (band table, hash sets, candidate list —
+    all suite-bounded); multi-band duplicate candidates agree on the
+    Jaccard, so downstream max/countDistinct absorb them without a
+    pre-dedup."""
+    from .dedup import bands_from
+
+    bb = bands_from(h_b).withColumnRenamed("doc_id", "bench_doc")
+    cands = (
+        bands_from(h_t)
+        .join(F.broadcast(bb), "band_key")
+        .select("doc_id", "bench_doc")
+    )
+    x = h_t.select("doc_id", F.col("hs").alias("hs_t"))
+    y = h_b.select(F.col("doc_id").alias("bench_doc"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_t", "hs_b")).cast("double")
+    sz = (F.size("hs_t") + F.size("hs_b")).cast("double")
+    return (
+        F.broadcast(cands)
+        .join(x, "doc_id")
+        .join(F.broadcast(y), "bench_doc")
+        .select("doc_id", "bench_doc", (inter / (sz - inter)).alias("jac"))
+    )
 
 
 def fuzzy_decontaminate_from(
@@ -248,7 +280,7 @@ def fuzzy_decontaminate_from(
     the verify probe reads it); at 100 TB, where no cache holds a corpus,
     passing ``hashed_train`` is what keeps it at one pass — that is the
     contract's job, not the cache's."""
-    from .dedup import JACCARD_THRESHOLD, bands_from, hashed_from
+    from .dedup import JACCARD_THRESHOLD, hashed_from
 
     h_t = hashed_from(train_docs) if hashed_train is None else hashed_train
     h_b = (
@@ -256,22 +288,7 @@ def fuzzy_decontaminate_from(
         if hashed_bench is None
         else hashed_bench
     )
-    bb = bands_from(h_b).withColumnRenamed("doc_id", "bench_doc")
-    cands = (
-        bands_from(h_t)
-        .join(F.broadcast(bb), "band_key")
-        .select("doc_id", "bench_doc")
-    )
-    x = h_t.select("doc_id", F.col("hs").alias("hs_t"))
-    y = h_b.select(F.col("doc_id").alias("bench_doc"), F.col("hs").alias("hs_b"))
-    inter = F.size(F.array_intersect("hs_t", "hs_b")).cast("double")
-    sz = (F.size("hs_t") + F.size("hs_b")).cast("double")
-    scored = (
-        F.broadcast(cands)
-        .join(x, "doc_id")
-        .join(F.broadcast(y), "bench_doc")
-        .select("doc_id", (inter / (sz - inter)).alias("jac"))
-    )
+    scored = _fuzzy_scored_pairs(h_t, h_b).select("doc_id", "jac")
     agg = scored.groupBy("doc_id").agg(F.max("jac").alias("mj"))
     mj0 = F.coalesce(F.col("mj"), F.lit(0.0))
     return (
@@ -370,7 +387,7 @@ def contamination_report_from(
     candidate rows — bounded by the (tiny) suite, which is why the bench
     side stays the build side everywhere. ``hashed_train``/``hashed_bench``
     follow the same hashed contract as ``fuzzy_decontaminate_from``."""
-    from .dedup import JACCARD_THRESHOLD, bands_from, hashed_from
+    from .dedup import JACCARD_THRESHOLD, hashed_from
 
     # exact rung, pair-attributed: per-doc-DISTINCT grams on both sides so
     # the hit count is "distinct shared n-grams" (MIN_HITS semantics)
@@ -390,31 +407,16 @@ def contamination_report_from(
         F.countDistinct("doc_id").cast("bigint").alias("n_exact_leaks")
     )
 
-    # fuzzy rung: same LSH candidates as fuzzy_decontaminate_from, grouped
-    # by the bench side; multi-band duplicate candidates agree on the
-    # Jaccard, so countDistinct/max absorb them without a pre-dedup
+    # fuzzy rung: the SAME shared candidate+verify plan as
+    # fuzzy_decontaminate_from (_fuzzy_scored_pairs), grouped by the
+    # bench side
     h_t = hashed_from(train_docs) if hashed_train is None else hashed_train
     h_b = (
         hashed_from(bench_docs, persist=False)
         if hashed_bench is None
         else hashed_bench
     )
-    bb = bands_from(h_b).withColumnRenamed("doc_id", "bench_doc")
-    cands = (
-        bands_from(h_t)
-        .join(F.broadcast(bb), "band_key")
-        .select("doc_id", "bench_doc")
-    )
-    x = h_t.select("doc_id", F.col("hs").alias("hs_t"))
-    y = h_b.select(F.col("doc_id").alias("bench_doc"), F.col("hs").alias("hs_b"))
-    inter = F.size(F.array_intersect("hs_t", "hs_b")).cast("double")
-    sz = (F.size("hs_t") + F.size("hs_b")).cast("double")
-    scored = (
-        F.broadcast(cands)
-        .join(x, "doc_id")
-        .join(F.broadcast(y), "bench_doc")
-        .select("bench_doc", "doc_id", (inter / (sz - inter)).alias("jac"))
-    )
+    scored = _fuzzy_scored_pairs(h_t, h_b).select("bench_doc", "doc_id", "jac")
     fuzzy = scored.groupBy("bench_doc").agg(
         F.countDistinct(
             F.when(F.col("jac") >= JACCARD_THRESHOLD, F.col("doc_id"))
@@ -911,6 +913,25 @@ def embedding_decontaminate_from(
 
     if seed is None:
         seed = LSH_SEED
+    # Budget pre-check BEFORE the collect (review r13): the toPandas
+    # below is exactly the driver OOM this guard exists to refuse — a
+    # post-collect check cannot prevent it (the load_codes idiom,
+    # serving.py: count first, collect second). One cheap count + one
+    # 1-row fetch estimate the buffer; the exact nbytes check below stays
+    # as the precise backstop for ragged/odd inputs.
+    n_bench = bench_vecs.count()
+    if n_bench:
+        first = bench_vecs.select("v").head(1)
+        dim = len(first[0]["v"]) if first and first[0]["v"] is not None else 0
+        est = n_bench * dim * 8
+        if est > max_bench_bytes:
+            raise RuntimeError(
+                f"embedding_decontaminate_from: bench side is ~{est >> 20} "
+                f"MiB ({n_bench} x {dim} float64) > max_bench_bytes="
+                f"{max_bench_bytes >> 20} MiB; a relation this large is a "
+                "corpus, not an eval suite — use the symmetric "
+                "emb_lsh_pairs_from self-join (or raise max_bench_bytes)."
+            )
     bench_pdf = bench_vecs.select("vec_id", "v").toPandas()
     bench_pdf = bench_pdf.sort_values("vec_id").reset_index(drop=True)
     B = np.array(list(bench_pdf["v"]), dtype=np.float64)
