@@ -136,23 +136,46 @@ def search(
     codes table and (for rerank) ``vectors`` must hold the projected space
     (``train_spark.pca_project`` output).
     """
+    if rerank_nb and rerank_nb < k:
+        # the shortlist keeps rerank_nb rows per query, so the exact-rank
+        # window could never return the k the caller asked for — silent
+        # short results, not an error, without this check (review r13)
+        raise ValueError(
+            f"rerank_nb={rerank_nb} < k={k}: the rerank shortlist must be "
+            "at least as large as the requested top-k (raise rerank_nb or "
+            "disable rerank)"
+        )
     if isinstance(model, LOPQModelPCA):
         queries = [
             (qid, model.project_queries(q)[0]) for qid, q in queries
         ]
         model = model.lopq
     # the codes relation is referenced by cell-counts, the probe join, and
-    # (with rerank) the shortlist — persist so encode runs once; at scale
-    # `codes` is a materialized cell-partitioned table and this is a no-op
-    # cache of parquet scans.
-    codes = codes.persist()
-    counts = _cell_counts(codes)
-    probe_rows, luts, qvecs = _plan_probe(model, queries, counts, quota)
-    return _execute_probe(
-        spark, codes, model, probe_rows, luts, qvecs,
-        k=k, vectors=vectors, id_col=id_col, vec_col=vec_col,
-        rerank_nb=rerank_nb,
-    )
+    # (with rerank) the shortlist — persist so encode runs once. Cache
+    # ownership (review r13): persist only if the caller hasn't already
+    # (repeat calls over the same plan reuse one entry either way), and
+    # release OUR entry if planning fails (the MAX_OCCUPIED_CELLS refusal
+    # previously leaked a full cached copy of the codes relation). On the
+    # success path the returned lazy DataFrame still reads the cache; a
+    # long-lived service issuing many DISTINCT codes plans should pass a
+    # pre-persisted relation and own its lifecycle.
+    from pyspark import StorageLevel
+
+    we_persisted = codes.storageLevel == StorageLevel.NONE
+    if we_persisted:
+        codes = codes.persist()
+    try:
+        counts = _cell_counts(codes)
+        probe_rows, luts, qvecs = _plan_probe(model, queries, counts, quota)
+        return _execute_probe(
+            spark, codes, model, probe_rows, luts, qvecs,
+            k=k, vectors=vectors, id_col=id_col, vec_col=vec_col,
+            rerank_nb=rerank_nb,
+        )
+    except BaseException:
+        if we_persisted:
+            codes.unpersist()
+        raise
 
 
 def _plan_probe(
@@ -197,7 +220,12 @@ def _execute_probe(
     rerank. ``codes`` may already be statically pruned to the visited cells
     (the bucketed-layout path)."""
     if not probe_rows:
+        # schema must match the non-empty result (review r13): a rerank
+        # caller unioning shard results would otherwise hit an
+        # AnalysisException only on the empty-shard edge case
         empty = "qid bigint, rank int, id bigint, adc_dist double"
+        if rerank_nb and vectors is not None:
+            empty += ", exact_dist double"
         return spark.createDataFrame([], empty)
 
     b_luts = spark.sparkContext.broadcast(luts)

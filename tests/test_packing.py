@@ -183,3 +183,29 @@ def test_seq_pack_invariants_on_adversarial_lengths(spark):
         # oversized docs are always alone in their bin
         oversized_bins = set(g.loc[g["n_tokens"] > budget, "bin"])
         assert all(fills.loc[b, "count"] == 1 for b in oversized_bins)
+
+
+def test_mixture_null_source_is_its_own_cohort(spark):
+    """Review r13: the old inner equi-join silently dropped every
+    NULL-source doc (no keep verdict at all). The null-safe join gives
+    the NULL cohort its own rate row, so every input doc gets a verdict
+    and total output cardinality equals input cardinality."""
+    rows = [(i, "web" if i % 3 == 0 else None) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = packing.mixture_sample_from(docs).toPandas()
+    assert len(out) == 60 and out["doc_id"].is_unique
+    nulls = out[out["source"].isna()]
+    assert len(nulls) == 40  # the NULL cohort survived with verdicts
+    assert (nulls["source_docs"] == 40).all()
+    assert nulls["keep"].notna().all()
+
+
+def test_seq_pack_drops_null_text_instead_of_crashing(spark):
+    """Review r13: size(split(NULL)) reached the pack kernel as NaN and
+    int(NaN) crashed the whole shard task. NULL-text docs are now
+    dropped up front — nothing to pack — and the rest pack normally."""
+    rows = [(1, "a b c"), (2, None), (3, "d e"), (4, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pdf = packing.seq_pack_from(docs, budget=4, shards=2).toPandas()
+    assert set(pdf["doc_id"]) == {1, 3}
+    assert (pdf["n_tokens"] > 0).all()

@@ -143,3 +143,52 @@ def test_ann_cosine_matmul_matches_hof_form(spark):
         tuple(r) for r in ann_cosine_topk_hof(spark, SF_SMOKE).collect()
     )
     assert a == b
+
+
+def test_cosine_is_zero_safe_in_both_engines(spark, duck_smoke):
+    """Review r13: 0/0 = NaN, and NaN sorts ABOVE every double in both
+    Spark and DuckDB — an unguarded cosine would crown a zero vector
+    rank-1 in every cos-desc window and flag it as everyone's near-dup,
+    the exact inverse of the l2_normalize_rows contract. Both the Spark
+    HOF _cosine and the shared _COS_SQL must return exactly 0.0 against
+    a zero vector, and a valid value between nonzero vectors."""
+    import math
+
+    from pyspark.sql import Row
+
+    from columbiaimagesearch_spark.operators.similarity import _COS_SQL, _cosine
+
+    df = spark.createDataFrame(
+        [
+            Row(a=[0.0, 0.0], b=[1.0, 2.0]),
+            Row(a=[0.0, 0.0], b=[0.0, 0.0]),
+            Row(a=[3.0, 4.0], b=[3.0, 4.0]),
+        ]
+    )
+    got = [
+        r["c"] for r in df.select(_cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    ]
+    assert got[0] == 0.0 and got[1] == 0.0
+    assert abs(got[2] - 1.0) < 1e-12
+    assert not any(math.isnan(x) for x in got)
+
+    sql = duck_smoke.execute(f"""
+        SELECT {_COS_SQL.format(a="a", b="b")} AS c
+        FROM (VALUES ([0.0, 0.0]::DOUBLE[], [1.0, 2.0]::DOUBLE[]),
+                     ([3.0, 4.0]::DOUBLE[], [3.0, 4.0]::DOUBLE[])) t(a, b)
+    """).fetchall()
+    assert sql[0][0] == 0.0
+    assert abs(sql[1][0] - 1.0) < 1e-12
+
+
+def test_derive_lsh_knobs_rejects_recall_one(spark):
+    """Review r13: recall=1.0 hit an opaque math-domain error inside
+    bands_needed; the contract check now names the exhaustive paths."""
+    from columbiaimagesearch_spark.operators.similarity import derive_lsh_knobs
+
+    with pytest.raises(ValueError, match="recall must be in"):
+        derive_lsh_knobs(10_000, recall=1.0)
+    with pytest.raises(ValueError, match="recall must be in"):
+        derive_lsh_knobs(10_000, recall=0.0)
+    bands, bits = derive_lsh_knobs(10_000, recall=0.9)  # valid still works
+    assert bands > 0 and bits > 0
