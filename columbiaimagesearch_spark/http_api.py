@@ -77,7 +77,8 @@ class ImageSearchService:
 
     def __init__(self, spark, model, searcher, id_to_sha1, sha1_to_ids,
                  q_model, mode: str, images: DataFrame | None = None,
-                 source_path: str | None = None, fetcher=None) -> None:
+                 source_path: str | None = None, fetcher=None,
+                 model_factory=None) -> None:
         self.spark = spark
         self.model = model
         self.searcher = searcher  # ServingSearcher with resident vectors
@@ -85,6 +86,14 @@ class ImageSearchService:
         self.sha1_to_ids = sha1_to_ids  # dict[str, list[int]]
         self.q_model = q_model
         self.mode = mode
+        # the EXTRACTION factory exactly as build() received it (review
+        # r13): refresh previously reconstructed it as type(self.q_model),
+        # which silently loses any configuration a non-class factory
+        # carried (a lambda closing over weights) — the refresh job then
+        # featurized with a default-configured model, or crashed if the
+        # class takes required args. Falls back to the q_model's class for
+        # directly-constructed services.
+        self.model_factory = model_factory or type(q_model)
         self.images = images  # optional: backs view_image_sha1 point-gets
         # when the images relation scans a path, remembering it lets
         # refresh_from_source invalidate Spark's file-listing cache so a
@@ -223,7 +232,8 @@ class ImageSearchService:
             sha1_to_ids.setdefault(r["sha1"], []).append(int(r["id"]))
         svc = cls(spark, model, searcher, id_to_sha1, sha1_to_ids,
                   factory(), mode, images=images, source_path=source_path,
-                  fetcher=make_url_fetcher(path_root) if path_root else None)
+                  fetcher=make_url_fetcher(path_root) if path_root else None,
+                  model_factory=factory)
         if parallel:
             svc.enable_parallel_pool()
         return svc
@@ -316,7 +326,7 @@ class ImageSearchService:
                 )
             )
             new_images = new_images.join(indexed, "sha1", "left_anti")
-        ided = self._extract_ided(new_images, self.mode, type(self.q_model))
+        ided = self._extract_ided(new_images, self.mode, self.model_factory)
         # keep ids globally unique: continue after the current max id
         base = max(self.id_to_sha1, default=-1) + 1
         ided = ided.select(
@@ -458,7 +468,9 @@ class ImageSearchService:
             entry["SimilarFaces"] = sims
         return entry
 
-    def search_b64_list(self, b64s: list[str], opts: dict) -> dict:
+    def search_b64_list(
+        self, b64s: list[str], opts: dict, srcs_out: dict | None = None
+    ) -> dict:
         out = []
         for b in b64s:
             try:
@@ -469,7 +481,14 @@ class ImageSearchService:
                     "SimilarImages": _empty_similar(),
                 })
                 continue
-            out.append(self._entry_for_bytes(data, opts))
+            entry = self._entry_for_bytes(data, opts)
+            # srcs_out (view_similar support, review r13): record the
+            # already-decoded bytes like search_url_list does, so the HTML
+            # rendering never base64-decodes + hashes each item a second
+            # time
+            if srcs_out is not None and entry.get("QuerySha1"):
+                srcs_out[entry["QuerySha1"]] = (None, data)
+            out.append(entry)
         return {"images": out, "search_mode": self.mode}
 
     def search_url_list(
@@ -673,18 +692,29 @@ def _empty_similar() -> dict:
 _NUMERIC_OPTIONS = {"near_dup_th": float, "max_returned": int, "rerank_nb": int}
 
 
-def _parse_options(options_raw: str | None) -> tuple[dict, list[str]]:
+def _parse_options(options_raw) -> tuple[dict, list[str]]:
     """get_options_dict (api.py:192-215): bad JSON, unknown keys AND
     non-coercible numeric values append errors, never fail the request —
-    a bad value is dropped (the default applies) with an error entry."""
+    a bad value is dropped (the default applies) with an error entry.
+
+    Accepts a JSON string (form/query encodings) OR an already-decoded
+    dict (review r13: a JSON POST body {"data": ..., "options": {...}} —
+    the natural encoding — arrives as a dict; json.loads(dict) raised
+    TypeError and every option was silently dropped, forcing clients to
+    double-encode options as a JSON string inside JSON)."""
     errors: list[str] = []
     opts: dict = {}
     if options_raw:
-        try:
-            opts = json.loads(options_raw)
-        except Exception as inst:  # noqa: BLE001 — contract: report, not raise
-            errors.append(f"Could not load options from: {options_raw}. {inst}")
-            opts = {}
+        if isinstance(options_raw, dict):
+            opts = dict(options_raw)
+        else:
+            try:
+                opts = json.loads(options_raw)
+            except Exception as inst:  # noqa: BLE001 — contract: report, not raise
+                errors.append(
+                    f"Could not load options from: {options_raw}. {inst}"
+                )
+                opts = {}
         if not isinstance(opts, dict):
             errors.append(f"Options must be a JSON object, got: {options_raw}")
             opts = {}
@@ -773,12 +803,11 @@ def _view_similar_query_srcs(base_mode: str, data: str,
 
     srcs: dict[str, str] = {}
     if base_mode == "byB64":
-        for b in _split_url_list(data):
-            try:
-                raw = _decode_b64_item(b)
-            except Exception:  # noqa: BLE001 — bad items already error per-item
-                continue
-            srcs[_sha1_hex(raw)] = _data_uri(raw)
+        # reuse the bytes the SEARCH already decoded (srcs_out from
+        # search_b64_list, review r13) — previously every item was
+        # base64-decoded and hashed a second time here
+        for sha1, (_url, raw) in (fetched or {}).items():
+            srcs[sha1] = _data_uri(raw)
     elif base_mode == "byPATH":
         for sha1, (_url, raw) in (fetched or {}).items():
             srcs[sha1] = _data_uri(raw)
@@ -817,7 +846,9 @@ def _process(service: ImageSearchService, mode: str,
         # _split_url_list keeps data: URIs whole across their header comma;
         # search_b64_list answers (or per-item-errors) EVERY item — no
         # silent drops that would misalign a client's input/output zip
-        resp = service.search_b64_list(_split_url_list(data), opts)
+        resp = service.search_b64_list(
+            _split_url_list(data), opts, srcs_out=srcs_out
+        )
     elif mode == "bySHA1":
         resp = service.search_sha1_list(data.split(","), opts)
     elif mode in ("byURL", "byPATH"):

@@ -58,12 +58,20 @@ def refresh_codes(
     new_ids = [r["update_id"] for r in todo.select("update_id").distinct().collect()]
     if not new_ids:
         return []
+    # Encode each DISTINCT id once and re-attach DISTINCT (id, update_id)
+    # pairs (review r13): an id appearing in TWO pending updates previously
+    # encoded twice and the join fanned 2x2 — each update's partition got
+    # duplicate (cell, id) rows, which the batch search path (no per-row
+    # dedup, unlike ServingSearcher.add_codes) would double-count in top-k
+    # candidates. With the dedup, each (id, update_id) pair lands exactly
+    # one code row. Assumption (documented): an id's vector is stable
+    # across PENDING updates — a re-extraction should land after the prior
+    # update is indexed, which the ledger's completeness flow guarantees.
     codes = encode_dataframe(
-        spark, todo.select(id_col, vec_col, "update_id"), model,
+        spark, todo.select(id_col, vec_col).dropDuplicates([id_col]), model,
         id_col=id_col, vec_col=vec_col,
     )
-    # re-attach update_id: encode keeps (id -> codes); join back on id
-    keyed = todo.select(F.col(id_col).alias("id"), "update_id")
+    keyed = todo.select(F.col(id_col).alias("id"), "update_id").distinct()
     out = codes.join(keyed, "id")
     out.write.mode("append").partitionBy("update_id").parquet(codes_dir)
     return sorted(new_ids)

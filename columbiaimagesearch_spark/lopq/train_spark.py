@@ -279,8 +279,14 @@ def fit_spark(
     docstring for the aggregation layout."""
     first = vec_df.limit(1).collect()
     D = len(first[0]["v"])
-    if D % 2 or D % M or (D // 2) % (M // 2):
-        raise ValueError(f"D={D} must split into 2 halves and M={M} subvectors")
+    # M must be even and >= 2 (review r13): odd M passed the old guard
+    # (6%3 == 0, 3%1 == 0) and then built sub_bounds past D — an opaque
+    # zero-width-kmeans crash; M=1 hit ZeroDivisionError inside the guard.
+    if M < 2 or M % 2 or D % 2 or D % M or (D // 2) % (M // 2):
+        raise ValueError(
+            f"D={D} must split into 2 halves and M={M} even subvectors "
+            "(M >= 2, M % 2 == 0, D % M == 0)"
+        )
     half, spl = D // 2, M // 2
     vec_df = vec_df.select("id", "v").persist()
 

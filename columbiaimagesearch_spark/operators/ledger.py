@@ -115,7 +115,7 @@ batched AS (
 )
 SELECT 'index_update_' || event_type || '_' ||
          strftime(MIN(ts), '%Y-%m-%d') || '_' ||
-         lpad(CAST(batch_seq AS VARCHAR), 3, '0') AS update_id,
+         printf('%03d', batch_seq) AS update_id,
        event_type,
        batch_seq,
        CAST(COUNT(*) AS BIGINT) AS batch_size,
@@ -142,7 +142,10 @@ def st1_count_batch_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("_"),
             F.date_format(F.min("ts"), "yyyy-MM-dd"),
             F.lit("_"),
-            F.lpad(F.col("batch_seq").cast("string"), 3, "0"),
+            # %03d, not lpad (review r13): lpad TRUNCATES 4+-digit seqs in
+            # BOTH engines (Spark and DuckDB alike — the oracle could never
+            # catch the collision); format pads short and prints wide full
+            F.format_string("%03d", F.col("batch_seq").cast("int")),
         ).alias("update_id"),
         F.count(F.lit(1)).alias("batch_size"),
         F.min("event_id").alias("first_id"),

@@ -252,9 +252,14 @@ GROUP BY c.c_custkey, c.c_name
 def j1_keys_to_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
     orders = _t(spark, sf_dir, "orders")
+    # RIGHT outer with the keys on the broadcast-hinted LEFT (review r13):
+    # the old broadcast(cust).join(orders, 'left') hint was UNUSABLE —
+    # BroadcastHashJoin for LeftOuter can only build the right side, so at
+    # scale Catalyst fell back to shuffling the whole orders fact table
+    # (the tiny test orders side auto-broadcast as build-right and masked
+    # it). buildLeft IS legal for RightOuter, same result rows.
     return (
-        F.broadcast(cust)
-        .join(orders, cust.c_custkey == orders.o_custkey, "left")
+        orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey, "right")
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("order_count"),

@@ -205,17 +205,30 @@ class KinesisStreamEmulator:
                 "data",
             )
         )
-        out.write.mode("append").partitionBy("shard_id").parquet(
-            _records_dir(self.stream_dir)
-        )
-        # advance the service-side sequence counters (O(shards) driver work)
-        counts = {
-            r["shard_id"]: int(r["n"])
-            for r in out.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        for sh, n in counts.items():
-            meta["next_seq"][sh] = base[sh] + n
-        self._write_meta(meta)
+        # RESERVE the sequence range before writing records (review r13):
+        # a crash between the records write and the meta write previously
+        # REUSED sequence numbers on the next put — a consumer whose
+        # committed cursor had passed them permanently skipped the new
+        # records. Reserving first turns the same crash into a harmless
+        # sequence GAP (cursor readers just see nothing at those seqs).
+        # The persist also lets the counts job and the write share one
+        # computation instead of re-running the route+window lineage.
+        out = out.persist()
+        try:
+            counts = {
+                r["shard_id"]: int(r["n"])
+                for r in out.groupBy("shard_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            for sh, n in counts.items():
+                meta["next_seq"][sh] = base[sh] + n
+            self._write_meta(meta)
+            out.write.mode("append").partitionBy("shard_id").parquet(
+                _records_dir(self.stream_dir)
+            )
+        finally:
+            out.unpersist()
         return sum(counts.values())
 
     def records(self, spark: SparkSession) -> DataFrame:
@@ -339,20 +352,37 @@ def run_ingest_kinesis(
         .alias("_corrupt_record"),
     )
     rows = normalize_messages(msgs)
+    prefix = f"index_update_{extr_type}_{date_str}_"
+    seq0 = 0
     if os.path.isdir(images_dir) and any(
         f.endswith(".parquet") for f in os.listdir(images_dir)
     ):
-        claimed = spark.read.parquet(images_dir).select("sha1")
-        rows = rows.join(claimed, "sha1", "left_anti")
-
-    seq0 = 0
-    if os.path.isdir(updates_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(updates_dir)
-    ):
-        prefix = f"index_update_{extr_type}_{date_str}_"
+        claimed = spark.read.parquet(images_dir)
+        # Claim check, scale-shaped (review r13): the naive
+        # rows.join(claimed, anti) must BUILD the big claimed side
+        # (LeftAnti builds right), so at scale every poll sweep shuffled
+        # the whole claimed-images corpus. Instead semi-join the big table
+        # against the BROADCAST sweep keys (images side streams, never
+        # shuffles) to get the tiny already-claimed intersection, then
+        # anti-join the sweep against that — both builds are sweep-sized.
+        sweep_keys = rows.select("sha1")
+        claimed_hit = claimed.select("sha1").join(
+            F.broadcast(sweep_keys), "sha1", "left_semi"
+        )
+        rows = rows.join(F.broadcast(claimed_hit), "sha1", "left_anti")
+        # seq0 counts update ids on the CLAIM table — the commit point —
+        # not the updates ledger (review r13): deriving it from the ledger
+        # meant a crash between the updates append and the claims append
+        # re-batched the replayed sweep under NEW ids (seq0 had already
+        # counted the orphans) and the ledger permanently held two updates
+        # covering the same sha1s. Counted off the claims, a replay
+        # regenerates the SAME deterministic ids (same unclaimed rows,
+        # same global index, same batch cuts) and the ledger anti-join
+        # below skips the rows the crashed attempt already appended.
         seq0 = (
-            spark.read.parquet(updates_dir)
-            .where(F.col("update_id").startswith(prefix))
+            claimed.where(F.col("update_id").startswith(prefix))
+            .select("update_id")
+            .distinct()
             .count()
         )
 
@@ -379,24 +409,37 @@ def run_ingest_kinesis(
                 F.collect_list(F.struct("sha1", "s3_url"))
             ).alias("items")
         )
+        # format_string, not lpad (review r13): Spark's lpad TRUNCATES a
+        # string longer than len, so batch 1000 collided with batch 100
+        # once a (type, date) accumulated 1000 batches; %03d pads short
+        # values and prints wide ones in full.
+        uid = F.concat(
+            F.lit(prefix),
+            F.format_string("%03d", (F.col("bno") + seq0).cast("int")),
+        )
         updates = batches.select(
-            F.concat(
-                F.lit(f"index_update_{extr_type}_{date_str}_"),
-                F.lpad((F.col("bno") + seq0).cast("string"), 3, "0"),
-            ).alias("update_id"),
+            uid.alias("update_id"),
             F.lit(extr_type).alias("extr_type"),
             F.col("items.sha1").alias("sha1s"),
             F.size("items").alias("batch_size"),
             F.current_timestamp().alias("created"),
         )
+        if os.path.isdir(updates_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(updates_dir)
+        ):
+            # crash-replay reconciliation (see seq0 note above): ids this
+            # batching regenerates deterministically are skipped if a
+            # crashed attempt already appended them — the ledger converges
+            # to exactly one row per update_id (ST2)
+            existing = (
+                spark.read.parquet(updates_dir).select("update_id").distinct()
+            )
+            updates = updates.join(F.broadcast(existing), "update_id", "left_anti")
         updates.write.mode("append").parquet(updates_dir)
         cut.select(
             "sha1",
             "s3_url",
-            F.concat(
-                F.lit(f"index_update_{extr_type}_{date_str}_"),
-                F.lpad((F.col("bno") + seq0).cast("string"), 3, "0"),
-            ).alias("update_id"),
+            uid.alias("update_id"),
         ).write.mode("append").parquet(images_dir)
     finally:
         cut.unpersist()

@@ -57,7 +57,14 @@ def test_multiget_broadcasts(spark):
 
 
 def test_keys_join_broadcasts(spark):
-    explain.assert_broadcast_join(_q(spark, "j1_keys_to_rows"))
+    df = _q(spark, "j1_keys_to_rows")
+    explain.assert_broadcast_join(df)
+    # the BUILD side must be the hinted keys dim (review r13: a broadcast
+    # hint on the left of a LeftOuter is unusable — the tiny test fact
+    # side auto-broadcast and masked it; the RightOuter+BuildLeft shape is
+    # the one that survives a 100 TB orders side)
+    plan = explain.formatted_plan(df)
+    assert "BuildLeft" in plan and "RightOuter" in plan, plan
 
 
 def test_cell_semi_join_broadcasts(spark):
