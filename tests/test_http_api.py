@@ -119,6 +119,20 @@ def test_post_form_and_json_bodies(spark, domain_images, server):
     with urllib.request.urlopen(urllib.request.Request(url, data=b"")) as r:
         assert json.loads(r.read()) == {"error": "no data received"}
 
+    # JSON body with a NATIVE options dict (review r13: json.loads(dict)
+    # raised TypeError and every option was silently dropped — clients
+    # had to double-encode options as a JSON string inside JSON)
+    req = urllib.request.Request(
+        url,
+        data=json.dumps({"data": b64, "options": {"max_returned": 1}}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        opt_out = json.loads(r.read())
+    assert "errors" not in opt_out  # the dict options parsed cleanly
+    sims = opt_out["images"][0]["SimilarImages"]
+    assert sims["NumberImages"] == len(sims["ImageSha1s"]) == 1  # applied
+
 
 def test_status_and_unknown_mode(server, service):
     st = _get(server, "status")

@@ -292,3 +292,58 @@ def test_ingest_end_to_end_across_reshard(spark, stream, tmp_path):
     assert run_ingest_kinesis(
         spark, stream, infos, ledger, batch_size=25, date_str="2024-03-02"
     ) == 0
+
+
+def test_ingest_converges_after_crash_between_ledger_writes(spark, stream, tmp_path):
+    """Review r13: a crash AFTER the updates append but BEFORE the images
+    claim append previously re-batched the replayed sweep under NEW
+    update ids (seq0 counted the orphaned ledger rows), leaving two
+    updates covering the same sha1s forever. seq0 now counts ids on the
+    CLAIM table and the deterministic replay ids anti-join away — the
+    ledger converges to exactly one update row per id (ST2)."""
+    import shutil
+
+    infos = str(tmp_path / "shard_infos.json")
+    ledger = str(tmp_path / "ledger")
+    stream.put_records(_img_msgs(spark, 0, 40), "key", "data")
+    stale = str(tmp_path / "stale.json")
+
+    assert run_ingest_kinesis(
+        spark, stream, infos, ledger, batch_size=20, date_str="2024-04-01"
+    ) == 40
+    shutil.copy(infos, stale)
+
+    # simulate the crash window: updates for the NEXT sweep landed but the
+    # claims (and the cursor commit) did not — run a sweep, then delete the
+    # claim rows it wrote and restore the cursor
+    stream.put_records(_img_msgs(spark, 40, 60), "key", "data")
+    assert run_ingest_kinesis(
+        spark, stream, infos, ledger, batch_size=20, date_str="2024-04-01"
+    ) == 20
+    import glob
+    import os
+
+    images_files = sorted(glob.glob(f"{ledger}/images/*.parquet"), key=os.path.getmtime)
+    kept = spark.read.parquet(f"{ledger}/images").where(
+        ~F.col("update_id").isin(["index_update_toy_feat_full_image_2024-04-01_002"])
+    )
+    pdf = kept.toPandas()
+    for f in images_files:
+        os.remove(f)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{ledger}/images")
+    shutil.copy(stale, infos)  # cursor never committed either
+
+    # replay: the sweep redelivers records 40..59; the orphaned update row
+    # for batch 002 already exists — convergence means NO duplicate
+    # coverage and the claims complete
+    assert run_ingest_kinesis(
+        spark, stream, infos, ledger, batch_size=20, date_str="2024-04-01"
+    ) == 20
+    updates = spark.read.parquet(f"{ledger}/updates")
+    ex = updates.select("update_id", F.explode("sha1s").alias("sha1"))
+    # every sha1 covered by exactly ONE update row (no duplicate batches)
+    assert ex.count() == 60
+    assert ex.select("sha1").distinct().count() == 60
+    assert updates.select("update_id").distinct().count() == updates.count()
+    images = spark.read.parquet(f"{ledger}/images")
+    assert images.count() == 60 and images.select("sha1").distinct().count() == 60

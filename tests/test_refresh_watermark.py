@@ -152,3 +152,30 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert len(w10_rows) == 1, f"10:00 window rows: {w10_rows}"
     assert w10_rows[0]["n"] == 2
     assert w10_rows[0]["total_value"] == pytest.approx(3.0)
+
+
+def test_refresh_one_code_row_per_id_update_pair(spark, model, tmp_path):
+    """Review r13: an id appearing in TWO pending updates previously
+    encoded twice and the re-attach join fanned 2x2, writing duplicate
+    (cell, id) rows into BOTH partitions — double-counted by the batch
+    search's top-k (it has no per-row dedup). Now each (id, update_id)
+    pair lands exactly one code row."""
+    codes_dir = str(tmp_path / "codes")
+    overlap = _features(spark, 0, 30, "upd_a").unionByName(
+        _features(spark, 20, 50, "upd_b")
+    )
+    added = refresh.refresh_codes(spark, codes_dir, overlap, model)
+    assert sorted(added) == ["upd_a", "upd_b"]
+    snap = refresh.serving_snapshot(spark, codes_dir)
+    per_pair = (
+        snap.groupBy("update_id", "id").count().where(F.col("count") > 1)
+    )
+    assert per_pair.count() == 0  # no duplicates within any partition
+    # overlap ids appear once in EACH of the two updates
+    both = (
+        snap.where((F.col("id") >= 20) & (F.col("id") < 30))
+        .groupBy("id")
+        .agg(F.countDistinct("update_id").alias("n_upd"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r["n_upd"] == 2 and r["n"] == 2 for r in both)

@@ -110,3 +110,17 @@ def test_pca_then_lopq_composition(spark, vec_data):
     coarse, fine = model.encode(Y)
     assert coarse.shape == (len(X), 2) and fine.shape == (len(X), 2)
     assert set(model.cell_id(coarse)) <= set(range(4))
+
+
+def test_fit_spark_rejects_odd_or_tiny_m(spark, vec_data):
+    """Review r13: odd M passed the old dimension guard and crashed
+    opaquely building out-of-range sub_bounds; M=1 hit ZeroDivisionError
+    inside the guard itself. Both now refuse with the contract error."""
+    import pytest
+
+    from columbiaimagesearch_spark.lopq.train_spark import fit_spark
+
+    df, _X = vec_data
+    for bad_m in (1, 3):
+        with pytest.raises(ValueError, match="subvectors"):
+            fit_spark(df, V=4, M=bad_m, K=8, n_iter=2, init_sample=200)
