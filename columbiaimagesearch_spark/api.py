@@ -21,7 +21,7 @@ import numpy as np
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .lopq.queries import QUOTA, codes_df, fixture_model
+from .lopq.queries import codes_df, fixture_model
 from .lopq.search import search
 from .sources import load_table
 
@@ -45,7 +45,11 @@ def similarity_search(
     (searcher_lopqhbase.py:838)."""
     model = fixture_model(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    quota = min(1000 * max_returned, 10000, QUOTA * max(1, max_returned // 10))
+    # exactly the documented reference formula (review r13: a leftover
+    # third term QUOTA*max(1, max_returned//10) always dominated — 300 vs
+    # the documented 10000 — silently cutting the candidate pool ~33x for
+    # every caller of this public surface)
+    quota = min(1000 * max_returned, 10000)
     res = search(
         spark,
         codes_df(spark, sf_dir),
@@ -148,6 +152,13 @@ def search_by_image(
         np.asarray(r["v"], dtype=np.float64)
         for r in ided.orderBy("id").limit(20000).collect()
     ]
+    if not sample:
+        # zero successful extractions (face mode can detect no faces on a
+        # small corpus; every row may carry the failed marker) — return
+        # the empty-result shape instead of crashing LOPQModel.fit on an
+        # empty array (review r13), and release the pin
+        ided.unpersist()
+        return {name: {} for name, _ in query_images}
     model = LOPQModel.fit(np.array(sample), **params)
     codes = encode_dataframe(spark, ided, model, id_col="id", vec_col="v")
 
@@ -189,6 +200,11 @@ def search_by_image(
         .collect()
     )
     ided.unpersist()
+    # lopq_search persisted `codes` (it had no cache of its own); the
+    # collect above consumed the result, so release the entry here — a
+    # service calling search_by_image repeatedly otherwise accumulates one
+    # full cached codes relation per call (review r13)
+    codes.unpersist()
     by_qid: dict[int, list] = {}
     for r in resolved:
         by_qid.setdefault(int(r["qid"]), []).append(r)

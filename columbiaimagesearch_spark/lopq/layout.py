@@ -95,6 +95,24 @@ def write_codes_partitioned(
     row-group-pruning granularity knob (smaller groups = finer pruning,
     more footer overhead; the default engine setting is fine in
     production, tests shrink it to prove multi-row-group pruning)."""
+    # ONE materialization serves the data write AND the histogram (review
+    # r13): unpersisted, the sidecar agg re-ran the full input lineage
+    # after the write — a second full scan/encode at the 100 TB design
+    # point, and a NON-DETERMINISTIC input (a fresh sample/encode) could
+    # commit a sidecar that diverges from the data files it counts.
+    codes = codes.persist()
+    try:
+        _write_codes_partitioned_inner(codes, path, bucket_cells, row_group_bytes)
+    finally:
+        codes.unpersist()
+
+
+def _write_codes_partitioned_inner(
+    codes: DataFrame,
+    path: str,
+    bucket_cells: int | None,
+    row_group_bytes: int | None,
+) -> None:
     if bucket_cells:
         # the in-partition sort MUST lead with the partitionBy column:
         # FileFormatWriter demands its input ordered by the partition
@@ -198,6 +216,15 @@ def search_from_layout(
     from .model import LOPQModelPCA
     from .search import _execute_probe, _plan_probe
 
+    if rerank_nb and rerank_nb < k:
+        # same contract as search() (review r13): the shortlist caps the
+        # per-query result count, so this would silently return fewer
+        # than k rows
+        raise ValueError(
+            f"rerank_nb={rerank_nb} < k={k}: the rerank shortlist must be "
+            "at least as large as the requested top-k (raise rerank_nb or "
+            "disable rerank)"
+        )
     if isinstance(model, LOPQModelPCA):
         queries = [(qid, model.project_queries(q)[0]) for qid, q in queries]
         model = model.lopq
@@ -296,20 +323,26 @@ def append_codes_to_layout(
     # merge base: the PRE-append snapshot (exact under single-writer), so
     # the final overwrite is correct even if a reader rebuilds mid-append
     merged = read_cell_histogram(spark, path)
-    if bucket_cells:
-        out = (
-            codes_new.withColumn("cell_bucket", F.col("cell") % bucket_cells)
-            .repartition("cell_bucket")
-            .sortWithinPartitions("cell_bucket", "cell")
-        )
-        part_col = "cell_bucket"
-    else:
-        out, part_col = codes_new, "cell"
-    inc = codes_new.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
-    writer = out.write.mode("append")
-    if row_group_bytes:
-        writer = writer.option("parquet.block.size", str(int(row_group_bytes)))
-    writer.partitionBy(part_col).parquet(path)
+    # one materialization serves the histogram increment AND the data
+    # write (review r13 — same rationale as write_codes_partitioned)
+    codes_new = codes_new.persist()
+    try:
+        if bucket_cells:
+            out = (
+                codes_new.withColumn("cell_bucket", F.col("cell") % bucket_cells)
+                .repartition("cell_bucket")
+                .sortWithinPartitions("cell_bucket", "cell")
+            )
+            part_col = "cell_bucket"
+        else:
+            out, part_col = codes_new, "cell"
+        inc = codes_new.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        writer = out.write.mode("append")
+        if row_group_bytes:
+            writer = writer.option("parquet.block.size", str(int(row_group_bytes)))
+        writer.partitionBy(part_col).parquet(path)
+    finally:
+        codes_new.unpersist()
     for r in inc:
         merged[int(r["cell"])] = merged.get(int(r["cell"]), 0) + int(r["n"])
     spark.createDataFrame(

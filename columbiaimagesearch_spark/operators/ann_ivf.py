@@ -36,13 +36,15 @@ N_PROBE = twin.IVF_PROBE  # probes 6/16 cells; recall@10 ~0.74 on the weakly-clu
 TOP_K = twin.TOP_K
 N_QUERIES = twin.N_QUERIES
 
-_CENTROID_CACHE: dict[tuple[str, int], np.ndarray] = {}
+_CENTROID_CACHE: dict[tuple[str, int, int], np.ndarray] = {}
 
 
 def train_centroids(
     spark: SparkSession, sf_dir: str, k: int = N_CELLS, sample_limit: int = 20000
 ) -> np.ndarray:
-    key = (sf_dir, k)
+    # sample_limit is part of the key (review r13): it changes the trained
+    # centroids, so omitting it served stale centroids to a caller varying it
+    key = (sf_dir, k, sample_limit)
     if key not in _CENTROID_CACHE:
         rows = (
             load_table(spark, sf_dir, "embeddings")

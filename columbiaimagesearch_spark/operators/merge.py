@@ -27,8 +27,12 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources import load_table
 
-# Insert keys are offset far past any real orderkey so update and insert
-# populations can't collide.
+# Insert keys are offset past any real orderkey so update and insert
+# populations can't collide. SF bound (review r13): TPC-H orderkeys run to
+# ~6M*SF (sparse 4x), so 100M is disjoint only below ~sf4 — fine for this
+# fixture-keyed driver spec (sf <= 0.1; the DuckDB oracle does the same
+# arithmetic). A real MERGE workload derives its insert keys from the
+# source system, not an offset.
 INSERT_KEY_OFFSET = 100_000_000
 
 

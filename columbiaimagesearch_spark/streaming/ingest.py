@@ -128,9 +128,23 @@ def observe_messages(stream: DataFrame, name: str = "ingest_metrics") -> DataFra
     )
 
 
-def normalize_messages(stream: DataFrame) -> DataFrame:
+def normalize_messages(stream: DataFrame, prefer_url: bool = False) -> DataFrame:
     """Valid messages -> one row per sha1 (single or list messages), sha1
-    uppercased, dupes within the frame dropped (ST4 first tier)."""
+    uppercased, dupes within the frame dropped (ST4 first tier).
+
+    Hardening (review r13): a NULL element inside ``list_sha1s`` is
+    dropped — it previously survived the explode (schema-valid message,
+    null join keys never match the claim anti-join) and crashed the
+    stateful batcher's sort or was re-claimed forever.
+
+    ``prefer_url=True`` (BATCH callers only — the kinesis sweep): when
+    the same sha1 arrives both as a single message (with s3_url) and
+    inside another message's list (without), keep the s3_url-bearing
+    row deterministically via a max-struct agg — plain dropDuplicates
+    picks an arbitrary winner and could permanently record NULL for a
+    URL that was delivered. The default stays dropDuplicates because
+    the STREAMING call sites feed applyInPandasWithState, which cannot
+    follow a streaming aggregation."""
     valid = stream.where(F.col("_corrupt_record").isNull())
     singles = valid.where(F.col("sha1").isNotNull()).select(
         F.upper("sha1").alias("sha1"), "s3_url", "img_info"
@@ -138,13 +152,23 @@ def normalize_messages(stream: DataFrame) -> DataFrame:
     lists = (
         valid.where(F.col("list_sha1s").isNotNull())
         .select(F.explode("list_sha1s").alias("sha1"))
+        .where(F.col("sha1").isNotNull())
         .select(
             F.upper("sha1").alias("sha1"),
             F.lit(None).cast("string").alias("s3_url"),
             F.lit(None).cast(IMAGE_MSG_SCHEMA["img_info"].dataType).alias("img_info"),
         )
     )
-    return singles.unionByName(lists).dropDuplicates(["sha1"])
+    both = singles.unionByName(lists)
+    if prefer_url:
+        # max of the struct sorts NULL url first under struct ordering, so
+        # the url-bearing row wins; ties break on the url value itself
+        return (
+            both.groupBy("sha1")
+            .agg(F.max(F.struct("s3_url", "img_info")).alias("_best"))
+            .select("sha1", "_best.s3_url", "_best.img_info")
+        )
+    return both.dropDuplicates(["sha1"])
 
 
 @dataclass
@@ -226,6 +250,26 @@ class IngestLedger:
         self.date_str = date_str or time.strftime("%Y-%m-%d")
         self.images_dir = os.path.join(ledger_dir, "images")
         self.updates_dir = os.path.join(ledger_dir, "updates")
+        # Seed the mint counter from the CLAIM table (review r13): a fresh
+        # process previously restarted seqs at 0 and re-minted ids that
+        # already existed in the ledger from an earlier session on the same
+        # (type, date) — duplicate update_ids over different content. The
+        # images table is the commit point, so counting its distinct ids
+        # also makes a crash-window replay re-mint the SAME id (the
+        # kinesis-twin idiom), which the _emit guard below resolves.
+        if os.path.isdir(self.images_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(self.images_dir)
+        ):
+            prefix = f"index_update_{self.extr_type}_{self.date_str}_"
+            n = (
+                self.spark.read.parquet(self.images_dir)
+                .where(F.col("update_id").startswith(prefix))
+                .select("update_id")
+                .distinct()
+                .count()
+            )
+            if n:
+                self.batcher.seqs[f"{self.extr_type}_{self.date_str}"] = n
 
     # -- claim check (J3 stream-static anti-join) --------------------------
     def _unclaimed(self, batch_df: DataFrame) -> DataFrame:
@@ -250,28 +294,54 @@ class IngestLedger:
         """Emit the trailing partial batch (max-delay expiry at shutdown)."""
         self._emit(self.batcher.flush())
 
+    def _existing_update_ids(self) -> set[str]:
+        if os.path.isdir(self.updates_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(self.updates_dir)
+        ):
+            return {
+                r["update_id"]
+                for r in self.spark.read.parquet(self.updates_dir)
+                .select("update_id")
+                .distinct()
+                .collect()
+            }
+        return set()
+
     def _emit(self, batches: list[list[tuple]]) -> None:
+        # Write order + guard (review r13): the UPDATES row lands first,
+        # skipped if its id already exists (a crash-window replay re-mints
+        # the same id — see the seqs seeding in __init__), and the images
+        # CLAIM lands last as the commit point. The old images-first order
+        # lost the updates row forever on a crash between the writes (the
+        # claim blocked re-emission). Residual caveat, documented: this
+        # driver-buffered sink can lose its pending carry across a crash
+        # (rows from already-committed triggers), so an orphaned update's
+        # membership is authoritative over a differently-cut replay —
+        # run_ingest_stateful (state-store batching) is the crash-safe
+        # primary path.
+        existing = self._existing_update_ids() if batches else set()
         for batch in batches:
             if not batch:
                 continue
             update_id = self.batcher.mint(self.extr_type, self.date_str)
+            if update_id not in existing:
+                self.spark.createDataFrame(
+                    [
+                        (
+                            update_id,
+                            self.extr_type,
+                            [sha1 for sha1, _ in batch],
+                            len(batch),
+                        )
+                    ],
+                    "update_id string, extr_type string, sha1s array<string>, batch_size int",
+                ).withColumn("created", F.current_timestamp()).write.mode(
+                    "append"
+                ).parquet(self.updates_dir)
             img_rows = [(sha1, url, update_id) for sha1, url in batch]
             self.spark.createDataFrame(
                 img_rows, "sha1 string, s3_url string, update_id string"
             ).write.mode("append").parquet(self.images_dir)
-            self.spark.createDataFrame(
-                [
-                    (
-                        update_id,
-                        self.extr_type,
-                        [sha1 for sha1, _ in batch],
-                        len(batch),
-                    )
-                ],
-                "update_id string, extr_type string, sha1s array<string>, batch_size int",
-            ).withColumn("created", F.current_timestamp()).write.mode(
-                "append"
-            ).parquet(self.updates_dir)
 
 
 class StatefulLedgerSink:
@@ -291,15 +361,32 @@ class StatefulLedgerSink:
         self.images_dir = os.path.join(ledger_dir, "images")
         self.updates_dir = os.path.join(ledger_dir, "updates")
 
+    def _minus_existing(self, df: DataFrame, table_dir: str) -> DataFrame:
+        """Drop rows whose update_id a previous (crashed, replayed) attempt
+        already appended to ``table_dir`` — foreachBatch is at-least-once
+        and the state-store batcher re-emits the SAME deterministic
+        update_ids on replay (state is versioned with the checkpoint), so
+        per-table id guards make the appends converge exactly (review r13:
+        replays previously duplicated rows in whichever tables the crashed
+        attempt had reached)."""
+        if os.path.isdir(table_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(table_dir)
+        ):
+            existing = (
+                self.spark.read.parquet(table_dir).select("update_id").distinct()
+            )
+            return df.join(F.broadcast(existing), "update_id", "left_anti")
+        return df
+
     def process_batch(self, bdf: DataFrame, batch_id: int) -> None:
         bdf = bdf.persist()
         try:
-            bdf.select(
+            self._minus_existing(bdf, self.updates_dir).select(
                 "update_id", "extr_type", "sha1s", "batch_size"
             ).withColumn("created", F.current_timestamp()).write.mode(
                 "append"
             ).parquet(self.updates_dir)
-            bdf.select(
+            self._minus_existing(bdf, self.images_dir).select(
                 "update_id",
                 F.explode(F.arrays_zip("sha1s", "s3_urls")).alias("z"),
             ).select(

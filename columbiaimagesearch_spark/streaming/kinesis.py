@@ -351,7 +351,7 @@ def run_ingest_kinesis(
         .otherwise(F.lit(None))
         .alias("_corrupt_record"),
     )
-    rows = normalize_messages(msgs)
+    rows = normalize_messages(msgs, prefer_url=True)
     prefix = f"index_update_{extr_type}_{date_str}_"
     seq0 = 0
     if os.path.isdir(images_dir) and any(
