@@ -249,21 +249,6 @@ def subquantizer_distortion(
     return out
 
 
-def subquantizer_distortion_rows(
-    vec_df: DataFrame,
-    model: LOPQModel,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> list[tuple[int, int, float]]:
-    """[(m, n, mean_distortion)] rendering of
-    :func:`subquantizer_distortion` for the driver row — the mean is
-    rounded to 4 decimals (partition-order float sums, same discipline as
-    a3_residual_moments)."""
-    n = vec_df.count()
-    dist = subquantizer_distortion(vec_df, model, id_col, vec_col)
-    return [(m, n, round(float(v), 4)) for m, v in enumerate(dist)]
-
-
 def model_pass_stats(
     vec_df: DataFrame,
     model: LOPQModel,

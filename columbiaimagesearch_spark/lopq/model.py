@@ -63,14 +63,22 @@ def kmeans(
             assign = new_assign
             break
         assign = new_assign
+        dmin = None
         for c in range(k):
             mask = assign == c
             if mask.any():
                 centers[c] = X[mask].mean(axis=0)
             else:
-                # deterministic reseed: farthest point from its center
-                far = d.min(axis=1).argmax()
+                # deterministic reseed: farthest point from its center.
+                # dmin is knocked out per pick (review r13): two clusters
+                # going empty in ONE iteration previously both reseeded to
+                # the SAME farthest point — duplicate centroids, one code
+                # permanently dead (argmin ties take the lower index).
+                if dmin is None:
+                    dmin = d.min(axis=1).copy()
+                far = int(dmin.argmax())
                 centers[c] = X[far]
+                dmin[far] = -np.inf
     # final re-assignment against the returned centers (predict-after-fit,
     # reference model.py fit idiom): when the loop exhausts n_iter without
     # converging, the last center update would otherwise leave assignments
@@ -162,8 +170,14 @@ class LOPQModel:
     ) -> "LOPQModel":
         X = np.asarray(X, dtype=np.float64)
         n, D = X.shape
-        if D % 2 or D % M or (D // 2) % (M // 2):
-            raise ValueError(f"D={D} must split into 2 halves and M={M} subvectors")
+        # same contract as train_spark.fit_spark (review r13): odd M passed
+        # the modular guard and crashed deep in training; M=1 divided by zero
+        # inside the guard expression itself
+        if M < 2 or M % 2 or D % 2 or D % M or (D // 2) % (M // 2):
+            raise ValueError(
+                f"D={D} must split into 2 halves and M={M} even subvectors "
+                "(M >= 2, M % 2 == 0, D % M == 0)"
+            )
         half = D // 2
         spl = M // 2
         Cs = np.empty((2, V, half))

@@ -32,6 +32,27 @@ RERANK_NB = twin.RERANK_NB
 _MODEL_CACHE: dict[str, LOPQModel] = {}
 
 
+_QUERIES_CACHE: dict[str, list] = {}
+
+
+def fixture_queries(spark: SparkSession, sf_dir: str) -> list[tuple[int, "np.ndarray"]]:
+    """The fixture query set — vec_id < N_QUERIES, memoized per sf_dir
+    like fixture_model (review r13: four builders repeated the same
+    two-line collect verbatim, each re-running the job per registered
+    query and each a drift point for the selection rule)."""
+    if sf_dir not in _QUERIES_CACHE:
+        q_rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        _QUERIES_CACHE[sf_dir] = [
+            (int(r["vec_id"]), np.array(r["embedding"])) for r in q_rows
+        ]
+    return _QUERIES_CACHE[sf_dir]
+
+
 def fixture_model(spark: SparkSession, sf_dir: str) -> LOPQModel:
     """Train (once per sf_dir) the fixture LOPQ model on the embeddings
     table. Training collects a bounded sample to the driver — the
@@ -120,9 +141,7 @@ def lopq_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lopq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = fixture_model(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    q_rows = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
-    queries = [(int(r["vec_id"]), np.array(r["embedding"])) for r in q_rows]
+    queries = fixture_queries(spark, sf_dir)
     return search(
         spark, codes_df(spark, sf_dir), model, queries, quota=QUOTA, k=TOP_K
     )
@@ -149,8 +168,7 @@ def a5_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     model = fixture_model(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    q_rows = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
-    queries = [(int(r["vec_id"]), np.array(r["embedding"])) for r in q_rows]
+    queries = fixture_queries(spark, sf_dir)
     approx = search(
         spark, codes_df(spark, sf_dir), model, queries, quota=QUOTA, k=TOP_K
     ).select("qid", "rank", "id")
@@ -393,10 +411,8 @@ def pca_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lopq_pca_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pm = pca_fixture_model(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
     codes = pca_codes_df(spark, sf_dir)
-    q_rows = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
-    queries = [(int(r["vec_id"]), np.array(r["embedding"])) for r in q_rows]
+    queries = fixture_queries(spark, sf_dir)
     return search(spark, codes, pm, queries, quota=twin.PCA_QUOTA, k=TOP_K)
 
 
@@ -413,8 +429,7 @@ def lopq_pca_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lopq_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = fixture_model(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    q_rows = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
-    queries = [(int(r["vec_id"]), np.array(r["embedding"])) for r in q_rows]
+    queries = fixture_queries(spark, sf_dir)
     return search(
         spark,
         codes_df(spark, sf_dir),

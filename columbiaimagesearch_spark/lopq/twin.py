@@ -174,26 +174,13 @@ def _search_rows(
 
 
 def lopq_encode_codes_sql(sf_dir: str) -> str:
+    # composed from the shared row/column renderers (review r13: this was
+    # a verbatim copy of _codes_rows/_CODES_COLS — a schema tweak applied
+    # to one desynchronized the two codes oracles)
     st = _state(sf_dir)
-    rows = [
-        (
-            int(i),
-            int(c[0]),
-            int(c[1]),
-            int(cell),
-            ",".join(str(int(x)) for x in f),
-        )
-        for i, c, cell, f in zip(st["ids"], st["coarse"], st["cells"], st["fine"])
-    ]
     return _values_sql(
-        rows,
-        [
-            ("id", "BIGINT"),
-            ("c1", "INTEGER"),
-            ("c2", "INTEGER"),
-            ("cell", "INTEGER"),
-            ("fine_csv", "VARCHAR"),
-        ],
+        _codes_rows(st["ids"], st["coarse"], st["cells"], st["fine"]),
+        _CODES_COLS,
     )
 
 

@@ -40,7 +40,13 @@ _CENTROID_CACHE: dict[tuple[str, int, int], np.ndarray] = {}
 
 
 def train_centroids(
-    spark: SparkSession, sf_dir: str, k: int = N_CELLS, sample_limit: int = 20000
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = N_CELLS,
+    # from the twin, not hardcoded (review r13): SAMPLE_LIMIT is documented
+    # as the single source of truth; a hardcoded 20000 here would desync
+    # the builder from the twin's centroids the moment anyone tuned it
+    sample_limit: int = twin.SAMPLE_LIMIT,
 ) -> np.ndarray:
     # sample_limit is part of the key (review r13): it changes the trained
     # centroids, so omitting it served stale centroids to a caller varying it

@@ -45,7 +45,11 @@ def windowed_event_agg(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # +1e-9 before the 4dp round, exactly like the batch twin
+            # (w_tumbling_event_agg): without the nudge a mean within 1e-9
+            # of a half boundary rounds differently per side and breaks
+            # the stream-converges-to-batch contract (review r13)
+            F.round(F.avg("value") + F.lit(1e-9), 4).alias("avg_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
