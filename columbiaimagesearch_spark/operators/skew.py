@@ -29,9 +29,16 @@ def salted_count_sum(
 ) -> DataFrame:
     """groupBy(key).agg(count, sum(value)) with a salt-spray first phase.
 
-    The salt derives from a row-level column hash (deterministic, no rand()
-    so replays/retries are stable)."""
-    salt: Column = F.pmod(F.hash(F.col(value)), F.lit(n_salts))
+    The salt is the physical partition id folded into ``n_salts`` (review
+    r13): the previous value-column hash collapsed to ONE salt whenever a
+    hot key's rows carried a constant/low-cardinality value — exactly the
+    single-hot-key case this op exists to spread — while the partition id
+    spreads any key by where its rows physically live, and stays
+    deterministic under task retry (a retried task keeps its partition
+    id; no rand()). Count/sum are algebraic, so the regrouped partials
+    merge to the identical result (integral values exactly; float sums to
+    the same 4dp the oracle pins)."""
+    salt: Column = F.pmod(F.spark_partition_id(), F.lit(n_salts))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")
