@@ -162,11 +162,9 @@ def cached_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     survey_ops=("V8", "J6", "T1", "V12"),
-    # Folded r8 after its r7 re-verification (VERDICT r7 next-round #5):
-    # V8 stays driver-green on lopq_encode_codes, J6 on lopq_search_topk,
-    # T1 on t1_distance_topk (rotated back in exchange), V12 on
-    # ann_cosine_topk.
-    driver=False,
+    # Rotated back driver-visible r14 (folded r8 — oldest fold by three
+    # rounds; VERDICT r13 next-round item 1). Slot freed by folding
+    # emb_near_dup_pairs after its fresh r13 green row.
     doc=f"IVF ANN: {N_CELLS}-cell inverted file (driver-sample k-means, "
     f"mapInPandas assign), probe {N_PROBE} nearest cells per query, exact "
     "rank within. Oracle: NumPy twin (lopq/twin.py) — elementwise exact "

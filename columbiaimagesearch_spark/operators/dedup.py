@@ -153,10 +153,11 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard_pairs",
     survey_ops=("DEDUP-ngram", "F9"),
-    # Rotated back driver-visible r13 (folded r6; VERDICT r12 next-round
-    # item 1: the r6 folds re-earn a hash-checked row). DEDUP-ngram remains
-    # doubly covered via dedup_minhash_lsh_pairs (MinHash over the SAME
-    # word-bigram shingle sets), F9 quadruply covered.
+    # Folded r14 after its fresh r13 green row (rotation discipline; slot
+    # goes to j3_anti_join_dedup, folded r11). DEDUP-ngram remains
+    # driver-covered via dedup_minhash_lsh_pairs (MinHash over the SAME
+    # word-bigram shingle sets), F9 multiply covered.
+    driver=False,
     doc="n-gram Jaccard near-dup pairs (brute-force): distinct word-bigram "
     "sets, all pairs i<j, Jaccard >= 0.2. The small-N ground truth that "
     "validates the MinHash-LSH scale path.",

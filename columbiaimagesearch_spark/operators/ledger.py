@@ -94,10 +94,9 @@ def update_completeness(updates: DataFrame, features: DataFrame) -> DataFrame:
 @register(
     "st1_count_batch_assembly",
     survey_ops=("ST1", "A7", "C6"),
-    # Folded r11 after its fresh r10 green row (rotation discipline; see
-    # relational.py j3's note): ST1 stays green on llm_seq_pack, A7 on
-    # t5_ranked_output_assembly, C6 on c_scalar_keys / text_token_stats.
-    driver=False,
+    # Rotated back driver-visible r14 (folded r11; VERDICT r13 next-round
+    # item 1). Slot freed by folding text_quality_score after its fresh
+    # r13 green row.
     doc=f"Count-cut update batching: per event_type, ids in time order are "
     f"cut into batches of {BATCH_SIZE} (the count half of the reference's "
     "1000-or-600s trigger, extraction_checker.py:281-454); emits the "

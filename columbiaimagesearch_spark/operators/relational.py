@@ -299,12 +299,9 @@ def j2_explode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j3_anti_join_dedup",
     survey_ops=("J3", "F7"),
-    # Folded r11 right after its fresh r10 green row (rotation discipline:
-    # fold the freshest rows to free slots for the oldest folds). J3 stays
-    # green on s6_merge_upsert, F7 on llm_decontaminate. Slot goes to the
-    # r11 rotation (a5_recall_stats / a6_event_percentiles /
-    # t1_distance_topk) + the new llm_embedding_decontaminate.
-    driver=False,
+    # Rotated back driver-visible r14 (folded r11; VERDICT r13 next-round
+    # item 1). Slot freed by folding dedup_ngram_jaccard_pairs after its
+    # fresh r13 green row.
     doc="Dedup anti-join: incoming keys minus already-processed rows "
     "(extraction_checker.py:225-258 get_unprocessed_rows). Customers with no "
     "orders = unclaimed keys.",

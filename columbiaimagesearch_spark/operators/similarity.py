@@ -229,9 +229,11 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_near_dup_pairs",
     survey_ops=("F9", "DEDUP-embedding", "C3", "C4"),
-    # Rotated back driver-visible r13 (folded r6; VERDICT r12 next-round
-    # item 1). F9/DEDUP-embedding/C3/C4 stay multiply covered via
-    # llm_embedding_decontaminate / llm_embedding_dedup.
+    # Folded r14 after its fresh r13 green row (rotation discipline; slot
+    # goes to ann_ivf_topk, the oldest fold at r8). F9/DEDUP-embedding/
+    # C3/C4 stay driver-covered via llm_embedding_decontaminate /
+    # llm_embedding_dedup.
+    driver=False,
     doc="Embedding-cosine near-duplicate pairs, label-blocked (the near-dup "
     "distance filter generic_searcher.py:43-45 applied pairwise; blocking "
     "key stands in for the coarse cell at scale). Carries C3/C4: the "

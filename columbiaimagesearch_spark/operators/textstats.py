@@ -93,8 +93,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_quality_score",
     survey_ops=("TXT-quality",),
-    # Rotated back driver-visible r13 (folded r6 — oldest fold; VERDICT r12
-    # next-round item 1). TXT-quality stays doubly covered via corpus_report.
+    # Folded r14 after its fresh r13 green row (rotation discipline: fold
+    # the freshest rows to free slots for the oldest folds — slot goes to
+    # st1_count_batch_assembly). TXT-quality stays driver-green via
+    # corpus_report; local parity still checks this spec every round.
+    driver=False,
     doc="Quality scoring: length/space/alpha ratios and mean token length — "
     "the cheap heuristics used to pre-filter web text before training.",
     oracle="""
