@@ -152,13 +152,24 @@ def search_by_image(
         np.asarray(r["v"], dtype=np.float64)
         for r in ided.orderBy("id").limit(20000).collect()
     ]
+    def _empty_results() -> dict[str, Any]:
+        # The zero-result shape must match the normal path's per-mode value
+        # type (review r14): full_image callers index result[name]["sha1s"],
+        # so they get empty lists, not a bare {}; face mode's per-name value
+        # is a face_idx dict, and "no faces detected" is honestly {}.
+        if mode == "full_image":
+            return {
+                name: {"sha1s": [], "distances": []} for name, _ in query_images
+            }
+        return {name: {} for name, _ in query_images}
+
     if not sample:
         # zero successful extractions (face mode can detect no faces on a
         # small corpus; every row may carry the failed marker) — return
         # the empty-result shape instead of crashing LOPQModel.fit on an
         # empty array (review r13), and release the pin
         ided.unpersist()
-        return {name: {} for name, _ in query_images}
+        return _empty_results()
     model = LOPQModel.fit(np.array(sample), **params)
     codes = encode_dataframe(spark, ided, model, id_col="id", vec_col="v")
 
@@ -184,7 +195,7 @@ def search_by_image(
                 qkeys.append((name, fi))
     if not queries:
         ided.unpersist()
-        return {name: {} for name, _ in query_images}
+        return _empty_results()
     res = lopq_search(
         spark, codes, model, queries,
         quota=min(1000 * max_returned, 10000), k=max_returned,

@@ -280,9 +280,17 @@ def curate_docs(
         # regex passes over text, re-run per downstream docs reference
         # otherwise.
         if quality_filter:
+            # NULL gate verdict (null text) is a REJECT: the stream twin's
+            # where(quality_gate()) drops NULL rows (SQL NULL is not true),
+            # so the batch drop-set must claim them too or the documented
+            # "streamed survivor set equals the batch chain" contract breaks
+            # for corpora with nullable text. coalesce(False) turns the
+            # NULL verdict into a drop here without changing the
+            # text_quality_score / corpus_report scoring surfaces (whose
+            # oracles also yield SQL NULL).
             qual_ids = (
                 textstats.quality_verdicts_from(docs.select("doc_id", "text"))
-                .where(~F.col("passes_filter"))
+                .where(~F.coalesce(F.col("passes_filter"), F.lit(False)))
                 .select("doc_id")
                 .localCheckpoint(eager=True)
             )

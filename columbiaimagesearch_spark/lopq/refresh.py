@@ -64,9 +64,30 @@ def refresh_codes(
     # duplicate (cell, id) rows, which the batch search path (no per-row
     # dedup, unlike ServingSearcher.add_codes) would double-count in top-k
     # candidates. With the dedup, each (id, update_id) pair lands exactly
-    # one code row. Assumption (documented): an id's vector is stable
-    # across PENDING updates — a re-extraction should land after the prior
-    # update is indexed, which the ledger's completeness flow guarantees.
+    # one code row. Assumption: an id's vector is stable across PENDING
+    # updates — a re-extraction should land after the prior update is
+    # indexed, which the ledger's completeness flow guarantees. The
+    # assumption is CHECKED, not just documented (review r14): an upstream
+    # ledger bug that shipped the same id with two different vectors would
+    # otherwise silently encode one update's rows with the other update's
+    # vector (dropDuplicates picks an arbitrary row). One cheap agg over
+    # the pending rows only — never the indexed corpus.
+    conflicted = (
+        todo.select(F.col(id_col).alias("id"), F.xxhash64(vec_col).alias("vh"))
+        .groupBy("id")
+        .agg(F.count_distinct("vh").alias("n_vecs"))
+        .where(F.col("n_vecs") > 1)
+        .limit(5)
+        .collect()
+    )
+    if conflicted:
+        ids = sorted(r["id"] for r in conflicted)
+        raise ValueError(
+            f"refresh_codes: id(s) {ids} carry DIFFERENT vectors across "
+            "pending updates — the per-id single-encode contract assumes a "
+            "stable vector; index the earlier update first (ledger "
+            "completeness flow) or fix the upstream producer"
+        )
     codes = encode_dataframe(
         spark, todo.select(id_col, vec_col).dropDuplicates([id_col]), model,
         id_col=id_col, vec_col=vec_col,

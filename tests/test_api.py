@@ -137,3 +137,38 @@ def test_search_by_image_driver_collects_bounded(spark, domain_images, monkeypat
         assert "GlobalLimit" in plan, (
             f"unbounded full-index collect of {n} rows:\n{plan}"
         )
+
+
+def test_search_by_image_zero_extractions_shape(spark, domain_images):
+    """Zero successful extractions (review r14): the early return's shape
+    must match the normal path's per-mode value type — full_image callers
+    index result[name]["sha1s"] and get empty lists; face mode's per-name
+    value stays a (empty) face_idx dict."""
+    from columbiaimagesearch_spark.api import search_by_image
+
+    # local class: cloudpickle ships it by value to the executors (a
+    # module-level class in tests/ would be pickled by reference and fail
+    # to import inside the Spark Python worker)
+    class _AlwaysFailingModel:
+        def featurize_full(self, data: bytes) -> np.ndarray:
+            raise RuntimeError("decode failed")
+
+        def detect(self, data: bytes):
+            return []
+
+        def featurize_face(self, data: bytes, bbox):
+            raise RuntimeError("decode failed")
+
+    rows = domain_images.orderBy("sha1").limit(2).collect()
+    queries = [(r["sha1"], bytes(r["content"])) for r in rows]
+    out = search_by_image(
+        spark, domain_images.limit(5), queries, max_returned=3,
+        model_factory=_AlwaysFailingModel,
+    )
+    assert out == {r["sha1"]: {"sha1s": [], "distances": []} for r in rows}
+
+    out_face = search_by_image(
+        spark, domain_images.limit(5), queries, max_returned=3, mode="face",
+        model_factory=_AlwaysFailingModel,
+    )
+    assert out_face == {r["sha1"]: {} for r in rows}

@@ -215,7 +215,12 @@ def test_streamed_quality_filter_matches_batch(spark, tmp_path):
             Row(doc_id=940_000, text="too short", lang="en", source="web"),
             Row(doc_id=940_001, text="9876543210 " * 20, lang="en",
                 source="web"),
-        ]
+            # NULL text: the gate verdict is SQL NULL — r14 contract says
+            # BOTH rungs reject it (batch coalesces the verdict to False;
+            # the stream twin's where() already treats NULL as false).
+            Row(doc_id=940_002, text=None, lang="en", source="web"),
+        ],
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING",
     )
     train = train.unionByName(planted)
     rows = train.collect()
@@ -238,7 +243,7 @@ def test_streamed_quality_filter_matches_batch(spark, tmp_path):
         spark, str(d), state, str(tmp_path / "ckpt"), quality_filter=True
     )
     streamed = {int(r["doc_id"]) for r in curated_docs(spark, state).collect()}
-    assert {940_000, 940_001}.isdisjoint(streamed)  # gate failers rejected
+    assert {940_000, 940_001, 940_002}.isdisjoint(streamed)  # gate failers rejected
     res = curate.curate_docs(
         train, bench, train_split_only=False, quality_filter=True
     )

@@ -671,26 +671,33 @@ def test_curation_quality_filter_stage(spark):
     base = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     ).limit(30)
-    planted = [
-        Row(doc_id=930_000, text="too short", lang="en", source="web"),
-        Row(doc_id=930_001, text="1234567890 " * 20, lang="en", source="web"),
-        Row(doc_id=930_002, text="x" * 20_000, lang="en", source="web"),
-        Row(doc_id=930_003,
-            text=" ".join(f"goodword{j}" for j in range(40)),
-            lang="en", source="web"),
-    ]
-    docs = base.unionByName(spark.createDataFrame(planted))
+    planted = spark.createDataFrame(
+        [
+            Row(doc_id=930_000, text="too short", lang="en", source="web"),
+            Row(doc_id=930_001, text="1234567890 " * 20, lang="en", source="web"),
+            Row(doc_id=930_002, text="x" * 20_000, lang="en", source="web"),
+            Row(doc_id=930_003,
+                text=" ".join(f"goodword{j}" for j in range(40)),
+                lang="en", source="web"),
+            # NULL text: gate verdict is SQL NULL -> rejected (r14; keeps the
+            # batch chain equal to the stream twin's where(quality_gate())).
+            Row(doc_id=930_004, text=None, lang="en", source="web"),
+        ],
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING",
+    )
+    docs = base.unionByName(planted)
     res = curate.curate_docs(docs, None, train_split_only=False,
                              quality_filter=True)
     assert "after_quality_filter" in res.stages
     after = {r["doc_id"] for r in res.stages["after_quality_filter"].collect()}
-    assert {930_000, 930_001, 930_002}.isdisjoint(after)  # gate failers drop
+    assert {930_000, 930_001, 930_002, 930_004}.isdisjoint(after)  # gate failers drop
     assert 930_003 in after
-    # the stage's drop set EQUALS the standalone verdict form
+    # the stage's drop set EQUALS the standalone verdict form with the NULL
+    # verdict coalesced to a reject (the stage's exact predicate)
     want_drop = {
         r["doc_id"]
         for r in textstats.quality_verdicts_from(docs.select("doc_id", "text"))
-        .where(~F.col("passes_filter"))
+        .where(~F.coalesce(F.col("passes_filter"), F.lit(False)))
         .collect()
     }
     input_ids = {r["doc_id"] for r in docs.collect()}

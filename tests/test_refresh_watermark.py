@@ -179,3 +179,28 @@ def test_refresh_one_code_row_per_id_update_pair(spark, model, tmp_path):
         .collect()
     )
     assert all(r["n_upd"] == 2 and r["n"] == 2 for r in both)
+
+
+def test_refresh_rejects_conflicting_vectors_for_same_id(spark, model, tmp_path):
+    """Review r14: the per-id single-encode contract ASSUMES an id's vector
+    is stable across pending updates. The assumption is now checked — the
+    same id carrying two DIFFERENT vectors (an upstream ledger bug) must
+    fail loudly instead of silently encoding one update's rows with the
+    other update's vector (dropDuplicates picks an arbitrary row)."""
+    codes_dir = str(tmp_path / "codes")
+    base = _features(spark, 0, 30, "upd_a")
+    mutated = _features(spark, 20, 50, "upd_b").withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x * F.lit(2.0)).cast("array<float>"),
+    )
+    with pytest.raises(ValueError, match="DIFFERENT vectors"):
+        refresh.refresh_codes(spark, codes_dir, base.unionByName(mutated), model)
+    # nothing was written: the check fires before any encode/append
+    assert refresh.indexed_update_ids(spark, codes_dir) == set()
+
+    # identical vectors across updates still refresh fine (the r13 test's
+    # overlap case re-asserted against the new guard)
+    ok = base.unionByName(_features(spark, 20, 50, "upd_b"))
+    assert sorted(refresh.refresh_codes(spark, codes_dir, ok, model)) == [
+        "upd_a", "upd_b",
+    ]
