@@ -349,6 +349,12 @@ LSH_RECALL = 0.90  # band-OR recall floor at the near-dup threshold
 # in-bucket work silently becomes the whole job. Loud refusal beats a
 # mystery multi-hour stage at 100 TB.
 LSH_MAX_BUCKET = 64 * LSH_TARGET_BUCKET
+# Real (band, key) buckets verified per applyInPandas group (r14): per-group
+# Python dispatch over ~n*bands/target_bucket groups dominated the 500k
+# validation wall; packing ~64 buckets per group amortizes the Arrow slice,
+# pandas construction, and vector conversion ~64x without touching any
+# per-bucket math. See emb_lsh_pairs_from.
+LSH_GROUP_BUCKETS = 64
 
 
 class _MaxAccumParam:
@@ -637,6 +643,23 @@ def emb_lsh_pairs_from(
         bits = d_bits if bits is None else bits
     acc = stats._acc if stats is not None else None
 
+    # Buckets are verified ~LSH_GROUP_BUCKETS at a time (r14): one
+    # applyInPandas group per (band, key) was ~139k Python dispatches at
+    # the 500k validation tier, and the per-group cost — the JVM slicing
+    # one Arrow batch per group plus pandas construction plus the
+    # per-bucket list->ndarray vector conversion — dominated the stage
+    # (measured: a TRIVIAL per-group fn cost 2x the banding+shuffle it
+    # followed). Grouping on (band, key % shards) packs ~LSH_GROUP_BUCKETS
+    # real buckets into each group; the group is split back into exact
+    # (band, key) runs with one numpy sort, and the per-BUCKET math
+    # (_bucket_cos_pairs, min-band emission, max_bucket refusal, max
+    # telemetry) is unchanged — pair output is row-for-row identical.
+    # Expected group size ~LSH_GROUP_BUCKETS * target_bucket rows (~4k
+    # rows / ~2.5 MB at d=64) and stays bounded as the corpus grows,
+    # because derive_lsh_knobs grows ``bits`` with n while the shard
+    # count tracks 2^bits.
+    shards = max(1, (1 << bits) // LSH_GROUP_BUCKETS)
+
     def band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
@@ -644,13 +667,15 @@ def emb_lsh_pairs_from(
             V = np.array(list(pdf["v"]), dtype=np.float64)
             keys = _lsh_band_keys(V, bands, bits, seed)
             n = len(pdf)
+            flat_keys = keys.T.ravel()
             # each replica carries the vector's FULL key row (bands int64s,
             # tiny next to the vector itself) so buckets can dedup
-            # cross-band pairs locally — see bucket_pairs
+            # cross-band pairs locally — see bucket_group_pairs
             yield pd.DataFrame(
                 {
                     "band": np.repeat(np.arange(bands), n),
-                    "key": keys.T.ravel(),
+                    "grp": flat_keys % shards,
+                    "key": flat_keys,
                     "vec_id": np.tile(pdf["vec_id"].to_numpy(), bands),
                     "v": list(pdf["v"]) * bands,
                     "keys": [list(k) for k in keys] * bands,
@@ -659,54 +684,70 @@ def emb_lsh_pairs_from(
 
     banded = vec_df.mapInPandas(
         band_rows,
-        "band int, key bigint, vec_id bigint, v array<double>, "
+        "band int, grp bigint, key bigint, vec_id bigint, v array<double>, "
         "keys array<bigint>",
     )
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if acc is not None:
-            acc.add(len(pdf))
-        if max_bucket is not None and len(pdf) > max_bucket:
-            raise RuntimeError(
-                f"emb_lsh_pairs_from: bucket (band={int(pdf['band'].iloc[0])}, "
-                f"key={int(pdf['key'].iloc[0])}) holds {len(pdf)} vectors "
-                f"> max_bucket={max_bucket}; in-bucket verification is "
-                "O(n^2) and this bucket would dominate the job. The corpus "
-                "has a mass of near-identical vectors LSH keys cannot "
-                "spread — dedup it with the blocked path "
-                "(emb_near_dup_pairs) or the IVF/LOPQ ANN ladder "
-                "(ann_ivf_topk / lopq_search_topk), or pass a larger "
-                "max_bucket (None disables) if the O(n^2) cost is intended."
-            )
-        rows = _bucket_cos_pairs(
-            pdf["vec_id"].to_numpy(),
-            np.array(list(pdf["v"]), dtype=np.float64),
-            threshold,
-        )
-        if not rows:
-            return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_sim"])
-        # MIN-BAND emission: a pair whose vectors already share a key in an
-        # EARLIER band was (or will be) emitted there — skipping it here
-        # makes each qualifying pair appear exactly once across all
-        # buckets, which removes the global distinct (a full extra
-        # exchange) from the plan. The cosine is computed from the same
-        # float64 vectors in every bucket, so the kept row is value-
-        # identical to the one distinct used to pick.
+    def bucket_group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one conversion + one stable sort for the whole bucket group;
+        # each (band, key) run below reproduces the old per-bucket group
+        # exactly (same rows, same _bucket_cos_pairs input)
+        keys_np = pdf["key"].to_numpy()
+        order = np.argsort(keys_np, kind="stable")
+        keys_np = keys_np[order]
+        ids_all = pdf["vec_id"].to_numpy()[order]
+        V_all = np.array(list(pdf["v"]), dtype=np.float64)[order]
+        keyrows_all = None  # built lazily — only min-band filtering reads it
         b = int(pdf["band"].iloc[0])
-        if b > 0:
-            key_of = {
-                int(i): k
-                for i, k in zip(pdf["vec_id"].to_numpy(), pdf["keys"])
-            }
-            rows = [
-                (a, c, s)
-                for a, c, s in rows
-                if not any(key_of[a][t] == key_of[c][t] for t in range(b))
-            ]
-        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_sim"])
+        cuts = np.flatnonzero(np.diff(keys_np)) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(keys_np)]))
+        out: list[tuple] = []
+        for s, e in zip(starts, ends):
+            n_b = int(e - s)
+            if acc is not None:
+                acc.add(n_b)
+            if max_bucket is not None and n_b > max_bucket:
+                raise RuntimeError(
+                    f"emb_lsh_pairs_from: bucket (band={b}, "
+                    f"key={int(keys_np[s])}) holds {n_b} vectors "
+                    f"> max_bucket={max_bucket}; in-bucket verification is "
+                    "O(n^2) and this bucket would dominate the job. The corpus "
+                    "has a mass of near-identical vectors LSH keys cannot "
+                    "spread — dedup it with the blocked path "
+                    "(emb_near_dup_pairs) or the IVF/LOPQ ANN ladder "
+                    "(ann_ivf_topk / lopq_search_topk), or pass a larger "
+                    "max_bucket (None disables) if the O(n^2) cost is intended."
+                )
+            rows = _bucket_cos_pairs(ids_all[s:e], V_all[s:e], threshold)
+            if not rows:
+                continue
+            # MIN-BAND emission: a pair whose vectors already share a key
+            # in an EARLIER band was (or will be) emitted there — skipping
+            # it here makes each qualifying pair appear exactly once across
+            # all buckets, which removes the global distinct (a full extra
+            # exchange) from the plan. The cosine is computed from the same
+            # float64 vectors in every bucket, so the kept row is value-
+            # identical to the one a distinct would pick.
+            if b > 0:
+                if keyrows_all is None:
+                    keyrows_all = np.array(list(pdf["keys"]), dtype=np.int64)[
+                        order
+                    ]
+                key_of = {
+                    int(i): keyrows_all[s + j]
+                    for j, i in enumerate(ids_all[s:e])
+                }
+                rows = [
+                    (a, c, sm)
+                    for a, c, sm in rows
+                    if not any(key_of[a][t] == key_of[c][t] for t in range(b))
+                ]
+            out.extend(rows)
+        return pd.DataFrame(out, columns=["vec_a", "vec_b", "cos_sim"])
 
-    return banded.groupBy("band", "key").applyInPandas(
-        bucket_pairs, "vec_a bigint, vec_b bigint, cos_sim double"
+    return banded.groupBy("band", "grp").applyInPandas(
+        bucket_group_pairs, "vec_a bigint, vec_b bigint, cos_sim double"
     )
 
 

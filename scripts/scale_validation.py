@@ -121,12 +121,51 @@ def _run_once() -> tuple[dict, float, int]:
     return sections, calib_mean, 0
 
 
-def _previous_record() -> dict:
+def _previous_records(n: int = 2) -> list[dict]:
+    """Last ``n`` SCALE_RUNS lines, newest first (empty list if none)."""
     path = REPO / "SCALE_RUNS.jsonl"
     if not path.exists():
-        return {}
+        return []
     lines = [ln for ln in path.read_text().splitlines() if ln.strip()]
-    return json.loads(lines[-1]) if lines else {}
+    return [json.loads(ln) for ln in reversed(lines[-n:])]
+
+
+def _wall(rec: dict, k: str) -> float | None:
+    sec = rec.get(k)
+    return sec.get("wall") if isinstance(sec, dict) else None
+
+
+def _suspect_sections(sections: dict, history: list[dict]) -> list[str]:
+    """Walls needing a host-drift adjudication re-run (VERDICT r13 #2).
+
+    Three triggers, any one suffices:
+    (a) wall > 2x the previous line's (the original r13 guard);
+    (b) two CONSECUTIVE >=1.25x up-steps — r13's emb_lsh drifted
+        52->85->118 s in <2x steps and evaded (a) twice running;
+    (c) the section's observed large/small scaling ratio exceeds its own
+        linear model — per-unit cost grew with n, which is either skew or
+        a degraded host, and one re-run adjudicates.
+    """
+    prev = history[0] if history else {}
+    prev2 = history[1] if len(history) > 1 else {}
+    out = []
+    for k in _WALLED:
+        sec = sections.get(k)
+        if not isinstance(sec, dict) or "wall" not in sec:
+            continue
+        cur, p1, p2 = sec["wall"], _wall(prev, k), _wall(prev2, k)
+        if p1 is not None and cur > 2.0 * p1:
+            out.append(k)
+        elif (
+            p1 is not None
+            and p2 is not None
+            and cur > 1.25 * p1
+            and p1 > 1.25 * p2
+        ):
+            out.append(k)
+        elif "ratio" in sec and "linear" in sec and sec["ratio"] > sec["linear"]:
+            out.append(k)
+    return out
 
 
 def main() -> int:
@@ -134,21 +173,12 @@ def main() -> int:
     if rc != 0:
         return rc
 
-    # Self-attribution leg 2 (VERDICT r12 #5 — the bench second tier's
-    # resample idiom): any wall >2x the PREVIOUS line's same-section wall
-    # is re-sampled once and the faster section kept. Recalls/counts are
-    # deterministic (knob-pinned), so either run's section carries the
-    # same correctness payload; only the n=1 wall is being adjudicated.
-    prev = _previous_record()
-    suspects = [
-        k
-        for k in _WALLED
-        if k in sections
-        and "wall" in sections[k]
-        and isinstance(prev.get(k), dict)
-        and "wall" in prev[k]
-        and sections[k]["wall"] > 2.0 * prev[k]["wall"]
-    ]
+    # Self-attribution leg 2 (VERDICT r12 #5, triggers widened r13 #2 —
+    # see _suspect_sections): a suspicious wall is re-sampled once and the
+    # faster section kept. Recalls/counts are deterministic (knob-pinned),
+    # so either run's section carries the same correctness payload; only
+    # the n=1 wall is being adjudicated.
+    suspects = _suspect_sections(sections, _previous_records())
     resample_failed = False
     if suspects:
         sys.stdout.write(

@@ -179,3 +179,38 @@ def test_scale_validation_resample_guard(tmp_path, monkeypatch):
     )
     assert rec["resampled"] == ["minhash"] and rec["resample_failed"] is True
     assert rec["minhash"]["wall"] == 64.7  # the first run's value, kept
+
+
+def test_scale_validation_widened_triggers(tmp_path, monkeypatch):
+    """r14 guard widening (VERDICT r13 #2): r13's emb_lsh wall drifted
+    52->85->118 s in consecutive <2x steps and evaded the 2x guard twice.
+    Two new triggers close the gap: (b) two consecutive >=1.25x up-steps,
+    (c) observed scaling ratio above the section's own linear model."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_validation",
+        Path(__file__).parent.parent / "scripts" / "scale_validation.py",
+    )
+    sv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sv)
+
+    # (b) compound drift: each step <2x (evades the old guard), compound 2.3x
+    hist = [{"emb_lsh": {"wall": 84.7}}, {"emb_lsh": {"wall": 52.1}}]
+    cur = {"emb_lsh": {"wall": 118.4}}
+    assert sv._suspect_sections(cur, hist) == ["emb_lsh"]
+    # one up-step alone does not fire
+    assert sv._suspect_sections({"emb_lsh": {"wall": 100.0}},
+                                [{"emb_lsh": {"wall": 84.7}},
+                                 {"emb_lsh": {"wall": 80.0}}]) == []
+
+    # (c) ratio above the linear model fires even with flat walls
+    cur = {"emb_lsh": {"wall": 50.0, "ratio": 24.0, "linear": 17.0}}
+    hist = [{"emb_lsh": {"wall": 48.0}}, {"emb_lsh": {"wall": 47.0}}]
+    assert sv._suspect_sections(cur, hist) == ["emb_lsh"]
+    cur["emb_lsh"]["ratio"] = 12.0
+    assert sv._suspect_sections(cur, hist) == []
+
+    # no history: only (c) can fire
+    assert sv._suspect_sections({"minhash": {"wall": 99.0}}, []) == []
