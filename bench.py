@@ -1007,6 +1007,24 @@ def main() -> None:
     # round-over-round number is comparable. Raw samples go to
     # BENCH_RUNS.json.
     extras_runs: dict[str, list[dict]] = {}
+    extras_resampled: list[str] = []
+    # r14 (VERDICT r13 #3): the extras tier gets the same self-attribution
+    # the headline / second tier / SCALE_RUNS already have. Reference
+    # values come from the committed canonical BENCH_EXTRAS.json (the file
+    # on disk is last round's at this point; rewritten below) — same sf
+    # only. The resample trigger is the CALIB-NORMALIZED ratio, not the
+    # wall: the med() time-box reports a single slow first sample alone on
+    # a degraded host (by design), and the ratio is what separates "host
+    # was slow" (calib slow too -> ratio flat -> no resample) from "this
+    # section regressed" (ratio jumped -> one retry, min kept).
+    prior_extras: dict[str, dict] = {}
+    try:
+        with open(os.path.join(REPO, "BENCH_EXTRAS.json")) as fh:
+            _prior_ex = json.load(fh)
+        if float(_prior_ex.get("sf", -1.0)) == float(sf):
+            prior_extras = _prior_ex
+    except (OSError, ValueError):
+        pass
 
     def med(key: str, fn, sec_key: str, warm: bool = False) -> dict:
         # time-box: on a badly degraded host a 3x-repeated extra could push
@@ -1023,16 +1041,35 @@ def main() -> None:
         samples = [fn()]
         if samples[0][sec_key] < 25.0:
             samples += [fn() for _ in range(n - 1)]
+        # the section's own trailing calibration sample — wall_per_calib
+        # makes an n=1 degraded-host sample adjudicable from the artifact
+        # alone (r13's curation_full shipped 26.6 s that same-day builder
+        # runs contradicted at 7.1 s, with nothing in the record to decide)
+        sec_calib = cpu_calibration_sec()
+        true_med = statistics.median(s[sec_key] for s in samples)
+        prior = prior_extras.get(key) or {}
+        prior_ratio = prior.get("wall_per_calib")
+        if (
+            prior_ratio
+            and sec_calib > 0
+            and true_med / sec_calib > SECOND_TIER_RESAMPLE_FACTOR * float(prior_ratio)
+        ):
+            samples.append(fn())
+            extras_resampled.append(key)
+            # a real regression reproduces on the retry; a transient does
+            # not — keep the MIN, the second tier's idiom
+            true_med = min(true_med, samples[-1][sec_key])
         extras_runs[key] = samples
-        # report the sample whose sec_key is closest to statistics.median
+        # report the sample whose sec_key is closest to the reported value
         # (same median definition as the query loop — for even counts the
         # mean of the middle two, not the upper-middle sample), keeping the
         # full dict of one real run and stamping the true median seconds in.
-        true_med = statistics.median(s[sec_key] for s in samples)
         chosen = dict(min(samples, key=lambda s: abs(s[sec_key] - true_med)))
         chosen[sec_key] = round(true_med, 3)
         if "docs_per_sec" in chosen and "input_docs" in chosen:
             chosen["docs_per_sec"] = round(chosen["input_docs"] / true_med, 1)
+        if sec_calib > 0:
+            chosen["wall_per_calib"] = round(true_med / sec_calib, 2)
         return chosen
 
     curation = med("curation", lambda: curation_bench(spark, sf_dir), "seconds",
@@ -1060,6 +1097,7 @@ def main() -> None:
         json.dump(
             {"sf": float(sf), "n": n, "n_slow": n_slow,
              "slow_queries": slow, "runs": runs, "extras": extras_runs,
+             "extras_resampled": extras_resampled,
              "second_tier": second_runs,
              "second_tier_resampled": second_resampled},
             fh,
@@ -1068,6 +1106,10 @@ def main() -> None:
     # line; the FINAL line carries only the headline (+ compact serving
     # scalars) and is size-guarded — see compose_output_lines.
     extras = {
+        # sf stamps the file so next round's resample guard only trusts
+        # same-tier reference ratios (r14)
+        "sf": float(sf),
+        "extras_resampled": extras_resampled,
         "serving_ms": serving,
         "serving_ms_fixture": serving_fixture,
         "serving_http_ms": serving_http,
