@@ -437,6 +437,16 @@ class ShardedServingRouter:
     work (which the slicing bounds) the wall-clock quantity. Rerank uses
     a ``fetch_vectors(ids)`` callable — the production shape (only the
     shortlist's features are ever fetched; searcher_lopqhbase.py:862-886).
+
+    ROLE (adjudicated r14, VERDICT r13 #5): this class is the pool's
+    BUILDING BLOCK, not the latency answer. On a skewed 1M-row load its
+    in-process sequential p99 is no better than a single replica's
+    (21.9 vs 24.2 ms, r13 driver run — sequential fan-out sums per-shard
+    work by construction), while :class:`ForkedRouterPool` — which forks
+    exactly these shards into parallel processes — measured 3.98 ms.
+    Use the router directly for its resident-memory scale-out and as the
+    unit the pool forks; serve skewed/latency-sensitive loads through
+    the pool (``http_api`` exposes it via ``parallel=True``).
     """
 
     def __init__(self, model: LOPQModel | LOPQModelPCA,
