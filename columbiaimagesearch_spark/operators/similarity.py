@@ -657,8 +657,17 @@ def emb_lsh_pairs_from(
     # Expected group size ~LSH_GROUP_BUCKETS * target_bucket rows (~4k
     # rows / ~2.5 MB at d=64) and stays bounded as the corpus grows,
     # because derive_lsh_knobs grows ``bits`` with n while the shard
-    # count tracks 2^bits.
-    shards = max(1, (1 << bits) // LSH_GROUP_BUCKETS)
+    # count tracks 2^bits. Small keyspaces (2^bits <= LSH_GROUP_BUCKETS,
+    # e.g. the fixture's bits=3) keep one group PER KEY: coarsening them
+    # buys no dispatch amortization (there are few groups either way) and
+    # collapsing 64 buckets into bands*1 groups cost the fixture query
+    # its parallelism (8 groups on 32 cores, measured +24% at sf0.1).
+    keyspace = 1 << bits
+    shards = (
+        keyspace
+        if keyspace <= LSH_GROUP_BUCKETS
+        else keyspace // LSH_GROUP_BUCKETS
+    )
 
     def band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
