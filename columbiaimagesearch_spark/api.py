@@ -125,6 +125,11 @@ def search_by_image(
     factory = model_factory or ToyExtractionModel
     params = train_params or {"V": 4, "M": 4, "K": 8, "seed": 5, "n_iter": 8}
 
+    # one row per sha1 (review r14, same as http_api._extract_ided): the
+    # reference's sha1 row key dedups duplicated corpus rows by
+    # construction; without this a dup featurizes twice and the same
+    # image occupies two top-k slots
+    images = images.dropDuplicates(["sha1"])
     feats = run_extraction(images, mode=mode, model_factory=factory)
     ok = feats.where(F.col("failed") == 0)
     if mode == "face":

@@ -120,6 +120,15 @@ class ImageSearchService:
         from .functions.rank import ordered_global_index
         from .multimodal.images import run_extraction
 
+        # One row per sha1 BEFORE extraction (review r14): the reference
+        # dedups by construction — sha1 is the HBase row key
+        # (hbase_indexer_minimal.py write path) — but nothing here did, so
+        # a duplicated input row featurized twice AND double-indexed its
+        # sha1 (ordered_global_index requires unique keys; the dup handed
+        # it a tie and the service two ids for one image, returned twice
+        # in top-k). Dedup first also makes the expensive featurization
+        # run once per unique image.
+        images = images.dropDuplicates(["sha1"])
         feats = run_extraction(images, mode=mode, model_factory=model_factory)
         ok = feats.where(F.col("failed") == 0)
         if mode == "face":

@@ -643,3 +643,28 @@ def test_refresh_after_close_stays_in_process(spark, domain_images):
         assert pooled._pool is not None and pooled._parallel
     finally:
         pooled.close()
+
+
+def test_duplicate_sha1_rows_index_once(spark, domain_images):
+    """Review r14: the reference dedups images by construction (sha1 is
+    the HBase row key); a duplicated input row must not double-featurize
+    or double-index — previously it handed ordered_global_index a tied
+    key and the service two ids for one image (the same sha1 twice in
+    top-k). Applies to build AND to a refresh batch with internal dups."""
+    import pyspark.sql.functions as F
+
+    base = domain_images.orderBy("sha1").limit(12)
+    dup_row = base.limit(1)
+    svc = http_api.ImageSearchService.build(
+        spark, base.unionByName(dup_row).unionByName(dup_row)
+    )
+    n_unique = base.select("sha1").distinct().count()
+    assert svc.searcher.n_items == n_unique
+    assert all(len(ids) == 1 for ids in svc.sha1_to_ids.values())
+
+    # refresh with a batch that repeats a NEW image twice: admitted once
+    new_rows = domain_images.orderBy(F.desc("sha1")).limit(2)
+    admitted = svc.refresh(new_rows.unionByName(new_rows.limit(1)))
+    assert admitted == 2
+    assert svc.searcher.n_items == n_unique + 2
+    assert all(len(ids) == 1 for ids in svc.sha1_to_ids.values())
