@@ -143,7 +143,14 @@ def sample_frame_features(
 ) -> DataFrame:
     """Sample every ``every_n``-th frame (from metadata frame count), decode,
     featurize to a FRAME_FEAT_DIM unit vector. One Arrow pass; output rows
-    carry small vectors, never media bytes."""
+    carry small vectors, never media bytes.
+
+    Failure tolerance follows V17 like the audio pass (r14 — previously a
+    single corrupt video raised out of the Arrow stage and killed the whole
+    task, a stage-retry loop at 100 TB): a media whose decode/featurize
+    raises emits ONE marker row (frame_idx = -1, NaN feature) instead; its
+    already-decoded frames are discarded so a failed media is always
+    exactly its marker row."""
 
     def featurize(frame: np.ndarray) -> np.ndarray:
         key = hashlib.sha1(b"frame:" + frame.tobytes()).digest()
@@ -157,11 +164,17 @@ def sample_frame_features(
             for mid, blob, meta in zip(pdf[id_col], pdf[content_col], pdf[meta_col]):
                 n_frames = int(meta["n_frames"]) if meta is not None else 0
                 data = bytes(blob) if blob is not None else b""
-                for idx in range(0, n_frames, every_n):
-                    frame = decode(data, idx)
+                rows: list[tuple[int, list[float]]] = []
+                try:
+                    for idx in range(0, n_frames, every_n):
+                        frame = decode(data, idx)
+                        rows.append((idx, featurize(frame).tolist()))
+                except Exception:  # noqa: BLE001 — per-media tolerance (V17)
+                    rows = [(-1, [float("nan")] * FRAME_FEAT_DIM)]
+                for idx, feat in rows:
                     out_id.append(mid)
                     out_idx.append(idx)
-                    out_feat.append(featurize(frame).tolist())
+                    out_feat.append(feat)
             yield pd.DataFrame(
                 {"media_id": out_id, "frame_idx": out_idx, "feature": out_feat}
             )

@@ -386,3 +386,30 @@ def test_degenerate_bucket_refuses_loudly(spark):
     ).count()
     assert stats.max_bucket == 120
     assert n_pairs == 120 * 119 // 2
+
+
+def test_bucket_group_coarsening_is_invariant(spark, monkeypatch):
+    """r14 group batching: the (band, key % shards) coarse grouping packs
+    many real buckets per applyInPandas group — the pair set, cosines
+    included, must be IDENTICAL at every coarseness, because the kernel
+    splits the group back into exact (band, key) runs. Pin per-key
+    grouping (LSH_GROUP_BUCKETS=1) against heavy coarsening (=1024) at
+    knobs where the keyspace is large enough for shards to engage."""
+    from columbiaimagesearch_spark.operators import similarity as sim
+
+    vecs = _vec_df(spark)
+
+    def pairs():
+        return {
+            (r["vec_a"], r["vec_b"], r["cos_sim"])
+            for r in sim.emb_lsh_pairs_from(vecs, bands=6, bits=8).collect()
+        }
+
+    monkeypatch.setattr(sim, "LSH_GROUP_BUCKETS", 1)
+    per_key = pairs()  # shards = 256 -> one group per key (old plan)
+    monkeypatch.setattr(sim, "LSH_GROUP_BUCKETS", 1024)
+    coarse = pairs()  # shards = 1 -> one group per band
+    monkeypatch.undo()
+    assert per_key == pairs()  # default coarseness agrees too
+    assert per_key == coarse
+    assert per_key, "fixture should produce near-dup pairs at these knobs"

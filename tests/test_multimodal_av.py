@@ -122,3 +122,35 @@ def test_ingest_observed_metrics(spark, tmp_path):
     assert sum(m["n_rows"] for m in metrics) == 5
     assert sum(m["n_corrupt"] for m in metrics) == 0
     assert sum(m["n_single"] for m in metrics) == 5
+
+
+def test_frame_sampling_failure_tolerance(spark, video_df):
+    """Review r14 (V17 parity with the audio pass): a media whose decode
+    raises must yield ONE marker row (frame_idx=-1, NaN feature) instead of
+    killing the Arrow task — and healthy media in the same batch are
+    unaffected."""
+    calls = {"n": 0}
+
+    def sometimes_broken(data, frame_idx):
+        # vid1's content bytes are [101]*64 (see video_df); fail it on its
+        # SECOND sampled frame so already-decoded frames must discard too
+        if len(data) and data[0] == 101 and frame_idx >= 10:
+            raise ValueError("corrupt video")
+        return av.fake_decode_video_frame(data, frame_idx)
+
+    out = av.sample_frame_features(
+        video_df, every_n=10, decode=sometimes_broken
+    ).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # vid1 = exactly its marker row
+    assert len(by_media["vid1"]) == 1
+    marker = by_media["vid1"][0]
+    assert marker["frame_idx"] == -1
+    feat = marker["feature"]
+    assert feat is None or all(x is None or np.isnan(x) for x in feat)
+    # the other three media keep their full sampled-frame sets
+    for i in (0, 2, 3):
+        n_frames = 25 * (i + 1)
+        assert len(by_media[f"vid{i}"]) == (n_frames + 9) // 10
