@@ -413,3 +413,15 @@ def test_llm_embedding_dedup_labeling_is_broadcast_only(spark):
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
     carried = [b for b in explain.keyed_exchange_blocks(plan) if "v#" in b]
     assert not carried, f"vectors cross a data shuffle:\n{carried}\n{plan}"
+
+
+def test_emb_lsh_pairs_single_keyed_exchange(spark):
+    plan = explain.formatted_plan(_q(spark, "emb_lsh_near_dup_pairs"))
+    # band -> verify is ONE hash exchange on the (band, grp) grouping key
+    # (r14 bucket-group batching kept the plan shape: banding is a narrow
+    # mapInPandas off the scan, verification one FlatMapGroupsInPandas);
+    # a second keyed exchange means a distinct/join crept back into the
+    # pair path (the min-band emission exists to avoid exactly that)
+    assert explain.data_shuffles(plan) == 1, plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    assert plan.count("FlatMapGroupsInPandas") >= 1, plan
