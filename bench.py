@@ -1044,8 +1044,12 @@ def main() -> None:
         # the section's own trailing calibration sample — wall_per_calib
         # makes an n=1 degraded-host sample adjudicable from the artifact
         # alone (r13's curation_full shipped 26.6 s that same-day builder
-        # runs contradicted at 7.1 s, with nothing in the record to decide)
+        # runs contradicted at 7.1 s, with nothing in the record to decide).
+        # This sample IS the ladder's post_<key> entry (review r14: the
+        # previous standalone call right after med() measured the same
+        # instant twice and the two numbers could disagree in the artifact).
         sec_calib = cpu_calibration_sec()
+        calib[f"post_{key}"] = sec_calib
         true_med = statistics.median(s[sec_key] for s in samples)
         prior = prior_extras.get(key) or {}
         prior_ratio = prior.get("wall_per_calib")
@@ -1057,8 +1061,13 @@ def main() -> None:
             samples.append(fn())
             extras_resampled.append(key)
             # a real regression reproduces on the retry; a transient does
-            # not — keep the MIN, the second tier's idiom
+            # not — keep the MIN, the second tier's idiom. Re-bracket the
+            # calib too (review r14): pairing the post-retry wall with the
+            # PRE-retry sample would ship a distorted wall_per_calib if the
+            # host moved between them, skewing next round's trigger.
             true_med = min(true_med, samples[-1][sec_key])
+            sec_calib = cpu_calibration_sec()
+            calib[f"post_{key}"] = sec_calib
         extras_runs[key] = samples
         # report the sample whose sec_key is closest to the reported value
         # (same median definition as the query loop — for even counts the
@@ -1072,16 +1081,15 @@ def main() -> None:
             chosen["wall_per_calib"] = round(true_med / sec_calib, 2)
         return chosen
 
+    # each med() writes its own calib["post_<key>"] ladder entry (the same
+    # sample wall_per_calib normalizes by)
     curation = med("curation", lambda: curation_bench(spark, sf_dir), "seconds",
                    warm=True)
-    calib["post_curation"] = cpu_calibration_sec()
     curation_full = med(
         "curation_full", lambda: curation_bench(spark, sf_dir, full=True),
         "seconds", warm=True,
     )
-    calib["post_curation_full"] = cpu_calibration_sec()
     train = med("train", lambda: train_bench(spark, sf_dir), "fit_spark_seconds")
-    calib["post_train"] = cpu_calibration_sec()
     layout_search = med(
         "layout_search", lambda: layout_search_bench(spark, sf_dir), "search_s"
     )

@@ -55,6 +55,25 @@ def refresh_codes(
     if done:
         done_df = spark.createDataFrame([(u,) for u in sorted(done)], "update_id string")
         todo = features.join(F.broadcast(done_df), "update_id", "left_anti")
+    # FOUR actions consume `todo` below (new-id collect, the conflict
+    # check, the encode scan, the keyed distinct) — pin it once so a
+    # caller's expensive upstream lineage (a feature-extraction pipeline)
+    # runs once per refresh, not four times (review r14)
+    todo = todo.persist()
+    try:
+        return _refresh_pinned(spark, codes_dir, todo, model, id_col, vec_col)
+    finally:
+        todo.unpersist()
+
+
+def _refresh_pinned(
+    spark: SparkSession,
+    codes_dir: str,
+    todo: DataFrame,
+    model: LOPQModel,
+    id_col: str,
+    vec_col: str,
+) -> list[str]:
     new_ids = [r["update_id"] for r in todo.select("update_id").distinct().collect()]
     if not new_ids:
         return []

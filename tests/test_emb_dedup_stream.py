@@ -407,8 +407,13 @@ def test_bucket_group_coarsening_is_invariant(spark, monkeypatch):
 
     monkeypatch.setattr(sim, "LSH_GROUP_BUCKETS", 1)
     per_key = pairs()  # shards = 256 -> one group per key (old plan)
-    monkeypatch.setattr(sim, "LSH_GROUP_BUCKETS", 1024)
-    coarse = pairs()  # shards = 1 -> one group per band
+    # NB: LSH_GROUP_BUCKETS must stay BELOW the keyspace (256) or the
+    # small-keyspace guard falls back to per-key grouping and this arm
+    # re-tests the plan above (review r14 caught exactly that with 1024);
+    # 255 -> shards = 256 // 255 = 1 -> one group per band, the maximal
+    # coarsening the kernel supports
+    monkeypatch.setattr(sim, "LSH_GROUP_BUCKETS", 255)
+    coarse = pairs()
     monkeypatch.undo()
     assert per_key == pairs()  # default coarseness agrees too
     assert per_key == coarse
