@@ -698,66 +698,92 @@ def emb_lsh_pairs_from(
     )
 
     def bucket_group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one conversion + one stable sort for the whole bucket group;
-        # each (band, key) run below reproduces the old per-bucket group
-        # exactly (same rows, same _bucket_cos_pairs input)
-        keys_np = pdf["key"].to_numpy()
-        order = np.argsort(keys_np, kind="stable")
-        keys_np = keys_np[order]
-        ids_all = pdf["vec_id"].to_numpy()[order]
-        V_all = np.array(list(pdf["v"]), dtype=np.float64)[order]
-        keyrows_all = None  # built lazily — only min-band filtering reads it
-        b = int(pdf["band"].iloc[0])
-        cuts = np.flatnonzero(np.diff(keys_np)) + 1
-        starts = np.concatenate(([0], cuts))
-        ends = np.concatenate((cuts, [len(keys_np)]))
-        out: list[tuple] = []
-        for s, e in zip(starts, ends):
-            n_b = int(e - s)
-            if acc is not None:
-                acc.add(n_b)
-            if max_bucket is not None and n_b > max_bucket:
-                raise RuntimeError(
-                    f"emb_lsh_pairs_from: bucket (band={b}, "
-                    f"key={int(keys_np[s])}) holds {n_b} vectors "
-                    f"> max_bucket={max_bucket}; in-bucket verification is "
-                    "O(n^2) and this bucket would dominate the job. The corpus "
-                    "has a mass of near-identical vectors LSH keys cannot "
-                    "spread — dedup it with the blocked path "
-                    "(emb_near_dup_pairs) or the IVF/LOPQ ANN ladder "
-                    "(ann_ivf_topk / lopq_search_topk), or pass a larger "
-                    "max_bucket (None disables) if the O(n^2) cost is intended."
-                )
-            rows = _bucket_cos_pairs(ids_all[s:e], V_all[s:e], threshold)
-            if not rows:
-                continue
-            # MIN-BAND emission: a pair whose vectors already share a key
-            # in an EARLIER band was (or will be) emitted there — skipping
-            # it here makes each qualifying pair appear exactly once across
-            # all buckets, which removes the global distinct (a full extra
-            # exchange) from the plan. The cosine is computed from the same
-            # float64 vectors in every bucket, so the kept row is value-
-            # identical to the one a distinct would pick.
-            if b > 0:
-                if keyrows_all is None:
-                    keyrows_all = np.array(list(pdf["keys"]), dtype=np.int64)[
-                        order
-                    ]
-                key_of = {
-                    int(i): keyrows_all[s + j]
-                    for j, i in enumerate(ids_all[s:e])
-                }
-                rows = [
-                    (a, c, sm)
-                    for a, c, sm in rows
-                    if not any(key_of[a][t] == key_of[c][t] for t in range(b))
-                ]
-            out.extend(rows)
-        return pd.DataFrame(out, columns=["vec_a", "vec_b", "cos_sim"])
+        return pd.DataFrame(
+            _bucket_group_rows(
+                int(pdf["band"].iloc[0]),
+                pdf["key"].to_numpy(),
+                pdf["vec_id"].to_numpy(),
+                np.array(list(pdf["v"]), dtype=np.float64),
+                pdf["keys"],
+                threshold=threshold,
+                max_bucket=max_bucket,
+                acc=acc,
+            ),
+            columns=["vec_a", "vec_b", "cos_sim"],
+        )
 
     return banded.groupBy("band", "grp").applyInPandas(
         bucket_group_pairs, "vec_a bigint, vec_b bigint, cos_sim double"
     )
+
+
+def _bucket_group_rows(
+    b: int,
+    keys_np: np.ndarray,
+    ids: np.ndarray,
+    V: np.ndarray,
+    keyrows,
+    threshold: float,
+    max_bucket: int | None,
+    acc=None,
+) -> list[tuple]:
+    """Verified pairs for ONE coarse bucket group of band ``b`` (the kernel
+    behind ``emb_lsh_pairs_from``'s applyInPandas — module-level so the
+    hypothesis suite can fuzz the run-splitting against a per-bucket
+    reference). One conversion + one stable sort for the whole group; each
+    (band, key) run reproduces the per-bucket grouping exactly (same rows,
+    same _bucket_cos_pairs input). ``keyrows`` is the per-row full key
+    vector (any sequence of int sequences), read only when min-band
+    filtering needs it."""
+    order = np.argsort(keys_np, kind="stable")
+    keys_np = keys_np[order]
+    ids_all = ids[order]
+    V_all = V[order]
+    keyrows_all = None  # built lazily — only min-band filtering reads it
+    cuts = np.flatnonzero(np.diff(keys_np)) + 1
+    starts = np.concatenate(([0], cuts))
+    ends = np.concatenate((cuts, [len(keys_np)]))
+    out: list[tuple] = []
+    for s, e in zip(starts, ends):
+        n_b = int(e - s)
+        if acc is not None:
+            acc.add(n_b)
+        if max_bucket is not None and n_b > max_bucket:
+            raise RuntimeError(
+                f"emb_lsh_pairs_from: bucket (band={b}, "
+                f"key={int(keys_np[s])}) holds {n_b} vectors "
+                f"> max_bucket={max_bucket}; in-bucket verification is "
+                "O(n^2) and this bucket would dominate the job. The corpus "
+                "has a mass of near-identical vectors LSH keys cannot "
+                "spread — dedup it with the blocked path "
+                "(emb_near_dup_pairs) or the IVF/LOPQ ANN ladder "
+                "(ann_ivf_topk / lopq_search_topk), or pass a larger "
+                "max_bucket (None disables) if the O(n^2) cost is intended."
+            )
+        rows = _bucket_cos_pairs(ids_all[s:e], V_all[s:e], threshold)
+        if not rows:
+            continue
+        # MIN-BAND emission: a pair whose vectors already share a key
+        # in an EARLIER band was (or will be) emitted there — skipping
+        # it here makes each qualifying pair appear exactly once across
+        # all buckets, which removes the global distinct (a full extra
+        # exchange) from the plan. The cosine is computed from the same
+        # float64 vectors in every bucket, so the kept row is value-
+        # identical to the one a distinct would pick.
+        if b > 0:
+            if keyrows_all is None:
+                keyrows_all = np.array(list(keyrows), dtype=np.int64)[order]
+            key_of = {
+                int(i): keyrows_all[s + j]
+                for j, i in enumerate(ids_all[s:e])
+            }
+            rows = [
+                (a, c, sm)
+                for a, c, sm in rows
+                if not any(key_of[a][t] == key_of[c][t] for t in range(b))
+            ]
+        out.extend(rows)
+    return out
 
 
 def lsh_keys_cte_sql(d: int, bands: int = LSH_BANDS, bits: int = LSH_BITS,
