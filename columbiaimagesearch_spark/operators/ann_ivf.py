@@ -162,9 +162,13 @@ def cached_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     survey_ops=("V8", "J6", "T1", "V12"),
-    # Rotated back driver-visible r14 (folded r8 — oldest fold by three
-    # rounds; VERDICT r13 next-round item 1). Slot freed by folding
-    # emb_near_dup_pairs after its fresh r13 green row.
+    # Rotated back r14 (folded r8; VERDICT r13 item 1), held its round
+    # hash-green in CORRECTNESS_r14; folded again r15 to free the slot for
+    # x_hypertable_rollup (last green r6, sole X-showcase driver carrier).
+    # V8 stays driver-green on lopq_encode_codes / emb_cluster_sample,
+    # J6 on lopq_search_topk, T1 on lopq_search_topk / ann_cosine_topk /
+    # j4_ranked_metadata_join, V12 on ann_cosine_topk.
+    driver=False,
     doc=f"IVF ANN: {N_CELLS}-cell inverted file (driver-sample k-means, "
     f"mapInPandas assign), probe {N_PROBE} nearest cells per query, exact "
     "rank within. Oracle: NumPy twin (lopq/twin.py) — elementwise exact "

@@ -94,9 +94,14 @@ def update_completeness(updates: DataFrame, features: DataFrame) -> DataFrame:
 @register(
     "st1_count_batch_assembly",
     survey_ops=("ST1", "A7", "C6"),
-    # Rotated back driver-visible r14 (folded r11; VERDICT r13 next-round
-    # item 1). Slot freed by folding text_quality_score after its fresh
-    # r13 green row.
+    # Rotated back r14 (VERDICT r13 item 1), held its round hash-green in
+    # CORRECTNESS_r14; folded again r15 to free the slot for
+    # q1_pricing_summary (last green r3). ST1 stays driver-green on
+    # llm_seq_pack, A7 on t5_ranked_output_assembly, C6 on c_scalar_keys /
+    # text_token_stats. (The other VERDICT-named candidate,
+    # s_format_roundtrips, cannot fold: it is the sole S12/S14 carrier —
+    # the fold-safety test would fail.)
+    driver=False,
     doc=f"Count-cut update batching: per event_type, ids in time order are "
     f"cut into batches of {BATCH_SIZE} (the count half of the reference's "
     "1000-or-600s trigger, extraction_checker.py:281-454); emits the "

@@ -36,12 +36,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @register(
     "q1_pricing_summary",
     survey_ops=("F1", "A2", "S3"),
-    # Folded in round 4 to give dedup_substring_spans (a NEW capability
-    # tag) a driver row: F1/A2/S3 all stay green on other driver rows
-    # (plan-asserted scans, a2_cell_histogram, s4_cursor_scan). Showcase
-    # TPC-H, like the already-folded q3/q5/q18; still parity-checked
-    # locally and in bench.
-    driver=False,
+    # Rotated back driver-visible r15 (folded r4, last driver-green r3 —
+    # second-oldest row in the registry; VERDICT r14 next-round item 1).
+    # Slot freed by folding st1_count_batch_assembly after its fresh r14
+    # green row.
     doc="TPC-H Q1-shaped scan+filter+aggregate over lineitem; the canonical "
     "columnar-scan benchmark query (projection pruning + partial aggregation).",
     oracle="""
@@ -299,9 +297,12 @@ def j2_explode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j3_anti_join_dedup",
     survey_ops=("J3", "F7"),
-    # Rotated back driver-visible r14 (folded r11; VERDICT r13 next-round
-    # item 1). Slot freed by folding dedup_ngram_jaccard_pairs after its
-    # fresh r13 green row.
+    # Rotated back r14 (VERDICT r13 item 1), held its round hash-green in
+    # CORRECTNESS_r14; folded again r15 to free the slot for
+    # q18_large_volume_customer (last green r2). J3 stays driver-green on
+    # s6_merge_upsert, F7 on llm_decontaminate. Fold-safety pinned by
+    # tests/test_registry_contract.py::test_registry_fold_safety.
+    driver=False,
     doc="Dedup anti-join: incoming keys minus already-processed rows "
     "(extraction_checker.py:225-258 get_unprocessed_rows). Customers with no "
     "orders = unclaimed keys.",
@@ -885,7 +886,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_large_volume_customer",
     survey_ops=("J1", "A2", "T1", "SET"),
-    driver=False,  # showcase query; every tag driver-green on dedicated rows
+    # Rotated back driver-visible r15 (last driver-green r2 — the oldest
+    # row in the registry by ten rounds; VERDICT r14 next-round item 1).
+    # Slot freed by folding j3_anti_join_dedup after its fresh r14 green.
     doc="TPC-H Q18-shaped query: orders whose total lineitem quantity "
     "exceeds a HAVING threshold (aggregate-then-semi-join — the aggregate "
     "runs BEFORE the join so only qualifying keys broadcast), joined back "
@@ -1512,9 +1515,11 @@ def a6_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ops=("X-hypertable-rollup", "A2"),
     # Beyond-inventory showcase (X- tag), third of the brief's named custom
     # operators (as-of join / range join / hypertable rollup). Driver-green
-    # r6 (hash-checked); folded r7 to rotate a5_recall_stats back through
-    # the window (X- tags need no driver carrier; A2 multiply covered).
-    driver=False,
+    # r6; folded r7; rotated back driver-visible r15 (VERDICT r14 item 1:
+    # restores driver coverage to the X-showcase tags, which had zero
+    # driver-visible rows since r8). Slot freed by folding ann_ivf_topk
+    # after its fresh r14 green. j_asof_latest_order / j_range_tier_assign
+    # queued for the r16 rotation.
     doc="Hypertable rollup (TimescaleDB-style continuous aggregate): the "
     "1-minute, 1-hour and 1-day time buckets of the events table computed "
     "in ONE pass via GROUPING SETS — Catalyst's Expand emits one row per "

