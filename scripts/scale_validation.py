@@ -135,6 +135,17 @@ def _wall(rec: dict, k: str) -> float | None:
     return sec.get("wall") if isinstance(sec, dict) else None
 
 
+def _ratio_excess(rec: dict, k: str) -> bool:
+    """Did this record's section already sit >15% above its linear model?"""
+    sec = rec.get(k)
+    return (
+        isinstance(sec, dict)
+        and isinstance(sec.get("ratio"), (int, float))
+        and isinstance(sec.get("linear"), (int, float))
+        and sec["ratio"] > 1.15 * sec["linear"]
+    )
+
+
 def _suspect_sections(sections: dict, history: list[dict]) -> list[str]:
     """Walls needing a host-drift adjudication re-run (VERDICT r13 #2).
 
@@ -148,6 +159,11 @@ def _suspect_sections(sections: dict, history: list[dict]) -> list[str]:
         (review r14) keeps a section whose TRUE scaling sits at ~the
         linear model from re-triggering a full re-run every round forever
         (the keep-rule only swaps on a faster wall, never on the ratio).
+        Suppression (ADVICE r14): if the PREVIOUS record's same section
+        already sat above the margin, the excess reproduced across rounds
+        — that is the section's true scaling, already adjudicated once,
+        not drift; firing (c) again would double the validation wall
+        every round forever. A fresh excess (prev within model) fires.
     """
     prev = history[0] if history else {}
     prev2 = history[1] if len(history) > 1 else {}
@@ -170,6 +186,7 @@ def _suspect_sections(sections: dict, history: list[dict]) -> list[str]:
             "ratio" in sec
             and "linear" in sec
             and sec["ratio"] > 1.15 * sec["linear"]
+            and not _ratio_excess(prev, k)
         ):
             out.append(k)
     return out

@@ -113,6 +113,64 @@ def test_final_line_is_last_and_valid_json():
     assert json.loads(lines[-1])["metric"] == "headline_query_wall_seconds"
 
 
+def test_load_prior_artifact_tolerates_malformed(tmp_path):
+    """ADVICE r14: a malformed committed artifact (top-level list,
+    non-numeric sf) used to raise AttributeError/TypeError out of the
+    prior-run guard and kill the whole bench before any output. Every
+    malformed shape now reads as 'no prior' instead."""
+    p = tmp_path / "prior.json"
+    for content in ("[1, 2, 3]", '{"sf": null}', '{"sf": "0.1"}',
+                    '{"no_sf": 1}', '{"sf": true}', "not json at all"):
+        p.write_text(content)
+        assert bench._load_prior_artifact(str(p), 0.1) == {}, content
+    assert bench._load_prior_artifact(str(tmp_path / "absent.json"), 0.1) == {}
+    # wrong sf -> untrusted; right sf -> returned verbatim
+    p.write_text('{"sf": 0.01, "second_tier": {"q": 1.0}}')
+    assert bench._load_prior_artifact(str(p), 0.1) == {}
+    p.write_text('{"sf": 0.1, "second_tier": {"q": 1.0}}')
+    assert bench._load_prior_artifact(str(p), 0.1)["second_tier"] == {"q": 1.0}
+
+
+def test_second_tier_trigger_calib_normalized():
+    """r15 guard calming (VERDICT r14 #3): uniform host slowness (wall and
+    calib both up) cancels and does NOT fire; a genuine per-query 2x move
+    at flat calib still does; sub-second specs need 3x."""
+    t = bench._second_tier_trigger
+    # genuine 2x regression on a >=1 s query at flat calib: fires
+    assert t(2.5, 1.2, 0.35, 0.35)
+    # same walls, but the host is uniformly 2x slower (calib doubled too):
+    # normalized ratio flat -> no fire (this was 11/37 of the r14 tier)
+    assert not t(2.5, 1.2, 0.70, 0.35)
+    # sub-second spec at flat calib: 2x is within natural spread (no fire),
+    # 3x+ fires
+    assert not t(0.55, 0.25, 0.35, 0.35)
+    assert t(0.80, 0.25, 0.35, 0.35)
+    # prior run predates the ladder entry -> raw-wall fallback (old idiom)
+    assert t(2.5, 1.2, 0.35, None)
+    assert not t(2.3, 1.2, 0.35, None)
+    # no/garbage reference -> never fires
+    assert not t(9.9, None, 0.35, 0.35)
+    assert not t(9.9, 0.0, 0.35, 0.35)
+    assert not t(9.9, True, 0.35, 0.35)
+
+
+def test_attr_serving_calib_stamps_ratios():
+    block = {"p50": 2.43, "p99": 3.68, "p50_rerank": 3.0, "index_rows": 100_000}
+    bench._attr_serving_calib(block, 0.35)
+    assert block["calib_sec"] == 0.35
+    assert block["p50_per_calib"] == round(2.43 / 0.35, 2)
+    assert block["p99_per_calib"] == round(3.68 / 0.35, 2)
+    assert "p50_rerank_per_calib" not in block  # only the canonical keys
+    skew = {"p99_parallel_router": 5.72}
+    bench._attr_serving_calib(skew, 0.4)
+    assert skew["p99_parallel_router_per_calib"] == round(5.72 / 0.4, 2)
+    # skipped blocks (SPARK_GRAFT_SERVING_N_LARGE=0) and dead calib: no-op
+    bench._attr_serving_calib(None, 0.35)
+    b2 = {"p50": 1.0}
+    bench._attr_serving_calib(b2, 0.0)
+    assert b2 == {"p50": 1.0}
+
+
 def test_scale_validation_resample_guard(tmp_path, monkeypatch):
     """scripts/scale_validation.py (r13): any section wall >2x the
     previous SCALE_RUNS line's triggers exactly ONE re-run, the faster
@@ -211,6 +269,19 @@ def test_scale_validation_widened_triggers(tmp_path, monkeypatch):
     assert sv._suspect_sections(cur, hist) == ["emb_lsh"]
     cur["emb_lsh"]["ratio"] = 12.0
     assert sv._suspect_sections(cur, hist) == []
+
+    # (c) suppression (ADVICE r14): a section whose TRUE scaling sits above
+    # the linear model reproduces the excess round over round — once the
+    # PREVIOUS record shows the same excess, (c) stops firing (it would
+    # otherwise double the validation wall every round forever)...
+    cur = {"emb_lsh": {"wall": 50.0, "ratio": 24.0, "linear": 17.0}}
+    hist_excess = [{"emb_lsh": {"wall": 48.0, "ratio": 23.0, "linear": 17.0}},
+                   {"emb_lsh": {"wall": 47.0}}]
+    assert sv._suspect_sections(cur, hist_excess) == []
+    # ...but a FRESH excess (previous record within its model) still fires
+    hist_fresh = [{"emb_lsh": {"wall": 48.0, "ratio": 15.0, "linear": 17.0}},
+                  {"emb_lsh": {"wall": 47.0}}]
+    assert sv._suspect_sections(cur, hist_fresh) == ["emb_lsh"]
 
     # no history: only (c) can fire
     assert sv._suspect_sections({"minhash": {"wall": 99.0}}, []) == []
