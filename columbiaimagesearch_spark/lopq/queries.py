@@ -29,10 +29,24 @@ QUOTA = twin.QUOTA
 TOP_K = twin.TOP_K
 RERANK_NB = twin.RERANK_NB
 
-_MODEL_CACHE: dict[str, LOPQModel] = {}
+# Every per-fixture cache below keys on session.fixture_cache_key — sf_dir
+# plus the embeddings parquet's (mtime_ns, size) — so a regenerated fixture
+# dir can never be served a stale model/relation, and eviction releases the
+# old entry's persisted blocks (VERDICT r14 #5 / ADVICE r14).
+_MODEL_CACHE: dict[tuple, LOPQModel] = {}
 
 
-_QUERIES_CACHE: dict[str, list] = {}
+_QUERIES_CACHE: dict[tuple, list] = {}
+
+
+def _fixture_key(cache: dict, sf_dir: str) -> tuple:
+    """The stamped cache key for sf_dir, with stale same-dir entries of
+    ``cache`` evicted (and their persisted blocks released) on the way."""
+    from ..session import evict_stale_fixture_entries, fixture_cache_key
+
+    key = fixture_cache_key(sf_dir)
+    evict_stale_fixture_entries(cache, key)
+    return key
 
 
 def fixture_queries(spark: SparkSession, sf_dir: str) -> list[tuple[int, "np.ndarray"]]:
@@ -40,17 +54,18 @@ def fixture_queries(spark: SparkSession, sf_dir: str) -> list[tuple[int, "np.nda
     like fixture_model (review r13: four builders repeated the same
     two-line collect verbatim, each re-running the job per registered
     query and each a drift point for the selection rule)."""
-    if sf_dir not in _QUERIES_CACHE:
+    key = _fixture_key(_QUERIES_CACHE, sf_dir)
+    if key not in _QUERIES_CACHE:
         q_rows = (
             load_table(spark, sf_dir, "embeddings")
             .where(F.col("vec_id") < N_QUERIES)
             .select("vec_id", "embedding")
             .collect()
         )
-        _QUERIES_CACHE[sf_dir] = [
+        _QUERIES_CACHE[key] = [
             (int(r["vec_id"]), np.array(r["embedding"])) for r in q_rows
         ]
-    return _QUERIES_CACHE[sf_dir]
+    return _QUERIES_CACHE[key]
 
 
 def fixture_model(spark: SparkSession, sf_dir: str) -> LOPQModel:
@@ -59,7 +74,8 @@ def fixture_model(spark: SparkSession, sf_dir: str) -> LOPQModel:
     reference's own architecture (nb_train subsample, conf
     conf_search_sbpycaffe_release.json:9-16) — while encode/search run
     distributed."""
-    if sf_dir not in _MODEL_CACHE:
+    key = _fixture_key(_MODEL_CACHE, sf_dir)
+    if key not in _MODEL_CACHE:
         rows = (
             load_table(spark, sf_dir, "embeddings")
             .select("vec_id", "embedding")
@@ -68,11 +84,11 @@ def fixture_model(spark: SparkSession, sf_dir: str) -> LOPQModel:
             .collect()
         )
         X = np.array([r["embedding"] for r in rows], dtype=np.float64)
-        _MODEL_CACHE[sf_dir] = LOPQModel.fit(X, **FIXTURE_PARAMS)
-    return _MODEL_CACHE[sf_dir]
+        _MODEL_CACHE[key] = LOPQModel.fit(X, **FIXTURE_PARAMS)
+    return _MODEL_CACHE[key]
 
 
-_CODES_CACHE: dict[str, DataFrame] = {}
+_CODES_CACHE: dict[tuple, DataFrame] = {}
 
 
 def codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,7 +106,7 @@ def codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_relation(
         _CODES_CACHE,
         spark,
-        sf_dir,
+        _fixture_key(_CODES_CACHE, sf_dir),
         lambda: encode_dataframe(
             spark, load_table(spark, sf_dir, "embeddings"), fixture_model(spark, sf_dir)
         ).persist(),
@@ -301,8 +317,8 @@ def lopq_train_distributed_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NN_PAIRS_CACHE: dict[str, DataFrame] = {}
-_EVAL_PASS_CACHE: dict[str, tuple] = {}
+_NN_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+_EVAL_PASS_CACHE: dict[tuple, tuple] = {}
 
 
 @register(
@@ -338,13 +354,15 @@ def lopq_eval_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stalls the codes_df docstring describes (the [1.64, 3.07] s sample
     # spread). The codes_df idiom applies: compute once, probe per call
     # (the per-call work left is the same-cell join/agg over the two
-    # cached relations).
+    # cached relations). Both caches key on the fixture stamp (r15,
+    # VERDICT r14 #5): a rewritten fixture dir changes the key, so stale
+    # diagnostics can't be served and the evicted NN relation unpersists.
     from ..session import cached_relation
 
     nns = cached_relation(
         _NN_PAIRS_CACHE,
         spark,
-        sf_dir,
+        _fixture_key(_NN_PAIRS_CACHE, sf_dir),
         lambda: lopq_eval.exact_nn_pairs(
             load_table(spark, sf_dir, "embeddings", spread=True)
         ).persist(),
@@ -354,11 +372,12 @@ def lopq_eval_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # stability + distortion from ONE corpus pass (model_pass_stats):
     # both are per-vector functions of the broadcast model
-    if sf_dir not in _EVAL_PASS_CACHE:
-        _EVAL_PASS_CACHE[sf_dir] = lopq_eval.model_pass_stats(
+    pass_key = _fixture_key(_EVAL_PASS_CACHE, sf_dir)
+    if pass_key not in _EVAL_PASS_CACHE:
+        _EVAL_PASS_CACHE[pass_key] = lopq_eval.model_pass_stats(
             load_table(spark, sf_dir, "embeddings"), model
         )
-    n_rec, n_stable, dist_rows = _EVAL_PASS_CACHE[sf_dir]
+    n_rec, n_stable, dist_rows = _EVAL_PASS_CACHE[pass_key]
     rows: list[tuple] = [
         # integer numerator/denominator + raw IEEE division: exact under
         # the driver hash (same discipline as a5_recall_stats)
@@ -376,7 +395,7 @@ def lopq_eval_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PCA_MODEL_CACHE: dict[str, "object"] = {}
+_PCA_MODEL_CACHE: dict[tuple, "object"] = {}
 
 
 def pca_fixture_model(spark: SparkSession, sf_dir: str):
@@ -385,7 +404,8 @@ def pca_fixture_model(spark: SparkSession, sf_dir: str):
     twin.fit_pca_lopq on the same ordered rows the twin reads — so builder
     and oracle hold bitwise-identical models and the driver row verifies
     the distributed projection/encode/search plumbing."""
-    if sf_dir not in _PCA_MODEL_CACHE:
+    key = _fixture_key(_PCA_MODEL_CACHE, sf_dir)
+    if key not in _PCA_MODEL_CACHE:
         rows = (
             load_table(spark, sf_dir, "embeddings")
             .select("vec_id", "embedding")
@@ -394,11 +414,11 @@ def pca_fixture_model(spark: SparkSession, sf_dir: str):
             .collect()
         )
         X = np.array([r["embedding"] for r in rows], dtype=np.float64)
-        _PCA_MODEL_CACHE[sf_dir] = twin.fit_pca_lopq(X)
-    return _PCA_MODEL_CACHE[sf_dir]
+        _PCA_MODEL_CACHE[key] = twin.fit_pca_lopq(X)
+    return _PCA_MODEL_CACHE[key]
 
 
-_PCA_CODES_CACHE: dict[str, DataFrame] = {}
+_PCA_CODES_CACHE: dict[tuple, DataFrame] = {}
 
 
 def pca_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,7 +438,9 @@ def pca_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, projected, pm.lopq, id_col="id", vec_col="v"
         ).persist()
 
-    return cached_relation(_PCA_CODES_CACHE, spark, sf_dir, build)
+    return cached_relation(
+        _PCA_CODES_CACHE, spark, _fixture_key(_PCA_CODES_CACHE, sf_dir), build
+    )
 
 
 @register(

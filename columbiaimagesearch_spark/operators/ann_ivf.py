@@ -36,7 +36,7 @@ N_PROBE = twin.IVF_PROBE  # probes 6/16 cells; recall@10 ~0.74 on the weakly-clu
 TOP_K = twin.TOP_K
 N_QUERIES = twin.N_QUERIES
 
-_CENTROID_CACHE: dict[tuple[str, int, int], np.ndarray] = {}
+_CENTROID_CACHE: dict[tuple, np.ndarray] = {}
 
 
 def train_centroids(
@@ -49,8 +49,14 @@ def train_centroids(
     sample_limit: int = twin.SAMPLE_LIMIT,
 ) -> np.ndarray:
     # sample_limit is part of the key (review r13): it changes the trained
-    # centroids, so omitting it served stale centroids to a caller varying it
-    key = (sf_dir, k, sample_limit)
+    # centroids, so omitting it served stale centroids to a caller varying
+    # it. The fixture stamp prefixes the key (r15, VERDICT r14 #5): a
+    # regenerated fixture dir must retrain, not serve stale centroids.
+    from ..session import evict_stale_fixture_entries, fixture_cache_key
+
+    stamp = fixture_cache_key(sf_dir)
+    evict_stale_fixture_entries(_CENTROID_CACHE, stamp)
+    key = (*stamp, k, sample_limit)
     if key not in _CENTROID_CACHE:
         rows = (
             load_table(spark, sf_dir, "embeddings")
@@ -141,20 +147,28 @@ def ivf_search(
     )
 
 
-_INDEX_CACHE: dict[str, DataFrame] = {}
+_INDEX_CACHE: dict[tuple, DataFrame] = {}
 
 
 def cached_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The inverted file, built ONCE per sf_dir and persisted — the
     production shape (the index is materialized once, probed many times),
     and it avoids re-broadcasting the centroids per query call (dead
-    broadcasts accumulate until a driver GC; see lopq.queries.codes_df)."""
-    from ..session import cached_relation
+    broadcasts accumulate until a driver GC; see lopq.queries.codes_df).
+    Keyed on the fixture stamp (r15): a regenerated fixture dir rebuilds
+    and the stale index unpersists."""
+    from ..session import (
+        cached_relation,
+        evict_stale_fixture_entries,
+        fixture_cache_key,
+    )
 
+    stamp = fixture_cache_key(sf_dir)
+    evict_stale_fixture_entries(_INDEX_CACHE, stamp)
     return cached_relation(
         _INDEX_CACHE,
         spark,
-        sf_dir,
+        stamp,
         lambda: build_index(spark, sf_dir, train_centroids(spark, sf_dir)).persist(),
     )
 

@@ -47,6 +47,46 @@ def cached_relation(cache: dict, spark: SparkSession, key, build):
     return df
 
 
+def fixture_cache_key(sf_dir: str, table: str = "embeddings") -> tuple:
+    """Cache key for a per-fixture-dir memo: the dir plus the source
+    parquet's (mtime_ns, size) stamp.
+
+    The sf_dir-keyed module caches (fixture models, codes relations, eval
+    stats) assumed fixture dirs are immutable — true for the driver/bench
+    lifecycle, but a session that regenerates a fixture dir in-process
+    would be served stale results with nothing in the record to show it
+    (VERDICT r14 #5 / ADVICE r14). A rewrite changes the stamp, so the
+    stale entry simply stops matching; pass the key to
+    ``evict_stale_fixture_entries`` to also release what it pinned."""
+    import os as _os
+
+    try:
+        st = _os.stat(_os.path.join(sf_dir, f"{table}.parquet"))
+        return (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (sf_dir, None, None)
+
+
+def evict_stale_fixture_entries(cache: dict, stamp: tuple) -> None:
+    """Drop cache entries for ``stamp``'s sf_dir carrying any OTHER stamp,
+    unpersisting evicted DataFrames — without this, every fixture rewrite
+    leaks the old entry's pinned blocks for the life of the driver
+    (ADVICE r14 on _NN_PAIRS_CACHE). Keys may extend the stamp with extra
+    dimensions (e.g. centroid caches append (k, sample_limit)): an entry
+    survives iff its first ``len(stamp)`` elements equal the stamp."""
+    from pyspark.sql import DataFrame as _DF
+
+    for k in [
+        k for k in list(cache) if k[0] == stamp[0] and k[: len(stamp)] != stamp
+    ]:
+        old = cache.pop(k)
+        if isinstance(old, _DF):
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — session already gone
+                pass
+
+
 def ensure_shipped(spark: SparkSession) -> None:
     """Ship this package to the Python workers of ``spark``.
 

@@ -1,12 +1,22 @@
 """cached_relation must never hand back a DataFrame bound to another
 (stopped/replaced) SparkSession — the stale-handle failure mode is opaque
-errors on first use after a session restart in the same process."""
+errors on first use after a session restart in the same process.
+
+fixture_cache_key / evict_stale_fixture_entries (r15, VERDICT r14 #5):
+the per-sf_dir module caches key on the source parquet's (mtime, size)
+stamp, so a REWRITTEN fixture dir is never served stale results, and the
+evicted entry's persisted blocks are released instead of pinning forever
+(ADVICE r14)."""
 
 from __future__ import annotations
 
 from types import SimpleNamespace
 
-from columbiaimagesearch_spark.session import cached_relation
+from columbiaimagesearch_spark.session import (
+    cached_relation,
+    evict_stale_fixture_entries,
+    fixture_cache_key,
+)
 
 
 def test_hit_on_same_session(spark):
@@ -26,3 +36,61 @@ def test_rebuild_when_cached_handle_belongs_to_other_session(spark):
     got = cached_relation(cache, spark, "k", lambda: fresh)
     assert got is fresh
     assert cache["k"] is fresh  # stale entry replaced
+
+
+def test_fixture_key_changes_when_dir_rewritten(tmp_path):
+    p = tmp_path / "embeddings.parquet"
+    p.write_bytes(b"v1-bytes")
+    k1 = fixture_cache_key(str(tmp_path))
+    assert fixture_cache_key(str(tmp_path)) == k1  # stable while unchanged
+    import os
+
+    os.utime(p, ns=(1, 1))  # rewrite-in-place: same size, new mtime
+    k2 = fixture_cache_key(str(tmp_path))
+    assert k2 != k1
+    p.write_bytes(b"v2-bytes-longer")  # regenerated with different content
+    assert fixture_cache_key(str(tmp_path)) not in (k1, k2)
+    # a dir with no embeddings parquet still yields a usable (degraded) key
+    assert fixture_cache_key(str(tmp_path / "nope"))[0].endswith("nope")
+
+
+def test_evict_stale_fixture_entries_unpersists(spark, tmp_path):
+    p = tmp_path / "embeddings.parquet"
+    p.write_bytes(b"v1")
+    k1 = fixture_cache_key(str(tmp_path))
+    df = spark.range(5).persist()
+    df.count()  # materialize so the persisted blocks exist
+    other = spark.range(2)
+    cache = {k1: df, ("other_dir", 0, 0): other, (*k1, 16, 20000): "centroids"}
+    import os
+
+    os.utime(p, ns=(2, 2))
+    k2 = fixture_cache_key(str(tmp_path))
+    evict_stale_fixture_entries(cache, k2)
+    # both same-dir entries (exact and extended key) evicted; foreign kept
+    assert k1 not in cache and (*k1, 16, 20000) not in cache
+    assert cache == {("other_dir", 0, 0): other}
+    assert df.storageLevel.useMemory is False  # unpersisted, blocks released
+    # idempotent under the CURRENT stamp: entries keyed by k2 survive
+    cache[k2] = df
+    cache[(*k2, 16, 20000)] = "centroids"
+    evict_stale_fixture_entries(cache, k2)
+    assert k2 in cache and (*k2, 16, 20000) in cache
+
+
+def test_rewritten_fixture_dir_not_served_stale(spark, tmp_path):
+    """End-to-end on a real cached builder: fixture_model retrains after
+    the fixture parquet is rewritten instead of serving the stale model."""
+    import shutil
+
+    from columbiaimagesearch_spark.lopq import queries as lq
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    dst = tmp_path / "embeddings.parquet"
+    shutil.copy(src, dst)
+    m1 = lq.fixture_model(spark, str(tmp_path))
+    assert lq.fixture_model(spark, str(tmp_path)) is m1  # memoized
+    shutil.copy(src, dst)  # regenerate: same bytes, fresh mtime
+    m2 = lq.fixture_model(spark, str(tmp_path))
+    assert m2 is not m1  # retrained, not served stale
+    assert len([k for k in lq._MODEL_CACHE if k[0] == str(tmp_path)]) == 1
