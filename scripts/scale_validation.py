@@ -32,6 +32,13 @@ LSH_RE = re.compile(
     r"bucket mean=(?P<bucket_mean>[\d.]+) max=(?P<bucket_max>\d+) "
     r"target=(?P<target>\d+)"
 )
+LSH_1M_RE = re.compile(
+    r"\[scale-knobs\] emb LSH 1M probe @(?P<n>\d+): "
+    r"knobs=\((?P<bands>\d+),(?P<bits>\d+)\) "
+    r"recall=(?P<recall>[\d.]+) wall=(?P<wall>[\d.]+)s \| "
+    r"bucket mean=(?P<bucket_mean>[\d.]+) max=(?P<bucket_max>\d+) "
+    r"target=(?P<target>\d+)"
+)
 MH_RE = re.compile(
     r"\[scale-knobs\] minhash LSH @(?P<n>\d+) docs: pairs=(?P<pairs>\d+) "
     r"recall=(?P<recall>[\d.]+) extras=(?P<extras>\d+) wall=(?P<wall>[\d.]+)s"
@@ -64,13 +71,17 @@ SRV_RE = re.compile(
 
 _SECTIONS = {
     "emb_lsh": LSH_RE,
+    # standing 1M probe (r15, VERDICT r14 #7 — was a one-off in r14): the
+    # direct evidence the bucket-group kernel scales past the 500k tier
+    "emb_lsh_1m": LSH_1M_RE,
     "minhash": MH_RE,
     "substring": SUB_RE,
     "emb_decon": DECON_RE,
     "emb_dedup": DEDUP_RE,
     "serving_1m": SRV_RE,
 }
-_WALLED = ("emb_lsh", "minhash", "substring", "emb_decon", "emb_dedup")
+_WALLED = ("emb_lsh", "emb_lsh_1m", "minhash", "substring", "emb_decon",
+           "emb_dedup")
 
 
 def _run_once() -> tuple[dict, float, int]:
@@ -104,6 +115,18 @@ def _run_once() -> tuple[dict, float, int]:
                 k: (float(v) if "." in v else int(v))
                 for k, v in m.groupdict().items()
             }
+    # The 1M probe's scaling ratio vs the 500k section, against the
+    # n x bands linear model — same-run walls, so host capacity cancels.
+    # Stored as ratio/linear so _suspect_sections trigger (c) adjudicates
+    # a 1M-only regression (the r13 failure mode: per-group dispatch cost
+    # growing with corpus size faster than the math).
+    if "emb_lsh_1m" in sections and "emb_lsh" in sections:
+        xl, lg = sections["emb_lsh_1m"], sections["emb_lsh"]
+        if lg.get("wall") and lg.get("n_large") and lg.get("bands"):
+            xl["ratio"] = round(xl["wall"] / lg["wall"], 2)
+            xl["linear"] = round(
+                (xl["n"] * xl["bands"]) / (lg["n_large"] * lg["bands"]), 2
+            )
     calib_mean = (calib_pre + calib_post) / 2.0
     # Self-attribution leg 1 (VERDICT r12 #5): record wall/calib with
     # every wall — a host-drift-inflated wall shows up in calib too,

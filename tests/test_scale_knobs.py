@@ -150,6 +150,66 @@ def test_lsh_derived_knobs_engage_and_scale(spark):
     big.unpersist()
 
 
+N_XL = 1_000_000
+
+
+def test_lsh_1m_probe(spark):
+    """Standing 1M-row emb_lsh probe (VERDICT r14 #7, promoting the r14
+    one-off): the only direct evidence that the group-batched kernel
+    (similarity.py:_bucket_group_rows) scales PAST the 500k validation
+    tier — the r13 dispatch wall grew faster than the math with corpus
+    size, which is exactly the failure mode a single-tier check hides.
+    Asserts the derived knobs keep moving (bits grows with n), the planted
+    recall floor holds at 2x the validation tier, and the wall stays under
+    a generous ceiling; scripts/scale_validation.py scrapes the printed
+    line and computes the 1M/500k scaling ratio against the n x bands
+    linear model (trigger (c) adjudicates a regression). r14 one-off
+    reference: knobs (19,14), recall 0.9993, warm wall 78.7 s at flat
+    calib."""
+    planted = synth.planted_pairs(N_XL, N_DUPS)
+    xl = synth.gen_embeddings(spark, N_XL, N_DUPS).persist()
+    assert xl.count() == N_XL
+
+    bands, bits = derive_lsh_knobs(N_XL, threshold=THRESHOLD)
+    bands_l, bits_l = derive_lsh_knobs(N_LARGE, threshold=THRESHOLD)
+    assert bits >= bits_l  # keyspace keeps tracking n past the 500k tier
+
+    # warm the worker pool + codegen on a small corpus (bench methodology —
+    # see test_lsh_derived_knobs_engage_and_scale) so the timed wall is the
+    # kernel, not per-core worker spin-up, even when this test runs alone
+    warm = synth.gen_embeddings(spark, N_SMALL, N_DUPS // 10).persist()
+    warm.count()
+    _timed_pairs(warm, THRESHOLD)
+    warm.unpersist()
+
+    found, wall = _timed_pairs(xl, THRESHOLD)
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.95, recall
+    # generous ceiling: the r14 probe measured 78.7 s warm at flat calib;
+    # 4x headroom absorbs a degraded host without masking a real cliff
+    # (the pre-fix dispatch wall would have blown far past this at 1M)
+    assert wall <= 320.0, wall
+
+    stats = (
+        xl.mapInPandas(
+            _band_rows_fn(bands, bits, LSH_SEED),
+            "vec_id long, band int, key long",
+        )
+        .groupBy("band", "key")
+        .count()
+        .agg(F.mean("count").alias("mean"), F.max("count").alias("max"))
+        .collect()[0]
+    )
+    assert stats["mean"] <= 4 * LSH_TARGET_BUCKET, stats
+    print(
+        f"\n[scale-knobs] emb LSH 1M probe @{N_XL}: knobs=({bands},{bits}) "
+        f"recall={recall:.4f} wall={wall:.1f}s | "
+        f"bucket mean={stats['mean']:.1f} max={stats['max']} "
+        f"target={LSH_TARGET_BUCKET}"
+    )
+    xl.unpersist()
+
+
 def test_jaccard_refuses_and_minhash_covers_500k(spark):
     from columbiaimagesearch_spark.operators.dedup import (
         JACCARD_MAX_DOCS,
