@@ -425,3 +425,18 @@ def test_emb_lsh_pairs_single_keyed_exchange(spark):
     assert explain.data_shuffles(plan) == 1, plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
     assert plan.count("FlatMapGroupsInPandas") >= 1, plan
+
+
+def test_hypertable_rollup_one_expand_one_shuffle(spark):
+    plan = explain.formatted_plan(_q(spark, "x_hypertable_rollup"))
+    # the continuous-aggregate contract (relational.x_hypertable_rollup):
+    # all three resolutions (1m/1h/1d) materialize from ONE pass — a single
+    # Expand emits one row per (input row, grouping set) and one
+    # partial+final aggregation reduces them, so the whole rollup costs
+    # one shuffle. A second keyed exchange (or a missing Expand) means the
+    # GROUPING SETS degenerated into per-resolution scans/unions — three
+    # corpus reads instead of one at 100 TB. (Each node appears twice in a
+    # formatted plan: once in the tree, once as its detail block.)
+    assert plan.count("Expand") == 2, plan
+    assert explain.data_shuffles(plan) == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
