@@ -301,7 +301,7 @@ def j2_explode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CORRECTNESS_r14; folded again r15 to free the slot for
     # q18_large_volume_customer (last green r2). J3 stays driver-green on
     # s6_merge_upsert, F7 on llm_decontaminate. Fold-safety pinned by
-    # tests/test_registry_contract.py::test_registry_fold_safety.
+    # tests/test_registry.py::test_registry_fold_safety.
     driver=False,
     doc="Dedup anti-join: incoming keys minus already-processed rows "
     "(extraction_checker.py:225-258 get_unprocessed_rows). Customers with no "
