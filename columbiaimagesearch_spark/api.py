@@ -2,7 +2,7 @@
 
 Mirrors the reference's search entry path: ``search_from_feats``
 (``searcher/searcher_lopqhbase.py:783-1067``) with options {max_returned,
-near_dup / near_dup_th, rerank} and ``DictOutput.format_output``'s nested
+near_dup / near_dup_th, rerank, detect_only} and ``DictOutput.format_output``'s nested
 ranked structure (``searcher/output_mapping.py:78-230``) — minus the HTTP
 plumbing (Flask/gunicorn workers are out of scope per SURVEY §7.3; any HTTP
 layer calls this).
@@ -103,6 +103,7 @@ def search_by_image(
     mode: str = "full_image",
     model_factory=None,
     train_params: dict | None = None,
+    detect_only: bool = False,
 ) -> dict[str, Any]:
     """Query-by-image — the reference's byB64/byURL flow composed end-to-end
     (api.py request -> featurize -> searcher, searchapi + 
@@ -115,7 +116,10 @@ def search_by_image(
 
     An indexed image queried by its own bytes returns itself at rank 1
     with distance 0 (the reference's self-retrieval sanity property —
-    pinned in tests)."""
+    pinned in tests). Face mode reports the detected bbox with every
+    face's results (the reference's per-face QueryFace field); with
+    ``detect_only`` (option, api.py:40-41) detection runs but featurize,
+    indexing and search are all skipped."""
     from .functions.rank import ordered_global_index
     from .lopq.encode import encode_dataframe
     from .lopq.model import LOPQModel
@@ -124,6 +128,31 @@ def search_by_image(
 
     factory = model_factory or ToyExtractionModel
     params = train_params or {"V": 4, "M": 4, "K": 8, "seed": 5, "n_iter": 8}
+
+    if mode == "face" and detect_only:
+        # The reference's detect_only option (api.py:40-41, checked at
+        # generic_searcher.py:381 / searcher_lopqhbase.py:851): detection
+        # runs on the query images, featurize + search skip. In this batch
+        # facade that means the corpus relation is NEVER extracted or
+        # indexed — the expensive distributed stages the option exists to
+        # avoid. Each detected face appears with its bbox and the empty
+        # result entry; detector-less full_image mode ignores the option,
+        # exactly like the reference's detector-less flow
+        # (generic_searcher.py:391-410 featurizes unconditionally).
+        q_model = factory()
+        return {
+            name: {
+                fi: {
+                    "bbox": [int(left), int(top), int(right), int(bottom)],
+                    "sha1s": [],
+                    "distances": [],
+                }
+                for fi, (left, top, right, bottom, _score) in enumerate(
+                    q_model.detect(data)
+                )
+            }
+            for name, data in query_images
+        }
 
     # one row per sha1 (review r14, same as http_api._extract_ided): the
     # reference's sha1 row key dedups duplicated corpus rows by
@@ -185,12 +214,14 @@ def search_by_image(
     q_model = factory()
     queries: list[tuple[int, np.ndarray]] = []
     qkeys: list[tuple[str, int]] = []  # (query name, face_idx or -1)
+    qboxes: list[list[int] | None] = []  # detected bbox per face query
     for name, data in query_images:
         if mode == "full_image":
             queries.append(
                 (len(qkeys), np.asarray(q_model.featurize_full(data), dtype=np.float64))
             )
             qkeys.append((name, -1))
+            qboxes.append(None)
         else:
             for fi, (left, top, right, bottom, _score) in enumerate(
                 q_model.detect(data)
@@ -198,6 +229,7 @@ def search_by_image(
                 vec = q_model.featurize_face(data, (left, top, right, bottom))
                 queries.append((len(qkeys), np.asarray(vec, dtype=np.float64)))
                 qkeys.append((name, fi))
+                qboxes.append([int(left), int(top), int(right), int(bottom)])
     if not queries:
         ided.unpersist()
         return _empty_results()
@@ -234,6 +266,9 @@ def search_by_image(
         if mode == "full_image":
             out[name] = entry
         else:
+            # the detected bbox travels with each face's results (the
+            # reference's per-face QueryFace field, output_mapping.py:139)
+            entry["bbox"] = qboxes[qid]
             out.setdefault(name, {})[face_idx] = entry
     # query images with zero detected faces still appear (empty result)
     for name, _ in query_images:

@@ -30,8 +30,12 @@ Covered modes (``api.py:43-70,120-169``):
   path, ST6 at the serving tier)
 
 Options contract (``api.py:40-41,192-215`` get_options_dict/append_errors):
-{near_dup, near_dup_th, max_returned, rerank_nb}; unknown options do not
-fail the query — they append an ``errors`` map to the response. Responses
+{near_dup, near_dup_th, max_returned, rerank_nb, detect_only}; unknown
+options do not fail the query — they append an ``errors`` map to the
+response. ``detect_only`` (face mode, searcher_lopqhbase.py:851) runs
+detection but skips featurize + search; each detected face still appears
+with the empty result shape, and every face-mode entry carries the
+detected bboxes (``QueryFaces``, the reference's per-face QueryFace field). Responses
 carry ``Timing`` like ``process_query`` (api.py:155-189). Output field
 names follow the reference's CamelCase DictOutput map
 (``searcher/output_mapping.py:54-59``: QuerySha1 / SimilarImages /
@@ -59,7 +63,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_ENDPOINT = "cuimgsearch"  # www/run_search_api.py:40 default
-VALID_OPTIONS = ("near_dup", "near_dup_th", "max_returned", "rerank_nb")
+VALID_OPTIONS = (
+    "near_dup", "near_dup_th", "max_returned", "rerank_nb", "detect_only",
+)
 REFRESH_DELAY_S = 3600  # check_new_updates refresh throttle (api.py:26)
 DEFAULT_NEAR_DUP_TH = 0.8  # generic_searcher.py:43-45
 DEFAULT_MAX_RETURNED = 10
@@ -399,15 +405,6 @@ class ImageSearchService:
         return self.searcher.n_items - before
 
     # -- queries ---------------------------------------------------------------
-    def _query_vectors(self, data: bytes) -> list[np.ndarray]:
-        if self.mode == "full_image":
-            return [np.asarray(self.q_model.featurize_full(data), dtype=np.float64)]
-        return [
-            np.asarray(
-                self.q_model.featurize_face(data, bbox[:4]), dtype=np.float64
-            )
-            for bbox in self.q_model.detect(data)
-        ]
 
     def _search_one(self, q: np.ndarray, opts: dict) -> dict:
         max_returned = int(opts.get("max_returned", DEFAULT_MAX_RETURNED))
@@ -469,12 +466,35 @@ class ImageSearchService:
 
     def _entry_for_bytes(self, data: bytes, opts: dict) -> dict:
         entry: dict[str, Any] = {"QuerySha1": _sha1_hex(data)}
-        sims = [self._search_one(q, opts) for q in self._query_vectors(data)]
         if self.mode == "full_image":
-            entry["SimilarImages"] = sims[0] if sims else _empty_similar()
-        else:
-            entry["NumberFaces"] = len(sims)
-            entry["SimilarFaces"] = sims
+            # detect_only is face-mode-only in the reference: the
+            # detector-less flow featurizes unconditionally and never
+            # reads the option (generic_searcher.py:391-410) — a no-op here
+            q = np.asarray(self.q_model.featurize_full(data), dtype=np.float64)
+            entry["SimilarImages"] = self._search_one(q, opts)
+            return entry
+        dets = self.q_model.detect(data)
+        entry["NumberFaces"] = len(dets)
+        # per-detection bbox, aligned index-for-index with SimilarFaces —
+        # the reference emits the detected bbox with every face entry
+        # (QueryFace, output_mapping.py:139); without it the caller cannot
+        # attribute a result list to a region of the query image
+        entry["QueryFaces"] = [[int(c) for c in b[:4]] for b in dets]
+        if opts.get("detect_only"):
+            # detection runs, featurize + search skip
+            # (searcher_lopqhbase.py:851, generic_searcher.py:381): each
+            # detected face still appears, carrying the empty result shape
+            entry["SimilarFaces"] = [_empty_similar() for _ in dets]
+            return entry
+        entry["SimilarFaces"] = [
+            self._search_one(
+                np.asarray(
+                    self.q_model.featurize_face(data, b[:4]), dtype=np.float64
+                ),
+                opts,
+            )
+            for b in dets
+        ]
         return entry
 
     def search_b64_list(

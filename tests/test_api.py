@@ -99,9 +99,16 @@ def test_search_by_image_face_mode(spark, domain_images):
         n_faces = len(toy_face_detector(bytes(r["content"])))
         per_face = out[r["sha1"]]
         assert set(per_face) == set(range(n_faces))
-        for res in per_face.values():
+        boxes = [
+            [int(c) for c in b[:4]]
+            for b in toy_face_detector(bytes(r["content"]))
+        ]
+        for fi, res in per_face.items():
             assert res["distances"][0] == 0.0  # own face at rank 1
             assert res["sha1s"][0] == r["sha1"]
+            # detected bbox travels with each face's results (the
+            # reference's per-face QueryFace, output_mapping.py:139)
+            assert res["bbox"] == boxes[fi]
 
 
 def test_search_by_image_driver_collects_bounded(spark, domain_images, monkeypatch):
@@ -172,3 +179,43 @@ def test_search_by_image_zero_extractions_shape(spark, domain_images):
         model_factory=_AlwaysFailingModel,
     )
     assert out_face == {r["sha1"]: {} for r in rows}
+
+
+def test_search_by_image_detect_only_skips_corpus(spark, domain_images):
+    """detect_only (reference api.py:40-41, generic_searcher.py:381):
+    detection runs on the query images, featurize + search skip — and the
+    corpus relation is never touched (images=None proves no extraction,
+    train or encode job ran). Output: per-face bbox + the empty result
+    entry; full_image mode ignores the option like the reference's
+    detector-less flow."""
+    from columbiaimagesearch_spark.api import search_by_image
+    from columbiaimagesearch_spark.multimodal.images import toy_face_detector
+
+    rows = domain_images.orderBy("sha1").limit(12).collect()
+    with_faces = [
+        r for r in rows if len(toy_face_detector(bytes(r["content"]))) > 0
+    ][:2]
+    assert with_faces, "fixture must contain images with detected faces"
+    queries = [(r["sha1"], bytes(r["content"])) for r in with_faces]
+
+    out = search_by_image(
+        spark, None, queries, mode="face", detect_only=True
+    )
+    for r in with_faces:
+        boxes = [
+            [int(c) for c in b[:4]]
+            for b in toy_face_detector(bytes(r["content"]))
+        ]
+        assert out[r["sha1"]] == {
+            fi: {"bbox": b, "sha1s": [], "distances": []}
+            for fi, b in enumerate(boxes)
+        }
+
+    # full_image mode: detect_only is a no-op, the search runs normally
+    out_full = search_by_image(
+        spark, domain_images.orderBy("sha1").limit(12),
+        queries[:1], max_returned=3, detect_only=True,
+    )
+    name = queries[0][0]
+    assert out_full[name]["sha1s"][0] == name
+    assert out_full[name]["distances"][0] == 0.0

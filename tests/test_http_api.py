@@ -668,3 +668,62 @@ def test_duplicate_sha1_rows_index_once(spark, domain_images):
     assert admitted == 2
     assert svc.searcher.n_items == n_unique + 2
     assert all(len(ids) == 1 for ids in svc.sha1_to_ids.values())
+
+
+def test_face_mode_query_faces_and_detect_only(spark, domain_images):
+    """Face mode parity (api.py:40-41 valid option detect_only,
+    searcher_lopqhbase.py:851; output_mapping.py:139 per-face QueryFace):
+    every face entry carries the detected bboxes aligned with its
+    SimilarFaces lists, and detect_only runs detection but skips
+    featurize + search — each face still appears with the empty result
+    shape. A detected query face that exists in the index comes back at
+    distance 0 on the non-detect_only path (self-retrieval)."""
+    from columbiaimagesearch_spark.multimodal.images import toy_face_detector
+
+    rows = domain_images.orderBy("sha1").limit(40).collect()
+    with_faces = [
+        r for r in rows if len(toy_face_detector(bytes(r["content"]))) > 0
+    ]
+    assert with_faces, "fixture must contain images with detected faces"
+    svc = http_api.ImageSearchService.build(
+        spark, domain_images.orderBy("sha1").limit(40), mode="face"
+    )
+    try:
+        row = with_faces[0]
+        data, sha1 = bytes(row["content"]), row["sha1"]
+        boxes = [[int(c) for c in b[:4]] for b in toy_face_detector(data)]
+        b64 = [base64.b64encode(data).decode()]
+
+        out = svc.search_b64_list(b64, {"detect_only": True})
+        entry = out["images"][0]
+        assert entry["NumberFaces"] == len(boxes)
+        assert entry["QueryFaces"] == boxes
+        assert entry["SimilarFaces"] == [
+            {"NumberImages": 0, "ImageSha1s": [], "Distances": []}
+            for _ in boxes
+        ]
+
+        out = svc.search_b64_list(b64, {})
+        entry = out["images"][0]
+        assert entry["QueryFaces"] == boxes
+        assert len(entry["SimilarFaces"]) == len(boxes)
+        for sims in entry["SimilarFaces"]:
+            # own face at rank 1 with distance 0 (indexed query image)
+            assert sims["ImageSha1s"][0] == sha1
+            assert sims["Distances"][0] == 0.0
+    finally:
+        svc.close()
+
+
+def test_detect_only_is_a_noop_in_full_image_mode(spark, domain_images, server):
+    """The reference's detector-less flow featurizes unconditionally and
+    never reads detect_only (generic_searcher.py:391-410): the option is
+    accepted (no 'Unknown option' error) and the search runs normally."""
+    row = domain_images.orderBy("sha1").limit(1).collect()[0]
+    out = _get(
+        server, "byB64",
+        data=base64.b64encode(bytes(row["content"])).decode(),
+        options=json.dumps({"detect_only": True}),
+    )
+    assert "errors" not in out
+    assert out["images"][0]["SimilarImages"]["ImageSha1s"][0] == row["sha1"]
