@@ -30,9 +30,14 @@ Covered modes (``api.py:43-70,120-169``):
   path, ST6 at the serving tier)
 
 Options contract (``api.py:40-41,192-215`` get_options_dict/append_errors):
-{near_dup, near_dup_th, max_returned, rerank_nb, detect_only}; unknown
-options do not fail the query — they append an ``errors`` map to the
-response. ``detect_only`` (face mode, searcher_lopqhbase.py:851) runs
+{near_dup, near_dup_th, max_returned, reranking, rerank_nb, detect_only,
+no_blur, max_height} — the reference's full valid_options list
+(api.py:40-41); unknown options do not fail the query — they append an
+``errors`` map to the response. ``reranking`` toggles exact rerank off/on
+(off -> ADC answers; ``rerank_nb`` only sizes the shortlist when on,
+searcher_lopqhbase.py:823-831). ``no_blur`` / ``max_height`` are view
+settings (api.py:517-523): they pick the img class (img_vis / img_blur)
+and inline height on the view_similar_* pages. ``detect_only`` (face mode, searcher_lopqhbase.py:851) runs
 detection but skips featurize + search; each detected face still appears
 with the empty result shape, and every face-mode entry carries the
 detected bboxes (``QueryFaces``, the reference's per-face QueryFace field). Responses
@@ -64,7 +69,8 @@ from pyspark.sql import functions as F
 
 DEFAULT_ENDPOINT = "cuimgsearch"  # www/run_search_api.py:40 default
 VALID_OPTIONS = (
-    "near_dup", "near_dup_th", "max_returned", "rerank_nb", "detect_only",
+    "near_dup", "near_dup_th", "max_returned", "reranking", "rerank_nb",
+    "detect_only", "no_blur", "max_height",
 )
 REFRESH_DELAY_S = 3600  # check_new_updates refresh throttle (api.py:26)
 DEFAULT_NEAR_DUP_TH = 0.8  # generic_searcher.py:43-45
@@ -409,6 +415,11 @@ class ImageSearchService:
     def _search_one(self, q: np.ndarray, opts: dict) -> dict:
         max_returned = int(opts.get("max_returned", DEFAULT_MAX_RETURNED))
         rerank_nb = int(opts.get("rerank_nb", 4 * max_returned))
+        if not opts.get("reranking", True):
+            # the reference's reranking toggle (searcher_lopqhbase.py:823-831):
+            # reranking=false means ADC-ranked answers regardless of
+            # rerank_nb, which only sizes the shortlist when reranking is on
+            rerank_nb = 0
         quota = min(1000 * max_returned, QUOTA_CAP)
         # the pool shares search()'s signature and answers (pinned by
         # tests); rerank vectors are fetched PARENT-side either way. A
@@ -718,7 +729,10 @@ def _empty_similar() -> dict:
     return {"NumberImages": 0, "ImageSha1s": [], "Distances": []}
 
 
-_NUMERIC_OPTIONS = {"near_dup_th": float, "max_returned": int, "rerank_nb": int}
+_NUMERIC_OPTIONS = {
+    "near_dup_th": float, "max_returned": int, "rerank_nb": int,
+    "max_height": int,
+}
 
 
 def _parse_options(options_raw) -> tuple[dict, list[str]]:
@@ -776,12 +790,20 @@ def _html_escape(s: str) -> str:
 
 
 def _render_similar_html(resp: dict, query_srcs: dict[str, str],
-                         endpoint: str) -> str:
+                         endpoint: str, opts: dict | None = None) -> str:
     """The reference's view_similar_* page (www/templates/
     view_similar_images.html rendered by api.py:410-507), minimally:
     per query — the query image, then each similar image as an <img>
     fetched from THIS server's view_image_sha1 route with the distance
-    in the title attribute."""
+    in the title attribute.
+
+    View settings (api.py:517-523): ``no_blur`` toggles the img class
+    between img_vis and img_blur (the reference's CSS blurs the latter;
+    default no_blur=True, api.py:37), ``max_height`` sets the similar
+    images' inline height (default 120, api.py:38)."""
+    opts = opts or {}
+    img_style = "img_vis" if opts.get("no_blur", True) else "img_blur"
+    max_height = int(opts.get("max_height", 120))
     parts = ["<html><head><title>Images viewer</title></head><body>"]
     for entry in resp.get("images", []):
         qsha = entry.get("QuerySha1", "")
@@ -790,7 +812,7 @@ def _render_similar_html(resp: dict, query_srcs: dict[str, str],
         if src:
             parts.append(
                 f'<img src="{_html_escape(src)}" '
-                f'title="{_html_escape(qsha)}" class="img_vis">'
+                f'title="{_html_escape(qsha)}" class="{img_style}">'
             )
         else:
             parts.append(f"<p>{_html_escape(qsha or entry.get('error', '?'))}</p>")
@@ -807,8 +829,8 @@ def _render_similar_html(resp: dict, query_srcs: dict[str, str],
                 parts.append(
                     f'<img src="/{endpoint}/view_image_sha1?data='
                     f'{_html_escape(sha1)}" alt="{_html_escape(sha1)}" '
-                    f'title="{_html_escape(dist)}" class="img_vis" '
-                    'style="height: 120px;">'
+                    f'title="{_html_escape(dist)}" class="{img_style}" '
+                    f'style="height: {max_height}px;">'
                 )
     parts.append("</body></html>")
     return "\n".join(parts)
@@ -938,7 +960,10 @@ def make_server(
                     }
                 else:
                     srcs = _view_similar_query_srcs(base_mode, data, fetched)
-                body = _render_similar_html(resp, srcs, endpoint).encode()
+                view_opts, _ = _parse_options(options_raw)
+                body = _render_similar_html(
+                    resp, srcs, endpoint, view_opts
+                ).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html; charset=utf-8")
                 self.send_header("Content-Length", str(len(body)))

@@ -186,6 +186,16 @@ def test_rerank_nb_zero_takes_adc_path(spark, domain_images, server):
     assert sims["NumberImages"] == len(sims["ImageSha1s"]) == 10
     assert "errors" not in out
 
+    # the reference's boolean toggle spells the same mode
+    # (searcher_lopqhbase.py:823-831): reranking=false -> ADC answers,
+    # regardless of rerank_nb (which only sizes the shortlist when on)
+    off = _get(
+        server, "byB64", data=b64,
+        options=json.dumps({"reranking": False, "rerank_nb": 50}),
+    )
+    assert off["images"][0]["SimilarImages"] == sims
+    assert "errors" not in off
+
 
 def test_bad_option_values_append_errors(spark, domain_images, server):
     """Non-numeric near_dup_th/max_returned/rerank_nb values are reported
@@ -500,6 +510,18 @@ def test_view_similar_html_modes(spark, domain_images, server, tmp_path):
     img.write_bytes(content)
     page_path = get_html("view_similar_byPATH", str(img))
     assert f"view_image_sha1?data={row['sha1']}" in page_path
+
+    # view settings (reference api.py:517-523 + the templates): defaults
+    # are no_blur=True -> img_vis and max_height=120; no_blur=false picks
+    # the blurred class and max_height sets the inline height
+    assert 'class="img_vis"' in page and "height: 120px" in page
+    opts = json.dumps({"no_blur": False, "max_height": 200})
+    with urllib.request.urlopen(
+        _url(server, "view_similar_byB64", data=b64, options=opts), timeout=60
+    ) as r:
+        styled = r.read().decode()
+    assert 'class="img_blur"' in styled and 'class="img_vis"' not in styled
+    assert "height: 200px" in styled and "Unknown option" not in styled
 
 
 def test_view_image_sha1_returns_bytes(spark, domain_images, server, service):
