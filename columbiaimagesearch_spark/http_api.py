@@ -90,7 +90,8 @@ class ImageSearchService:
     def __init__(self, spark, model, searcher, id_to_sha1, sha1_to_ids,
                  q_model, mode: str, images: DataFrame | None = None,
                  source_path: str | None = None, fetcher=None,
-                 model_factory=None) -> None:
+                 model_factory=None, near_dup: bool = False,
+                 near_dup_th: float = DEFAULT_NEAR_DUP_TH) -> None:
         self.spark = spark
         self.model = model
         self.searcher = searcher  # ServingSearcher with resident vectors
@@ -111,6 +112,13 @@ class ImageSearchService:
         # refresh_from_source invalidate Spark's file-listing cache so a
         # re-scan sees files that landed after build
         self.source_path = source_path
+        # server-wide near-dup defaults (the reference's conf params,
+        # generic_searcher.py:43-45 get_param near_dup / near_dup_th): a
+        # query option, when present, overrides — including an explicit
+        # false disabling a server-default-on filter
+        # (searcher_lopqhbase.py:812-820)
+        self.near_dup = near_dup
+        self.near_dup_th = near_dup_th
         # byURL/byPATH edge fetcher; the default denies local file reads
         self.fetcher = fetcher or default_url_fetcher
         self.start_time = datetime.now()
@@ -172,6 +180,8 @@ class ImageSearchService:
         source_path: str | None = None,
         path_root: str | None = None,
         parallel: bool = False,
+        near_dup: bool = False,
+        near_dup_th: float = DEFAULT_NEAR_DUP_TH,
     ) -> "ImageSearchService":
         """``n_shards`` > 1 backs the service with a
         :class:`~.lopq.serving.ShardedServingRouter` instead of one replica —
@@ -254,7 +264,8 @@ class ImageSearchService:
         svc = cls(spark, model, searcher, id_to_sha1, sha1_to_ids,
                   factory(), mode, images=images, source_path=source_path,
                   fetcher=make_url_fetcher(path_root) if path_root else None,
-                  model_factory=factory)
+                  model_factory=factory, near_dup=near_dup,
+                  near_dup_th=near_dup_th)
         if parallel:
             svc.enable_parallel_pool()
         return svc
@@ -466,8 +477,10 @@ class ImageSearchService:
                         # keep serving in-process; the next refresh
                         # re-forks (self._parallel is still set)
                         pass
-        if opts.get("near_dup"):
-            th = float(opts.get("near_dup_th", DEFAULT_NEAR_DUP_TH))
+        # per-query option wins when present (an explicit false disables a
+        # server-default-on filter, searcher_lopqhbase.py:812-820)
+        if opts["near_dup"] if "near_dup" in opts else self.near_dup:
+            th = float(opts.get("near_dup_th", self.near_dup_th))
             rows = [(i, d) for i, d in rows if d <= th]
         return {
             "NumberImages": len(rows),

@@ -749,3 +749,27 @@ def test_detect_only_is_a_noop_in_full_image_mode(spark, domain_images, server):
     )
     assert "errors" not in out
     assert out["images"][0]["SimilarImages"]["ImageSha1s"][0] == row["sha1"]
+
+
+def test_server_default_near_dup_and_option_override(spark, domain_images):
+    """The reference's conf-level near_dup default (generic_searcher.py:43-45,
+    applied at searcher_lopqhbase.py:812-820): a service built with
+    near_dup=True filters every query by near_dup_th — and a PRESENT but
+    false query option disables it (option wins over server default)."""
+    svc = http_api.ImageSearchService.build(
+        spark, domain_images.orderBy("sha1").limit(30),
+        near_dup=True, near_dup_th=1e-6,
+    )
+    try:
+        row = domain_images.orderBy("sha1").limit(1).collect()[0]
+        b64 = [base64.b64encode(bytes(row["content"])).decode()]
+        # no option: the server default filters down to the query itself
+        sims = svc.search_b64_list(b64, {})["images"][0]["SimilarImages"]
+        assert sims["ImageSha1s"] == [row["sha1"]]
+        # explicit false: the filter is off despite the server default
+        sims = svc.search_b64_list(b64, {"near_dup": False})["images"][0][
+            "SimilarImages"
+        ]
+        assert sims["NumberImages"] == 10
+    finally:
+        svc.close()
