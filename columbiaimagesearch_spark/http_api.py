@@ -97,6 +97,9 @@ class ImageSearchService:
         self.searcher = searcher  # ServingSearcher with resident vectors
         self.id_to_sha1 = id_to_sha1  # dict[int, str]
         self.sha1_to_ids = sha1_to_ids  # dict[str, list[int]]
+        # face mode only: item id -> its detected [l, t, r, b] at index
+        # time, so bySHA1 answers attribute each result list to a region
+        self.id_to_bbox: dict[int, list[int]] = {}
         self.q_model = q_model
         self.mode = mode
         # the EXTRACTION factory exactly as build() received it (review
@@ -160,11 +163,27 @@ class ImageSearchService:
                 ).alias("item_key"),
                 "sha1",
                 "feature",
+                # the detected box rides along into the serving metadata so
+                # face-mode bySHA1 answers can attribute each result list
+                # to a region (QueryFaces), like the byB64/byURL path does
+                # by re-detecting
+                F.array(
+                    F.col("bbox.left").cast("int"),
+                    F.col("bbox.top").cast("int"),
+                    F.col("bbox.right").cast("int"),
+                    F.col("bbox.bottom").cast("int"),
+                ).alias("item_bbox"),
             )
         else:
-            ok = ok.select(F.col("sha1").alias("item_key"), "sha1", "feature")
+            ok = ok.select(
+                F.col("sha1").alias("item_key"),
+                "sha1",
+                "feature",
+                F.lit(None).cast("array<int>").alias("item_bbox"),
+            )
         return ordered_global_index(ok, "item_key", "id").select(
-            "id", "sha1", F.col("feature").cast("array<double>").alias("v")
+            "id", "sha1", F.col("feature").cast("array<double>").alias("v"),
+            "item_bbox",
         )
 
     @classmethod
@@ -252,12 +271,16 @@ class ImageSearchService:
                 # with a distributed join). Its cardinality equals the codes
                 # snapshot, so the load_codes budget guard above has already
                 # raised before this collect can exceed the replica envelope.
-                meta = ided.select("id", "sha1").collect()
+                meta = ided.select("id", "sha1", "item_bbox").collect()
             finally:
                 codes.unpersist()
         finally:
             ided.unpersist()
         id_to_sha1 = {int(r["id"]): r["sha1"] for r in meta}
+        id_to_bbox = {
+            int(r["id"]): [int(c) for c in r["item_bbox"]]
+            for r in meta if r["item_bbox"] is not None
+        }
         sha1_to_ids: dict[str, list[int]] = {}
         for r in meta:
             sha1_to_ids.setdefault(r["sha1"], []).append(int(r["id"]))
@@ -266,6 +289,7 @@ class ImageSearchService:
                   fetcher=make_url_fetcher(path_root) if path_root else None,
                   model_factory=factory, near_dup=near_dup,
                   near_dup_th=near_dup_th)
+        svc.id_to_bbox = id_to_bbox
         if parallel:
             svc.enable_parallel_pool()
         return svc
@@ -362,7 +386,7 @@ class ImageSearchService:
         # keep ids globally unique: continue after the current max id
         base = max(self.id_to_sha1, default=-1) + 1
         ided = ided.select(
-            (F.col("id") + base).alias("id"), "sha1", "v"
+            (F.col("id") + base).alias("id"), "sha1", "v", "item_bbox"
         ).persist()
         try:
             codes = encode_dataframe(
@@ -372,7 +396,7 @@ class ImageSearchService:
             # refreshed sha1s that are ALREADY indexed dedup away inside
             # add_codes only by (cell, id); dedup by sha1 here (ST4)
             fresh_meta = [
-                r for r in ided.select("id", "sha1").collect()
+                r for r in ided.select("id", "sha1", "item_bbox").collect()
                 if r["sha1"] not in self.sha1_to_ids
             ]
             fresh_ids = {int(r["id"]) for r in fresh_meta}
@@ -407,6 +431,10 @@ class ImageSearchService:
             for r in fresh_meta:
                 self.id_to_sha1[int(r["id"])] = r["sha1"]
                 self.sha1_to_ids.setdefault(r["sha1"], []).append(int(r["id"]))
+                if r["item_bbox"] is not None:
+                    self.id_to_bbox[int(r["id"])] = [
+                        int(c) for c in r["item_bbox"]
+                    ]
         finally:
             ided.unpersist()
         if self._parallel:
@@ -593,16 +621,25 @@ class ImageSearchService:
             if ids is None:
                 entry["error"] = "sha1 not indexed"
                 entry["SimilarImages"] = _empty_similar()
+            elif self.mode == "full_image":
+                entry["SimilarImages"] = self._search_one(
+                    self.searcher.resident_vectors([ids[0]])[0], opts
+                )
             else:
-                sims = [
-                    self._search_one(self.searcher.resident_vectors([i])[0], opts)
-                    for i in ids
-                ]
-                if self.mode == "full_image":
-                    entry["SimilarImages"] = sims[0]
+                entry["NumberFaces"] = len(ids)
+                # the boxes detected at INDEX time (id_to_bbox) — same
+                # answer as the byB64 path's re-detection, since the
+                # detector is deterministic in the bytes
+                entry["QueryFaces"] = [self.id_to_bbox.get(i) for i in ids]
+                if opts.get("detect_only"):
+                    entry["SimilarFaces"] = [_empty_similar() for _ in ids]
                 else:
-                    entry["NumberFaces"] = len(sims)
-                    entry["SimilarFaces"] = sims
+                    entry["SimilarFaces"] = [
+                        self._search_one(
+                            self.searcher.resident_vectors([i])[0], opts
+                        )
+                        for i in ids
+                    ]
             out.append(entry)
         return {"images": out, "search_mode": self.mode}
 

@@ -733,6 +733,33 @@ def test_face_mode_query_faces_and_detect_only(spark, domain_images):
             # own face at rank 1 with distance 0 (indexed query image)
             assert sims["ImageSha1s"][0] == sha1
             assert sims["Distances"][0] == 0.0
+
+        # bySHA1 reports the SAME boxes from the index-time metadata
+        # (id_to_bbox) — the detector is deterministic in the bytes, so
+        # index-time and re-detected boxes agree
+        entry = svc.search_sha1_list([sha1], {})["images"][0]
+        assert sorted(entry["QueryFaces"]) == sorted(boxes)
+        assert len(entry["SimilarFaces"]) == len(boxes)
+        for qf, sims in zip(entry["QueryFaces"], entry["SimilarFaces"]):
+            assert sims["ImageSha1s"][0] == sha1 and qf in boxes
+        entry = svc.search_sha1_list([sha1], {"detect_only": True})["images"][0]
+        assert sorted(entry["QueryFaces"]) == sorted(boxes)
+        assert entry["SimilarFaces"] == [
+            {"NumberImages": 0, "ImageSha1s": [], "Distances": []}
+            for _ in boxes
+        ]
+
+        # refresh carries the index-time boxes too (the fresh_meta path)
+        known = set(svc.sha1_to_ids)
+        admitted = svc.refresh(domain_images.orderBy("sha1").limit(60))
+        assert admitted > 0
+        new_face_ids = [
+            i for s, ids in svc.sha1_to_ids.items() if s not in known
+            for i in ids
+        ]
+        assert new_face_ids and all(
+            len(svc.id_to_bbox[i]) == 4 for i in new_face_ids
+        )
     finally:
         svc.close()
 
