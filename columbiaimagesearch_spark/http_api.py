@@ -37,11 +37,13 @@ no_blur, max_height} — the reference's full valid_options list
 (off -> ADC answers; ``rerank_nb`` only sizes the shortlist when on,
 searcher_lopqhbase.py:823-831). ``no_blur`` / ``max_height`` are view
 settings (api.py:517-523): they pick the img class (img_vis / img_blur)
-and inline height on the view_similar_* pages. ``detect_only`` (face mode, searcher_lopqhbase.py:851) runs
-detection but skips featurize + search; each detected face still appears
-with the empty result shape, and every face-mode entry carries the
-detected bboxes (``QueryFaces``, the reference's per-face QueryFace field). Responses
-carry ``Timing`` like ``process_query`` (api.py:155-189). Output field
+and inline height on the view_similar_* pages. ``detect_only`` (face
+mode, searcher_lopqhbase.py:851) runs detection but skips featurize +
+search; each detected face still appears with the empty result shape,
+and every face-mode entry carries the detected bboxes (``QueryFaces``,
+the reference's per-face QueryFace field).
+
+Responses carry ``Timing`` like ``process_query`` (api.py:155-189). Output field
 names follow the reference's CamelCase DictOutput map
 (``searcher/output_mapping.py:54-59``: QuerySha1 / SimilarImages /
 NumberImages / ImageSha1s / Distances).
