@@ -432,3 +432,43 @@ def test_bucket_group_kernel_matches_per_bucket_reference(b, row_keys, seed):
             ]
         want.extend(pairs)
     assert got == sorted(want)
+
+
+_json_scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(), st.floats(allow_nan=False),
+    st.text(max_size=20),
+)
+
+
+@given(
+    raw=st.one_of(
+        st.text(max_size=60),  # arbitrary (mostly bad) JSON strings
+        st.dictionaries(st.text(max_size=15), _json_scalars, max_size=6),
+        st.lists(_json_scalars, max_size=4).map(
+            lambda x: __import__("json").dumps(x)
+        ),
+        _json_scalars,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_parse_options_total_on_arbitrary_client_input(raw):
+    """The HTTP edge's option parser faces raw client input: whatever
+    arrives — broken JSON, a JSON list, wrong-typed values for numeric
+    options, unknown keys — it must return (dict, errors) and never raise
+    (the reference's append_errors contract, api.py:192-215). Every
+    surviving key is a valid option name, and numeric options come back
+    numerically typed."""
+    from columbiaimagesearch_spark.http_api import (
+        _NUMERIC_OPTIONS,
+        VALID_OPTIONS,
+        _parse_options,
+    )
+
+    opts, errors = _parse_options(raw)
+    assert isinstance(opts, dict) and isinstance(errors, list)
+    for k, v in opts.items():
+        assert k in VALID_OPTIONS
+        if k in _NUMERIC_OPTIONS:
+            assert isinstance(v, _NUMERIC_OPTIONS[k]) and not isinstance(
+                v, bool
+            )
