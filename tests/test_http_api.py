@@ -800,3 +800,38 @@ def test_server_default_near_dup_and_option_override(spark, domain_images):
         assert sims["NumberImages"] == 10
     finally:
         svc.close()
+
+
+def test_face_mode_sharded_same_answers(spark, domain_images):
+    """Face mode behind the sharded router: byB64 and bySHA1 entries —
+    QueryFaces, SimilarFaces, detect_only — are identical to the
+    single-replica face service (the face composition only changes how
+    items are keyed; the router must be transparent to it)."""
+    from columbiaimagesearch_spark.lopq.serving import ShardedServingRouter
+    from columbiaimagesearch_spark.multimodal.images import toy_face_detector
+
+    corpus = domain_images.orderBy("sha1").limit(40)
+    single = http_api.ImageSearchService.build(spark, corpus, mode="face")
+    sharded = http_api.ImageSearchService.build(
+        spark, corpus, mode="face", n_shards=2
+    )
+    try:
+        assert isinstance(sharded.searcher, ShardedServingRouter)
+        assert sharded.searcher.n_items == single.searcher.n_items
+        assert sharded.id_to_bbox == single.id_to_bbox
+
+        rows = corpus.limit(40).collect()
+        probe = next(
+            r for r in rows if len(toy_face_detector(bytes(r["content"]))) > 0
+        )
+        b64 = [base64.b64encode(bytes(probe["content"])).decode()]
+        for opts in ({}, {"detect_only": True}):
+            a = single.search_b64_list(b64, dict(opts))["images"][0]
+            b = sharded.search_b64_list(b64, dict(opts))["images"][0]
+            assert a == b
+        a = single.search_sha1_list([probe["sha1"]], {})["images"][0]
+        b = sharded.search_sha1_list([probe["sha1"]], {})["images"][0]
+        assert a == b
+    finally:
+        single.close()
+        sharded.close()
