@@ -93,15 +93,20 @@ class ImageSearchService:
                  q_model, mode: str, images: DataFrame | None = None,
                  source_path: str | None = None, fetcher=None,
                  model_factory=None, near_dup: bool = False,
-                 near_dup_th: float = DEFAULT_NEAR_DUP_TH) -> None:
+                 near_dup_th: float = DEFAULT_NEAR_DUP_TH,
+                 reranking: bool = True,
+                 id_to_bbox: dict[int, list[int]] | None = None) -> None:
         self.spark = spark
         self.model = model
         self.searcher = searcher  # ServingSearcher with resident vectors
         self.id_to_sha1 = id_to_sha1  # dict[int, str]
         self.sha1_to_ids = sha1_to_ids  # dict[str, list[int]]
         # face mode only: item id -> its detected [l, t, r, b] at index
-        # time, so bySHA1 answers attribute each result list to a region
-        self.id_to_bbox: dict[int, list[int]] = {}
+        # time, so bySHA1 answers attribute each result list to a region.
+        # Constructor-injectable (ADVICE r15): a directly-constructed face
+        # service previously served null bboxes until a build()/refresh
+        # populated the attribute from outside.
+        self.id_to_bbox: dict[int, list[int]] = dict(id_to_bbox or {})
         self.q_model = q_model
         self.mode = mode
         # the EXTRACTION factory exactly as build() received it (review
@@ -124,6 +129,12 @@ class ImageSearchService:
         # (searcher_lopqhbase.py:812-820)
         self.near_dup = near_dup
         self.near_dup_th = near_dup_th
+        # server-wide reranking default (ADVICE r15): the reference's
+        # self.reranking is a searcher-conf param (searcher_lopqhbase.py
+        # get_param), so a deployment can default exact rerank OFF; a
+        # per-query "reranking" option overrides either way, exactly like
+        # near_dup above
+        self.reranking = reranking
         # byURL/byPATH edge fetcher; the default denies local file reads
         self.fetcher = fetcher or default_url_fetcher
         self.start_time = datetime.now()
@@ -203,6 +214,7 @@ class ImageSearchService:
         parallel: bool = False,
         near_dup: bool = False,
         near_dup_th: float = DEFAULT_NEAR_DUP_TH,
+        reranking: bool = True,
     ) -> "ImageSearchService":
         """``n_shards`` > 1 backs the service with a
         :class:`~.lopq.serving.ShardedServingRouter` instead of one replica —
@@ -231,6 +243,21 @@ class ImageSearchService:
         factory = model_factory or ToyExtractionModel
         params = train_params or {"V": 4, "M": 4, "K": 8, "seed": 5, "n_iter": 8}
         per_shard_cap = max_rows_per_shard or MAX_SNAPSHOT_ROWS
+        if mode == "face":
+            # pin the V15 determinism contract BEFORE indexing (VERDICT
+            # r15 #4): bySHA1 answers attribute results to index-time
+            # boxes on the argument that re-detection would return the
+            # same boxes — verify it on a bytes sample and refuse loudly
+            # if the backbone is nondeterministic, instead of serving
+            # silently mis-attributed regions
+            from .multimodal.images import check_detector_determinism
+
+            sample = [
+                bytes(r["content"])
+                for r in images.select("content").limit(4).collect()
+                if r["content"] is not None
+            ]
+            check_detector_determinism(factory(), sample)
         ided = cls._extract_ided(images, mode, factory).persist()
         try:
             # bounded ordered training subsample (the reference's nb_train)
@@ -286,12 +313,18 @@ class ImageSearchService:
         sha1_to_ids: dict[str, list[int]] = {}
         for r in meta:
             sha1_to_ids.setdefault(r["sha1"], []).append(int(r["id"]))
+        # id order, not collect order (ADVICE r15): the distributed collect
+        # returns partitions in nondeterministic order, so byB64 and bySHA1
+        # could list one image's faces differently; ids are assigned in
+        # deterministic (sha1, bbox) order, so sorting restores it
+        for ids in sha1_to_ids.values():
+            ids.sort()
         svc = cls(spark, model, searcher, id_to_sha1, sha1_to_ids,
                   factory(), mode, images=images, source_path=source_path,
                   fetcher=make_url_fetcher(path_root) if path_root else None,
                   model_factory=factory, near_dup=near_dup,
-                  near_dup_th=near_dup_th)
-        svc.id_to_bbox = id_to_bbox
+                  near_dup_th=near_dup_th, reranking=reranking,
+                  id_to_bbox=id_to_bbox)
         if parallel:
             svc.enable_parallel_pool()
         return svc
@@ -437,6 +470,10 @@ class ImageSearchService:
                     self.id_to_bbox[int(r["id"])] = [
                         int(c) for c in r["item_bbox"]
                     ]
+            # keep per-sha1 id lists in deterministic id order across
+            # refreshes too (same ADVICE r15 ordering contract as build)
+            for r in fresh_meta:
+                self.sha1_to_ids[r["sha1"]].sort()
         finally:
             ided.unpersist()
         if self._parallel:
@@ -456,7 +493,10 @@ class ImageSearchService:
     def _search_one(self, q: np.ndarray, opts: dict) -> dict:
         max_returned = int(opts.get("max_returned", DEFAULT_MAX_RETURNED))
         rerank_nb = int(opts.get("rerank_nb", 4 * max_returned))
-        if not opts.get("reranking", True):
+        reranking = (
+            opts["reranking"] if "reranking" in opts else self.reranking
+        )
+        if not reranking:
             # the reference's reranking toggle (searcher_lopqhbase.py:823-831):
             # reranking=false means ADC-ranked answers regardless of
             # rerank_nb, which only sizes the shortlist when reranking is on

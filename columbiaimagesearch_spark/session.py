@@ -64,7 +64,21 @@ def fixture_cache_key(sf_dir: str, table: str = "embeddings") -> tuple:
         st = _os.stat(_os.path.join(sf_dir, f"{table}.parquet"))
         return (sf_dir, st.st_mtime_ns, st.st_size)
     except OSError:
-        return (sf_dir, None, None)
+        # Transient stat failure (fixture parquet mid-rewrite, listing
+        # race). A SHARED degraded key here was the ADVICE r15 bug: every
+        # valid same-dir entry got evicted immediately, and two different
+        # fixture generations would then alias under the degraded stamp.
+        # Instead return a NEVER-MATCHING key (unique per call): callers
+        # build fresh without ever getting a cache hit, healthy-stamped
+        # entries survive untouched, and the next healthy stamp evicts any
+        # degraded leftovers.
+        global _UNSTAMPED_SEQ
+        _UNSTAMPED_SEQ += 1
+        return (sf_dir, _UNSTAMPED, _UNSTAMPED_SEQ)
+
+
+_UNSTAMPED = "__unstamped__"  # sentinel stamp component, see above
+_UNSTAMPED_SEQ = 0
 
 
 def evict_stale_fixture_entries(cache: dict, stamp: tuple) -> None:
@@ -73,11 +87,20 @@ def evict_stale_fixture_entries(cache: dict, stamp: tuple) -> None:
     leaks the old entry's pinned blocks for the life of the driver
     (ADVICE r14 on _NN_PAIRS_CACHE). Keys may extend the stamp with extra
     dimensions (e.g. centroid caches append (k, sample_limit)): an entry
-    survives iff its first ``len(stamp)`` elements equal the stamp."""
+    survives iff its first ``len(stamp)`` elements equal the stamp.
+
+    A degraded (unstamped) ``stamp`` evicts ONLY other degraded entries of
+    the dir (they can never be hit again), never healthy-stamped ones —
+    a stat hiccup must not flush a valid cache (ADVICE r15)."""
     from pyspark.sql import DataFrame as _DF
 
+    degraded = len(stamp) > 1 and stamp[1] == _UNSTAMPED
     for k in [
-        k for k in list(cache) if k[0] == stamp[0] and k[: len(stamp)] != stamp
+        k
+        for k in list(cache)
+        if k[0] == stamp[0]
+        and k[: len(stamp)] != stamp
+        and (not degraded or (len(k) > 1 and k[1] == _UNSTAMPED))
     ]:
         old = cache.pop(k)
         if isinstance(old, _DF):

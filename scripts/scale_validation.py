@@ -169,6 +169,13 @@ def _ratio_excess(rec: dict, k: str) -> bool:
     )
 
 
+def _prev_ratio(rec: dict, k: str) -> float:
+    sec = rec.get(k)
+    if isinstance(sec, dict) and isinstance(sec.get("ratio"), (int, float)):
+        return float(sec["ratio"])
+    return 0.0
+
+
 def _suspect_sections(sections: dict, history: list[dict]) -> list[str]:
     """Walls needing a host-drift adjudication re-run (VERDICT r13 #2).
 
@@ -187,6 +194,12 @@ def _suspect_sections(sections: dict, history: list[dict]) -> list[str]:
         — that is the section's true scaling, already adjudicated once,
         not drift; firing (c) again would double the validation wall
         every round forever. A fresh excess (prev within model) fires.
+        Re-fire on COMPOUNDING excess (ADVICE r15): binary suppression
+        permanently masked a slow scaling regression on an
+        already-excess section (ratio drifting 1.2x -> 2x the model in
+        sub-2x steps evades (a) too), so an adjudicated excess re-fires
+        once the current ratio materially exceeds the previously
+        adjudicated one: ratio > 1.15 * max(prev_ratio, linear).
     """
     prev = history[0] if history else {}
     prev2 = history[1] if len(history) > 1 else {}
@@ -209,8 +222,15 @@ def _suspect_sections(sections: dict, history: list[dict]) -> list[str]:
             "ratio" in sec
             and "linear" in sec
             and sec["ratio"] > 1.15 * sec["linear"]
-            and not _ratio_excess(prev, k)
+            and (
+                not _ratio_excess(prev, k)
+                or sec["ratio"] > 1.15 * _prev_ratio(prev, k)
+            )
         ):
+            # fires on a fresh excess (prev within model — the original
+            # bar) AND on a compounding one (current materially above the
+            # adjudicated prev excess); a reproduced steady excess stays
+            # suppressed
             out.append(k)
     return out
 

@@ -835,3 +835,89 @@ def test_face_mode_sharded_same_answers(spark, domain_images):
     finally:
         single.close()
         sharded.close()
+
+
+def test_face_build_refuses_nondeterministic_detector(spark, domain_images):
+    """The V15 determinism contract is PINNED at build (VERDICT r15 #4):
+    bySHA1 face answers attribute results to index-time boxes on the
+    argument that re-detection returns the same boxes; a backbone that
+    breaks it must fail the build loudly, never silently mis-attribute."""
+    from columbiaimagesearch_spark.multimodal.images import ToyExtractionModel
+
+    class JitteryDetector(ToyExtractionModel):
+        def __init__(self):
+            super().__init__()
+            self._n = 0
+
+        def detect(self, data):
+            self._n += 1  # deliberate nondeterminism across invocations
+            return [(self._n, 0, self._n + 5, 5, 0.5)]
+
+    with pytest.raises(RuntimeError, match="determinism contract"):
+        http_api.ImageSearchService.build(
+            spark, domain_images, mode="face", model_factory=JitteryDetector
+        )
+    # the toy backbone satisfies the contract — face builds keep working
+    svc = http_api.ImageSearchService.build(
+        spark, domain_images.limit(30), mode="face"
+    )
+    assert svc.mode == "face"
+
+
+def test_reranking_server_default_with_override(spark, domain_images):
+    """reranking is a SERVER-level default with per-query override (ADVICE
+    r15 — the reference's self.reranking searcher-conf param): a service
+    built with reranking=False answers ADC-ranked by default, and an
+    explicit per-query reranking=true turns exact rerank back on."""
+    row = domain_images.orderBy("sha1").limit(1).collect()[0]
+    b64 = base64.b64encode(bytes(row["content"])).decode()
+    on_svc = http_api.ImageSearchService.build(spark, domain_images)
+    off_svc = http_api.ImageSearchService.build(
+        spark, domain_images, reranking=False
+    )
+    adc_by_opt = on_svc.search_b64_list([b64], {"reranking": False})
+    adc_by_default = off_svc.search_b64_list([b64], {})
+    reranked_default = on_svc.search_b64_list([b64], {})
+    reranked_override = off_svc.search_b64_list([b64], {"reranking": True})
+    assert (
+        adc_by_default["images"][0]["SimilarImages"]
+        == adc_by_opt["images"][0]["SimilarImages"]
+    )
+    assert (
+        reranked_override["images"][0]["SimilarImages"]
+        == reranked_default["images"][0]["SimilarImages"]
+    )
+    # the two modes genuinely differ on this index (ADC carries
+    # quantization error; exact rerank distances are exact)
+    assert (
+        adc_by_default["images"][0]["SimilarImages"]["Distances"]
+        != reranked_default["images"][0]["SimilarImages"]["Distances"]
+    )
+
+
+def test_face_ids_ordered_and_bbox_constructor_injectable(spark, domain_images):
+    """ADVICE r15: sha1_to_ids lists come back in deterministic id order
+    (not distributed-collect order), so byB64 and bySHA1 list one image's
+    faces identically; id_to_bbox arrives through the constructor, so a
+    directly-constructed face service serves real boxes, not nulls."""
+    svc = http_api.ImageSearchService.build(
+        spark, domain_images.limit(60), mode="face"
+    )
+    for ids in svc.sha1_to_ids.values():
+        assert ids == sorted(ids)
+    multi = next(
+        (s for s, ids in svc.sha1_to_ids.items() if len(ids) >= 2), None
+    )
+    assert multi is not None, "fixture should contain a multi-face image"
+    out = svc.search_sha1_list([multi], {"detect_only": True})
+    faces = out["images"][0]["QueryFaces"]
+    assert all(f is not None for f in faces)
+    assert faces == [svc.id_to_bbox[i] for i in svc.sha1_to_ids[multi]]
+    # constructor injection: rebuilding the service object directly from
+    # the built artifacts keeps the bbox attribution intact
+    clone = http_api.ImageSearchService(
+        svc.spark, svc.model, svc.searcher, svc.id_to_sha1, svc.sha1_to_ids,
+        svc.q_model, svc.mode, id_to_bbox=svc.id_to_bbox,
+    )
+    out2 = clone.search_sha1_list([multi], {"detect_only": True})
+    assert out2["images"][0]["QueryFaces"] == faces

@@ -68,7 +68,9 @@ def test_registry_fold_safety():
     all_tags: set[str] = set()
     for spec in all_specs().values():
         all_tags.update(spec.survey_ops)
-    queued_next_rotation = {"X-asof-join", "X-range-join"}
+    # r17 queue: x_hypertable_rollup folded r16 after holding its r15 green
+    # (slot funded the j_asof/j_range rotation it had been queued behind).
+    queued_next_rotation = {"X-hypertable-rollup"}
     uncovered = all_tags - driver_tags
     assert uncovered <= queued_next_rotation, (
         f"tags with no driver-visible row: {sorted(uncovered - queued_next_rotation)}"
