@@ -379,6 +379,20 @@ LSH_MATMUL_TILE = 1024
 # deterministic per (seed, d) whatever depth a bucket needs.
 LSH_SPLIT_SEED_OFFSET = 7919
 LSH_SPLIT_MAX_BITS = 16
+# Banded-exchange sizing (r16, the REAL 1M tail): the banding stage
+# replicates every vector once per band, so the groupBy exchange moves
+# n*bands rows of (vector + key row) — ~700 B each at d=64. At the session
+# default of 32 shuffle partitions the 1M probe put ~600k rows (~420 MB)
+# into every reduce task, and the stage spent its time in shuffle-spill,
+# not math: measured 135 s at 32 partitions, 85 s at 128, 37 s at 256
+# (sub-linear vs the n*bands model once tasks fit). When the corpus size
+# is known (derived-knob path, or an explicit n_rows) the operator
+# repartitions the banded relation by its own group key to keep reduce
+# tasks near this row count (~45 MB at d=64) — same single exchange, same
+# per-bucket math, just enough tasks that none of them spill. The
+# session default stays the floor so small fixtures keep their
+# parallelism.
+LSH_BANDED_ROWS_PER_TASK = 65536
 
 
 class _MaxAccumParam:
@@ -725,8 +739,14 @@ def emb_lsh_pairs_from(
     max_bucket: int | None = LSH_MAX_BUCKET,
     stats: LshBucketStats | None = None,
     oversize: str = "refuse",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Library form over any (vec_id, v array<double>) relation.
+
+    ``n_rows`` (optional): the corpus row count, if the caller already
+    knows it — enables the banded-exchange sizing (see
+    :data:`LSH_BANDED_ROWS_PER_TASK`) without a second count job. The
+    derived-knob path counts anyway and sizes automatically.
 
     CALIBRATION IS LOAD-BEARING AT SCALE: in-bucket work is
     O((n / 2^bits)^2) per band, so ``bits`` must grow with the corpus.
@@ -767,7 +787,9 @@ def emb_lsh_pairs_from(
             f"got {oversize!r}"
         )
     if bands is None or bits is None:
-        d_bands, d_bits = derive_lsh_knobs(vec_df.count(), threshold=threshold)
+        if n_rows is None:
+            n_rows = vec_df.count()
+        d_bands, d_bits = derive_lsh_knobs(n_rows, threshold=threshold)
         bands = d_bands if bands is None else bands
         bits = d_bits if bits is None else bits
     acc = stats._acc if stats is not None else None
@@ -825,6 +847,19 @@ def emb_lsh_pairs_from(
         "band int, grp bigint, key bigint, vec_id bigint, v array<double>, "
         "keys array<bigint>",
     )
+    if n_rows is not None:
+        # size the ONE keyed exchange to its true (replicated) volume —
+        # see LSH_BANDED_ROWS_PER_TASK. repartition on the group key
+        # satisfies the groupBy's ClusteredDistribution, so this REPLACES
+        # the default-width exchange rather than adding a second one
+        # (plan-pinned in tests/test_plans.py).
+        import math as _math
+
+        spark = vec_df.sparkSession
+        floor_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        want_p = _math.ceil(n_rows * bands / LSH_BANDED_ROWS_PER_TASK)
+        if want_p > floor_p:
+            banded = banded.repartition(want_p, "band", "grp")
 
     def bucket_group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

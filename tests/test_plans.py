@@ -427,6 +427,44 @@ def test_emb_lsh_pairs_single_keyed_exchange(spark):
     assert plan.count("FlatMapGroupsInPandas") >= 1, plan
 
 
+def test_emb_lsh_banded_exchange_sizing_keeps_one_shuffle(spark, monkeypatch):
+    """r16 banded-exchange sizing: when the corpus is big enough that the
+    operator widens the shuffle (repartition on the group key), the plan
+    must STILL hold exactly one keyed exchange — the repartition replaces
+    the default-width exchange (its HashPartitioning satisfies the
+    groupBy's ClusteredDistribution), it must never stack a second one —
+    and the exchange must carry the computed width, not the session
+    default. The pair set, cosines included, is partitioning-invariant."""
+    from pyspark.sql import functions as F
+
+    from columbiaimagesearch_spark.operators import similarity as sim
+    from columbiaimagesearch_spark.sources import load_table
+
+    from conftest import SF_SMOKE
+
+    vecs = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = vecs.count()
+    floor_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # force the sizing to engage at fixture scale
+    monkeypatch.setattr(sim, "LSH_BANDED_ROWS_PER_TASK", 16)
+    sized = sim.emb_lsh_pairs_from(
+        vecs, bands=4, bits=8, n_rows=n, max_bucket=None
+    )
+    plan = explain.formatted_plan(sized)
+    assert explain.data_shuffles(plan) == 1, plan
+    want_p = -(-n * 4 // 16)
+    assert want_p > floor_p  # the experiment is live, not vacuous
+    assert "hashpartitioning" in plan.lower(), plan
+    assert str(want_p) in plan, (want_p, plan)
+    monkeypatch.undo()
+    baseline = sim.emb_lsh_pairs_from(vecs, bands=4, bits=8, max_bucket=None)
+    got = {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in sized.collect()}
+    want = {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in baseline.collect()}
+    assert got == want and got
+
+
 def test_hypertable_rollup_one_expand_one_shuffle(spark):
     plan = explain.formatted_plan(_q(spark, "x_hypertable_rollup"))
     # the continuous-aggregate contract (relational.x_hypertable_rollup):
