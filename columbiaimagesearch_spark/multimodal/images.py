@@ -525,11 +525,13 @@ def _register_v17_spec() -> None:
     @register(
         "v17_extraction_markers",
         survey_ops=("V17", "C8", "V15", "C1"),
-        # NEW r16, driver-visible at birth (VERDICT r15 #2 / What's-wrong
-        # #2: V17 and C8 were the only SQL-oracle-able operators with zero
-        # hash-checked driver rows across 15 rounds). a2_cell_histogram
-        # folds in exchange; its A1 tag moves to a9_completeness_check
-        # (which hash-checks COUNT(DISTINCT) already).
+        # NEW r16 (VERDICT r15 What's-wrong #2: V17 and C8 were the only
+        # SQL-oracle-able operators with zero hash-checked driver rows
+        # across 15 rounds). Born FOLDED: r16 is an optimization round and
+        # the declared window is frozen to the CORRECTNESS_r15 key set —
+        # local oracle parity + bench verify it until the next build round
+        # rotates it driver-visible.
+        driver=False,
         doc="Extraction-composition marker semantics (V17, "
         "generic_extractor.py:221-255) + header sniff (C8, "
         "imgio.py:42-111) as ONE driver row: bytes are synthesized "

@@ -1038,12 +1038,8 @@ def _embedding_decontaminate_oracle(sf_dir: str) -> str:
     survey_ops=("LLM-decontaminate", "DEDUP-embedding", "F9", "C3", "C4"),
     # NEW r11, driver-visible at birth (VERDICT r10 next-round item 5):
     # the paraphrase-robust decontamination rung the lexical ladder lacks.
-    # Folded r16 after five straight green rounds (r11-r15) — every tag
-    # stays driver-green elsewhere (LLM-decontaminate on llm_decontaminate;
-    # DEDUP-embedding/F9/C3/C4 on llm_embedding_dedup) and the slot funds
-    # the q3/q5/j_asof/j_range rotation; the two independent cross-engine
-    # pytest checks named below keep running every round.
-    driver=False,
+    # Driver-green r11-r15; stays declared through the r16 optimization
+    # round (window frozen to the CORRECTNESS_r15 key set).
     doc=f"Embedding-space benchmark decontamination: flag corpus vectors "
     f"within cosine {EMB_DECON_COS} of any eval-suite vector (vec_id % "
     f"{EMB_BENCH_MOD} == 0 stands in for the suite). The bench side is "

@@ -36,11 +36,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @register(
     "q1_pricing_summary",
     survey_ops=("F1", "A2", "S3"),
-    # Folded r16 after holding its fresh r15 green (rotated in r15, folded
-    # r4 before that): F1/A2 stay driver-green on q3_shipping_priority /
-    # q5_local_supplier_volume (this round's rotation), S3 on
-    # s4_cursor_scan.
-    driver=False,
+    # Rotated back driver-visible r15 (folded r4, last driver-green r3).
+    # r16 is an OPTIMIZATION round: the declared window is frozen to the
+    # CORRECTNESS_r15 key set (a declared query that disappears counts as
+    # a regression), so the queued r16 rotation is deferred to a build
+    # round.
     doc="TPC-H Q1-shaped scan+filter+aggregate over lineitem; the canonical "
     "columnar-scan benchmark query (projection pruning + partial aggregation).",
     oracle="""
@@ -438,11 +438,8 @@ def j7_incremental_add_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a2_cell_histogram",
     survey_ops=("A2", "A1"),
-    # Folded r16 (green r2-r15, the longest-held row in the registry): A2
-    # stays driver-green on seven rows; A1 (cardinality) moves to
-    # a9_completeness_check, whose COUNT(DISTINCT l_linenumber) has been
-    # hash-checked since r2. Slot funds v17_extraction_markers' birth row.
-    driver=False,
+    # Driver-green r2-r15; stays declared through the r16 optimization
+    # round (window frozen to the CORRECTNESS_r15 key set).
     doc="Cell-population histogram (lopq/lopq/eval.py:66-74) — groupBy+count; "
     "map-side partial aggregation, one shuffle of (key, count).",
     oracle="""
@@ -784,10 +781,11 @@ def setops_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q3_shipping_priority",
     survey_ops=("J1", "A2", "T1", "F1"),
-    # Rotated back driver-visible r16 (VERDICT r15 next-round item 2: last
-    # driver-green r2 — the oldest row in the registry, thirteen rounds
-    # without a hash check). q18_large_volume_customer folds in exchange
-    # after holding its fresh r15 green.
+    # Showcase query; every tag driver-green on dedicated rows. Queued for
+    # rotation (last driver-green r2) but r16 is an optimization round with
+    # the declared window frozen to the CORRECTNESS_r15 key set — rotate in
+    # the next build round.
+    driver=False,
     doc="TPC-H Q3-shaped 3-way join (customer ⋈ orders ⋈ lineitem) with "
     "selective filters, revenue aggregation, top-10 — the canonical "
     "join-order + partial-agg + TakeOrderedAndProject plan.",
@@ -841,9 +839,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     survey_ops=("J1", "A2", "F1"),
-    # Rotated back driver-visible r16 (VERDICT r15 next-round item 2: last
-    # driver-green r2, tied-oldest with q3). q1_pricing_summary folds in
-    # exchange after holding its fresh r15 green.
+    # Showcase query; every tag driver-green on dedicated rows. Queued for
+    # rotation with q3 (see note there) — deferred past the r16
+    # optimization round.
+    driver=False,
     doc="TPC-H Q5-shaped 6-way join: region/nation dims broadcast, fact "
     "joins shuffle on keys, revenue per nation — the multi-dim star-join "
     "plan whose small sides must all be BroadcastHashJoins.",
@@ -900,11 +899,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_large_volume_customer",
     survey_ops=("J1", "A2", "T1", "SET"),
-    # Folded r16 after holding its fresh r15 green (rotation discipline):
-    # J1/A2/T1 stay driver-green on q3_shipping_priority (this round's
-    # rotation) and j1_keys_to_rows / j4_ranked_metadata_join; SET on
-    # setops_bundle.
-    driver=False,
+    # Rotated back driver-visible r15 (last driver-green r2). Stays
+    # declared through the r16 optimization round (window frozen to the
+    # CORRECTNESS_r15 key set).
     doc="TPC-H Q18-shaped query: orders whose total lineitem quantity "
     "exceeds a HAVING threshold (aggregate-then-semi-join — the aggregate "
     "runs BEFORE the join so only qualifying keys broadcast), joined back "
@@ -1358,9 +1355,10 @@ def w_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rule in tests/test_registry.py), and the judge's suggested folds
     # (t5_ranked_output_assembly / a_rollup_analytics) would each orphan a
     # real SURVEY tag (T5/A7 and A-gap have no second driver carrier).
-    # Rotated back driver-visible r16 (VERDICT r15 next-round item 2 —
-    # queued since r8; empties the X-asof allowlist entry in
-    # tests/test_registry.py).
+    # Local DuckDB ASOF parity + bench keep it verified. Queued for
+    # rotation (r8) — deferred past the r16 optimization round (declared
+    # window frozen to the CORRECTNESS_r15 key set).
+    driver=False,
     doc="As-of join (each event matched to its user's LATEST order at or "
     "before the event time) via the union-carry composition: tag both "
     "relations, union on (key, time), ONE window per key ordered by "
@@ -1454,8 +1452,10 @@ _RANGE_BIN = 25.0  # bin width for the equi-join rewrite
     # with its as-of sibling so the round's new operator
     # (llm_contamination_report) is not born folded — X- showcase tags
     # need no driver carrier, and local parity + bench keep it verified.
-    # Rotated back driver-visible r16 with its as-of sibling (VERDICT r15
-    # next-round item 2 — empties the X-range allowlist entry).
+    # Queued for rotation with its as-of sibling (r8) — deferred past the
+    # r16 optimization round (declared window frozen to the
+    # CORRECTNESS_r15 key set).
+    driver=False,
     doc="Range join (point-in-interval): each event's value assigned to its "
     "[lo, hi) tier. The naive non-equi join plans as a nested-loop (every "
     "row probes every range); the REWRITE snaps both sides to fixed-width "
@@ -1533,12 +1533,9 @@ def a6_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ops=("X-hypertable-rollup", "A2"),
     # Beyond-inventory showcase (X- tag), third of the brief's named custom
     # operators (as-of join / range join / hypertable rollup). Driver-green
-    # r6; folded r7; rotated back driver-visible r15; folded again r16
-    # after holding its fresh r15 green — the slot funds the j_asof /
-    # j_range rotation (X-hypertable-rollup moves to the r17 allowlist
-    # queue in tests/test_registry.py; A2 stays driver-green on
-    # a_salted_hot_key_agg and six other rows).
-    driver=False,
+    # r6; folded r7; rotated back driver-visible r15. Stays declared
+    # through the r16 optimization round (window frozen to the
+    # CORRECTNESS_r15 key set).
     doc="Hypertable rollup (TimescaleDB-style continuous aggregate): the "
     "1-minute, 1-hour and 1-day time buckets of the events table computed "
     "in ONE pass via GROUPING SETS — Catalyst's Expand emits one row per "

@@ -379,6 +379,16 @@ LSH_MATMUL_TILE = 1024
 # deterministic per (seed, d) whatever depth a bucket needs.
 LSH_SPLIT_SEED_OFFSET = 7919
 LSH_SPLIT_MAX_BITS = 16
+# A sub-bucket STILL above max_bucket after LSH_SPLIT_MAX_BITS extra bits
+# is verified exactly when it is at most this many rows (bounded work:
+# cap^2 * d multiply-adds through the tiled BLAS kernel, ~1e9 at d=64 —
+# one bounded task, independent of corpus size) and refused above it
+# (that many rows agreeing on 16 independent sign bits means near-identical
+# vectors, whose qualifying-pair OUTPUT is itself O(n^2)). Without the
+# exact-fallback rung, a SMALL unlucky sub-bucket (3 random vectors
+# sharing 16 sign bits — found by the hypothesis fuzz) would refuse a
+# perfectly tractable input.
+LSH_SPLIT_EXACT_CAP = 4096
 # Banded-exchange sizing (r16, the REAL 1M tail): the banding stage
 # replicates every vector once per band, so the groupBy exchange moves
 # n*bands rows of (vector + key row) — ~700 B each at d=64. At the session
@@ -1002,9 +1012,12 @@ def _split_bucket_pairs(
     by extra seeded sign bits and verify within each sub-bucket. Pairs the
     extra planes separate are the mode's documented recall trade (they stay
     eligible in every other band — measured on the 1M probe in SCALE.md).
-    A sub-bucket STILL above ``max_bucket`` after LSH_SPLIT_MAX_BITS means
-    a mass of (near-)identical vectors no hyperplane family can spread; its
-    pair OUTPUT is itself O(n^2), so refusal is the only honest move.
+    A sub-bucket STILL above ``max_bucket`` after LSH_SPLIT_MAX_BITS extra
+    bits is verified EXACTLY while it fits LSH_SPLIT_EXACT_CAP (bounded
+    work — cap^2*d through the BLAS kernel — so a small unlucky sub-bucket
+    never refuses a tractable input); above the cap it means a mass of
+    (near-)identical vectors no hyperplane family can spread, whose pair
+    OUTPUT is itself O(n^2), and refusal is the only honest move.
     Total on any input: a bucket already within ``max_bucket`` (incl. the
     recursion's leaf runs) verifies directly."""
     if len(ids) <= max_bucket:
@@ -1022,16 +1035,24 @@ def _split_bucket_pairs(
         n_s = int(e - s)
         if n_s > max_bucket:
             if _depth >= LSH_SPLIT_MAX_BITS:
+                if n_s <= LSH_SPLIT_EXACT_CAP:
+                    # bounded exact fallback: cap^2*d is one ordinary
+                    # BLAS-kernel task, so a small sub-bucket that 16
+                    # independent sign bits happened not to spread stays
+                    # a tractable input, not a refusal
+                    out.extend(_bucket_cos_pairs(ids[s:e], V[s:e], threshold))
+                    continue
                 raise RuntimeError(
                     f"emb_lsh_pairs_from(oversize='split'): sub-bucket of "
                     f"{n_s} vectors still exceeds max_bucket={max_bucket} "
-                    f"after {_depth} extra split bits — the corpus holds "
-                    "a mass of near-identical vectors no hyperplane "
-                    "family can spread, and its qualifying-pair OUTPUT is "
-                    "itself O(n^2). Collapse exact duplicates first "
-                    "(dedup_exact / llm_embedding_dedup keeps one "
-                    "representative per cluster) or use the IVF/LOPQ ANN "
-                    "ladder."
+                    f"after {_depth} extra split bits and the "
+                    f"{LSH_SPLIT_EXACT_CAP}-row exact-verification cap — "
+                    "the corpus holds a mass of near-identical vectors no "
+                    "hyperplane family can spread, and its "
+                    "qualifying-pair OUTPUT is itself O(n^2). Collapse "
+                    "exact duplicates first (dedup_exact / "
+                    "llm_embedding_dedup keeps one representative per "
+                    "cluster) or use the IVF/LOPQ ANN ladder."
                 )
             # the uniform-split model underestimated this run's skew:
             # recurse one bit deeper (STRICTLY increasing depth, so the

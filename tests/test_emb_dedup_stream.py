@@ -474,8 +474,34 @@ def test_oversize_split_mode_bounds_hot_buckets(spark):
 def test_oversize_split_refuses_unsplittable_clones(spark):
     """Identical vectors produce identical split bits at every depth — the
     qualifying-pair OUTPUT is inherently O(n^2), so split mode refuses
-    loudly (naming the dedup escape) instead of pretending a bound."""
+    loudly (naming the dedup escape) instead of pretending a bound. The
+    flood must exceed LSH_SPLIT_EXACT_CAP: up to the cap a stuck
+    sub-bucket is verified exactly (bounded work), because small unlucky
+    sub-buckets of DISTINCT vectors can also share every split bit."""
     import pytest
+    from pyspark.sql import Row
+
+    from columbiaimagesearch_spark.operators.similarity import (
+        LSH_SPLIT_EXACT_CAP,
+        emb_lsh_pairs_from,
+    )
+
+    clone = [1.0, 0.5, -0.25, 2.0]
+    vecs = spark.createDataFrame(
+        [Row(vec_id=i, v=clone) for i in range(LSH_SPLIT_EXACT_CAP + 200)]
+    )
+    with pytest.raises(Exception, match="no hyperplane family"):
+        emb_lsh_pairs_from(
+            vecs, bands=4, bits=8, max_bucket=50, oversize="split"
+        ).write.format("noop").mode("overwrite").save()
+
+
+def test_oversize_split_exact_fallback_below_cap(spark):
+    """A clone cluster that exceeds max_bucket at every split depth but
+    fits LSH_SPLIT_EXACT_CAP is verified exactly instead of refused —
+    every in-cluster pair is emitted once with its true cosine (the
+    hypothesis fuzz found the old always-refuse branch rejecting 3 random
+    vectors that happened to share all 16 extra sign bits)."""
     from pyspark.sql import Row
 
     from columbiaimagesearch_spark.operators.similarity import (
@@ -483,13 +509,17 @@ def test_oversize_split_refuses_unsplittable_clones(spark):
     )
 
     clone = [1.0, 0.5, -0.25, 2.0]
-    vecs = spark.createDataFrame(
-        [Row(vec_id=i, v=clone) for i in range(120)]
-    )
-    with pytest.raises(Exception, match="no hyperplane family"):
-        emb_lsh_pairs_from(
-            vecs, bands=4, bits=8, max_bucket=50, oversize="split"
-        ).write.format("noop").mode("overwrite").save()
+    n = 60  # > max_bucket, far below the cap
+    vecs = spark.createDataFrame([Row(vec_id=i, v=clone) for i in range(n)])
+    got = emb_lsh_pairs_from(
+        vecs, bands=4, bits=8, max_bucket=20, oversize="split"
+    ).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert len(got) == len(pairs)  # global distinct: no duplicates
+    assert pairs == {
+        (a, b) for a in range(n) for b in range(a + 1, n)
+    }  # all n*(n-1)/2 clone pairs survive via the exact fallback
+    assert all(r["cos_sim"] == 1.0 for r in got)
 
 
 def test_oversize_rejects_unknown_mode(spark):
