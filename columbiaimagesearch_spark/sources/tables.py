@@ -29,6 +29,20 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Memoized scan relations (r16, guide §1/§7.3 — driver-side cost):
+# ``spark.read.parquet`` builds a fresh FileIndex + reads the footer schema
+# on EVERY call, measured ~110 ms of pure driver time per table load at
+# sf0.1; builders that load 2-3 tables paid ~0.3-0.5 s per bench sample
+# before any task ran. The cache holds the LAZY scan DataFrame only — a
+# query plan, never rows: every action still scans the parquet files in
+# full, exactly like a catalog table handle (``spark.table``) that keeps
+# its resolved relation between queries. Keyed on the file's
+# (mtime_ns, size) stamp so an in-place fixture rewrite misses instead of
+# serving a stale FileIndex, and on the session (a handle from a stopped
+# session is useless — see cached_relation).
+_SCAN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
@@ -42,6 +56,37 @@ def load_table(
     ensure_shipped(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:  # non-local path: no cheap stat, no memo
+        stamp = None
+    key = (path, stamp, spread)
+    if stamp is not None:
+        hit = _SCAN_CACHE.get(key)
+        if (
+            hit is not None
+            and hit.sparkSession is spark
+            and not spark.sparkContext._jsc.sc().isStopped()
+        ):
+            return hit
+    df = _build_table(spark, path, name, spread)
+    if stamp is not None:
+        # drop other stamps of this path (rewritten fixture) and entries of
+        # dead sessions — the cache stays O(#tables x #variants)
+        for k in [
+            k
+            for k, v in list(_SCAN_CACHE.items())
+            if (k[0] == path and k[1] != stamp) or v.sparkSession is not spark
+        ]:
+            _SCAN_CACHE.pop(k, None)
+        _SCAN_CACHE[key] = df
+    return df
+
+
+def _build_table(
+    spark: SparkSession, path: str, name: str, spread: bool
+) -> DataFrame:
     if name == "events":
         # The driver's events.parquet `ts` physical type has varied across
         # rounds: TIMESTAMP(NANOS) (which the Spark reader only accepts as
