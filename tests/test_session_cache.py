@@ -94,3 +94,37 @@ def test_rewritten_fixture_dir_not_served_stale(spark, tmp_path):
     m2 = lq.fixture_model(spark, str(tmp_path))
     assert m2 is not m1  # retrained, not served stale
     assert len([k for k in lq._MODEL_CACHE if k[0] == str(tmp_path)]) == 1
+
+
+def test_scan_relation_memo_hits_and_invalidates(spark, tmp_path):
+    """load_table memoizes the lazy scan per (path, stamp): repeat calls
+    return the SAME DataFrame (no FileIndex rebuild), a rewritten file
+    misses (fresh stamp), and the spread form still goes through the
+    parallelize_scan seam on every call (the invariance suite's
+    monkeypatch must keep working)."""
+    import shutil
+
+    from columbiaimagesearch_spark.sources import tables as tables_mod
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    dst = tmp_path / "documents.parquet"
+    shutil.copy(src, dst)
+    d1 = tables_mod.load_table(spark, str(tmp_path), "documents")
+    assert tables_mod.load_table(spark, str(tmp_path), "documents") is d1
+    shutil.copy(src, dst)  # rewrite: same bytes, fresh mtime stamp
+    d2 = tables_mod.load_table(spark, str(tmp_path), "documents")
+    assert d2 is not d1  # stale FileIndex never served
+    # exactly one live entry for the path (old stamp evicted)
+    assert (
+        len([k for k in tables_mod._SCAN_CACHE if k[0] == str(dst)]) == 1
+    )
+    # the spread seam is applied per call, NOT captured in the memo
+    calls = []
+    orig = tables_mod.parallelize_scan
+    tables_mod.parallelize_scan = lambda df, cache_key=None: calls.append(1) or df
+    try:
+        tables_mod.load_table(spark, str(tmp_path), "documents", spread=True)
+        tables_mod.load_table(spark, str(tmp_path), "documents", spread=True)
+    finally:
+        tables_mod.parallelize_scan = orig
+    assert len(calls) == 2
