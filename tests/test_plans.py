@@ -18,6 +18,18 @@ from conftest import SF_SMOKE
 SPECS = registry.all_specs()
 
 
+@pytest.fixture(autouse=True)
+def _fresh_plans():
+    """Plan pins assert the PRE-execution physical plan. The registry's
+    builder memo returns the same DataFrame object across calls, and once
+    any earlier test has executed it, explain() shows the final AQE plan
+    (materialized query stages, AQEShuffleRead) whose node inventory
+    differs from the initial one. Clearing the memo per test pins the
+    plan a fresh build produces — what every first execution runs."""
+    registry.clear_builder_memo()
+    yield
+
+
 def _q(spark, name):
     return SPECS[name].builder(spark, SF_SMOKE)
 

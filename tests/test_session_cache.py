@@ -128,3 +128,41 @@ def test_scan_relation_memo_hits_and_invalidates(spark, tmp_path):
     finally:
         tables_mod.parallelize_scan = orig
     assert len(calls) == 2
+
+
+def test_builder_memo_hits_invalidates_and_respects_seam(spark, tmp_path):
+    """registry builders memoize the lazy plan per (query, sf stamp, scan
+    seam): repeat builds return the SAME DataFrame (no py4j re-construction),
+    a rewritten fixture file misses (fresh dir stamp), and stubbing the
+    parallelize_scan seam misses too (the spread-invariance suite's
+    monkeypatch must reach repeat builds)."""
+    import shutil
+
+    from columbiaimagesearch_spark import registry
+    from columbiaimagesearch_spark.sources import tables as tables_mod
+
+    src = "/root/testdata/sf0.001"
+    for t in tables_mod.TABLES:
+        shutil.copy(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+    b = registry.all_specs()["dedup_exact_groups"].builder
+    d1 = b(spark, str(tmp_path))
+    assert b(spark, str(tmp_path)) is d1
+    # rewrite one input: same bytes, fresh mtime -> dir stamp changes
+    shutil.copy(f"{src}/documents.parquet", tmp_path / "documents.parquet")
+    d2 = b(spark, str(tmp_path))
+    assert d2 is not d1
+    # one live entry per query name (old stamp evicted)
+    assert (
+        len([k for k in registry._BUILDER_MEMO if k[0] == "dedup_exact_groups"])
+        == 1
+    )
+    # seam stub -> miss (plan rebuilt through the stubbed seam)
+    orig = tables_mod.parallelize_scan
+    tables_mod.parallelize_scan = lambda df, cache_key=None: df
+    try:
+        d3 = b(spark, str(tmp_path))
+    finally:
+        tables_mod.parallelize_scan = orig
+    assert d3 is not d2
+    # rows unaffected by memoization
+    assert sorted(map(tuple, d2.collect())) == sorted(map(tuple, d3.collect()))
