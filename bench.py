@@ -963,6 +963,16 @@ def main() -> None:
     sched_pre = sched_calibration_sec(spark)
     n = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # r17 (VERDICT r16 #4): the headline number hides two splits the
+    # builder memo widened — record them WITHOUT touching the timed
+    # methodology. (a) cold: the warm-up pass's wall per query (first-ever
+    # build + execution in this process — JIT, codegen, cold plan); (b)
+    # build: the builder() portion of every timed sample (≈0 on memo
+    # hits), so exec-only = sample - build is recoverable per sample.
+    # Both are ADDITIONS to BENCH_RUNS.json; the headline JSON line and
+    # its medians are byte-compatible with every prior round.
+    cold_runs: dict[str, float] = {}
+    build_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     # untimed warm-up pass, then round-robin the timed repeats
     # (A B C A B C ...) so a transient machine-load spike inflates one
     # sample of many queries, not all samples of one
@@ -970,9 +980,13 @@ def main() -> None:
         for name in HEADLINE:
             start = time.perf_counter()
             df = specs[name].builder(spark, sf_dir)
+            built = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             if timed:
                 runs[name].append(round(time.perf_counter() - start, 3))
+                build_runs[name].append(round(built - start, 3))
+            else:
+                cold_runs[name] = round(time.perf_counter() - start, 3)
 
     # r9: queries slower than SLOW_QUERY_SEC get EXTRA_SLOW_ROUNDS more
     # round-robin samples (n=5 total at the default n=3). At n=3 their
@@ -1195,7 +1209,16 @@ def main() -> None:
              "slow_queries": slow, "runs": runs, "extras": extras_runs,
              "extras_resampled": extras_resampled,
              "second_tier": second_runs,
-             "second_tier_resampled": second_resampled},
+             "second_tier_resampled": second_resampled,
+             # r17 split (VERDICT r16 #4), additions-only: per-query cold
+             # (warm-up pass wall: first build + first execution) and the
+             # builder() seconds of each timed sample — exec-only is
+             # sample minus build, per sample. The slow-query extra
+             # rounds' build times are NOT appended here (their samples
+             # append to "runs" only), so build_s[i] pairs with the first
+             # n entries of runs[name].
+             "headline_cold_s": cold_runs,
+             "headline_build_s": build_runs},
             fh,
         )
     # Full extra sections live in BENCH_EXTRAS.json + an EARLIER stdout

@@ -258,11 +258,23 @@ def curate_docs(
     try:
         res = CurationResult()
         res.stages["input"] = docs
+        qual_ids = None
         if scrub_pii:
             scrubbed = hygiene.scrub_pii_from(docs)
             docs = scrubbed.drop("text", "n_email", "n_ip", "n_phone").withColumnRenamed(
                 "scrubbed", "text"
             )
+            if quality_filter:
+                # Fuse the stage-0b gate INTO the scrub pass (r17, guide
+                # §1.2 "don't compute things twice"): the gate is two more
+                # codegen'd regex expressions over the text this job is
+                # already materializing, so computing the verdict column
+                # here makes the standalone full-text verdict pass (and
+                # its own checkpoint job) disappear — the drop-id set
+                # becomes a lazy filter over the pinned rows below.
+                docs = docs.withColumn(
+                    "_passes_quality", textstats.quality_gate()
+                )
             # Materialize the scrubbed relation ONCE: every later stage
             # re-references `docs` (shingle hashing, component nodes, the
             # repetition/mixture/split joins, packing), and without truncation
@@ -272,28 +284,38 @@ def curate_docs(
             # executor loss matters, swap for checkpoint() with a checkpoint
             # dir.
             docs = docs.localCheckpoint(eager=True)
+            if quality_filter:
+                # NULL gate verdict (null text) is a REJECT — see the
+                # coalesce note on the unfused path below.
+                qual_ids = docs.where(
+                    ~F.coalesce(F.col("_passes_quality"), F.lit(False))
+                ).select("doc_id")
+                docs = docs.drop("_passes_quality")
             res.stages["after_pii_scrub"] = docs
 
         # 0b. quality floor (opt-in; see docstring): the cheap map-only
         # gate runs before the hash/band/component stages so they never
-        # scan the rejects. Drop-id set eagerly pinned — the gate is two
-        # regex passes over text, re-run per downstream docs reference
-        # otherwise.
+        # scan the rejects. When the scrub ran, the verdict was computed
+        # inside its checkpoint job (fused column above) and qual_ids is a
+        # cheap filter over pinned rows; otherwise the standalone verdict
+        # pass runs here, eagerly pinned — the gate is two regex passes
+        # over text, re-run per downstream docs reference otherwise.
         if quality_filter:
-            # NULL gate verdict (null text) is a REJECT: the stream twin's
-            # where(quality_gate()) drops NULL rows (SQL NULL is not true),
-            # so the batch drop-set must claim them too or the documented
-            # "streamed survivor set equals the batch chain" contract breaks
-            # for corpora with nullable text. coalesce(False) turns the
-            # NULL verdict into a drop here without changing the
-            # text_quality_score / corpus_report scoring surfaces (whose
-            # oracles also yield SQL NULL).
-            qual_ids = (
-                textstats.quality_verdicts_from(docs.select("doc_id", "text"))
-                .where(~F.coalesce(F.col("passes_filter"), F.lit(False)))
-                .select("doc_id")
-                .localCheckpoint(eager=True)
-            )
+            if qual_ids is None:
+                # NULL gate verdict (null text) is a REJECT: the stream twin's
+                # where(quality_gate()) drops NULL rows (SQL NULL is not true),
+                # so the batch drop-set must claim them too or the documented
+                # "streamed survivor set equals the batch chain" contract breaks
+                # for corpora with nullable text. coalesce(False) turns the
+                # NULL verdict into a drop here without changing the
+                # text_quality_score / corpus_report scoring surfaces (whose
+                # oracles also yield SQL NULL).
+                qual_ids = (
+                    textstats.quality_verdicts_from(docs.select("doc_id", "text"))
+                    .where(~F.coalesce(F.col("passes_filter"), F.lit(False)))
+                    .select("doc_id")
+                    .localCheckpoint(eager=True)
+                )
             docs = docs.join(qual_ids, "doc_id", "left_anti")
             res.stages["after_quality_filter"] = docs
 

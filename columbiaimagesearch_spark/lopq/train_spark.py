@@ -109,11 +109,39 @@ def _merge_stats(key, pdfs):
     )
 
 
+# Driver-merge bound for multi_cluster_moments (bytes of collected partial
+# rows, estimated EXACTLY from n_partitions x Σ_sl k_sl x payload dims
+# before any job runs). Under it, the per-(slice, cluster) partials are
+# collected and summed on the driver — one single-stage job per pass
+# instead of map + shuffle + Python reduce stage (guide §2.4 "remove the
+# shuffle outright": the merge input is partition-count-bounded metadata,
+# never corpus rows). Over it (wide fleets, with_outer covariance
+# payloads), the distributed groupBy+applyInPandas merge runs as before —
+# the driver never holds more than this many partial bytes (guide §5).
+MOMENTS_DRIVER_MERGE_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _partials_bytes(
+    n_partitions: int | None, slices: Slices, with_outer: bool
+) -> int | None:
+    """Upper bound of the collected partials' payload: every partition can
+    emit at most one row per (slice, cluster)."""
+    if n_partitions is None:
+        return None
+    per_part = 0
+    for _, (lo, hi, C) in slices.items():
+        dim = hi - lo
+        row = 96 + 8 * dim + (8 * dim * dim if with_outer else 0)
+        per_part += len(C) * row
+    return n_partitions * per_part
+
+
 def multi_cluster_moments(
     vec_df: DataFrame,
     slices: Slices,
     with_outer: bool = False,
     subtract_center: bool = False,
+    n_partitions: int | None = None,
 ) -> dict[tuple[int, int], tuple[int, np.ndarray, np.ndarray | None]]:
     """Distributed per-(slice, cluster) moments in ONE corpus pass:
     {(sl, cluster): (n, Σx, Σxxᵀ or None)}. This is the training-scan
@@ -121,17 +149,54 @@ def multi_cluster_moments(
     subquantizers) per Lloyd iteration from a single scan instead of one
     scan per codebook — at 100 TB the iteration cost is one corpus read
     regardless of M. The collect is Σ_sl k_sl rows, independent of corpus
-    size."""
+    size.
+
+    ``n_partitions`` (optional): the input's partition count, if the
+    caller already knows it — enables the bounded driver-side merge (see
+    :data:`MOMENTS_DRIVER_MERGE_MAX_BYTES`) without the ~90 ms
+    plan-analysis probe ``df.rdd.getNumPartitions()`` costs per call;
+    iterative callers (the Lloyd loop) probe once and pass it down."""
     spark = vec_df.sparkSession
     b_s = spark.sparkContext.broadcast(slices)
     partials = vec_df.mapInPandas(
         _multi_moment_partials(b_s, with_outer, subtract_center),
         _STATS_SCHEMA,
     )
+    if n_partitions is None:
+        try:
+            n_partitions = vec_df.rdd.getNumPartitions()
+        except Exception:  # noqa: BLE001 — unprobed: distributed merge
+            n_partitions = None
+    est = _partials_bytes(n_partitions, slices, with_outer)
+    out: dict[tuple[int, int], tuple[int, np.ndarray, np.ndarray | None]] = {}
+    if est is not None and est <= MOMENTS_DRIVER_MERGE_MAX_BYTES:
+        # bounded driver merge: one map-only job, partials summed in numpy
+        # (float64, same dtype as the distributed _merge_stats reduce)
+        for r in partials.collect():
+            key = (int(r["sl"]), int(r["cluster"]))
+            n = int(r["n"])
+            s = np.asarray(r["s"], dtype=np.float64)
+            op = (
+                np.asarray(r["op"], dtype=np.float64) if with_outer else None
+            )
+            prev = out.get(key)
+            if prev is None:
+                out[key] = (n, s, op)
+            else:
+                out[key] = (
+                    prev[0] + n,
+                    prev[1] + s,
+                    (prev[2] + op) if with_outer else None,
+                )
+        if with_outer:
+            out = {
+                k: (n, s, op.reshape(slices[k[0]][1] - slices[k[0]][0], -1))
+                for k, (n, s, op) in out.items()
+            }
+        return out
     merged = partials.groupBy("sl", "cluster").applyInPandas(
         _merge_stats, _STATS_SCHEMA
     )
-    out: dict[tuple[int, int], tuple[int, np.ndarray, np.ndarray | None]] = {}
     for r in merged.collect():
         sl = int(r["sl"])
         dim = slices[sl][1] - slices[sl][0]
@@ -151,6 +216,7 @@ def cluster_moments(
     hi: int,
     with_outer: bool = False,
     subtract_center: bool = False,
+    n_partitions: int | None = None,
 ) -> dict[int, tuple[int, np.ndarray, np.ndarray | None]]:
     """Single-slice convenience over :func:`multi_cluster_moments`:
     {cluster: (n, Σx, Σxxᵀ or None)} of the [lo:hi) columns."""
@@ -159,6 +225,7 @@ def cluster_moments(
         {0: (lo, hi, centers)},
         with_outer=with_outer,
         subtract_center=subtract_center,
+        n_partitions=n_partitions,
     )
     return {c: v for (_, c), v in stats.items()}
 
@@ -194,12 +261,19 @@ def lloyd_spark_multi(
     for (lo, hi), seed in zip(bounds, seeds):
         rng = np.random.RandomState(seed)
         centers.append(_kmeans_pp_init(S_full[:, lo:hi], k, rng))
+    # probe the partition count ONCE for the whole loop — every iteration's
+    # moment pass shares it for the driver-merge bound
+    try:
+        n_parts = vec_df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — unprobed: distributed merge
+        n_parts = None
     active = set(range(len(bounds)))
     for _ in range(n_iter):
         stats = multi_cluster_moments(
             vec_df,
             {i: (bounds[i][0], bounds[i][1], centers[i]) for i in sorted(active)},
             with_outer=False,
+            n_partitions=n_parts,
         )
         still = set()
         for i in sorted(active):

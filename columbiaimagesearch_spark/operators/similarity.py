@@ -403,6 +403,39 @@ LSH_SPLIT_EXACT_CAP = 4096
 # session default stays the floor so small fixtures keep their
 # parallelism.
 LSH_BANDED_ROWS_PER_TASK = 65536
+# The rows-per-task constant was measured at d=64 (~700 B/row -> ~45 MB
+# reduce tasks, the sweet spot of the r16 1M partition sweep). Rows are
+# dominated by the vector payload, so at wider d the SAME row count is
+# proportionally more bytes per task (d=4096 -> ~2 GB/task) — scale the
+# row target down to hold the measured ~45 MB/task instead (VERDICT r16
+# #6, guide §2.2 "size partitions by bytes").
+LSH_BANDED_REF_DIM = 64
+# Width cap (guide §5 — driver task metadata): past this the exchange
+# stops widening and per-task rows grow instead. At the cap a 10^9-row,
+# 19-band corpus puts ~290k rows (~200 MB at d=64) in each task — inside
+# the guide's 100 MB-1 GB partition band, while an uncapped width would
+# cost ~290k reduce-task records of driver bookkeeping.
+LSH_BANDED_MAX_PARTITIONS = 65536
+
+
+def banded_exchange_partitions(
+    n_rows: int, bands: int, dim: int | None = None
+) -> int:
+    """Reduce-task count for the banded LSH exchange: n_rows*bands replica
+    rows at ~LSH_BANDED_ROWS_PER_TASK per task (byte-rescaled when the
+    vector width ``dim`` exceeds the d=64 reference), capped at
+    LSH_BANDED_MAX_PARTITIONS."""
+    rows_per_task = LSH_BANDED_ROWS_PER_TASK
+    if dim is not None and dim > LSH_BANDED_REF_DIM:
+        # floor at 1/64 of the reference row target (1024 rows at the
+        # default): past d~4096 the task-byte model stops shrinking rows
+        # so extreme widths can't degenerate to one-row tasks
+        rows_per_task = max(
+            rows_per_task // 64,
+            (rows_per_task * LSH_BANDED_REF_DIM) // int(dim),
+        )
+    want = -(-int(n_rows) * int(bands) // rows_per_task)
+    return min(want, LSH_BANDED_MAX_PARTITIONS)
 
 
 class _MaxAccumParam:
@@ -750,13 +783,18 @@ def emb_lsh_pairs_from(
     stats: LshBucketStats | None = None,
     oversize: str = "refuse",
     n_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Library form over any (vec_id, v array<double>) relation.
 
     ``n_rows`` (optional): the corpus row count, if the caller already
     knows it — enables the banded-exchange sizing (see
     :data:`LSH_BANDED_ROWS_PER_TASK`) without a second count job. The
-    derived-knob path counts anyway and sizes automatically.
+    derived-knob path counts anyway and sizes automatically — and reads
+    the vector width off the same pass, so wide-d corpora get byte-scaled
+    reduce tasks (:func:`banded_exchange_partitions`). ``dim`` lets an
+    explicit-``n_rows`` caller supply the width without a probe job; when
+    unknown, sizing assumes the d=64 reference.
 
     CALIBRATION IS LOAD-BEARING AT SCALE: in-bucket work is
     O((n / 2^bits)^2) per band, so ``bits`` must grow with the corpus.
@@ -798,7 +836,15 @@ def emb_lsh_pairs_from(
         )
     if bands is None or bits is None:
         if n_rows is None:
-            n_rows = vec_df.count()
+            # one pass serves BOTH the knob derivation (count) and the
+            # exchange sizing's vector width (min size(v) — min, not
+            # first, so the value is deterministic)
+            _agg = vec_df.agg(
+                F.count(F.lit(1)).alias("n"), F.min(F.size("v")).alias("d")
+            ).collect()[0]
+            n_rows = int(_agg["n"])
+            if dim is None and _agg["d"] is not None:
+                dim = int(_agg["d"])
         d_bands, d_bits = derive_lsh_knobs(n_rows, threshold=threshold)
         bands = d_bands if bands is None else bands
         bits = d_bits if bits is None else bits
@@ -859,15 +905,14 @@ def emb_lsh_pairs_from(
     )
     if n_rows is not None:
         # size the ONE keyed exchange to its true (replicated) volume —
-        # see LSH_BANDED_ROWS_PER_TASK. repartition on the group key
-        # satisfies the groupBy's ClusteredDistribution, so this REPLACES
-        # the default-width exchange rather than adding a second one
-        # (plan-pinned in tests/test_plans.py).
-        import math as _math
-
+        # see LSH_BANDED_ROWS_PER_TASK / banded_exchange_partitions
+        # (byte-rescaled for wide vectors, width-capped). repartition on
+        # the group key satisfies the groupBy's ClusteredDistribution, so
+        # this REPLACES the default-width exchange rather than adding a
+        # second one (plan-pinned in tests/test_plans.py).
         spark = vec_df.sparkSession
         floor_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        want_p = _math.ceil(n_rows * bands / LSH_BANDED_ROWS_PER_TASK)
+        want_p = banded_exchange_partitions(n_rows, bands, dim)
         if want_p > floor_p:
             banded = banded.repartition(want_p, "band", "grp")
 

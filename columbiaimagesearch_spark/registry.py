@@ -108,8 +108,11 @@ def _memoized(name: str, fn: Builder) -> Builder:
         stamp = _sf_dir_stamp(sf_dir)
         if stamp is None:
             return fn(spark, sf_dir)
+        # The seam is keyed by the OBJECT, not id(): the key tuple holds a
+        # strong reference, so a monkeypatched-then-collected seam function
+        # can never alias a later function that reused its id (ADVICE r16).
         key = (name, os.path.realpath(sf_dir), stamp,
-               id(tables_mod.parallelize_scan))
+               tables_mod.parallelize_scan)
         df = _BUILDER_MEMO.get(key)
         if (
             df is not None
@@ -118,10 +121,22 @@ def _memoized(name: str, fn: Builder) -> Builder:
         ):
             return df
         df = fn(spark, sf_dir)
+        # Evict only what can no longer hit: same (name, sf_dir) under a
+        # different stamp/seam (the fixture was rewritten or the seam
+        # swapped), plus entries of dead sessions. Entries for OTHER
+        # sf_dirs of the same query survive, so alternating sf_dirs in one
+        # session (oracle parity at sf0.01 interleaved with bench at
+        # sf0.1) hit instead of thrashing (ADVICE r16).
+        def _dead(v: DataFrame) -> bool:
+            try:
+                return v.sparkSession.sparkContext._jsc.sc().isStopped()
+            except Exception:  # noqa: BLE001 — session unreachable = dead
+                return True
+
         for k in [
             k
             for k, v in list(_BUILDER_MEMO.items())
-            if (k[0] == name and k != key) or v.sparkSession is not spark
+            if (k[0] == name and k[1] == key[1] and k != key) or _dead(v)
         ]:
             _BUILDER_MEMO.pop(k, None)
         _BUILDER_MEMO[key] = df

@@ -43,6 +43,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _SCAN_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _path_stamp(path: str) -> tuple | None:
+    """Invalidation stamp for a parquet path: (mtime_ns, size) of the file,
+    or — when the path is a Spark-written parquet DIRECTORY — the sorted
+    (name, mtime_ns, size) of its entries. A part file rewritten in place
+    does not bump the directory's own mtime/size, so a dir-level stat would
+    serve a stale FileIndex (ADVICE r16); stamping the entries catches it.
+    None on stat failure (non-local path / mid-rewrite): callers skip the
+    memo for that call rather than caching under a degraded key."""
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        entries = []
+        with os.scandir(path) as it:
+            for e in sorted(it, key=lambda e: e.name):
+                est = e.stat()
+                entries.append((e.name, est.st_mtime_ns, est.st_size))
+        return (st.st_mtime_ns, tuple(entries))
+    except OSError:
+        return None
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
@@ -56,11 +78,7 @@ def load_table(
     ensure_shipped(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        st = os.stat(path)
-        stamp = (st.st_mtime_ns, st.st_size)
-    except OSError:  # non-local path: no cheap stat, no memo
-        stamp = None
+    stamp = _path_stamp(path)  # None on stat failure: no memo for this call
     # Only the BASE scan is memoized; the spread repartition is applied per
     # call so the parallelize_scan seam (and the spread-invariance suite's
     # monkeypatch of it) still sees every spread request. The repartition
@@ -130,11 +148,8 @@ _SPREAD_CACHE: dict[tuple, bool] = {}
 
 
 def _spread_cache_key(df: DataFrame, cache_key: str, target: int) -> tuple:
-    try:
-        st = os.stat(cache_key)
-        layout = (int(st.st_mtime_ns), st.st_size)
-    except OSError:  # non-local path (e.g. object store): no cheap stat
-        layout = None
+    # same dir-aware stamp as the scan memo; None = non-local path, no stat
+    layout = _path_stamp(cache_key)
     max_bytes = df.sparkSession.conf.get(
         "spark.sql.files.maxPartitionBytes", "134217728"
     )

