@@ -29,6 +29,7 @@ cluster geometry — the property ``tests/test_llm_pipeline.py`` pins.
 
 from __future__ import annotations
 
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -238,10 +239,12 @@ def curate_docs(
     # re-raises. Scope (ADVICE r12): this guarantee covers persist()
     # entries only — the ones the cache manager pins indefinitely. The
     # eagerly localCheckpoint()ed verdict/loser relations created before
-    # a failure are NOT tracked; their blocks are reclaimed by the
-    # ContextCleaner when the Python/JVM refs drop (the session's 45 s
-    # periodic GC bounds the wait), which is acceptable for id-set-sized
-    # pins but is a weaker, delayed release.
+    # a failure (including the r17 OVERLAPPED verdict pins, which run
+    # concurrently with stage 1 and may exist when stage 1 raises) are
+    # NOT tracked; their blocks are reclaimed by the ContextCleaner when
+    # the Python/JVM refs drop (the session's 45 s periodic GC bounds the
+    # wait), which is acceptable for id-set-sized pins but is a weaker,
+    # delayed release.
     caches: list[DataFrame] = []
 
     def _track(df: DataFrame) -> DataFrame:
@@ -255,6 +258,8 @@ def curate_docs(
                 break
         df.unpersist()
 
+    pool: ThreadPoolExecutor | None = None
+    verdict_futs: dict[str, Future] = {}
     try:
         res = CurationResult()
         res.stages["input"] = docs
@@ -324,6 +329,60 @@ def curate_docs(
         # checkpoints the pairs, so the hashed relation is consumed by the time
         # it returns and can be unpersisted (no leaked cache per curate call).
         hashed = _track(dedup.hashed_from(docs))
+        reuse_hashed = fuzzy_decontaminate or contamination_report
+        h_b = _track(dedup.hashed_from(bench_docs)) if reuse_hashed else None
+
+        # r17 OVERLAP (guide §2.6 — independent jobs back-fill idle slots):
+        # the exact-decontamination, fuzzy-decontamination and repetition
+        # verdicts are PER-DOC functions of (doc text, eval suite) — no
+        # cross-corpus state — so their drop-id pins need not wait for the
+        # dedup stage. They are submitted here over the CURRENT (post-
+        # quality) docs, a superset of whatever survivor set each is later
+        # applied to: the extra verdict rows belong to docs an earlier
+        # anti-join already dropped, so applying the superset drop set
+        # yields row-identical stages (pinned by test). The pins then run
+        # CONCURRENTLY with stage 1's hash/band/component jobs — the chain
+        # at sf-scale is a string of under-parallelized eager jobs, and at
+        # 100 TB each stage has a straggler tail the next stage's jobs can
+        # fill. The corpus-dependent stages (dedup, substring, novelty,
+        # embedding dedup) stay sequential: their verdicts change with the
+        # survivor set. The fuzzy pin shares the tracked `hashed`/`h_b`
+        # caches with stage 1 (Spark's block manager serializes concurrent
+        # fills per partition); every future is awaited at its original
+        # apply point, and the except arm below drains them before any
+        # cache release.
+        docs_pre = docs
+
+        def _pin_drop_ids(df: DataFrame, flag: str) -> DataFrame:
+            return (
+                df.where(F.col(flag))
+                .select("doc_id")
+                .localCheckpoint(eager=True)
+            )
+
+        pool = ThreadPoolExecutor(max_workers=3)
+        if bench_docs is not None:
+            verdict_futs["dirty"] = pool.submit(
+                lambda: _pin_drop_ids(
+                    hygiene.decontaminate_from(docs_pre, bench_docs),
+                    "contaminated",
+                )
+            )
+        if fuzzy_decontaminate:
+            verdict_futs["fuzzy"] = pool.submit(
+                lambda: _pin_drop_ids(
+                    hygiene.fuzzy_decontaminate_from(
+                        docs_pre, bench_docs,
+                        hashed_train=hashed, hashed_bench=h_b,
+                    ),
+                    "contaminated",
+                )
+            )
+        verdict_futs["rep"] = pool.submit(
+            lambda: _pin_drop_ids(
+                hygiene.repetition_stats_from(docs_pre), "repetitive"
+            )
+        )
         # max_bucket: an exact-duplicate flood refuses loudly here (naming the
         # linear exact-hash rung) instead of a quadratic self-join. We own the
         # band cache too: the guard's eager agg materializes it, the pair
@@ -338,8 +397,8 @@ def curate_docs(
         _release(bands)
         # hashed stays persisted through stage 2 when the fuzzy rung and/or
         # the contamination report will reuse it (the hashed contract
-        # composed); otherwise it is dead here.
-        reuse_hashed = fuzzy_decontaminate or contamination_report
+        # composed, reuse_hashed above); otherwise it is dead here — no
+        # overlapped verdict reads it in that case.
         if not reuse_hashed:
             _release(hashed)
         if cluster_stats:
@@ -367,8 +426,8 @@ def curate_docs(
         # the cache is narrowed to the current corpus with the same tiny
         # losers anti-join that produced `docs` — still zero re-hash passes.
         # Eagerly pinned (suite-sized rows) while the caches are hot; lazily
-        # it would re-hash the corpus after the unpersists below.
-        h_b = _track(dedup.hashed_from(bench_docs)) if reuse_hashed else None
+        # it would re-hash the corpus after the unpersists below. (h_b was
+        # built with `hashed` above, before the overlapped fuzzy pin.)
         if contamination_report:
             h_cur = hashed.join(losers, "doc_id", "left_anti")
             res.stages["contamination_report"] = hygiene.contamination_report_from(
@@ -462,15 +521,13 @@ def curate_docs(
         # chain with decontamination on). Pinned, docs stays "scan + tiny
         # anti-joins", cheap to recompute anywhere.
 
-        # 2. decontamination (skipped when no benchmark suite is supplied)
+        # 2. decontamination (skipped when no benchmark suite is supplied):
+        # drop-id set pinned CONCURRENTLY with stage 1 (see the overlap
+        # note above); awaited here, applied at its original position.
         if bench_docs is not None:
-            verdicts = hygiene.decontaminate_from(docs, bench_docs)
-            dirty = (
-                verdicts.where(F.col("contaminated"))
-                .select("doc_id")
-                .localCheckpoint(eager=True)
+            docs = docs.join(
+                verdict_futs["dirty"].result(), "doc_id", "left_anti"
             )
-            docs = docs.join(dirty, "doc_id", "left_anti")
         res.stages["after_decontam"] = docs
 
         # 2a. fuzzy decontamination (opt-in): the near-duplicate rung the
@@ -482,17 +539,13 @@ def curate_docs(
         # and the report stage when both flags are on); both caches are
         # consumed by the eager checkpoints and released below.
         if fuzzy_decontaminate:
-            fuzzy_dirty = (
-                hygiene.fuzzy_decontaminate_from(
-                    docs, bench_docs, hashed_train=hashed, hashed_bench=h_b
-                )
-                .where(F.col("contaminated"))
-                .select("doc_id")
-                .localCheckpoint(eager=True)
+            docs = docs.join(
+                verdict_futs["fuzzy"].result(), "doc_id", "left_anti"
             )
-            docs = docs.join(fuzzy_dirty, "doc_id", "left_anti")
             res.stages["after_fuzzy_decontam"] = docs
         if reuse_hashed:
+            # safe to release: the fuzzy pin (the only overlapped consumer)
+            # resolved above, and the report stage pinned eagerly
             _release(h_b)
             _release(hashed)
 
@@ -562,12 +615,9 @@ def curate_docs(
             docs = docs.join(nov_ids, "doc_id", "left_anti")
             res.stages["after_novelty"] = docs
 
-        # 3. repetition filter
-        rep = hygiene.repetition_stats_from(docs)
-        rep_ids = (
-            rep.where(F.col("repetitive")).select("doc_id").localCheckpoint(eager=True)
-        )
-        docs = docs.join(rep_ids, "doc_id", "left_anti")
+        # 3. repetition filter (drop-id set pinned concurrently — see the
+        # overlap note at stage 1)
+        docs = docs.join(verdict_futs["rep"].result(), "doc_id", "left_anti")
         res.stages["after_repetition"] = docs
 
         # 4./5. mixture keep + split: per-doc content-hash verdicts, joined in
@@ -590,12 +640,23 @@ def curate_docs(
         res.packed = packing.seq_pack_from(docs, pack_budget, pack_shards)
         return res
     except BaseException:
+        # drain the overlapped verdict pins FIRST: an in-flight pin still
+        # reads the tracked caches, and unpersisting under it would force
+        # its job to recompute the whole lineage mid-failure
+        for f in verdict_futs.values():
+            try:
+                f.result()
+            except Exception:  # noqa: BLE001 — already failing; release anyway
+                pass
         for c in caches:
             try:
                 c.unpersist()
             except Exception:
                 pass
         raise
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
 
 
 def write_training_shards(

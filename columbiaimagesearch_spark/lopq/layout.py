@@ -143,11 +143,18 @@ def _write_codes_partitioned_inner(
     )
     # layout-shape metadata: the bucket count travels WITH the layout, so a
     # reader never has to know (or can be given the wrong) bucket_cells —
-    # a mismatched bucket IN-list would silently prune CORRECT directories
+    # a mismatched bucket IN-list would silently prune CORRECT directories.
+    # Built from range(1), NOT createDataFrame([...]).coalesce(1): a
+    # Python-parallelized local relation spreads over defaultParallelism
+    # slices, and coalesce(1) then computes ALL of them inside one task —
+    # 32 sequential Python-worker round-trips, measured ~5 s of the old
+    # 5.5 s write wall for this one-row file (r17, guide §4 boundary cost).
     spark = codes.sparkSession
-    spark.createDataFrame(
-        [(int(bucket_cells) if bucket_cells else None,)], "bucket_cells int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{META_DIR}")
+    spark.range(1).select(
+        F.lit(int(bucket_cells) if bucket_cells else None)
+        .cast("int")
+        .alias("bucket_cells")
+    ).write.mode("overwrite").parquet(f"{path}/{META_DIR}")
 
 
 def read_codes(spark: SparkSession, path: str) -> DataFrame:
@@ -345,9 +352,15 @@ def append_codes_to_layout(
         codes_new.unpersist()
     for r in inc:
         merged[int(r["cell"])] = merged.get(int(r["cell"]), 0) + int(r["n"])
+    # repartition(1), not coalesce(1): the local relation parallelizes over
+    # defaultParallelism slices, and coalesce would fold every slice's
+    # Python-worker computation into ONE sequential task (~5 s measured for
+    # a tiny file — see the META_DIR writer note); the repartition computes
+    # the slices in parallel and shuffles the few histogram rows to one
+    # writer task.
     spark.createDataFrame(
         sorted(merged.items()), "cell int, n bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{HISTOGRAM_DIR}")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/{HISTOGRAM_DIR}")
     _clear_pending_marker(path, token)
 
 

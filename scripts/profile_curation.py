@@ -31,7 +31,13 @@ def main() -> None:
     spark = get_spark("profile-curation")
     spark.sparkContext.setLogLevel("ERROR")
     import bench as bench_mod
-    from pyspark.sql import DataFrame
+
+    # Spark 4: instances are the CLASSIC DataFrame subclass — patching the
+    # abstract pyspark.sql.DataFrame base is shadowed by the subclass
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older Spark: one concrete class
+        from pyspark.sql import DataFrame
 
     # warm-up mirrors bench.py
     from columbiaimagesearch_spark.operators.relational import a8_distinct

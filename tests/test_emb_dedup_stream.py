@@ -46,6 +46,42 @@ def test_streamed_chunks_equal_batch(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_state_join_sizing_is_result_invariant(spark, tmp_path, monkeypatch):
+    """r17 (VERDICT r16 #7): the state-side candidate join widens to the
+    computed width once the counted state band rows exceed the per-task
+    target — forced here by shrinking the target so every batch after the
+    first repartitions — and the accumulated pair set stays identical to
+    the batch operator's (partitioning can never change which (band, key)
+    buckets collide)."""
+    state = str(tmp_path / "state")
+    vecs = _vec_df(spark)
+    n = vecs.count()
+    # tiny target: any non-empty state trips the widening on batch 2+
+    monkeypatch.setattr(eds, "STATE_BANDS_ROWS_PER_TASK", 8)
+    assert (
+        min(-(-10_000 // eds.STATE_BANDS_ROWS_PER_TASK),
+            eds.STATE_BANDS_MAX_PARTITIONS)
+        == 1250
+    )
+    chunk = (n + 1) // 2
+    admitted = 0
+    for i in range(2):
+        batch = vecs.where(
+            (F.col("vec_id") >= i * chunk) & (F.col("vec_id") < (i + 1) * chunk)
+        )
+        admitted += eds.emb_dedup_batch_step(spark, batch, state)
+    assert admitted == n
+    got = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in eds.read_pairs(spark, state).collect()
+    }
+    want = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in emb_lsh_near_dup_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_replayed_batch_is_noop(spark, tmp_path):
     state = str(tmp_path / "state")
     vecs = _vec_df(spark).where(F.col("vec_id") < 100)
