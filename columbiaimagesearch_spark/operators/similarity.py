@@ -716,8 +716,8 @@ def emb_lsh_near_dup_pairs_oracle(sf_dir: str) -> str:
     candidates as a band-key collision join, and verifies with its OWN
     zero-safe cosine (:func:`lsh_pairs_cte_sql` — the same composition
     the llm_embedding_dedup oracle uses), so the only cross-engine
-    artifact is the plane parameters. The Spark side's min-band single
-    emission and the SQL DISTINCT produce the same pair SET (each
+    artifact is the plane parameters. The Spark side's cross-band pair
+    dropDuplicates and the SQL DISTINCT produce the same pair SET (each
     qualifying pair appears exactly once either way). Cross-engine
     float assumption, stated plainly: DuckDB's list_inner_product sums
     sequentially while the NumPy kernel reduces elementwise-then-sum, so
@@ -819,11 +819,20 @@ def emb_lsh_pairs_from(
       ~target^2 independent of corpus size) and verifies pairs per
       sub-bucket. Pairs the split planes separate lose THIS band only
       (they stay eligible in every other band) — the bounded-cost trade
-      for corpora where refusal is not an option. Split mode swaps the
-      min-band single-emission for a global pair ``dropDuplicates`` (one
-      extra exchange of int-pair rows): min-band emission is unsound under
-      splitting, because a later band cannot know whether an earlier
-      band's bucket was split across a pair. ``None`` disables the bound.
+      for corpora where refusal is not an option. ``None`` disables the
+      bound.
+
+    Cross-band duplicates are removed by a global pair ``dropDuplicates``
+    over the QUALIFYING (vec_a, vec_b, cos) rows — the r17 shape. The
+    historical min-band single-emission avoided that tiny exchange by
+    carrying every row's FULL band-key vector through the big banded
+    exchange (+8·bands bytes per replica row = ~2.9 GB at the 1M probe)
+    plus 19M Python key-list boxings in the banding map and a per-bucket
+    id->keyrow dict in the kernel; the qualifying-pair relation it saved
+    an exchange on is output-sized (~5k rows at 1M), partial-aggregated
+    map-side. Measured at the 1M probe: 50.6 -> 31-34 s (§SCALE.md r17).
+    The kept row is value-identical whichever band emitted it (same
+    float64 vectors, same elementwise kernel in every bucket).
 
     ``stats`` (an :class:`LshBucketStats`) exports the observed max bucket
     after any action — the skew telemetry a cluster run should log."""
@@ -859,8 +868,8 @@ def emb_lsh_pairs_from(
     # followed). Grouping on (band, key % shards) packs ~LSH_GROUP_BUCKETS
     # real buckets into each group; the group is split back into exact
     # (band, key) runs with one numpy sort, and the per-BUCKET math
-    # (_bucket_cos_pairs, min-band emission, max_bucket refusal, max
-    # telemetry) is unchanged — pair output is row-for-row identical.
+    # (_bucket_cos_pairs, max_bucket refusal, max telemetry) is
+    # unchanged — pair output is row-for-row identical.
     # Expected group size ~LSH_GROUP_BUCKETS * target_bucket rows (~4k
     # rows / ~2.5 MB at d=64) and stays bounded as the corpus grows,
     # because derive_lsh_knobs grows ``bits`` with n while the shard
@@ -876,32 +885,64 @@ def emb_lsh_pairs_from(
         else keyspace // LSH_GROUP_BUCKETS
     )
 
-    def band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.array(list(pdf["v"]), dtype=np.float64)
-            keys = _lsh_band_keys(V, bands, bits, seed)
-            n = len(pdf)
-            flat_keys = keys.T.ravel()
-            # each replica carries the vector's FULL key row (bands int64s,
-            # tiny next to the vector itself) so buckets can dedup
-            # cross-band pairs locally — see bucket_group_pairs
-            yield pd.DataFrame(
-                {
-                    "band": np.repeat(np.arange(bands), n),
-                    "grp": flat_keys % shards,
-                    "key": flat_keys,
-                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), bands),
-                    "v": list(pdf["v"]) * bands,
-                    "keys": [list(k) for k in keys] * bands,
-                }
-            )
+    # The banding fan-out runs as mapInArrow with the vector as ONE
+    # contiguous float64 BINARY blob per row (r17, guide §4.2): the
+    # previous mapInPandas shape spent ~92% of the stage's wall in the
+    # Python workers (REST stage metrics at the cold 1M probe: 649 s of
+    # task runTime vs 52 s of JVM CPU) converting 19M list-of-ndarray
+    # pandas cells to Arrow list<double>. Arrow-native construction is
+    # buffer slicing: the input ListArray flattens zero-copy to the
+    # (n, d) matrix, the replicated payload is one `np.tile(...).tobytes()`
+    # memcpy, and the binary column is built from that single buffer plus
+    # a uniform offsets array — no per-element boxing anywhere. The
+    # float64 BITS are preserved exactly (tobytes/frombuffer round-trip),
+    # so every downstream cosine is bit-identical to the array<double>
+    # form (suite-pinned).
+    def band_rows(batches):
+        import pyarrow as pa
 
-    banded = vec_df.mapInPandas(
+        for batch in batches:
+            m_all = batch.num_rows
+            if not m_all:
+                continue
+            col = batch.column(1)  # v list<double>
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            d = flat.size // m_all
+            V_all = flat.reshape(m_all, d)
+            ids_all = np.asarray(batch.column(0), dtype=np.int64)
+            row_b = d * 8
+            # pa.binary() offsets are int32: cap each OUTPUT batch so the
+            # replicated payload (rows*bands*d*8 bytes) stays under 2^31
+            # — wide vectors (d=4096 at a 10k-row Arrow batch) would
+            # silently wrap np.arange(int32) otherwise
+            step = max(1, (2**31 - 1) // (bands * row_b))
+            for lo in range(0, m_all, step):
+                V = V_all[lo : lo + step]
+                m = len(V)
+                keys = _lsh_band_keys(V, bands, bits, seed)
+                flat_keys = keys.T.ravel()
+                payload = np.tile(V, (bands, 1)).tobytes()
+                offsets = np.arange(
+                    0, (m * bands + 1) * row_b, row_b, dtype=np.int32
+                )
+                vbin = pa.Array.from_buffers(
+                    pa.binary(), m * bands,
+                    [None, pa.py_buffer(offsets), pa.py_buffer(payload)],
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.repeat(np.arange(bands, dtype=np.int32), m)),
+                        pa.array(flat_keys % shards),
+                        pa.array(flat_keys),
+                        pa.array(np.tile(ids_all[lo : lo + step], bands)),
+                        vbin,
+                    ],
+                    names=["band", "grp", "key", "vec_id", "v"],
+                )
+
+    banded = vec_df.select("vec_id", "v").mapInArrow(
         band_rows,
-        "band int, grp bigint, key bigint, vec_id bigint, v array<double>, "
-        "keys array<bigint>",
+        "band int, grp bigint, key bigint, vec_id bigint, v binary",
     )
     if n_rows is not None:
         # size the ONE keyed exchange to its true (replicated) volume —
@@ -917,13 +958,16 @@ def emb_lsh_pairs_from(
             banded = banded.repartition(want_p, "band", "grp")
 
     def bucket_group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # v is the packed float64 binary blob (see band_rows): one join +
+        # frombuffer reconstructs the (n, d) matrix bit-exactly
+        buf = b"".join(pdf["v"])
+        V = np.frombuffer(buf, dtype=np.float64).reshape(len(pdf), -1)
         return pd.DataFrame(
             _bucket_group_rows(
                 int(pdf["band"].iloc[0]),
                 pdf["key"].to_numpy(),
                 pdf["vec_id"].to_numpy(),
-                np.array(list(pdf["v"]), dtype=np.float64),
-                pdf["keys"],
+                V,
                 threshold=threshold,
                 max_bucket=max_bucket,
                 acc=acc,
@@ -936,14 +980,13 @@ def emb_lsh_pairs_from(
     pairs = banded.groupBy("band", "grp").applyInPandas(
         bucket_group_pairs, "vec_a bigint, vec_b bigint, cos_sim double"
     )
-    if oversize == "split":
-        # cross-band duplicate removal (min-band emission is off — see the
-        # docstring): the payload is (bigint, bigint, double) rows only, so
-        # the extra exchange moves ~qualifying-pairs x band-multiplicity
-        # ints, never vectors. The kept cos is value-identical whichever
-        # band emitted it (same float64 vectors, same elementwise kernel).
-        pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
-    return pairs
+    # cross-band duplicate removal (r17, both modes — see the docstring):
+    # the payload is QUALIFYING (bigint, bigint, double) rows only —
+    # output-sized, partial-aggregated map-side — so the extra exchange
+    # moves ~pairs x band-multiplicity ints, never vectors. The kept cos
+    # is value-identical whichever band emitted it (same float64 vectors,
+    # same elementwise kernel).
+    return pairs.dropDuplicates(["vec_a", "vec_b"])
 
 
 def _bucket_group_rows(
@@ -951,7 +994,6 @@ def _bucket_group_rows(
     keys_np: np.ndarray,
     ids: np.ndarray,
     V: np.ndarray,
-    keyrows,
     threshold: float,
     max_bucket: int | None,
     acc=None,
@@ -964,23 +1006,20 @@ def _bucket_group_rows(
     hypothesis suite can fuzz the run-splitting against a per-bucket
     reference). One conversion + one stable sort for the whole group; each
     (band, key) run reproduces the per-bucket grouping exactly (same rows,
-    same _bucket_cos_pairs input). ``keyrows`` is the per-row full key
-    vector (any sequence of int sequences), read only when min-band
-    filtering needs it.
+    same _bucket_cos_pairs input). Cross-band duplicate emissions are the
+    CALLER's dropDuplicates over the qualifying int-pair rows (r17 — see
+    ``emb_lsh_pairs_from``); the kernel emits every qualifying pair of its
+    own band's buckets.
 
     ``oversize`` (r16): "refuse" raises on a bucket above ``max_bucket``
     (the historical guard); "split" sub-buckets it by extra seeded sign
     bits (:func:`_split_subkeys`, depth from :func:`_split_depth`) and
     verifies pairs per sub-bucket, bounding per-bucket cost independent of
-    corpus size. In split mode the min-band filter is DISABLED for the
-    whole run (the caller dedups globally instead): a pair dropped at its
-    min band by a cross-sub-bucket split must stay eligible at every later
-    band, which the local filter cannot know."""
+    corpus size."""
     order = np.argsort(keys_np, kind="stable")
     keys_np = keys_np[order]
     ids_all = ids[order]
     V_all = V[order]
-    keyrows_all = None  # built lazily — only min-band filtering reads it
     cuts = np.flatnonzero(np.diff(keys_np)) + 1
     starts = np.concatenate(([0], cuts))
     ends = np.concatenate((cuts, [len(keys_np)]))
@@ -1013,34 +1052,7 @@ def _bucket_group_rows(
                 "pass a larger max_bucket (None disables) if the O(n^2) "
                 "cost is intended."
             )
-        rows = _bucket_cos_pairs(ids_all[s:e], V_all[s:e], threshold)
-        if oversize == "split":
-            # no min-band filtering in split mode (see docstring); the
-            # caller's global pair-distinct removes cross-band duplicates
-            out.extend(rows)
-            continue
-        if not rows:
-            continue
-        # MIN-BAND emission: a pair whose vectors already share a key
-        # in an EARLIER band was (or will be) emitted there — skipping
-        # it here makes each qualifying pair appear exactly once across
-        # all buckets, which removes the global distinct (a full extra
-        # exchange) from the plan. The cosine is computed from the same
-        # float64 vectors in every bucket, so the kept row is value-
-        # identical to the one a distinct would pick.
-        if b > 0:
-            if keyrows_all is None:
-                keyrows_all = np.array(list(keyrows), dtype=np.int64)[order]
-            key_of = {
-                int(i): keyrows_all[s + j]
-                for j, i in enumerate(ids_all[s:e])
-            }
-            rows = [
-                (a, c, sm)
-                for a, c, sm in rows
-                if not any(key_of[a][t] == key_of[c][t] for t in range(b))
-            ]
-        out.extend(rows)
+        out.extend(_bucket_cos_pairs(ids_all[s:e], V_all[s:e], threshold))
     return out
 
 

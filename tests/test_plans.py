@@ -430,11 +430,15 @@ def test_llm_embedding_dedup_labeling_is_broadcast_only(spark):
 def test_emb_lsh_pairs_single_keyed_exchange(spark):
     plan = explain.formatted_plan(_q(spark, "emb_lsh_near_dup_pairs"))
     # band -> verify is ONE hash exchange on the (band, grp) grouping key
-    # (r14 bucket-group batching kept the plan shape: banding is a narrow
-    # mapInPandas off the scan, verification one FlatMapGroupsInPandas);
-    # a second keyed exchange means a distinct/join crept back into the
-    # pair path (the min-band emission exists to avoid exactly that)
-    assert explain.data_shuffles(plan) == 1, plan
+    # carrying the replicated vectors, plus (r17) ONE output-sized
+    # exchange for the cross-band pair dropDuplicates — (bigint, bigint,
+    # double) rows, partial-aggregated map-side, replacing the min-band
+    # per-row key payload (8·bands bytes/replica) the big exchange used
+    # to carry. A THIRD keyed exchange means a join/window crept into the
+    # pair path. The vector-bearing exchange must be exactly one.
+    assert explain.data_shuffles(plan) == 2, plan
+    vec_bearing = [b for b in explain.keyed_exchange_blocks(plan) if "v#" in b]
+    assert len(vec_bearing) == 1, plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
     assert plan.count("FlatMapGroupsInPandas") >= 1, plan
 
@@ -442,11 +446,13 @@ def test_emb_lsh_pairs_single_keyed_exchange(spark):
 def test_emb_lsh_banded_exchange_sizing_keeps_one_shuffle(spark, monkeypatch):
     """r16 banded-exchange sizing: when the corpus is big enough that the
     operator widens the shuffle (repartition on the group key), the plan
-    must STILL hold exactly one keyed exchange — the repartition replaces
-    the default-width exchange (its HashPartitioning satisfies the
-    groupBy's ClusteredDistribution), it must never stack a second one —
-    and the exchange must carry the computed width, not the session
-    default. The pair set, cosines included, is partitioning-invariant."""
+    must STILL hold exactly one VECTOR-BEARING keyed exchange — the
+    repartition replaces the default-width exchange (its HashPartitioning
+    satisfies the groupBy's ClusteredDistribution), it must never stack a
+    second one — and the exchange must carry the computed width, not the
+    session default. (The r17 pair-dedup exchange is the second keyed
+    exchange, int-pair rows only.) The pair set, cosines included, is
+    partitioning-invariant."""
     from pyspark.sql import functions as F
 
     from columbiaimagesearch_spark.operators import similarity as sim
@@ -465,7 +471,8 @@ def test_emb_lsh_banded_exchange_sizing_keeps_one_shuffle(spark, monkeypatch):
         vecs, bands=4, bits=8, n_rows=n, max_bucket=None
     )
     plan = explain.formatted_plan(sized)
-    assert explain.data_shuffles(plan) == 1, plan
+    assert explain.data_shuffles(plan) == 2, plan
+    assert len([b for b in explain.keyed_exchange_blocks(plan) if "v#" in b]) == 1, plan
     want_p = -(-n * 4 // 16)
     assert want_p > floor_p  # the experiment is live, not vacuous
     assert "hashpartitioning" in plan.lower(), plan
@@ -530,7 +537,7 @@ def test_emb_lsh_banded_exchange_width_honors_dim(spark, monkeypatch):
     # 128 rows/task at the d=64 reference -> 16 at 8x the width
     want_p = -(-n * 4 // 16)
     assert want_p > int(spark.conf.get("spark.sql.shuffle.partitions"))
-    assert explain.data_shuffles(plan) == 1, plan
+    assert explain.data_shuffles(plan) == 2, plan  # banded + pair-dedup (r17)
     assert str(want_p) in plan, (want_p, plan)
 
 

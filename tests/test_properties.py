@@ -391,11 +391,11 @@ def test_l2_normalize_rows_zero_norm_contract(seed, n, zero_bench_row):
 def test_bucket_group_kernel_matches_per_bucket_reference(b, row_keys, seed):
     """_bucket_group_rows (the r14 coarse-group kernel) over ANY key
     pattern must equal the per-bucket reference: loop exact key groups,
-    run _bucket_cos_pairs + the min-band filter per group. Ids are unique
-    (vec_id is a key of the input relation — band_rows emits each id once
-    per band); low threshold so random vectors actually pair; keyrows
-    drawn so some pairs share an earlier-band key (exercising the filter
-    both ways)."""
+    run _bucket_cos_pairs per group. Ids are unique (vec_id is a key of
+    the input relation — band_rows emits each id once per band); low
+    threshold so random vectors actually pair. (Cross-band dedup is the
+    CALLER's dropDuplicates since r17 — the kernel emits every qualifying
+    pair of its band, so the reference is the plain per-bucket loop.)"""
     from columbiaimagesearch_spark.operators.similarity import (
         _bucket_cos_pairs,
         _bucket_group_rows,
@@ -406,31 +406,20 @@ def test_bucket_group_kernel_matches_per_bucket_reference(b, row_keys, seed):
     keys = np.array(row_keys, dtype=np.int64)
     ids = rnd.permutation(10 * n or 1)[:n].astype(np.int64)  # unique, shuffled
     V = rnd.randn(n, 8) if n else np.zeros((0, 8))
-    # full key rows: band 0..3; earlier-band keys drawn from {0,1} so
-    # same-earlier-band collisions are common
-    keyrows = [list(rnd.randint(0, 2, size=4).astype(np.int64)) for _ in range(n)]
     threshold = -1.0  # every in-bucket pair qualifies -> max pair volume
 
     got = sorted(
         _bucket_group_rows(
-            b, keys.copy(), ids.copy(), V.copy(), keyrows,
+            b, keys.copy(), ids.copy(), V.copy(),
             threshold=threshold, max_bucket=None,
         )
     )
 
     # reference: independent per-bucket computation
-    key_of = {int(i): kr for i, kr in zip(ids, keyrows)}
     want: list[tuple] = []
     for k in sorted(set(keys.tolist())):
         sel = keys == k
-        pairs = _bucket_cos_pairs(ids[sel], V[sel], threshold)
-        if b > 0:
-            pairs = [
-                (a, c, sm)
-                for a, c, sm in pairs
-                if not any(key_of[a][t] == key_of[c][t] for t in range(b))
-            ]
-        want.extend(pairs)
+        want.extend(_bucket_cos_pairs(ids[sel], V[sel], threshold))
     assert got == sorted(want)
 
 
